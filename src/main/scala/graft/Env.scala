@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import scala.collection.mutable
+import graft.schema.Registry
+import graft.store.Warehouse
+
+/** Session-scoped engine context: SparkSession + schema registry +
+  * warehouse + configuration.
+  *
+  * Replaces the reference's thread-local context stack
+  * (tanker/context.py:140-151, utils.py:156-185) with an explicit
+  * object — SparkSession is thread-safe, so no per-thread connection
+  * juggling is needed.
+  *
+  * - `aliases` / `cfg`: named-value sources for `{name}` parameters and
+  *   `{alias}` view fields (tanker/context.py:762-768).
+  * - `aclRead` / `aclWrite`: per-table mandatory filters injected into
+  *   every read / write (tanker/view.py:144-146, view.py:350-354).
+  * - `builtins`: user-extensible scalar function registry
+  *   (tanker/expression.py:130-171; extensibility demonstrated in
+  *   talks/jeudis-du-libre/tanker.md:812-824).
+  */
+final class Env(
+    val spark: SparkSession,
+    val registry: Registry,
+    val warehouse: Warehouse) {
+
+  var aliases: Map[String, Any] = Map()
+  var cfg: Map[String, Any] = Map()
+  var aclRead: Map[String, Seq[String]] = Map()
+  var aclWrite: Map[String, Seq[String]] = Map()
+
+  /** User-extensible builtins: name -> (args => column). Consulted for
+    * head-position symbols not matched by a core special form. */
+  val builtins: mutable.Map[String, Seq[Column] => Column] = mutable.Map()
+
+  def view(table: String, fields: Seq[(String, String)]): view.View =
+    new view.View(this, table, fields)
+  def view(table: String): view.View = view(table, null: Seq[(String, String)])
+  def view(table: String, fields: Seq[String])(implicit d: DummyImplicit): view.View =
+    new view.View(this, table, if (fields == null) null else fields.map(f => (f, f)))
+
+  /** Create all managed tables (idempotent) and write their seed
+    * `values` through the View layer so dotted FK fields resolve
+    * (tanker/context.py:679-686). */
+  def createTables(): Unit = {
+    warehouse.createTables()
+    registry.names.foreach { t =>
+      val td = registry(t)
+      if (td.values.nonEmpty) {
+        val fields = td.values.flatMap(_.keys).distinct
+        view(t, fields).write(td.values.map(r => fields.map(f => r.get(f).orNull)))
+      }
+    }
+  }
+
+  /** One-record fetch by filter, as a name->value map
+    * (tanker/view.py:714-721). */
+  def fetch(table: String, filterBy: String, args: Seq[Any] = Nil): Option[Map[String, Any]] = {
+    val cols = "id" +: registry(table).own.map(_.name)
+    val df = view(table, cols).read(Seq(filterBy), args = args)
+    df.head(1).headOption.map(r => cols.zip(r.toSeq).toMap)
+  }
+
+  /** One-record upsert from a name->value map (tanker/view.py:724-727). */
+  def save(table: String, data: Map[String, Any]): Unit = {
+    val fields = data.keys.toSeq
+    view(table, fields).write(Seq(fields.map(data(_))))
+  }
+}
+
+object Env {
+  /** Standard local session config; shuffle partitions sized for
+    * local[32], AQE on (coalesces them at runtime). */
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  def apply(spark: SparkSession, registry: Registry, root: String): Env =
+    new Env(spark, registry, new Warehouse(spark, root, registry))
+}

@@ -1,0 +1,575 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+import scala.collection.mutable
+import graft.Env
+import graft.schema.{ColType, TableDef}
+
+/** Parameter values for `{}` / `{0}` / `{name}` / `{obj.attr}` binding
+  * (tanker/expression.py:353-399). Named lookup falls back to
+  * env.aliases then env.cfg (tanker/context.py:762-768). */
+final class Args(
+    positional: IndexedSeq[Any],
+    named: Map[String, Any],
+    env: Env) {
+  private var cursor = 0
+
+  def pop(): Any = {
+    if (cursor >= positional.length)
+      throw new IllegalArgumentException("Not enough positional args for {} params")
+    val v = positional(cursor); cursor += 1; v
+  }
+  def at(i: Int): Any = positional(i)
+  def get(key: String): Any =
+    named.getOrElse(key, env.aliases.getOrElse(key, env.cfg.getOrElse(key,
+      throw new NoSuchElementException(s"No value for parameter {$key}"))))
+
+  def resolve(p: Ast.Param): Any = {
+    var v: Any =
+      if (p.key.isEmpty) pop()
+      else p.key.toIntOption match {
+        case Some(i) => at(i)
+        case None => get(p.key)
+      }
+    // Dotted tail: map access / bean getter (tanker getattr equivalent)
+    for (attr <- p.tail) {
+      v = v match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]](attr)
+        case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Any]].get(attr)
+        case other =>
+          val f = other.getClass.getMethods.find(m =>
+            m.getName == attr && m.getParameterCount == 0)
+          f.map(_.invoke(other)).getOrElse(
+            throw new NoSuchElementException(s"No attribute '$attr' on $other"))
+      }
+    }
+    if (p.fmtSpec.isDefined) v = PyFormat.format(v, p.fmtSpec.get)
+    if (p.conversion.isDefined) v = PyFormat.convert(v, p.conversion.get)
+    v
+  }
+}
+
+object Args {
+  def apply(env: Env, positional: Seq[Any] = Nil, named: Map[String, Any] = Map()): Args =
+    new Args(positional.toIndexedSeq, named, env)
+}
+
+/** Minimal Python format-spec emulation for `{x:>5}` / `{x!r}` params
+  * (tests/chunk_test.py). Supports [[fill]align][0][width][.prec][dfs]. */
+object PyFormat {
+  private val SpecRe = """(?:(.)?([<>^=]))?([+\- ])?(0)?(\d+)?(?:\.(\d+))?([dfsx]?)""".r
+
+  def convert(v: Any, conversion: String): Any = conversion match {
+    case "r" => v match {
+      case s: String => "'" + s + "'"
+      case other => String.valueOf(other)
+    }
+    case "s" => String.valueOf(v)
+    case c => throw new IllegalArgumentException(s"Unsupported conversion !$c")
+  }
+
+  def format(v: Any, spec: String): Any = spec match {
+    case SpecRe(fill, align, _, zero, width, prec, typ) =>
+      var s = (typ, v) match {
+        case ("f", n: Number) =>
+          val p = Option(prec).map(_.toInt).getOrElse(6)
+          String.format(s"%.${p}f", Double.box(n.doubleValue()))
+        case ("d", n: Number) => n.longValue().toString
+        case _ =>
+          val base = String.valueOf(v)
+          Option(prec).filter(_ => v.isInstanceOf[String])
+            .map(p => base.take(p.toInt)).getOrElse(base)
+      }
+      val w = Option(width).map(_.toInt).getOrElse(0)
+      if (s.length < w) {
+        val f = Option(fill).map(_.head).getOrElse(if (zero != null) '0' else ' ')
+        val pad = f.toString * (w - s.length)
+        Option(align).getOrElse(if (v.isInstanceOf[Number]) ">" else "<") match {
+          case "<" => s = s + pad
+          case ">" => s = pad + s
+          case "^" =>
+            val l = (w - s.length) / 2
+            s = f.toString * l + s + f.toString * (w - s.length - l)
+          case "=" => s = pad + s
+        }
+      } else if (v.isInstanceOf[String] && align == null && fill == null &&
+                 zero == null && typ == "" && prec == null && width != null) {
+        // Python default for str is left-align; handled above.
+      }
+      s
+    case _ => String.valueOf(v)
+  }
+}
+
+/** Compiled value — the result of compiling one AST node. */
+sealed trait CV
+/** A general column expression. */
+final case class CCol(c: Column) extends CV
+/** A literal with its driver-side value (enables `isin` fast paths). */
+final case class CLit(c: Column, raw: Any) extends CV
+/** An auto-expanded list parameter (tanker/expression.py:447-453). */
+final case class CList(items: Seq[CV]) extends CV
+/** `(any arr)` / `(all arr)` quantifier awaiting a comparison
+  * (tanker/expression.py:154-155). */
+final case class CQuant(all: Boolean, c: Column) extends CV
+/** A `(from tbl (select ...) (where ...))` sub-select
+  * (tanker/expression.py:213-220). */
+final case class CSub(qb: QueryBuilder, selects: Seq[Column],
+    where: Option[Column], distinct: Boolean) extends CV
+
+/** One EXISTS/IN-subquery occurrence, materialized as a flag join when
+  * the wide frame is built (see [[QueryBuilder.wideFrame]]). */
+final case class ExistsSpec(sub: QueryBuilder, cond: Column, flag: String)
+
+/** Compiles s-expression ASTs to Spark [[Column]]s over a "wide frame":
+  * the base table left-joined with every table reached by a dotted
+  * path (tanker ReferenceSet, expression.py:24-118).
+  *
+  * Joins are deduplicated per (leftAlias, rightTable, leftCol,
+  * rightCol) with aliases `rtable_N`, N counting joins globally across
+  * parent/child scopes — Catalyst does not merge duplicate joins, so
+  * this mirrors the reference's OrderedDict trick exactly
+  * (expression.py:103-105).
+  */
+final class QueryBuilder(
+    val env: Env,
+    val table: TableDef,
+    val baseDf: () => DataFrame,
+    val aliasForCol: String => String, // column name -> base alias
+    val parent: Option[QueryBuilder],
+    val fieldEnv: Map[String, String]) {
+
+  import Ast._
+
+  // (leftAlias, rightTable, leftCol, rightCol) -> join alias
+  val joins = mutable.LinkedHashMap[(String, String, String, String), String]()
+  val children = mutable.ArrayBuffer[QueryBuilder]()
+  val existsSpecs = mutable.ArrayBuffer[ExistsSpec]()
+  parent.foreach(_.children += this)
+
+  private def nbJoins(up: Boolean = true): Int =
+    if (up && parent.isDefined) parent.get.nbJoins()
+    else joins.size + children.map(_.nbJoins(up = false)).sum
+
+  // ---------------------------------------------------------------- refs
+
+  /** Resolve a plain column or dotted path to a qualified column,
+    * registering joins along the way (tanker get_ref,
+    * expression.py:75-110). */
+  def ref(desc: String): Column = { val (a, _, c) = refInfo(desc); col(s"$a.$c") }
+
+  /** (alias, remote table, remote column) for a path. */
+  def refInfo(desc: String): (String, TableDef, String) =
+    refInfo(desc, table, None)
+
+  private def refInfo(desc: String, tbl: TableDef, forceAlias: Option[String])
+      : (String, TableDef, String) = {
+    if (tbl.has(desc)) {
+      val a = forceAlias.getOrElse(
+        if (tbl eq table) aliasForCol(desc) else tbl.name)
+      return (a, tbl, desc)
+    }
+    if (!desc.contains("."))
+      throw new NoSuchElementException(
+        s"Column '$desc' not found in table '${tbl.name}'")
+    val Array(head, tail) = desc.split("\\.", 2)
+    val hop = env.registry.hop(tbl.name, head) // throws if head unknown
+    val leftAlias = forceAlias.getOrElse(
+      if (tbl eq table) aliasForCol(head) else tbl.name)
+    val key = (leftAlias, hop.toTable, hop.leftCol, hop.rightCol)
+    val alias = joins.getOrElseUpdate(key, s"${hop.toTable}_${rootNbJoins()}")
+    refInfo(tail, env.registry(hop.toTable), Some(alias))
+  }
+
+  private def rootNbJoins(): Int = nbJoins(up = true)
+
+  private def root: QueryBuilder = parent.map(_.root).getOrElse(this)
+
+  // ------------------------------------------------------------- compile
+
+  def compileString(s: String, args: Args): Column =
+    one(compile(Parser.parse(s), args))
+
+  def one(cv: CV): Column = cv match {
+    case CCol(c) => c
+    case CLit(c, _) => c
+    case CQuant(_, c) => c
+    case CList(items) if items.size == 1 => one(items.head)
+    case CList(_) =>
+      throw new IllegalArgumentException("List parameter used outside (in ...)")
+    case _: CSub =>
+      throw new IllegalArgumentException("Sub-select used outside exists/in")
+  }
+
+  private def flat(cvs: Seq[CV]): Seq[CV] = cvs.flatMap {
+    case CList(items) => items
+    case other => Seq(other)
+  }
+
+  def compile(ast: Ast, args: Args): CV = ast match {
+    case Str(s) => CLit(lit(s), s)
+    case Num(v) => CLit(lit(v), v)
+    case p: Param => literal(args.resolve(p))
+    case Word(t) => symbol(t, args)
+    case Node(items) => node(items, args)
+  }
+
+  private def literal(v: Any): CV = v match {
+    case null => CLit(lit(null), null)
+    case s: Iterable[_] => CList(s.toSeq.map(literal))
+    case a: Array[_] => CList(a.toSeq.map(literal))
+    case other => CLit(Lit.of(other), other)
+  }
+
+  /** Non-head symbol resolution (tanker ExpressionSymbol,
+    * expression.py:312-341): `_parent.` climbing, then field-env
+    * macro expansion, then column/dotted path; `null`/`true`/`false`
+    * as literal fallbacks. */
+  private def symbol(token: String, args: Args): CV = {
+    if (token.startsWith("_parent.")) {
+      var tail = token
+      var qb: QueryBuilder = this
+      while (tail.startsWith("_parent.")) {
+        tail = tail.substring("_parent.".length)
+        qb = qb.parent.getOrElse(
+          throw new IllegalArgumentException(s"No parent scope for '$token'"))
+      }
+      return CCol(qb.ref(tail))
+    }
+    fieldEnv.get(token) match {
+      case Some(desc) if !table.has(token) =>
+        if (desc.startsWith("(")) compile(Parser.parse(desc), args)
+        else if (desc.startsWith("{"))
+          literal(args.resolve(Ast.param(desc.substring(1, desc.length - 1))))
+        else CCol(ref(desc))
+      case _ =>
+        try CCol(ref(token))
+        catch {
+          case _: NoSuchElementException => token.toLowerCase match {
+            case "null" => CLit(lit(null), null)
+            case "true" => CLit(lit(true), true)
+            case "false" => CLit(lit(false), false)
+            case _ => throw new IllegalArgumentException(
+              s"Unknown symbol '$token' (table '${table.name}')")
+          }
+        }
+    }
+  }
+
+  private def node(items: Seq[Ast], args: Args): CV = {
+    if (items.isEmpty) throw new IllegalArgumentException("empty () expression")
+    items.head match {
+      case Word(h) => form(h.toLowerCase, items.tail, args)
+      case _ =>
+        // e.g. filter '(1)' / '(true)' — single-value truthiness
+        if (items.size == 1) compile(items.head, args)
+        else throw new IllegalArgumentException(s"Cannot compile $items")
+    }
+  }
+
+  private def cmp(op: String, l: CV, r: CV): Column = {
+    // pg array quantifiers: (= 1 (any arr)) (tests/read_test.py:294-300)
+    (l, r) match {
+      case (CQuant(all, arr), v) => quantCmp(flip(op), one(v), arr, all)
+      case (v, CQuant(all, arr)) => quantCmp(op, one(v), arr, all)
+      case _ =>
+        val (a, b) = (one(l), one(r))
+        op match {
+          case "=" => a === b
+          case "!=" => a =!= b
+          case ">" => a > b
+          case "<" => a < b
+          case ">=" => a >= b
+          case "<=" => a <= b
+        }
+    }
+  }
+
+  private def flip(op: String): String = op match {
+    case ">" => "<"; case "<" => ">"; case ">=" => "<="; case "<=" => ">="
+    case other => other
+  }
+
+  /** value <op> ANY/ALL(array) as a higher-order function over the
+    * array column — codegen-friendly, no explode. */
+  private def quantCmp(op: String, v: Column, arr: Column, all: Boolean): Column = {
+    val pred: Column => Column = op match {
+      case "=" => _ === v
+      case "!=" => _ =!= v
+      case ">" => v > _
+      case "<" => v < _
+      case ">=" => v >= _
+      case "<=" => v <= _
+    }
+    if (all) forall(arr, pred) else exists(arr, pred)
+  }
+
+  private def form(op: String, rawArgs: Seq[Ast], args: Args): CV = op match {
+    case "and" =>
+      CCol(rawArgs.map(a => one(compile(a, args))).reduce(_ && _))
+    case "or" =>
+      CCol(rawArgs.map(a => one(compile(a, args))).reduce(_ || _))
+    case "not" => CCol(!one(compile(rawArgs.head, args)))
+    case "=" | "!=" | ">" | "<" | ">=" | "<=" =>
+      val Seq(l, r) = rawArgs.map(compile(_, args))
+      CCol(cmp(op, l, r))
+    case "is" | "isnot" =>
+      val l = one(compile(rawArgs.head, args))
+      val r = compile(rawArgs(1), args)
+      val isNull = r match { case CLit(_, null) => true; case _ => false }
+      CCol((op, isNull) match {
+        case ("is", true) => l.isNull
+        case ("isnot", true) => l.isNotNull
+        case ("is", false) => l <=> one(r)
+        case ("isnot", false) => !(l <=> one(r))
+      })
+    case "like" | "ilike" =>
+      val Seq(l, r) = rawArgs.map(a => one(compile(a, args)))
+      CCol(if (op == "like") like(l, r) else ilike(l, r))
+    case "in" | "notin" =>
+      val lhs = compile(rawArgs.head, args)
+      val rhs = flat(rawArgs.tail.map(compile(_, args)))
+      rhs match {
+        case Seq(sub: CSub) => inSubquery(one(lhs), sub, negate = op == "notin")
+        case _ =>
+          val l = one(lhs)
+          val c =
+            if (rhs.forall(_.isInstanceOf[CLit]))
+              l.isin(rhs.map(_.asInstanceOf[CLit].raw): _*)
+            else rhs.map(r => l === one(r)).reduce(_ || _)
+          CCol(if (op == "notin") !c else c)
+      }
+    case "any" => CQuant(all = false, one(compile(rawArgs.head, args)))
+    case "all" => CQuant(all = true, one(compile(rawArgs.head, args)))
+    case "unnest" => CCol(explode(one(compile(rawArgs.head, args))))
+    case "->>" =>
+      val l = one(compile(rawArgs.head, args))
+      val key = rawArgs(1) match {
+        case Str(s) => s
+        case other => throw new IllegalArgumentException(s"->> needs a string key, got $other")
+      }
+      CCol(get_json_object(l, "$." + key))
+    case "exists" =>
+      compile(rawArgs.head, args) match {
+        case sub: CSub => existsSubquery(sub, extraCond = None, negate = false)
+        case other => CCol(one(other).isNotNull) // EXISTS over a scalar
+      }
+    case "from" => subSelect(rawArgs, args)
+    case "cast" =>
+      val c = one(compile(rawArgs.head, args))
+      CCol(c.cast(castType(rawArgs(1))))
+    case "extract" =>
+      val part = wordOf(rawArgs.head, "extract part")
+      val ts = one(compile(rawArgs(1), args))
+      CCol(part.toLowerCase match {
+        case "epoch" => unix_timestamp(ts)
+        case "dow" => dayofweek(ts) - lit(1) // pg: Sunday=0
+        case "doy" => dayofyear(ts)
+        case "week" => weekofyear(ts)
+        case p => call_function("date_part", lit(p.toUpperCase), ts)
+      })
+    case "date_trunc" =>
+      val part = rawArgs.head match {
+        case Str(s) => s
+        case w => wordOf(w, "date_trunc part")
+      }
+      CCol(date_trunc(part, one(compile(rawArgs(1), args))))
+    case "strftime" =>
+      val fmt = rawArgs.head match {
+        case Str(s) => s
+        case other => throw new IllegalArgumentException(s"strftime needs a format, got $other")
+      }
+      CCol(date_format(one(compile(rawArgs(1), args)), Strftime.toJava(fmt)))
+    case "floor" => CCol(floor(one(compile(rawArgs.head, args))))
+    case "true" => CLit(lit(true), true)
+    case "false" => CLit(lit(false), false)
+    case "+" =>
+      val xs = rawArgs.map(a => one(compile(a, args)))
+      CCol(xs.reduce(_ + _))
+    case "-" =>
+      val xs = rawArgs.map(a => one(compile(a, args)))
+      CCol(if (xs.size == 1) negate(xs.head) else xs.reduce(_ - _))
+    case "*" => CCol(rawArgs.map(a => one(compile(a, args))).reduce(_ * _))
+    case "/" => CCol(rawArgs.map(a => one(compile(a, args))).reduce(_ / _))
+    // aggregates (tanker/expression.py:173-182)
+    case "count" =>
+      if (rawArgs.isEmpty) CCol(count(lit(1)))
+      else CCol(count(one(compile(rawArgs.head, args))))
+    case "avg" => CCol(avg(one(compile(rawArgs.head, args))))
+    case "sum" => CCol(sum(one(compile(rawArgs.head, args))))
+    case "min" => CCol(min(one(compile(rawArgs.head, args))))
+    case "max" => CCol(max(one(compile(rawArgs.head, args))))
+    case "bool_and" | "every" => CCol(bool_and(one(compile(rawArgs.head, args))))
+    case "bool_or" => CCol(bool_or(one(compile(rawArgs.head, args))))
+    case other =>
+      env.builtins.get(other) match {
+        case Some(fn) => CCol(fn(rawArgs.map(a => one(compile(a, args)))))
+        case None => throw new IllegalArgumentException(s"Unknown function '$other'")
+      }
+  }
+
+  private def wordOf(a: Ast, what: String): String = a match {
+    case Word(w) => w
+    case Ast.Node(Seq(Word(w))) => w
+    case other => throw new IllegalArgumentException(s"Expected $what, got $other")
+  }
+
+  private def castType(a: Ast): DataType = {
+    val name = wordOf(a, "cast type")
+    ColType.parse(name).spark.getOrElse(
+      throw new IllegalArgumentException(s"Cannot cast to $name"))
+  }
+
+  // --------------------------------------------------------- sub-selects
+
+  /** `(from tbl (select ...) (where ...))` — builds a child scope whose
+    * joins/aliases share the global counter (tanker
+    * expression.py:213-220, 236-240). */
+  private def subSelect(rawArgs: Seq[Ast], args: Args): CV = {
+    val tblName = wordOf(rawArgs.head, "sub-select table")
+    val subAlias = s"${tblName}__sq${root.subCounter.getAndIncrement()}"
+    val sub = new QueryBuilder(
+      env, env.registry(tblName),
+      () => env.warehouse.read(tblName).as(subAlias),
+      _ => subAlias, Some(this), Map())
+    var selects: Seq[Column] = Nil
+    var distinct = false
+    var where: Option[Column] = None
+    rawArgs.tail.foreach {
+      case Ast.Node(Word(h) +: rest) if h.equalsIgnoreCase("select") ||
+          h.equalsIgnoreCase("select-distinct") =>
+        distinct = h.equalsIgnoreCase("select-distinct")
+        selects = rest.map(a => sub.one(sub.compile(a, args)))
+      case Ast.Node(Word(h) +: rest) if h.equalsIgnoreCase("where") =>
+        val conds = rest.map(a => sub.one(sub.compile(a, args)))
+        where = conds.reduceOption(_ && _)
+      case other =>
+        throw new IllegalArgumentException(s"Unexpected sub-select clause: $other")
+    }
+    CSub(sub, selects, where, distinct)
+  }
+
+  private val subCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val existsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** EXISTS via a decorrelated flag join (registered here, built in
+    * [[wideFrame]]): the predicate becomes `__exists_N IS NOT NULL`.
+    * Supports one level of `_parent` correlation — the common tanker
+    * shape (tests/expression_static_test.py:93-153); deeper correlation
+    * raises. */
+  private def existsSubquery(sub: CSub, extraCond: Option[Column], negate: Boolean): CV = {
+    require(sub.qb.parent.contains(this),
+      "exists/in sub-select correlation deeper than one level is not supported")
+    val flag = s"__exists_${root.existsCounter.getAndIncrement()}"
+    val cond = (sub.where.toSeq ++ extraCond.toSeq)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    root.existsSpecs += ExistsSpec(sub.qb, cond, flag)
+    val c = col(flag).isNotNull
+    CCol(if (negate) !c else c)
+  }
+
+  private def inSubquery(lhs: Column, sub: CSub, negate: Boolean): CV = {
+    require(sub.selects.size == 1,
+      "(in x (from ...)) requires exactly one selected column")
+    existsSubquery(sub, Some(lhs === sub.selects.head), negate)
+  }
+
+  // ----------------------------------------------------------- the frame
+
+  /** Base aliases referenced by this builder's base columns. For the
+    * single-alias case this is just the base frame aliased once; the
+    * per-column map case (write-filter 'new' pass) is handled by the
+    * caller supplying an already-joined frame. */
+  def wideFrame(): DataFrame = {
+    var df = baseDf()
+    for (((lAlias, rTable, lCol, rCol), alias) <- joins) {
+      val dim = env.warehouse.read(rTable).as(alias)
+      df = df.join(dim, col(s"$lAlias.$lCol") === col(s"$alias.$rCol"), "left")
+    }
+    if (existsSpecs.nonEmpty) {
+      df = df.withColumn("__rid", monotonically_increasing_id())
+      for (spec <- existsSpecs) {
+        val subDf = spec.sub.subFrame()
+        val matched = df.join(subDf, spec.cond, "inner")
+          .select(col("__rid")).distinct()
+          .withColumn(spec.flag, lit(true))
+        df = df.join(matched, Seq("__rid"), "left")
+      }
+    }
+    df
+  }
+
+  /** The frame for a sub-select scope: its base table + its own joins. */
+  private def subFrame(): DataFrame = {
+    var df = baseDf()
+    for (((lAlias, rTable, lCol, rCol), alias) <- joins) {
+      val dim = env.warehouse.read(rTable).as(alias)
+      df = df.join(dim, col(s"$lAlias.$lCol") === col(s"$alias.$rCol"), "left")
+    }
+    df
+  }
+
+  // --------------------------------------------------------- aggregates
+
+  /** Does this AST contain an aggregate call (tanker
+    * expression.py:458-465), after field-env macro expansion? */
+  def isAggregate(ast: Ast): Boolean = ast match {
+    case Ast.Node(items) =>
+      items.headOption.exists {
+        case Word(h) => QueryBuilder.aggregateNames(h.toLowerCase)
+        case _ => false
+      } || items.exists(isAggregate)
+    case Word(t) if fieldEnv.contains(t) && !table.has(t) =>
+      val desc = fieldEnv(t)
+      desc.startsWith("(") && isAggregate(Parser.parse(desc))
+    case _ => false
+  }
+}
+
+object QueryBuilder {
+  val aggregateNames: Set[String] =
+    Set("avg", "count", "max", "min", "sum", "bool_and", "bool_or", "every")
+
+  def apply(env: Env, table: TableDef, fieldEnv: Map[String, String] = Map(),
+      baseAlias: String = null): QueryBuilder = {
+    val t = env.registry(table.name)
+    val alias = Option(baseAlias).getOrElse(t.name)
+    new QueryBuilder(env, t,
+      () => env.warehouse.read(t.name).as(alias), _ => alias, None, fieldEnv)
+  }
+}
+
+/** Spark literal creation covering the type surface of §1.2. */
+object Lit {
+  def of(v: Any): Column = v match {
+    case d: java.util.Date => lit(new java.sql.Timestamp(d.getTime))
+    case other => lit(other)
+  }
+}
+
+/** sqlite strftime → java.time format pattern translation
+  * (tanker/expression.py:170). */
+object Strftime {
+  private val map = Map(
+    'Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd", 'H' -> "HH", 'M' -> "mm",
+    'S' -> "ss", 'j' -> "DDD", 'f' -> "SSS", 'e' -> "d",
+    'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss")
+
+  def toJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val code = fmt.charAt(i + 1)
+        sb.append(map.getOrElse(code,
+          throw new IllegalArgumentException(s"Unsupported strftime code %$code")))
+        i += 2
+      } else if (c.isLetter) { sb.append('\'').append(c).append('\''); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,127 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.schema.{Registry, TableDef}
+
+/** Parquet-snapshot storage: one dataset per table under a warehouse
+  * root, with atomic snapshot swap on write.
+  *
+  * Replaces the reference's RDBMS backends (tanker/context.py:158-236).
+  * Layout per managed table:
+  *
+  * {{{
+  *   <root>/<table>/snap-<n>/   parquet files (immutable once current)
+  *   <root>/<table>/_CURRENT    single small file naming the live snap
+  * }}}
+  *
+  * Writers build the next `snap-<n+1>` directory in full, then replace
+  * `_CURRENT` — a single-file swap, so readers see either the old or
+  * the new snapshot, never a mix. This design survives object stores
+  * (no directory rename needed; at 100 TB the pointer would name a
+  * manifest of files instead of a directory, same protocol). Matches
+  * the reference's per-write transaction boundary
+  * (tanker/context.py:238-248); cross-write transactions are out of
+  * scope (documented divergence).
+  *
+  * Tables declared `external` read a driver-provided parquet path
+  * directly and are never written.
+  */
+final class Warehouse(val spark: SparkSession, val root: String, val registry: Registry) {
+
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+  private def tableDir(t: String) = new Path(root, t)
+  private def currentFile(t: String) = new Path(tableDir(t), "_CURRENT")
+
+  private def currentSnap(t: String): Option[String] = {
+    val f = currentFile(t)
+    val fsys = fs(f)
+    if (!fsys.exists(f)) None
+    else {
+      val in = fsys.open(f)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  def exists(t: String): Boolean =
+    registry(t).external.isDefined || currentSnap(t).isDefined
+
+  /** Read the live snapshot of a table (schema-correct empty frame if
+    * the table has never been written). */
+  def read(t: String): DataFrame = {
+    val td = registry(t)
+    td.external match {
+      case Some(path) => spark.read.parquet(path)
+      case None =>
+        currentSnap(t) match {
+          case Some(snap) =>
+            spark.read.schema(td.sparkSchema)
+              .parquet(new Path(tableDir(t), snap).toString)
+          case None => empty(td)
+        }
+    }
+  }
+
+  def empty(td: TableDef): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], td.sparkSchema)
+
+  /** Atomically replace a table's contents with `df`. */
+  def write(t: String, df: DataFrame): Unit = {
+    val td = registry(t)
+    require(td.external.isEmpty, s"Table '$t' is external (read-only)")
+    val next = "snap-" + (currentSnap(t) match {
+      case Some(s) => s.stripPrefix("snap-").toLong + 1
+      case None => 0L
+    })
+    val dir = new Path(tableDir(t), next)
+    // Align column order/types with the declared schema.
+    val aligned = df.select(td.sparkSchema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+    aligned.write.mode("overwrite").parquet(dir.toString)
+    swapPointer(t, next)
+    gc(t, keep = Set(next))
+  }
+
+  private def swapPointer(t: String, snap: String): Unit = {
+    val f = currentFile(t)
+    val fsys = fs(f)
+    val tmp = new Path(tableDir(t), s"_CURRENT.tmp-${System.nanoTime()}")
+    val out = fsys.create(tmp, true)
+    try out.write(snap.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // HDFS/local rename onto an existing file: delete-then-rename is the
+    // portable swap; the tiny race window only exposes old-or-new.
+    if (fsys.exists(f)) fsys.delete(f, false)
+    if (!fsys.rename(tmp, f))
+      throw new java.io.IOException(s"Failed to swap $f")
+  }
+
+  /** Drop all but the current (and one prior) snapshot. */
+  private def gc(t: String, keep: Set[String]): Unit = {
+    val dir = tableDir(t)
+    val fsys = fs(dir)
+    if (fsys.exists(dir)) {
+      val snaps = fsys.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("snap-"))
+        .sortBy(_.getName.stripPrefix("snap-").toLong)
+      // keep current + most recent predecessor for in-flight readers
+      val doomed = snaps.dropRight(2).filterNot(p => keep(p.getName))
+      doomed.foreach(p => fsys.delete(p, true))
+    }
+  }
+
+  /** Create empty snapshots for every managed table that doesn't exist
+    * yet — idempotent like the reference's create_tables
+    * (tanker/context.py:688-710). Seed `values` are written by
+    * [[graft.Env.createTables]] (they may use dotted FK fields). */
+  def createTables(): Unit =
+    registry.names.foreach { t =>
+      if (registry(t).external.isEmpty && currentSnap(t).isEmpty)
+        write(t, empty(registry(t)))
+    }
+}
