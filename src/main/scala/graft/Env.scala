@@ -35,11 +35,15 @@ final class Env(
     * head-position symbols not matched by a core special form. */
   val builtins: mutable.Map[String, Seq[Column] => Column] = mutable.Map()
 
-  def view(table: String, fields: Seq[(String, String)]): view.View =
-    new view.View(this, table, fields)
-  def view(table: String): view.View = view(table, null: Seq[(String, String)])
-  def view(table: String, fields: Seq[String])(implicit d: DummyImplicit): view.View =
-    new view.View(this, table, if (fields == null) null else fields.map(f => (f, f)))
+  def view(table: String): graft.view.View =
+    new graft.view.View(this, table, null)
+  def view(table: String, fields: Seq[String]): graft.view.View =
+    new graft.view.View(this, table,
+      if (fields == null) null else fields.map(f => (f, f)))
+  /** Fields with explicit (name, descriptor) pairs — tanker's
+    * dict/list-of-tuples field spec (tanker/view.py:66-76). */
+  def viewNamed(table: String, fields: Seq[(String, String)]): graft.view.View =
+    new graft.view.View(this, table, fields)
 
   /** Create all managed tables (idempotent) and write their seed
     * `values` through the View layer so dotted FK fields resolve

@@ -137,10 +137,15 @@ final class View(val env: Env, tableName: String, fieldSpecs: Seq[(String, Strin
     // 3. group-by list: explicit, or auto when aggregates are present
     //    (tanker auto-groupby, view.py:163-185)
     val anyAgg = compiled.exists(_.agg)
+    // groupby items may name a field (by name or desc) or be a fresh
+    // expression; normalize to field descs so projection can match.
     val groupDescs: Seq[String] =
-      if (groupby.nonEmpty) groupby
-      else if (anyAgg) compiled.filterNot(_.agg).map(_.field.desc)
-      else Nil
+      (if (groupby.nonEmpty) groupby
+       else if (anyAgg) compiled.filterNot(_.agg).map(_.field.desc)
+       else Nil).map { d =>
+        compiled.find(cf => !cf.agg && (cf.field.desc == d || cf.field.name == d))
+          .map(_.field.desc).getOrElse(d)
+      }
     val grouped = groupDescs.nonEmpty || anyAgg
 
     val groupCols = groupDescs.map { d =>

@@ -1,0 +1,392 @@
+package graft.view
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import graft.Env
+import graft.expr.{Args, QueryBuilder}
+import graft.schema.{ColType, ColumnDef}
+
+/** The write path: normalization → coercion → FK resolution → merge
+  * (insert/update toggles, write filters with new-vs-old semantics,
+  * purge) → atomic snapshot swap, plus delete by data/filter.
+  *
+  * Re-expresses the reference's temp-table + ON CONFLICT machinery
+  * (tanker/view.py:227-711) as DataFrame joins over Parquet snapshots:
+  *
+  *  - FK resolution (view.py:642-711): one join per dotted FK group
+  *    against the remote view, replacing the LRU/pagination machinery —
+  *    the join IS the batch lookup. Unknown non-null values raise, an
+  *    all-null tuple yields a NULL fk (view.py:700-711).
+  *  - Upsert (view.py:469-552): update = current LEFT JOIN batch on key
+  *    with mapped non-key columns taken from the batch when matched
+  *    (partial-column preservation: unmapped columns keep their stored
+  *    values, tests/write_test.py:85-112); insert = batch anti-join
+  *    current, surrogate ids assigned as max(id)+row_number, column
+  *    `defaults` applied (table.py:56-57).
+  *  - Write filters (view.py:356-365, 554-631): the 'new' pass drops
+  *    batch rows whose filter over INCOMING values is strictly false
+  *    (mapped columns resolve to the batch, others to the stored row);
+  *    the 'old' pass drops batch rows whose key exists and whose filter
+  *    over the STORED values is strictly false (the
+  *    tests/acl_test.py:97-107 semantics).
+  *  - Purge (view.py:554-631): stored rows absent from the batch (and
+  *    matching the filters, when given) are deleted, counted.
+  *
+  * At 100-TB scale the full-snapshot rewrite becomes a partition-pruned
+  * rewrite (only partitions containing batch keys); the key-based merge
+  * here is already shaped for that (SURVEY §4).
+  */
+object Write {
+
+  /** One physical column targeted by a write, with the view fields that
+    * feed it (tanker field_map, view.py:88-102). */
+  private final case class Group(col: ColumnDef, items: Seq[(ViewField, Int)]) {
+    def m2o: Option[ColType.M2O] = col.ctype match {
+      case m: ColType.M2O => Some(m)
+      case _ => None
+    }
+    /** Single non-dotted field on an M2O column = write fk by id
+      * (tanker view.py:233-236). */
+    def byId: Boolean = items.size == 1 && !items.head._1.desc.contains(".")
+  }
+
+  private def c(name: String): Column = col("`" + name + "`")
+
+  private def strictTrue(cond: Column): Column = cond <=> lit(true)
+  private def strictFalse(cond: Column): Column = cond <=> lit(false)
+
+  // ------------------------------------------------------------ grouping
+
+  private def groupFields(v: View): Seq[Group] = {
+    val grouped = mutable.LinkedHashMap[String, mutable.Buffer[(ViewField, Int)]]()
+    v.fields.zipWithIndex.foreach { case (f, i) =>
+      val cd = f.localCol.getOrElse(throw new IllegalArgumentException(
+        s"Field '${f.desc}' of view on '${v.table.name}' cannot be written"))
+      if (cd.ctype.isInstanceOf[ColType.O2M]) throw new IllegalArgumentException(
+        s"Cannot write to one-to-many column '${cd.name}'")
+      grouped.getOrElseUpdate(cd.name, mutable.Buffer()) += ((f, i))
+    }
+    grouped.map { case (cn, items) => Group(v.table.column(cn), items.toSeq) }.toSeq
+  }
+
+  /** All key columns (or id) must be mapped (tanker view.py:451-467). */
+  private def validateKey(v: View, mapped: Set[String]): Unit =
+    if (!mapped.contains("id")) {
+      val missing = v.table.key.filterNot(mapped)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        "You must reference all the columns composing the table key when " +
+        s"""you want to write, delete or reference rows (or pass the id column). Table is "${v.table.name}", missing columns are: ${missing.mkString(",")}""")
+    }
+
+  // ------------------------------------------------------------- staging
+
+  /** Spark type a dotted tail resolves to in the remote table. */
+  private def tailType(env: Env, table: String, path: String): DataType = {
+    val td = env.registry(table)
+    if (td.has(path)) td.column(path).ctype.spark.getOrElse(
+      throw new IllegalArgumentException(s"Cannot write via virtual column '$path'"))
+    else {
+      if (!path.contains(".")) throw new NoSuchElementException(
+        s"Column '$path' not found in table '$table'")
+      val Array(h, rest) = path.split("\\.", 2)
+      tailType(env, env.registry.hop(table, h).toTable, rest)
+    }
+  }
+
+  private def stagingType(env: Env, f: ViewField): DataType = f.kind match {
+    case ViewField.Col(cd) => cd.ctype.spark.getOrElse(
+      throw new IllegalArgumentException(s"Cannot write to '${cd.name}'"))
+    case ViewField.Path(head) =>
+      val m2o = head.ctype.asInstanceOf[ColType.M2O]
+      tailType(env, m2o.table, f.desc.split("\\.", 2)(1))
+    case _ => throw new IllegalArgumentException(
+      s"Field '${f.desc}' cannot be written")
+  }
+
+  /** Normalize input (rows / maps / single map / tuples / DataFrame,
+    * tanker view.py:398-416) into a staged frame with one coerced
+    * column `__f<i>` per view field plus a `__seq` input-order column. */
+  private def stage(env: Env, v: View, data: Any): DataFrame = {
+    val fields = v.fields
+    val types = fields.map(stagingType(env, _))
+    val schema = StructType(
+      types.zipWithIndex.map { case (t, i) => StructField(s"__f$i", t, nullable = true) } :+
+      StructField("__seq", LongType, nullable = false))
+
+    def fromRows(rows: Seq[Seq[Any]]): DataFrame = {
+      val coerced = rows.zipWithIndex.map { case (r, idx) =>
+        require(r.size == fields.size,
+          s"Row has ${r.size} values for ${fields.size} fields")
+        Row.fromSeq(r.zip(types).map { case (value, t) => Coerce.to(value, t) } :+ idx.toLong)
+      }
+      env.spark.createDataFrame(coerced.asJava, schema)
+    }
+
+    data match {
+      case df: DataFrame =>
+        val cols = fields.zipWithIndex.map { case (f, i) =>
+          c(f.name).cast(types(i)).as(s"__f$i")
+        }
+        df.select(cols :+ monotonically_increasing_id().as("__seq"): _*)
+      case null => fromRows(Nil)
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        fromRows(Seq(fields.map(f => mm.get(f.name).orNull)))
+      case s: Iterable[_] =>
+        val rows = s.toSeq.map {
+          case m: Map[_, _] =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            fields.map(f => mm.get(f.name).orNull)
+          case r: Seq[_] => r.asInstanceOf[Seq[Any]]
+          case a: Array[_] => a.toSeq
+          case p: Product => p.productIterator.toSeq
+          case other => Seq(other) // single-field views accept bare values
+        }
+        fromRows(rows)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported write input: ${other.getClass.getName}")
+    }
+  }
+
+  // -------------------------------------------------------- FK resolution
+
+  /** Staged frame → batch frame with one column per physical target
+    * column; dotted FK groups joined against their remote views
+    * (tanker resolve_fk, view.py:642-711). */
+  private def resolve(env: Env, v: View, groups: Seq[Group], staged: DataFrame): DataFrame = {
+    var df = staged
+    val out = mutable.Buffer[(String, String)]() // (source col, target name)
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      g.m2o match {
+        case Some(m2o) if !g.byId =>
+          val tails = g.items.map { case (f, _) => f.desc.split("\\.", 2)(1) }
+          val fkName = s"__fk$gi"
+          val kName = (j: Int) => s"__g${gi}_k$j"
+          val lookupFields = tails.zipWithIndex.map { case (tl, j) => (kName(j), tl) } :+
+            ((fkName, m2o.col))
+          val lookup = env.viewNamed(m2o.table, lookupFields).read(disableAcl = true)
+          val cond = g.items.zipWithIndex.map { case ((_, i), j) =>
+            c(s"__f$i") === c(kName(j))
+          }.reduce(_ && _)
+          df = df.join(lookup, cond, "left")
+          failUnknown(df, g, c(fkName), m2o.table)
+          df = df.drop(tails.indices.map(kName): _*)
+          out += fkName -> g.col.name
+        case Some(m2o) => // fk given by id: emulate the FK constraint
+          val (_, i) = g.items.head
+          val refName = s"__ref$gi"
+          val remote = env.warehouse.read(m2o.table)
+            .select(c(m2o.col).as(refName)).distinct()
+          df = df.join(remote, c(s"__f$i") === c(refName), "left")
+          failUnknown(df, g, c(refName), m2o.table)
+          df = df.drop(refName)
+          out += s"__f$i" -> g.col.name
+        case None =>
+          out += s"__f${g.items.head._2}" -> g.col.name
+      }
+    }
+    df.select(out.toSeq.map { case (s, o) => c(s).as(o) } :+ c("__seq"): _*)
+  }
+
+  /** Raise when a non-null FK tuple has no remote match
+    * (tanker view.py:700-711). */
+  private def failUnknown(df: DataFrame, g: Group, fk: Column, remote: String): Unit = {
+    val anyNonNull = g.items.map { case (_, i) => c(s"__f$i").isNotNull }.reduce(_ || _)
+    val bad = df.filter(anyNonNull && fk.isNull)
+      .select(g.items.map { case (_, i) => c(s"__f$i") }: _*)
+      .limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"""Values (${bad.head.toSeq.mkString(", ")}) are not known in table "$remote"""")
+  }
+
+  /** Normalized, coerced, FK-resolved, key-checked, key-deduped batch. */
+  private def prepare(v: View, groups: Seq[Group], data: Any): DataFrame = {
+    val env = v.env
+    val keyCols = v.keyCols
+    val resolved = resolve(env, v, groups, stage(env, v, data))
+    // Null key values are rejected (tmp key columns are NOT NULL in the
+    // reference, view.py:306-318; tests/write_test.py:276-291).
+    val badKey = resolved
+      .filter(keyCols.map(k => c(k).isNull).reduce(_ || _)).limit(1).collect()
+    if (badKey.nonEmpty) throw new IllegalArgumentException(
+      s"Null value in key column when writing on table '${v.table.name}'")
+    // Dedupe on key, last occurrence wins (one row per key per batch).
+    val wk = Window.partitionBy(keyCols.map(c): _*).orderBy(c("__seq").desc)
+    resolved.withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") === 1).drop("__rn", "__seq")
+  }
+
+  // -------------------------------------------------------- write filters
+
+  /** 'new' pass: drop batch rows whose filter over incoming values is
+    * strictly false. Mapped columns resolve to the batch, unmapped ones
+    * to the stored row (FROM tmp LEFT JOIN main, aliases → tmp;
+    * tanker view.py:600-613). */
+  private def newPass(v: View, b: DataFrame, cur: DataFrame, mapped: Set[String],
+      keyCols: Seq[String], filters: Seq[Filter], argv: Args): DataFrame = {
+    val env = v.env
+    val frame = () => {
+      val cond = keyCols.map(k => col(s"__t.$k") === col(s"__m.$k")).reduce(_ && _)
+      b.as("__t").join(cur.as("__m"), cond, "left")
+    }
+    val qb = new QueryBuilder(env, v.table, frame,
+      cn => if (mapped(cn)) "__t" else "__m", None, v.fieldEnv)
+    val cond = filters.map(f => v.compileFilter(qb, f, argv)).reduce(_ && _)
+    qb.wideFrame().filter(!strictFalse(cond))
+      .select(b.columns.map(cn => col(s"__t.`$cn`").as(cn)).toSeq: _*)
+  }
+
+  /** 'old' pass: drop batch rows whose key exists in the stored table
+    * and whose filter over the STORED values is strictly false
+    * (FROM tmp INNER JOIN main, no aliases; tanker view.py:563-567). */
+  private def oldPass(v: View, b: DataFrame, keyCols: Seq[String],
+      filters: Seq[Filter], argv: Args): DataFrame = {
+    val qb = QueryBuilder(v.env, v.table, v.fieldEnv)
+    val cond = filters.map(f => v.compileFilter(qb, f, argv)).reduce(_ && _)
+    val failing = qb.wideFrame().filter(strictFalse(cond))
+      .select(keyCols.map(k => col(s"${v.table.name}.`$k`").as(k)): _*).distinct()
+    b.join(failing, keyCols, "left_anti")
+  }
+
+  // --------------------------------------------------------------- write
+
+  def run(v: View, data: Any, purge: Boolean, insert: Boolean, update: Boolean,
+      filters: Seq[Filter], args: Seq[Any], kwargs: Map[String, Any],
+      disableAcl: Boolean): WriteResult = {
+    val env = v.env
+    val t = v.table
+    require(t.external.isEmpty, s"Table '${t.name}' is external (read-only)")
+    val groups = groupFields(v)
+    val mapped = groups.map(_.col.name).toSet
+    validateKey(v, mapped)
+    val keyCols = v.keyCols
+    val argv = Args(env, args, kwargs)
+
+    var b = prepare(v, groups, data).persist()
+    val cur = env.warehouse.read(t.name)
+
+    val allFilters: Seq[Filter] = filters ++
+      (if (disableAcl) Nil
+       else env.aclWrite.getOrElse(t.name, Nil).map(FilterExpr.apply))
+
+    var filtered = 0L
+    if (allFilters.nonEmpty) {
+      val total = b.count()
+      val kept = oldPass(v, newPass(v, b, cur, mapped, keyCols, allFilters, argv),
+        keyCols, allFilters, argv).persist()
+      filtered = total - kept.count()
+      b.unpersist()
+      b = kept
+    }
+
+    // Purge: stored rows absent from the batch (and matching the
+    // filters) are removed before the merge (view.py:554-631).
+    var base = cur
+    var deleted = 0L
+    if (purge) {
+      val bKeys = b.select(keyCols.map(c): _*)
+      val doomed0 =
+        if (allFilters.isEmpty) cur.join(bKeys, keyCols, "left_anti")
+        else {
+          val qb = QueryBuilder(env, t, v.fieldEnv)
+          val cond = allFilters.map(f => v.compileFilter(qb, f, argv)).reduce(_ && _)
+          qb.wideFrame().filter(strictTrue(cond))
+            .select(keyCols.map(k => col(s"${t.name}.`$k`").as(k)): _*).distinct()
+            .join(bKeys, keyCols, "left_anti")
+        }
+      val doomed = doomed0.persist()
+      deleted = doomed.count()
+      base = cur.join(doomed, keyCols, "left_anti")
+    }
+
+    // Update step: stored rows keep their identity; mapped non-key
+    // columns are overwritten from the batch when matched (and update
+    // is on) — unmapped columns always preserved.
+    val joinCond = keyCols.map(k => col(s"__m.$k") === col(s"__t.$k")).reduce(_ && _)
+    val tb = b.withColumn("__p", lit(true)).as("__t")
+    val joined = base.as("__m").join(tb, joinCond, "left")
+    val tPresent = col("__t.__p").isNotNull
+    val updatedCols = t.physical.map { cd =>
+      val mc = col(s"__m.`${cd.name}`")
+      if (!update || keyCols.contains(cd.name) || !mapped(cd.name)) mc.as(cd.name)
+      else when(tPresent, col(s"__t.`${cd.name}`")).otherwise(mc).as(cd.name)
+    }
+    val updated = joined.select(updatedCols: _*)
+
+    // Insert step: batch rows with no stored match get surrogate ids
+    // (max(id) + row_number over key order: deterministic, no
+    // monotonically_increasing_id in stored data) and column defaults.
+    val result =
+      if (!insert) updated
+      else {
+        val newRows0 = b.join(base.select(keyCols.map(c): _*), keyCols, "left_anti")
+        val withId =
+          if (mapped("id")) newRows0
+          else {
+            val maxId = Option(base.agg(max(c("id"))).head.get(0))
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
+            val wNew = Window.orderBy(keyCols.map(c): _*)
+            newRows0.withColumn("id",
+              lit(maxId) + row_number().over(wNew).cast(LongType))
+          }
+        val insCols = t.physical.map { cd =>
+          if (mapped(cd.name) || cd.name == "id") c(cd.name).as(cd.name)
+          else cd.default match {
+            case Some(d) => expr(d).cast(cd.ctype.spark.get).as(cd.name)
+            case None => lit(null).cast(cd.ctype.spark.get).as(cd.name)
+          }
+        }
+        updated.unionByName(withId.select(insCols: _*))
+      }
+
+    env.warehouse.write(t.name, result)
+    b.unpersist()
+    WriteResult(filtered, deleted)
+  }
+
+  // -------------------------------------------------------------- delete
+
+  def delete(v: View, filters: Seq[Filter], data: Any, args: Seq[Any],
+      kwargs: Map[String, Any], swap: Boolean): Long = {
+    val env = v.env
+    val t = v.table
+    require(t.external.isEmpty, s"Table '${t.name}' is external (read-only)")
+    val cur = env.warehouse.read(t.name).persist()
+    try {
+      val total = cur.count()
+      if (data == null && filters.isEmpty) {
+        // delete all (tanker view.py:257-259)
+        env.warehouse.write(t.name, env.warehouse.empty(t))
+        return total
+      }
+      if (data != null && filters.nonEmpty)
+        throw new IllegalArgumentException(
+          "Deletion by both data and filter not supported")
+
+      val remaining =
+        if (data != null) {
+          val groups = groupFields(v)
+          validateKey(v, groups.map(_.col.name).toSet)
+          val keyCols = v.keyCols
+          val bKeys = prepare(v, groups, data).select(keyCols.map(c): _*)
+          cur.join(bKeys, keyCols, if (swap) "left_semi" else "left_anti")
+        } else {
+          val qb = QueryBuilder(env, t, v.fieldEnv)
+          val argv = Args(env, args, kwargs)
+          val cond = filters.map(f => v.compileFilter(qb, f, argv)).reduce(_ && _)
+          val doomedIds = qb.wideFrame().filter(strictTrue(cond))
+            .select(col(s"${t.name}.id").as("id")).distinct()
+          cur.join(doomedIds, Seq("id"), if (swap) "left_semi" else "left_anti")
+        }
+      val rem = remaining.persist()
+      val kept = rem.count()
+      env.warehouse.write(t.name, rem)
+      rem.unpersist()
+      total - kept
+    } finally cur.unpersist()
+  }
+}
