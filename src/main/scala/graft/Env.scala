@@ -85,6 +85,13 @@ object Env {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Lax-SQL semantics (reference targets sqlite/pg via DB-API, no
+      // ANSI overflow errors); also required for wraparound hash math
+      // in the dedup operators.
+      .config("spark.sql.ansi.enabled", "false")
+      // Driver testdata events.ts is TIMESTAMP(NANOS); read as long and
+      // convert in Warehouse.read (Spark has no nanos timestamp).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
 
   def apply(spark: SparkSession, registry: Registry, root: String): Env =

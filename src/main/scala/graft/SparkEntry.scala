@@ -1,41 +1,244 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.view.Order
+import graft.ops.{Dedup, Similarity, Text}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  *
-  * Each entry in [[queries]] exercises one operator from SURVEY.md §2 on
-  * the driver's TPC-H-ish parquet tables; [[oracleSql]] carries the
-  * DuckDB-equivalent SQL for the correctness gate.
+/** Driver contract — one entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline operators), each routed through
+  * the engine (Testbed registry + View API / ops modules), with
+  * DuckDB-equivalent SQL for the correctness gate where expressible.
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def env(s: SparkSession, dir: String): Env = Testbed.env(s, dir)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // R8/R9 grouped aggregation (TPC-H Q1 shape)
-    "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          avg(col("l_quantity")).as("avg_qty"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    // R1/R8/R11: projection + grouped aggregation + sort (TPC-H Q1 shape)
+    "q1_agg" -> ((s, dir) =>
+      env(s, dir).viewNamed("lineitem", Seq(
+        "l_returnflag" -> "l_returnflag",
+        "l_linestatus" -> "l_linestatus",
+        "sum_qty" -> "(sum l_quantity)",
+        "sum_base_price" -> "(sum l_extendedprice)",
+        "sum_disc_price" -> "(sum (* l_extendedprice (- 1 l_discount)))",
+        "avg_qty" -> "(avg l_quantity)",
+        "count_order" -> "(count)"))
+        .read(groupby = Seq("l_returnflag", "l_linestatus"),
+          order = Seq(Order("l_returnflag"), Order("l_linestatus")))),
+
+    // R4/R5: filter with positional + named parameter binding
+    "q2_filter_params" -> ((s, dir) =>
+      env(s, dir).view("lineitem", Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .read(Seq("(and (< l_quantity {0}) (= l_returnflag {flag}))"),
+          args = Seq(5), kwargs = Map("flag" -> "A"))),
+
+    // R6: dotted M2O join
+    "q3_m2o_join" -> ((s, dir) =>
+      env(s, dir).viewNamed("lineitem", Seq(
+        "l_orderkey" -> "l_orderkey", "l_linenumber" -> "l_linenumber",
+        "o_priority" -> "l_orderkey.o_orderpriority"))
+        .read(Seq("""(= l_orderkey.o_orderstatus "F")"""))),
+
+    // R6: three-hop dotted path orders→customer→nation→region
+    "q4_m2o_deep" -> ((s, dir) =>
+      env(s, dir).viewNamed("orders", Seq(
+        "o_orderkey" -> "o_orderkey",
+        "region" -> "o_custkey.c_nationkey.n_regionkey.r_name"))
+        .read(Seq("(> o_totalprice 200000)"))),
+
+    // R7: O2M reverse join (row-multiplying, NULL-preserving)
+    "q5_o2m" -> ((s, dir) =>
+      env(s, dir).viewNamed("region",
+        Seq("r_name" -> "r_name", "n_name" -> "nations.n_name")).read()),
+
+    // R9: auto-groupby (aggregates + bare columns, no groupby given)
+    "q6_auto_groupby" -> ((s, dir) =>
+      env(s, dir).viewNamed("orders", Seq(
+        "o_orderstatus" -> "o_orderstatus", "cnt" -> "(count)",
+        "total" -> "(sum o_totalprice)")).read()),
+
+    // R10: distinct
+    "q7_distinct" -> ((s, dir) =>
+      env(s, dir).view("orders", Seq("o_orderpriority")).read(distinct = true)),
+
+    // R11/R12: order + limit + offset (top-k path)
+    "q8_order_limit_offset" -> ((s, dir) =>
+      env(s, dir).view("orders", Seq("o_orderkey", "o_totalprice"))
+        .read(order = Seq(Order("o_totalprice", "DESC"), Order("o_orderkey")),
+          limit = Some(10), offset = Some(5))),
+
+    // in-list + like
+    "q9_in_like" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey", "c_name"))
+        .read(Seq("""(and (in c_mktsegment "BUILDING" "AUTOMOBILE") (like c_name "%1%"))"""))),
+
+    // R15: correlated EXISTS → semi join
+    "q10_exists" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey", "c_name"))
+        .read(Seq("(exists (from orders (select 1) (where (and (= o_custkey _parent.c_custkey) (> o_totalprice 150000)))))"))),
+
+    // R15: NOT EXISTS → anti join
+    "q11_not_exists" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey", "c_name"))
+        .read(Seq("(not (exists (from orders (select 1) (where (= o_custkey _parent.c_custkey)))))"))),
+
+    // R16: IN-subquery
+    "q12_in_subquery" -> ((s, dir) =>
+      env(s, dir).view("supplier", Seq("s_suppkey", "s_name"))
+        .read(Seq("(in s_nationkey (from nation (select n_nationkey) (where (= n_regionkey 0))))"))),
+
+    // cast / extract / date_trunc / strftime
+    "q13_dates" -> ((s, dir) =>
+      env(s, dir).viewNamed("orders", Seq(
+        "o_orderkey" -> "o_orderkey",
+        "yr" -> "(cast (extract (year) o_orderdate) (bigint))",
+        "mon" -> """(date_trunc "month" o_orderdate)""",
+        "ym" -> """(strftime "%Y-%m" o_orderdate)""",
+        "d" -> "(cast o_orderdate (date))"))
+        .read(Seq("(< o_orderkey 100)"))),
+
+    // arithmetic (variadic, floor, division)
+    "q14_arith" -> ((s, dir) =>
+      env(s, dir).viewNamed("lineitem", Seq(
+        "l_orderkey" -> "l_orderkey", "l_linenumber" -> "l_linenumber",
+        "revenue" -> "(* l_extendedprice (- 1 l_discount))",
+        "charge" -> "(* l_extendedprice (- 1 l_discount) (+ 1 l_tax))",
+        "qf" -> "(cast (floor (/ l_quantity 2)) (bigint))"))
+        .read(Seq("(< l_orderkey 50)"))),
+
+    // ->> JSON access + is/isnot
+    "q15_json" -> ((s, dir) =>
+      env(s, dir).viewNamed("events", Seq(
+        "event_id" -> "event_id", "k" -> """(->> props "k")"""))
+        .read(Seq("(isnot props null)"))),
+
+    // any/all array quantifiers (higher-order functions, no explode)
+    "q16_any_all" -> ((s, dir) =>
+      env(s, dir).view("embeddings", Seq("vec_id"))
+        .read(Seq("(< 0.35 (any embedding))", "(> 0.9 (all embedding))"))),
+
+    // unnest generator in projection
+    "q17_unnest" -> ((s, dir) =>
+      env(s, dir).viewNamed("embeddings",
+        Seq("vec_id" -> "vec_id", "x" -> "(unnest embedding)"))
+        .read(Seq("(< vec_id 20)"))),
+
+    // boolean aggregates
+    "q18_bool_agg" -> ((s, dir) =>
+      env(s, dir).viewNamed("orders", Seq(
+        "o_orderstatus" -> "o_orderstatus",
+        "all_filled" -> "(bool_and (isnot o_orderdate null))",
+        "any_big" -> "(bool_or (> o_totalprice 300000))"))
+        .read(groupby = Seq("o_orderstatus"))),
+
+    // group on expression
+    "q19_group_expr" -> ((s, dir) =>
+      env(s, dir).viewNamed("events", Seq(
+        "day" -> """(date_trunc "day" ts)""",
+        "total" -> "(sum value)", "cnt" -> "(count)"))
+        .read(groupby = Seq("day"))),
+
+    // W1-W6: write round-trip — insert aggregated totals into a
+    // managed table, then a partial update write, read back
+    "q20_write_roundtrip" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      val totals = e.viewNamed("supplier", Seq(
+        "name" -> "s_nationkey.n_name",
+        "total" -> "(sum s_acctbal)",
+        "regionkey" -> "s_nationkey.n_regionkey")).read()
+      e.view("nation_total", Seq("name", "total", "regionkey")).write(totals)
+      val zeroed = e.viewNamed("nation", Seq(
+        "name" -> "n_name", "total" -> "(+ 0.0 0.0)"))
+        .read(Seq("(= n_regionkey 0)"))
+      e.view("nation_total", Seq("name", "total")).write(zeroed, insert = false)
+      e.view("nation_total", Seq("name", "total", "regionkey")).read()
+    }),
+
+    // W12: delete-by-filter round-trip
+    "q21_delete_roundtrip" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      val all = e.viewNamed("nation", Seq(
+        "name" -> "n_name", "total" -> "(cast 1.5 (float))",
+        "regionkey" -> "n_regionkey")).read()
+      e.view("nation_total", Seq("name", "total", "regionkey")).write(all)
+      e.view("nation_total", Seq("name")).delete(
+        filters = Seq("(= regionkey 1)"))
+      e.view("nation_total", Seq("name", "total", "regionkey")).read()
+    }),
+
+    // LLM-pipeline: exact dedup (hash-groupBy, keep smallest id)
+    "dedup_exact" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents",
+        Seq("doc_id", "text", "source")).read()
+      Dedup.exact(docs, Seq("text"), "doc_id")
+    }),
+
+    // LLM-pipeline: normalized-fingerprint dedup
+    "dedup_fingerprint" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      Dedup.byFingerprint(docs, "text", "doc_id").select(col("doc_id"))
+    }),
+
+    // LLM-pipeline: MinHash-LSH near-dup candidate pairs (banded,
+    // Jaccard-verified) — not SQL-expressible, rows-only check
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.2)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    // LLM-pipeline: SimHash near-dup pairs — rows-only check
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+    }),
+
+    // LLM-pipeline: token counting (whitespace)
+    "text_tokens" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+    }),
+
+    // LLM-pipeline: quality score + language id — rows-only check
+    "text_quality" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents",
+        Seq("doc_id", "text", "lang")).read()
+      docs.select(col("doc_id"), Text.qualityScore(col("text")).as("quality"),
+        Text.langId(col("text")).as("lang_pred"), col("lang"))
+    }),
+
+    // LLM-pipeline: brute-force cosine top-k — rows-only check
+    "ann_brute_topk" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val q = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, 10).select(col("vec_id"))
+    }),
+
+    // LLM-pipeline: LSH-bucketed ANN top-k — rows-only check
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      Similarity.annTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, 10, dims = q.size).select(col("vec_id"))
     })
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** DuckDB-equivalent SQL per query (same column names — the driver
+    * sorts columns by name before hashing). Omitted for ops that SQL
+    * can't express → rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -44,8 +247,99 @@ object SparkEntry {
         |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
         |  avg(l_quantity) AS avg_qty,
         |  count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_params" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity < 5 AND l_returnflag = 'A'""".stripMargin,
+    "q3_m2o_join" ->
+      """SELECT l_orderkey, l_linenumber, o_orderpriority AS o_priority
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'""".stripMargin,
+    "q4_m2o_deep" ->
+      """SELECT o_orderkey, r_name AS region
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_totalprice > 200000""".stripMargin,
+    "q5_o2m" ->
+      """SELECT r_name, n_name
+        |FROM region LEFT JOIN nation ON n_regionkey = r_regionkey""".stripMargin,
+    "q6_auto_groupby" ->
+      """SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q7_distinct" -> "SELECT DISTINCT o_orderpriority FROM orders",
+    "q8_order_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""".stripMargin,
+    "q9_in_like" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |  AND c_name LIKE '%1%'""".stripMargin,
+    "q10_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin,
+    "q11_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q12_in_subquery" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)""".stripMargin,
+    "q13_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        |  date_trunc('month', o_orderdate) AS mon,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(o_orderdate AS DATE) AS d
+        |FROM orders WHERE o_orderkey < 100""".stripMargin,
+    "q14_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue,
+        |  (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge,
+        |  CAST(floor(l_quantity / 2) AS BIGINT) AS qf
+        |FROM lineitem WHERE l_orderkey < 50""".stripMargin,
+    "q15_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k
+        |FROM events WHERE props IS NOT NULL""".stripMargin,
+    "q16_any_all" ->
+      """SELECT vec_id FROM embeddings
+        |WHERE list_max(embedding) > 0.35 AND list_max(embedding) < 0.9""".stripMargin,
+    "q17_unnest" ->
+      """SELECT vec_id, unnest(embedding) AS x FROM embeddings
+        |WHERE vec_id < 20""".stripMargin,
+    "q18_bool_agg" ->
+      """SELECT o_orderstatus,
+        |  bool_and(o_orderdate IS NOT NULL) AS all_filled,
+        |  bool_or(o_totalprice > 300000) AS any_big
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q19_group_expr" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |  sum(value) AS total, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "q20_write_roundtrip" ->
+      """SELECT n_name AS name,
+        |  CASE WHEN n_regionkey = 0 THEN 0.0 ELSE sum(s_acctbal) END AS total,
+        |  n_regionkey AS regionkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, n_regionkey""".stripMargin,
+    "q21_delete_roundtrip" ->
+      """SELECT n_name AS name, CAST(1.5 AS DOUBLE) AS total,
+        |  n_regionkey AS regionkey
+        |FROM nation WHERE n_regionkey <> 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, text, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT doc_id FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |  ORDER BY doc_id) = 1""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents""".stripMargin
   )
 }

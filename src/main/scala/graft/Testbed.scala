@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.schema._
+import graft.schema.ColType._
+
+/** Registry over the driver's TPC-H-ish parquet test tables
+  * (TESTDATA.md), declared as `external` TableDefs so every
+  * SparkEntry query exercises the engine's View/QueryBuilder path —
+  * dotted M2O paths follow the star-schema FKs, O2M virtuals give the
+  * reverse joins.
+  */
+object Testbed {
+
+  private def cd(name: String, t: ColType): ColumnDef = ColumnDef(name, t)
+
+  def registry(dir: String): Registry = {
+    def ext(name: String) = Some(s"$dir/$name.parquet")
+    Registry(
+      TableDef("region", Seq(
+        cd("r_regionkey", IntegerT), cd("r_name", VarcharT),
+        cd("nations", O2M("nation", "n_regionkey"))),
+        key = Seq("r_regionkey"), external = ext("region")),
+      TableDef("nation", Seq(
+        cd("n_nationkey", IntegerT), cd("n_name", VarcharT),
+        cd("n_regionkey", M2O("region", "r_regionkey", IntegerType)),
+        cd("customers", O2M("customer", "c_nationkey")),
+        cd("suppliers", O2M("supplier", "s_nationkey"))),
+        key = Seq("n_nationkey"), external = ext("nation")),
+      TableDef("customer", Seq(
+        cd("c_custkey", BigIntT), cd("c_name", VarcharT),
+        cd("c_nationkey", M2O("nation", "n_nationkey", IntegerType)),
+        cd("c_acctbal", FloatT), cd("c_mktsegment", VarcharT),
+        cd("orders", O2M("orders", "o_custkey"))),
+        key = Seq("c_custkey"), external = ext("customer")),
+      TableDef("supplier", Seq(
+        cd("s_suppkey", BigIntT), cd("s_name", VarcharT),
+        cd("s_nationkey", M2O("nation", "n_nationkey", IntegerType)),
+        cd("s_acctbal", FloatT)),
+        key = Seq("s_suppkey"), external = ext("supplier")),
+      TableDef("part", Seq(
+        cd("p_partkey", BigIntT), cd("p_name", VarcharT),
+        cd("p_brand", VarcharT), cd("p_type", VarcharT),
+        cd("p_size", IntegerT), cd("p_retailprice", FloatT)),
+        key = Seq("p_partkey"), external = ext("part")),
+      TableDef("orders", Seq(
+        cd("o_orderkey", BigIntT),
+        cd("o_custkey", M2O("customer", "c_custkey", LongType)),
+        cd("o_orderstatus", VarcharT), cd("o_totalprice", FloatT),
+        cd("o_orderdate", TimestampT), cd("o_orderpriority", VarcharT),
+        cd("lines", O2M("lineitem", "l_orderkey"))),
+        key = Seq("o_orderkey"), external = ext("orders")),
+      TableDef("lineitem", Seq(
+        cd("l_orderkey", M2O("orders", "o_orderkey", LongType)),
+        cd("l_partkey", M2O("part", "p_partkey", LongType)),
+        cd("l_suppkey", M2O("supplier", "s_suppkey", LongType)),
+        cd("l_linenumber", IntegerT), cd("l_quantity", FloatT),
+        cd("l_extendedprice", FloatT), cd("l_discount", FloatT),
+        cd("l_tax", FloatT), cd("l_returnflag", VarcharT),
+        cd("l_linestatus", VarcharT), cd("l_shipdate", TimestampT)),
+        key = Seq("l_orderkey", "l_linenumber"), external = ext("lineitem")),
+      TableDef("events", Seq(
+        cd("event_id", BigIntT), cd("ts", TimestampT),
+        cd("user_id", M2O("customer", "c_custkey", LongType)),
+        cd("event_type", VarcharT), cd("value", FloatT),
+        cd("props", JsonbT)),
+        key = Seq("event_id"), external = ext("events")),
+      TableDef("documents", Seq(
+        cd("doc_id", BigIntT), cd("text", VarcharT), cd("lang", VarcharT),
+        cd("source", VarcharT), cd("n_chars", BigIntT)),
+        key = Seq("doc_id"), external = ext("documents")),
+      TableDef("embeddings", Seq(
+        cd("vec_id", BigIntT), cd("embedding", Arr(FloatT, 1)),
+        cd("label", IntegerT)),
+        key = Seq("vec_id"), external = ext("embeddings")),
+      // Managed scratch table used by the write/delete round-trip
+      // queries (the only non-external table in the testbed).
+      TableDef.normalized("nation_total", Seq(
+        cd("name", VarcharT), cd("total", FloatT), cd("regionkey", IntegerT)),
+        key = Seq("name")))
+  }
+
+  /** Env over the test tables; managed tables live in a fresh temp
+    * warehouse so runs are independent. */
+  def env(spark: SparkSession, dir: String): Env = {
+    val root = Files.createTempDirectory("graft-testbed-").toString
+    Env(spark, registry(dir), root)
+  }
+}

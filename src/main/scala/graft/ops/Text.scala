@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All pure `Column` expressions built from org.apache.spark.sql
+  * functions — whole-stage-codegen-friendly, no UDFs, so they run at
+  * scan speed over 100 TB of documents.
+  */
+object Text {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-boundary pieces + digits +
+    * punctuation each count as a token (a cheap stand-in for a real
+    * tokenizer's piece count). */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
+      p => length(trim(p)) > 0))
+
+  /** Mean whitespace-token length. */
+  def avgTokenLength(text: Column): Column =
+    when(tokenCount(text) === 0, lit(null))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", ""))
+        .cast("double") / tokenCount(text))
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, """[\p{P}\p{S}]""", "")))
+        .cast("double") / length(text))
+
+  /** Fraction of whitespace tokens present in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(tokenCount(text) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks))
+  }
+
+  private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Composite [0,1] quality score: length in a sane band, low punct
+    * density, some stopwords (fluent prose), reasonable token length.
+    * Heuristic weights, like reference-pipeline quality filters. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(nTok.between(10, 100000), lit(1.0))
+      .otherwise(when(nTok === 0, lit(0.0)).otherwise(lit(0.5)))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val stopOk = least(stopwordRatio(text, enStop) * 5, lit(1.0))
+    val tokLenOk = when(coalesce(avgTokenLength(text), lit(0.0)).between(2.0, 12.0),
+      lit(1.0)).otherwise(lit(0.3))
+    round(lenOk * 0.3 + punctOk * 0.3 + stopOk * 0.2 + tokLenOk * 0.2, 4)
+  }
+
+  /** Stopword tables for the n-gram-free language-ID heuristic. */
+  private val langStop: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "con"))
+
+  /** Language ID: CJK codepoint share decides zh; otherwise the
+    * stopword table with the highest hit count wins, default en. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))
+    val scores = langStop.map { case (lang, words) =>
+      val toks = split(lower(trim(text)), "\\s+")
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    // greatest-of with argmax via chained when: order keeps ties on the
+    // earlier (more common) language.
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pick = scores.reverse.foldLeft(lit("en")) { case (acc, (l, s)) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+    when(cjk * 2 > length(text), lit("zh")).otherwise(pick)
+  }
+
+  /** 64-bit document fingerprint over normalized content (case- and
+    * whitespace-insensitive) — rolling-hash equivalent for exact-ish
+    * dedup and change detection. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

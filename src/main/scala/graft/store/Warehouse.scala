@@ -56,7 +56,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   def read(t: String): DataFrame = {
     val td = registry(t)
     td.external match {
-      case Some(path) => spark.read.parquet(path)
+      case Some(path) => alignExternal(td, spark.read.parquet(path))
       case None =>
         currentSnap(t) match {
           case Some(snap) =>
@@ -65,6 +65,27 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
           case None => empty(td)
         }
     }
+  }
+
+  /** External files keep their own schema, with one repair: columns a
+    * registry declares as timestamps but the file stores as INT64
+    * nanos (read via nanosAsLong) are converted — `div 1000` keeps
+    * exact micros, no double rounding. */
+  private def alignExternal(td: TableDef, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val needsFix = df.schema.fields.exists(f => f.dataType == LongType &&
+      td.columnMap.get(f.name).exists(c =>
+        c.ctype.spark.exists(t => t == TimestampNTZType || t == TimestampType)))
+    if (!needsFix) df
+    else df.select(df.schema.fields.map { f =>
+      val declared = td.columnMap.get(f.name).flatMap(_.ctype.spark)
+      (f.dataType, declared) match {
+        case (LongType, Some(t @ (TimestampNTZType | TimestampType))) =>
+          expr(s"timestamp_micros(`${f.name}` div 1000)").cast(t).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }.toSeq: _*)
   }
 
   def empty(td: TableDef): DataFrame =
