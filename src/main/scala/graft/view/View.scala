@@ -116,6 +116,7 @@ final class View(val env: Env, tableName: String, fieldSpecs: Seq[(String, Strin
     // 1. compile select fields (before filters: join-alias order mirrors
     //    the reference's SELECT-first chunk assembly, view.py:153-172)
     case class CF(field: ViewField, column: Column, agg: Boolean)
+    qb.allowGenerators = true // unnest legal only in select position
     val compiled = fields.map { f =>
       f.kind match {
         case ViewField.Expr =>
@@ -127,6 +128,7 @@ final class View(val env: Env, tableName: String, fieldSpecs: Seq[(String, Strin
         case _ => CF(f, qb.ref(f.desc), agg = false)
       }
     }
+    qb.allowGenerators = false
 
     // 2. filters (+ACL, view.py:144-146)
     val aclFilters: Seq[Filter] =

@@ -1,0 +1,111 @@
+package graft
+
+import graft.expr.{Parser, PyFormat, Strftime}
+
+/** Expression language unit tests: parser shapes, param formatting
+  * (tests/chunk_test.py), strftime translation, exists/in subqueries
+  * (tests/expression_static_test.py behavior, asserted on results and
+  * physical plan shape rather than SQL text), field-env aliases
+  * (tests/expression_test.py:88-114). */
+class ExprSpec extends SparkSpec {
+
+  test("parser: nesting, strings, numbers, params") {
+    import graft.expr.Ast._
+    assert(Parser.parse("(= name \"x\")") ==
+      Node(Seq(Word("="), Word("name"), Str("x"))))
+    assert(Parser.parse("(+ 1 2.5)") == Node(Seq(Word("+"), Num(1L), Num(2.5))))
+    assert(Parser.parse("{x.y!r:>5}").isInstanceOf[Param])
+    val p = Parser.parse("{x.y!r:>5}").asInstanceOf[Param]
+    assert(p.key == "x" && p.tail == Seq("y") &&
+      p.conversion.contains("r") && p.fmtSpec.contains(">5"))
+    intercept[IllegalArgumentException](Parser.parse("(= a b) extra"))
+    intercept[IllegalArgumentException](Parser.parse("(= a"))
+  }
+
+  test("pyformat specs") { // tests/chunk_test.py:4-13
+    assert(PyFormat.format(5, ">5") == "    5")
+    assert(PyFormat.format("ab", "<4") == "ab  ")
+    assert(PyFormat.format(3.14159, ".2f") == "3.14")
+    assert(PyFormat.format(42, "06d") == "000042")
+    assert(PyFormat.convert("x", "r") == "'x'")
+  }
+
+  test("strftime translation") {
+    assert(Strftime.toJava("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(Strftime.toJava("%H:%M:%S") == "HH:mm:ss")
+    assert(Strftime.toJava("%Y-%m-%dT%H:%M:%S.%f") == "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+  }
+
+  test("exists compiles to deterministic flag join (no monotonically_increasing_id)") {
+    val env = freshEnv()
+    val df = env.view("country", Seq("name")).read(Seq(
+      "(exists (from team (select 1) (where (= country _parent.id))))"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("monotonically_increasing_id"), plan)
+    check(Seq(Seq("Belgium"), Seq("France")), df)
+  }
+
+  test("not exists keeps unmatched parents") {
+    val env = freshEnv()
+    check(Seq(Seq("Holland")),
+      env.view("country", Seq("name")).read(Seq(
+        "(not (exists (from team (select 1) (where (= country _parent.id)))))")))
+  }
+
+  test("in-subquery") { // expression_static_test.py:156-167 behavior
+    val env = freshEnv()
+    check(Seq(Seq("Blue"), Seq("Red")),
+      env.view("team", Seq("name")).read(Seq(
+        """(in country (from country (select id) (where (= name "Belgium"))))""")))
+  }
+
+  test("uncorrelated exists") {
+    val env = freshEnv()
+    // team table non-empty -> all countries pass
+    assert(rows(env.view("country", Seq("name")).read(Seq(
+      "(exists (from team (select 1)))"))).size == 3)
+    // impossible sub-select -> nothing passes
+    check(Nil, env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where (= name "Nope"))))""")))
+  }
+
+  test("field-env aliases usable in later expressions and filters") {
+    // tests/expression_test.py:88-114: a view field name becomes a
+    // macro usable in subsequent expressions; real columns shadow it
+    val env = freshEnv()
+    val v = env.viewNamed("member", Seq(
+      "created_date" -> "(cast created_at (date))",
+      "code" -> "registration_code"))
+    val res = v.read(Seq("(isnot created_date null)"),
+      order = Seq(view.Order("code")))
+    assert(rows(res).size == 3)
+  }
+
+  test("unnest rejected outside select position") {
+    val env = freshEnv()
+    intercept[IllegalArgumentException] {
+      env.view("country", Seq("name")).read(Seq("(= 1 (unnest id))"))
+    }
+  }
+
+  test("user-extensible builtins") { // expression.py extensibility
+    val env = freshEnv()
+    env.builtins += ("char_length" ->
+      ((as: Seq[org.apache.spark.sql.Column]) =>
+        org.apache.spark.sql.functions.length(as.head)))
+    check(Seq(Seq("Belgium"), Seq("Holland")),
+      env.view("country", Seq("name")).read(Seq("(= (char_length name) 7)")))
+  }
+
+  test("dotted join dedup: one join per distinct path prefix") {
+    val env = freshEnv()
+    val df = env.view("member", Seq("team.name", "team.country.name"))
+      .read(Seq("""(= team.name "Blue")"""))
+    // two hops (team, country) referenced by two dotted paths ->
+    // exactly 2 joins (Catalyst may tighten left->inner under the
+    // null-filtering predicate; count joins of any type)
+    val joins = "Join ".r.findAllIn(
+      df.queryExecution.optimizedPlan.toString).size
+    assert(joins == 2, df.queryExecution.optimizedPlan.toString)
+  }
+}
