@@ -75,11 +75,16 @@ object Testbed {
         cd("vec_id", BigIntT), cd("embedding", Arr(FloatT, 1)),
         cd("label", IntegerT)),
         key = Seq("vec_id"), external = ext("embeddings")),
-      // Managed scratch table used by the write/delete round-trip
-      // queries (the only non-external table in the testbed).
+      // Managed scratch tables used by the write/delete round-trip
+      // queries and the bench write probe (the only non-external
+      // tables in the testbed).
       TableDef.normalized("nation_total", Seq(
         cd("name", VarcharT), cd("total", FloatT), cd("regionkey", IntegerT)),
-        key = Seq("name")))
+        key = Seq("name")),
+      TableDef.normalized("bench_scratch", Seq(
+        cd("code", VarcharT), cd("ts", TimestampT), cd("n", IntegerT),
+        cd("x", FloatT)),
+        key = Seq("code")))
   }
 
   /** Env over the test tables; managed tables live in a fresh temp

@@ -46,43 +46,55 @@ object Dedup {
       size(array_union(sa, sb))
   }
 
-  /** MinHash signature (`numHashes` 64-bit mins) over the shingle set.
-    * One xxhash64 per shingle, then affine permutations a*h+b — the
-    * classic one-pass signature, fully codegen'd. */
+  /** Affine permutation coefficients for the MinHash family
+    * (seed-fixed, so signatures are deterministic across runs). */
+  private def minhashCoefs(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signature (`numHashes` 64-bit mins) over the shingle set,
+    * as a single array column — convenient for per-row use. For the
+    * bulk pair-mining path prefer [[minhashPairs]], which computes the
+    * same signature via explode + partial aggregation (128 giant array
+    * lambdas per row overflow codegen and run interpreted). */
   def minhashSignature(text: Column, numHashes: Int = 128, shingleSize: Int = 3): Column = {
     val base = transform(shingles(text, shingleSize), s => xxhash64(s))
-    val rnd = new scala.util.Random(42)
-    val coefs = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-    array(coefs.map { case (a, b) =>
+    array(minhashCoefs(numHashes).map { case (a, b) =>
       array_min(transform(base, h => h * a + b))
     }: _*)
   }
-
-  /** LSH banding: (bandIdx, bandHash) rows per document. Documents
-    * sharing any band bucket are near-dup candidates. */
-  private def bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)), b =>
-      struct(b.as("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-            h => h.cast("string")))).as("sig")))
 
   /** Candidate near-duplicate pairs via MinHash LSH banding, verified
     * with true n-gram Jaccard. Returns (idA, idB, jaccard) with
     * idA < idB and jaccard >= threshold.
     *
-    * Scale shape: explode to numBands rows/doc → shuffle on (band,
-    * bandHash) → pairs only within buckets (skew-guarded by capping
-    * bucket size) → verify joins are on candidate ids only.
+    * Scale shape: explode shingles → one groupBy(id) with 128 simple
+    * `min` aggregates (map-side partial combine, codegen-friendly) →
+    * explode to numBands rows/doc → shuffle on (band, bandHash) →
+    * pairs only within buckets (skew-guarded by capping bucket size)
+    * → verify joins on candidate ids only. Never an all-pairs product.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 128, numBands: Int = 32,
       shingleSize: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val sig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__sig", minhashSignature(col("__text"), numHashes, shingleSize))
-    val banded = sig.select(col("__id"),
-        explode(bands(col("__sig"), numBands, rowsPerBand)).as("__b"))
+    val coefs = minhashCoefs(numHashes)
+    val hashed = df.select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col("__id"), xxhash64(col("__sh")).as("__h"))
+    val sig = hashed.groupBy("__id").agg(
+      min(col("__h") * coefs.head._1 + coefs.head._2).as("__m0"),
+      coefs.tail.zipWithIndex.map { case ((a, b), i) =>
+        min(col("__h") * a + b).as(s"__m${i + 1}")
+      }: _*)
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            col(s"__m${b * rowsPerBand + r}").cast("string")): _*)).as("sig"))
+    }
+    val banded = sig.select(col("__id"), explode(array(bandStructs: _*)).as("__b"))
       .select(col("__id"), col("__b.band").as("__band"), col("__b.sig").as("__bsig"))
     // pairs within a bucket; bucket capped to bound worst-case skew
     val grouped = banded.groupBy("__band", "__bsig")
@@ -133,10 +145,25 @@ object Dedup {
 
   /** SimHash near-dup candidate pairs: band the 64-bit hash into 4
     * 16-bit chunks (pigeonhole: hamming distance <= 3 implies one
-    * identical chunk), bucket-join, verify true hamming distance. */
+    * identical chunk), bucket-join, verify true hamming distance.
+    *
+    * The signature is computed via explode + 64 per-bit `sum`
+    * aggregates (map-side combine; the per-row [[simhash]] column with
+    * 64 array-aggregate lambdas overflows codegen and runs
+    * interpreted). Majority vote: bit set iff 2*ones > tokens. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val hashed = df.select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+    val perBit = hashed.groupBy("__id").agg(
+      count(lit(1)).as("__n"),
+      (0 until 64).map(b =>
+        sum(shiftright(col("__h"), b).bitwiseAND(1L)).as(s"__b$b")): _*)
+    val sh = perBit.select(col("__id"),
+      (0 until 64).map(b =>
+          when(col(s"__b$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("__sh"))
     val banded = sh.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
