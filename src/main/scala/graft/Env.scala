@@ -96,4 +96,12 @@ object Env {
 
   def apply(spark: SparkSession, registry: Registry, root: String): Env =
     new Env(spark, registry, new Warehouse(spark, root, registry))
+
+  /** Open an existing warehouse without a schema — the registry is
+    * introspected from the persisted `_SCHEMA.yaml` / parquet footers
+    * (the reference's `auto` mode, tanker/context.py:309-310). */
+  def introspect(spark: SparkSession, root: String): Env = {
+    val reg = Warehouse.introspect(spark, root)
+    Env(spark, reg, root)
+  }
 }

@@ -1,0 +1,235 @@
+package graft.cli
+
+import java.io.{BufferedWriter, FileWriter, PrintWriter, Writer}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import graft.Env
+import graft.schema.{ColType, Registry}
+import graft.store.Warehouse
+import graft.view.{Filter, FilterExpr, Order}
+
+/** `tk`-equivalent CLI (reference tanker/cli.py):
+  *
+  * {{{
+  *   graft.cli.Main <action> [table [fields...]] [options]
+  *     action: info | read | write | delete | init | version
+  *     --config <file>     .tk.yaml-style config: {schema: path, warehouse: path}
+  *     -F/--filter <expr>  repeatable s-expression filter
+  *     -s/--sort  <col[:DESC]> repeatable sort
+  *     -l/--limit N  -o/--offset N
+  *     -f/--file <csv>     read/write rows from/to a file (else stdout/stdin)
+  *     -p/--purge          purge after write
+  *     -t/--ascii-table    ascii table output
+  *     --vbar [--tic c]    vertical bar plot of the last (numeric) column
+  *     -H/--hide-headers
+  * }}}
+  */
+object Main {
+
+  final case class Opts(
+      action: String = "", table: String = "", fields: Seq[String] = Nil,
+      config: String = ".tk.yaml", filters: Seq[String] = Nil,
+      sort: Seq[String] = Nil, limit: Option[Long] = None,
+      offset: Option[Long] = None, file: Option[String] = None,
+      purge: Boolean = false, asciiTable: Boolean = false,
+      vbar: Boolean = false, tic: String = "•",
+      hideHeaders: Boolean = false)
+
+  def parseArgs(argv: Seq[String]): Opts = {
+    var o = Opts()
+    var pos = Vector[String]()
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--config" => o = o.copy(config = argv(i + 1)); i += 2
+        case "-F" | "--filter" => o = o.copy(filters = o.filters :+ argv(i + 1)); i += 2
+        case "-s" | "--sort" => o = o.copy(sort = o.sort :+ argv(i + 1)); i += 2
+        case "-l" | "--limit" => o = o.copy(limit = Some(argv(i + 1).toLong)); i += 2
+        case "-o" | "--offset" => o = o.copy(offset = Some(argv(i + 1).toLong)); i += 2
+        case "-f" | "--file" => o = o.copy(file = Some(argv(i + 1))); i += 2
+        case "-p" | "--purge" => o = o.copy(purge = true); i += 1
+        case "-t" | "--ascii-table" => o = o.copy(asciiTable = true); i += 1
+        case "--vbar" => o = o.copy(vbar = true); i += 1
+        case "--tic" => o = o.copy(tic = argv(i + 1)); i += 2
+        case "-H" | "--hide-headers" => o = o.copy(hideHeaders = true); i += 1
+        case a if o.action.isEmpty => o = o.copy(action = a); i += 1
+        case a => pos = pos :+ a; i += 1
+      }
+    }
+    if (pos.nonEmpty) o = o.copy(table = pos.head, fields = pos.tail)
+    o
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val o = parseArgs(argv.toIndexedSeq)
+    if (o.action == "version") { println("0.1.0"); return }
+    val spark = Env.session()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(o, spark, new PrintWriter(System.out, true))
+    finally spark.stop()
+  }
+
+  def run(o: Opts, spark: org.apache.spark.sql.SparkSession, out: Writer): Unit = {
+    val cfg: Map[String, Any] =
+      if (Files.exists(Paths.get(o.config))) {
+        val y = new org.yaml.snakeyaml.Yaml()
+        y.load[java.util.Map[String, Object]](
+          Files.readString(Paths.get(o.config))).asScala.toMap
+      } else Map()
+    val whRoot = cfg.getOrElse("warehouse", "warehouse").toString
+    val env = cfg.get("schema") match {
+      case Some(schemaPath) =>
+        val reg = Registry.fromYaml(Files.readString(Paths.get(schemaPath.toString)))
+        Env(spark, reg, whRoot)
+      case None => // auto mode: introspect the warehouse
+        Env(spark, Warehouse.introspect(spark, whRoot), whRoot)
+    }
+    dispatch(o, env, out)
+  }
+
+  def dispatch(o: Opts, env: Env, out: Writer): Unit = o.action match {
+    case "init" => env.createTables()
+
+    case "info" =>
+      if (o.table.nonEmpty) {
+        env.registry(o.table).columns.sortBy(_.name).foreach { c =>
+          val details = c.ctype match {
+            case ColType.M2O(t, cc, _) => s"M2O -> $t.$cc"
+            case ColType.O2M(t, cc) => s"O2M -> $t.$cc"
+            case other => other.decl.toUpperCase
+          }
+          out.write(s"${c.name} ($details)\n")
+        }
+      } else env.registry.names.sorted.foreach(n => out.write(n + "\n"))
+
+    case "read" =>
+      val fields = if (o.fields.nonEmpty) o.fields else null
+      val view = env.view(o.table, fields)
+      val order = o.sort.map { s =>
+        if (s.contains(":")) { val Array(c, d) = s.split(":", 2); Order(c, d) }
+        else Order(s)
+      }
+      val df = view.read(o.filters.map(FilterExpr.apply),
+        order = order, limit = o.limit, offset = o.offset)
+      val headers = df.columns.toSeq
+      val rows = df.collect().map(_.toSeq.map(v => if (v == null) "" else v)).toSeq
+      val sink: Writer = o.file match {
+        case Some(f) => new BufferedWriter(new FileWriter(f))
+        case None => out
+      }
+      try {
+        if (o.asciiTable)
+          Render.asciiTable(rows.map(_.map(String.valueOf)),
+            if (o.hideHeaders) None else Some(headers)).foreach(sink.write)
+        else if (o.vbar)
+          Render.vbar(rows, tic = o.tic).foreach(sink.write)
+        else {
+          if (!o.hideHeaders) sink.write(Render.csvRow(headers))
+          rows.foreach(r => sink.write(Render.csvRow(r.map(String.valueOf))))
+        }
+        sink.flush()
+      } finally if (o.file.isDefined) sink.close()
+
+    case "write" =>
+      val (fields, data) = readInput(o)
+      env.view(o.table, fields.orNull).write(data, purge = o.purge)
+
+    case "delete" =>
+      val (fields, data) =
+        if (o.file.isDefined) readInput(o)
+        else (Option(o.fields).filter(_.nonEmpty), null)
+      env.view(o.table, fields.orNull)
+        .delete(filters = o.filters.map(FilterExpr.apply): Seq[Filter], data = data)
+
+    case other => out.write(s"""Action "$other" not supported\n""")
+  }
+
+  /** CSV input: first row is the header (field names) unless fields
+    * were given on the command line (cli.py:137-160). */
+  private def readInput(o: Opts): (Option[Seq[String]], Seq[Seq[Any]]) = {
+    val lines = o.file match {
+      case Some(f) => Files.readAllLines(Paths.get(f)).asScala.toSeq
+      case None => scala.io.Source.stdin.getLines().toSeq
+    }
+    val parsed = lines.filter(_.nonEmpty).map(Render.parseCsvRow)
+    if (o.fields.nonEmpty) (Some(o.fields), parsed)
+    else if (parsed.isEmpty) (None, Nil)
+    else (Some(parsed.head), parsed.tail)
+  }
+}
+
+/** Output renderers, ported from the reference (cli.py:82-134). */
+object Render {
+
+  def csvRow(vals: Seq[String]): String =
+    vals.map { v =>
+      if (v.exists(c => c == ',' || c == '"' || c == '\n'))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    }.mkString(",") + "\n"
+
+  def parseCsvRow(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          sb += '"'; i += 1
+        } else if (c == '"') inQ = false
+        else sb += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += sb.toString; sb.clear()
+        case _ => sb += c
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
+  /** Column-aligned ascii table (cli.py:82-98). */
+  def asciiTable(rows: Seq[Seq[String]], headers: Option[Seq[String]],
+      sep: String = " "): Iterator[String] = {
+    if (rows.isEmpty && headers.isEmpty) return Iterator.empty
+    val widths0 = headers.getOrElse(rows.head).map(_.length)
+    val widths = rows.foldLeft(widths0)((acc, r) =>
+      acc.zipAll(r.map(_.length), 0, 0).map { case (a, b) => math.max(a, b) })
+    def fmt(xs: Seq[String]): String =
+      xs.zip(widths).map { case (x, w) => x.padTo(w, ' ') }.mkString(sep) + "\n"
+    val head = headers.iterator.flatMap(h =>
+      Iterator(fmt(h), fmt(widths.map("-" * _))))
+    head ++ rows.iterator.map(fmt)
+  }
+
+  /** Vertical bar plot of the last (numeric) column; negative values
+    * grow leftward from the axis (cli.py:101-134). */
+  def vbar(rows: Seq[Seq[Any]], plotWidth: Int = 80,
+      tic: String = "•"): Iterator[String] = {
+    if (rows.isEmpty) return Iterator.empty
+    val values = rows.map(_.last match {
+      case n: Number => n.doubleValue()
+      case other => return Iterator.single(s"Last column must be numeric ($other)\n")
+    })
+    val labels = rows.map(_.dropRight(1).map(String.valueOf).mkString(" / "))
+    val labelLen = labels.map(_.length).max
+    val vMax = math.max(values.max, 0)
+    val vMin = math.min(values.min, 0)
+    val vWidth = math.max(f" $vMin%.2f".length, f"$vMax%.2f".length)
+    val scale = (if (vMax - vMin == 0) 1.0 else vMax - vMin) / plotWidth
+    val leftPane = if (vMin < 0) math.round(-vMin / scale).toInt else 0
+    labels.zip(values).iterator.map { case (label, value) =>
+      val head = label.padTo(labelLen, ' ') + " " +
+        f"$value%.2f".reverse.padTo(vWidth, ' ').reverse + " "
+      if (value < 0) {
+        val n = math.round(-value / scale).toInt
+        head + " " * (leftPane - n) + tic * n + "|\n"
+      } else {
+        head + " " * leftPane + "|" + tic * math.round(value / scale).toInt + "\n"
+      }
+    }
+  }
+}

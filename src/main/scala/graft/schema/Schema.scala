@@ -15,6 +15,22 @@ sealed trait ColType {
   /** Physical Spark type; None for virtual columns (O2M). */
   def spark: Option[DataType]
   def isRelation: Boolean = false
+  /** Declaration string — inverse of [[ColType.parse]]. */
+  def decl: String = this match {
+    case ColType.BigIntT => "bigint"
+    case ColType.IntegerT => "integer"
+    case ColType.FloatT => "float"
+    case ColType.BoolT => "bool"
+    case ColType.VarcharT => "varchar"
+    case ColType.DateT => "date"
+    case ColType.TimestampT => "timestamp"
+    case ColType.TimestampTzT => "timestamptz"
+    case ColType.JsonbT => "jsonb"
+    case ColType.ByteaT => "bytea"
+    case ColType.M2O(t, c, _) => s"m2o $t.$c"
+    case ColType.O2M(t, c) => s"o2m $t.$c"
+    case ColType.Arr(e, d) => e.decl + ("[]" * d)
+  }
 }
 
 object ColType {
@@ -231,6 +247,31 @@ final class Registry(defs: Seq[TableDef]) extends Serializable {
 
 object Registry {
   def apply(defs: TableDef*): Registry = new Registry(defs)
+
+  /** Serialize managed table definitions in the reference's YAML
+    * schema format (round-trips through [[fromYaml]]) — the warehouse
+    * metadata that makes introspection (tanker/context.py:388-569)
+    * possible without a database catalog. Seed `values` are omitted:
+    * they are data, already written at create time (introspection in
+    * the reference does not recover them either). */
+  def toYaml(reg: Registry): String = {
+    val sb = new StringBuilder
+    for (name <- reg.names; td = reg(name) if td.external.isEmpty) {
+      sb.append(s"- table: $name\n  columns:\n")
+      td.columns.filterNot(_.name == "id").foreach { c =>
+        sb.append(s"    ${c.name}: ${c.ctype.decl}\n")
+      }
+      sb.append(s"  key: [${td.key.mkString(", ")}]\n")
+      if (td.unique.nonEmpty)
+        sb.append("  unique:\n" + td.unique.map(u =>
+          s"    - [${u.mkString(", ")}]\n").mkString)
+      val defaults = td.columns.collect {
+        case c if c.default.isDefined => s"    ${c.name}: ${c.default.get}\n" }
+      if (defaults.nonEmpty) sb.append("  defaults:\n" + defaults.mkString)
+      if (td.useIndex != "btree") sb.append(s"  use-index: ${td.useIndex}\n")
+    }
+    sb.toString
+  }
 
   /** Load a registry from the reference's YAML schema format
     * (tanker/utils.py:44-57, context.py:364-386). `index:` is accepted

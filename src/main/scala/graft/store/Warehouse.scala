@@ -3,7 +3,7 @@ package graft.store
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import graft.schema.{Registry, TableDef}
+import graft.schema.{ColType, ColumnDef, Registry, TableDef}
 
 /** Parquet-snapshot storage: one dataset per table under a warehouse
   * root, with atomic snapshot swap on write.
@@ -140,9 +140,69 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * yet — idempotent like the reference's create_tables
     * (tanker/context.py:688-710). Seed `values` are written by
     * [[graft.Env.createTables]] (they may use dotted FK fields). */
-  def createTables(): Unit =
+  def createTables(): Unit = {
     registry.names.foreach { t =>
       if (registry(t).external.isEmpty && currentSnap(t).isEmpty)
         write(t, empty(registry(t)))
     }
+    persistRegistry()
+  }
+
+  /** Persist the registry as `<root>/_SCHEMA.yaml` (reference schema
+    * format) so a warehouse is self-describing — the introspection
+    * path (tanker/context.py:388-569) reads it back without a
+    * database catalog. */
+  def persistRegistry(): Unit = {
+    val f = new Path(root, "_SCHEMA.yaml")
+    val fsys = fs(f)
+    val out = fsys.create(f, true)
+    try out.write(Registry.toYaml(registry).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+object Warehouse {
+  /** Rebuild a Registry from a warehouse directory: the persisted
+    * `_SCHEMA.yaml` when present (full fidelity), else best-effort
+    * from parquet footers (types only; key falls back to `id` —
+    * mirrors the reference's unique-index-less fallback,
+    * tanker/context.py:309-310). */
+  def introspect(spark: SparkSession, root: String): Registry = {
+    import org.apache.spark.sql.types._
+    val rootPath = new Path(root)
+    val fsys = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaFile = new Path(rootPath, "_SCHEMA.yaml")
+    if (fsys.exists(schemaFile)) {
+      val in = fsys.open(schemaFile)
+      val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8) finally in.close()
+      Registry.fromYaml(text)
+    } else {
+      def colType(dt: DataType): ColType = dt match {
+        case LongType => ColType.BigIntT
+        case IntegerType => ColType.IntegerT
+        case DoubleType | FloatType => ColType.FloatT
+        case BooleanType => ColType.BoolT
+        case DateType => ColType.DateT
+        case TimestampNTZType => ColType.TimestampT
+        case TimestampType => ColType.TimestampTzT
+        case BinaryType => ColType.ByteaT
+        case ArrayType(e, _) => ColType.Arr(colType(e), 1)
+        case _ => ColType.VarcharT
+      }
+      val defs = fsys.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+        .filter(d => fsys.exists(new Path(d, "_CURRENT"))).map { d =>
+          val name = d.getName
+          val cur = {
+            val in = fsys.open(new Path(d, "_CURRENT"))
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              StandardCharsets.UTF_8).trim finally in.close()
+          }
+          val schema = spark.read.parquet(new Path(d, cur).toString).schema
+          val cols = schema.fields.map(f => ColumnDef(f.name, colType(f.dataType)))
+          TableDef(name, cols.toSeq, key = Seq("id"))
+        }
+      new Registry(defs.toSeq)
+    }
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.io.StringWriter
+import java.nio.file.Files
+import graft.cli.{Main, Render}
+
+/** CLI smoke tests (reference tanker/cli.py surface). */
+class CliSpec extends SparkSpec {
+
+  def cfg(): (String, String) = {
+    val dir = Files.createTempDirectory("graft-cli-")
+    val schema = dir.resolve("schema.yaml")
+    Files.writeString(schema, SparkSpec.baseYaml)
+    val conf = dir.resolve("tk.yaml")
+    Files.writeString(conf,
+      s"schema: $schema\nwarehouse: ${dir.resolve("wh")}\n")
+    (conf.toString, dir.toString)
+  }
+
+  def run(conf: String, args: String*): String = {
+    val out = new StringWriter()
+    Main.run(Main.parseArgs(args.toSeq ++ Seq("--config", conf)), spark, out)
+    out.toString
+  }
+
+  test("init, write via csv file, read csv, info") {
+    val (conf, dir) = cfg()
+    run(conf, "init")
+    val csv = java.nio.file.Paths.get(dir, "teams.csv")
+    Files.writeString(csv, "name,country.name\nBlue,Belgium\nRed,France\n")
+    run(conf, "write", "team", "-f", csv.toString)
+    val got = run(conf, "read", "team", "name", "country.name", "-s", "name")
+    assert(got == "name,country.name\nBlue,Belgium\nRed,France\n", got)
+    // filters + limit
+    val one = run(conf, "read", "team", "name", "-F", """(= country.name "Belgium")""")
+    assert(one == "name\nBlue\n", one)
+    // info
+    val info = run(conf, "info")
+    assert(info.contains("team") && info.contains("country"))
+    val tinfo = run(conf, "info", "team")
+    assert(tinfo.contains("country (M2O -> country.id)") &&
+      tinfo.contains("members (O2M -> member.team)"), tinfo)
+    // delete
+    run(conf, "delete", "team", "-F", """(= name "Red")""")
+    assert(run(conf, "read", "team", "name", "-H") == "Blue\n")
+  }
+
+  test("ascii table and vbar renderers") {
+    assert(Render.asciiTable(
+      Seq(Seq("a", "1"), Seq("bbb", "22")), Some(Seq("x", "y"))).mkString ==
+      "x   y \n--- --\na   1 \nbbb 22\n")
+    val plot = Render.vbar(Seq(Seq("a", 2.0), Seq("b", -1.0)), plotWidth = 6).mkString
+    assert(plot.contains("|") && plot.contains("•"), plot)
+    assert(Render.parseCsvRow("""a,"b,c",d""") == Seq("a", "b,c", "d"))
+  }
+}
