@@ -66,8 +66,8 @@ object Similarity {
     * banded table is precomputed + bucketed; here it is derived inline.
     */
   def annTopK(df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, dims: Int, numPlanes: Int = 16,
-      bandBits: Int = 4): DataFrame = {
+      query: Seq[Float], k: Int, dims: Int, numPlanes: Int = 32,
+      bandBits: Int = 2): DataFrame = {
     val qdf = df.sparkSession.range(1)
       .select(array(query.map(v => lit(v.toDouble)): _*).as("__q"))
       .select(explode(lshBands(col("__q"), dims, numPlanes, bandBits)).as("__band"))

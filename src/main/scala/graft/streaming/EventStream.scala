@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY §2.5) — this is the extension
+  * surface: the same declarative plans run incrementally via
+  * `readStream`/`writeStream`, with watermarked tumbling windows and
+  * custom session state through `flatMapGroupsWithState`. At scale
+  * state is partitioned by the grouping key across executors; the
+  * watermark bounds state size.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+      events: Long, total: Double)
+
+  /** Per-user in-flight session (kept public: Catalyst's generated
+    * encoder code needs accessor visibility). */
+  final case class SessionState(start: Long, end: Long,
+      events: Long, total: Double)
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Watermarked tumbling-window aggregation: late events beyond the
+    * watermark are dropped, closed windows emit exactly once in
+    * append mode. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("cnt"), col("total"))
+
+  /** Gap-based sessionization with explicit state
+    * (KeyValueGroupedDataset.flatMapGroupsWithState): a session closes
+    * after `gapMs` of event-time inactivity per user. Event-time
+    * timeouts (driven by the watermark) keep the plan deterministic
+    * and replayable — processing-time timeouts would busy-loop empty
+    * micro-batches and break reprocessing. */
+  def sessions(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+              s.events, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t),
+                    events = s.events + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.events, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Incremental sink into a warehouse-style parquet directory with
+    * checkpointing (exactly-once file sink). */
+  def writeTo(df: DataFrame, outDir: String, checkpointDir: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, Text}
+
+/** LLM-pipeline operator tests: planted-duplicate recall for the LSH
+  * paths, exactness of the brute-force baselines, multimodal
+  * plumbing, text metrics. */
+class OpsSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import scala.jdk.CollectionConverters._
+
+  def docsDf(rows: Seq[(Long, String)]) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    s.createDataFrame(rows.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+  }
+
+  test("exact dedup keeps smallest id per group") {
+    val df = docsDf(Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")))
+    check(Seq(Seq(1L, "aaa"), Seq(2L, "bbb")),
+      Dedup.exact(df, Seq("text"), "doc_id"))
+  }
+
+  test("fingerprint dedup normalizes case and whitespace") {
+    val df = docsDf(Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")))
+    assert(rows(Dedup.byFingerprint(df, "text", "doc_id"))
+      .map(_.head).toSet == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val nearDup = base.replace("lazy", "sleepy") // one token changed
+    val other = "completely different content about spark query engines " * 5
+    val df = docsDf(Seq((1L, base), (2L, nearDup), (3L, other)))
+    val pairs = rows(Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5))
+    assert(pairs.map(p => (p(0), p(1))) == Seq((1L, 2L)), pairs)
+    val deduped = Dedup.minhashDedup(df, "doc_id", "text", threshold = 0.5)
+    assert(rows(deduped).map(_.head).toSet == Set(1L, 3L))
+  }
+
+  test("ngram jaccard is 1 for identical and ~0 for disjoint") {
+    val df = docsDf(Seq((1L, "x")))
+      .select(Dedup.ngramJaccard(lit("a b c d"), lit("a b c d")).as("same"),
+        Dedup.ngramJaccard(lit("a b c d"), lit("p q r s")).as("diff"))
+    val r = df.head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("simhash pairs: near-identical docs collide, unrelated don't") {
+    // high-frequency shared vocab -> large per-bit vote margins, so a
+    // one-token edit keeps hamming distance within the 4x16 banding
+    // guarantee (simhash LSH targets hamming <= 3)
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 30
+    val near = base + "zeta omega"
+    val far = Seq.tabulate(60)(i => s"other$i").mkString(" ")
+    val df = docsDf(Seq((1L, base), (2L, near), (3L, far)))
+    val pairs = rows(Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3))
+    assert(pairs.map(p => (p(0), p(1))).contains((1L, 2L)), pairs)
+    assert(!pairs.map(p => (p(0), p(1))).contains((1L, 3L)), pairs)
+  }
+
+  test("brute-force cosine top-k is exact") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f)))
+    val df = s.createDataFrame(vecs.map(v =>
+      org.apache.spark.sql.Row(v._1, v._2)).asJava, schema)
+    val top = rows(Similarity.bruteForceTopK(df, "embedding", "vec_id",
+      Seq(1f, 0f), 2))
+    assert(top.map(_.head) == Seq(1L, 2L), top)
+  }
+
+  test("LSH ANN candidates contain the exact nearest neighbour") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val exact = rows(Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 1)).head.head
+    val ann = rows(Similarity.annTopK(
+      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10, q.size))
+    assert(ann.map(_.head).contains(exact),
+      s"exact NN $exact missing from ANN ${ann.map(_.head)}")
+  }
+
+  test("text metrics") {
+    val df = docsDf(Seq((1L, "The quick brown fox."), (2L, ""), (3L, "  ")))
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).as("toks"),
+        Text.punctRatio(col("text")).as("punct"),
+        Text.fingerprint(col("text")).as("fp"))
+    val got = rows(df.orderBy("doc_id"))
+    assert(got(0)(1) == 4 && got(1)(1) == 0 && got(2)(1) == 0)
+    assert(got(0)(2).asInstanceOf[Double] > 0)
+  }
+
+  test("langId picks plausible languages") {
+    val df = docsDf(Seq(
+      (1L, "the cat and the dog of the house is that"),
+      (2L, "der hund und die katze ist nicht das"),
+      (3L, "le chat et la maison est une des"),
+      (4L, "中文文本内容")))
+      .select(col("doc_id"), Text.langId(col("text")).as("lang"))
+    assert(rows(df.orderBy("doc_id")).map(_(1)) == Seq("en", "de", "fr", "zh"))
+  }
+
+  test("multimodal: decode plumbing + features + frame sampling") {
+    val docs = docsDf(Seq((1L, "payload one"), (2L, "payload two")))
+    val media = docs.select(col("doc_id"),
+      Multimodal.asMedia(encode(col("text"), "UTF-8"), "image/fake",
+        concat(lit("mem://"), col("doc_id"))).as("media"))
+    val decoded = Multimodal.decode(media, "media")
+    assert(decoded.schema.fieldNames.contains("decoded"))
+    val r = rows(decoded.select(col("doc_id"), col("decoded.width"),
+      col("decoded.mean_luma")).orderBy("doc_id"))
+    assert(r.size == 2 && r.forall(x =>
+      x(1).asInstanceOf[Int] >= 64 && x(2).asInstanceOf[Double] >= 0))
+    // determinism: same payload -> same decode
+    val r2 = rows(Multimodal.decode(media, "media")
+      .select(col("decoded")).orderBy("doc_id"))
+    assert(rows(decoded.select(col("decoded")).orderBy("doc_id")) == r2)
+
+    val feats = rows(media.select(
+      Multimodal.fakeFeatures(col("media"), dims = 8).as("f")))
+    assert(feats.head.head.asInstanceOf[scala.collection.Seq[Double]].size == 8)
+
+    // frame sampling: 250ms duration at 100ms -> 3 frames
+    val vid = media.withColumn("media",
+      Multimodal.resize(col("media"), 32, 32))
+      .withColumn("media", struct(
+        col("media.bytes").as("bytes"), col("media.mime").as("mime"),
+        col("media.width").as("width"), col("media.height").as("height"),
+        lit(250.0).as("duration_ms"), col("media.source_uri").as("source_uri")))
+    val frames = Multimodal.frameSample(vid, "media", everyMs = 100.0)
+    assert(frames.filter(col("doc_id") === 1).count() == 3)
+  }
+}

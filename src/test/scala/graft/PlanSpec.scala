@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Physical-plan audits: the properties that keep the engine fast at
+  * 100 TB — filter pushdown to the parquet scan, column pruning,
+  * broadcast joins for small dims, top-k for order+limit, no
+  * generator/row-id hazards. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters push down to the parquet scan") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val df = env.view("lineitem", Seq("l_orderkey", "l_quantity"))
+      .read(Seq("(< l_quantity 5)"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,"), p)
+  }
+
+  test("column pruning reaches the scan (ReadSchema has only used columns)") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val df = env.view("lineitem", Seq("l_orderkey", "l_quantity")).read()
+    val p = plan(df)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity") &&
+      !read.contains("l_extendedprice"), read)
+  }
+
+  test("dotted M2O join broadcasts the small dim side") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val df = env.viewNamed("lineitem", Seq(
+      "l_orderkey" -> "l_orderkey",
+      "priority" -> "l_orderkey.o_orderpriority")).read()
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("order+limit compiles to TakeOrderedAndProject (top-k, no global sort)") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val df = env.view("orders", Seq("o_orderkey", "o_totalprice"))
+      .read(order = Seq(view.Order("o_totalprice", "DESC")), limit = Some(10))
+    assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
+  }
+
+  test("exists plan: single extra join, no row-id, sub side aggregated") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val df = env.view("customer", Seq("c_custkey")).read(Seq(
+      "(exists (from orders (select 1) (where (= o_custkey _parent.c_custkey))))"))
+    val p = plan(df)
+    assert(!p.contains("monotonically_increasing_id"), p)
+    // the distinct-keys side is hash-aggregated before the join
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val df = env.viewNamed("lineitem", Seq(
+      "l_returnflag" -> "l_returnflag", "s" -> "(sum l_quantity)"))
+      .read(groupby = Seq("l_returnflag"))
+    df.collect() // finalize the AQE plan
+    val p = plan(df)
+    // whole-stage codegen spans render as "*(n) " prefixes; both the
+    // partial and final aggregate must be inside one
+    assert(p.contains("*(1) HashAggregate") && p.contains("*(2) HashAggregate"), p)
+  }
+
+  test("write merge plan: no cartesian products") {
+    val env = freshEnv()
+    // capture the merge result plan by running a write and checking it
+    // executed through joins (the write itself succeeding is the main
+    // assertion; a cartesian would throw with crossJoin disabled)
+    val before = spark.conf.getOption("spark.sql.crossJoin.enabled")
+    env.view("team", Seq("name", "country.name"))
+      .write(Seq(Seq("Green", "Holland")), purge = false)
+    assert(rows(env.view("team").read()).size == 4)
+  }
+}
