@@ -129,7 +129,10 @@ final case class TableDef(
     unique: Seq[Seq[String]] = Nil,
     values: Seq[Map[String, Any]] = Nil,
     useIndex: String = "btree",
-    external: Option[String] = None) {
+    external: Option[String] = None,
+    /** >0 = key-hash-bucketed storage: merges rewrite only the buckets
+      * their batch keys hash into (the 100-TB write path, SURVEY §4). */
+    buckets: Int = 0) {
   require(Set("btree", "brin").contains(useIndex.toLowerCase),
     s"Value '$useIndex' not supported for use-index")
   key.foreach { k =>
@@ -168,7 +171,8 @@ object TableDef {
       key: Seq[String],
       unique: Seq[Seq[String]] = Nil,
       values: Seq[Map[String, Any]] = Nil,
-      useIndex: String = "btree"): TableDef = {
+      useIndex: String = "btree",
+      buckets: Int = 0): TableDef = {
     val withId =
       if (columns.exists(_.name == "id")) columns
       else ColumnDef("id", ColType.BigIntT) +: columns
@@ -179,7 +183,7 @@ object TableDef {
         if (nonId.size == 1) Seq(nonId.head.name)
         else throw new IllegalArgumentException(s"No key defined on $name")
       }
-    TableDef(name, withId, finalKey, unique, values, useIndex)
+    TableDef(name, withId, finalKey, unique, values, useIndex, buckets = buckets)
   }
 }
 
@@ -269,6 +273,7 @@ object Registry {
         case c if c.default.isDefined => s"    ${c.name}: ${c.default.get}\n" }
       if (defaults.nonEmpty) sb.append("  defaults:\n" + defaults.mkString)
       if (td.useIndex != "btree") sb.append(s"  use-index: ${td.useIndex}\n")
+      if (td.buckets > 0) sb.append(s"  buckets: ${td.buckets}\n")
     }
     sb.toString
   }
@@ -315,7 +320,9 @@ object Registry {
         case _ => Nil
       }
       val useIndex = tm.get("use-index").map(_.toString).getOrElse("btree")
-      TableDef.normalized(name, colsWithDefaults, key, unique, values, useIndex)
+      val buckets = tm.get("buckets").map(_.toString.toInt).getOrElse(0)
+      TableDef.normalized(name, colsWithDefaults, key, unique, values, useIndex,
+        buckets)
     }
     // Resolve M2O physical types from the referenced column.
     val byName = defs.map(t => t.name -> t).toMap

@@ -2,8 +2,11 @@ package graft.store
 
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, hash, lit, pmod}
+import scala.jdk.CollectionConverters._
 import graft.schema.{ColType, ColumnDef, Registry, TableDef}
+import graft.view.Json
 
 /** Parquet-snapshot storage: one dataset per table under a warehouse
   * root, with atomic snapshot swap on write.
@@ -12,16 +15,23 @@ import graft.schema.{ColType, ColumnDef, Registry, TableDef}
   * Layout per managed table:
   *
   * {{{
-  *   <root>/<table>/snap-<n>/   parquet files (immutable once current)
-  *   <root>/<table>/_CURRENT    single small file naming the live snap
+  *   <root>/<table>/snap-<n>/           parquet (immutable once current)
+  *   <root>/<table>/snap-<n>/__b=<k>/   key-hash bucket dirs (bucketed)
+  *   <root>/<table>/_CURRENT            pointer / manifest (see below)
   * }}}
   *
-  * Writers build the next `snap-<n+1>` directory in full, then replace
+  * Unbucketed `_CURRENT` holds the live snap name. Bucketed tables
+  * (`buckets: N` in the schema) hold a JSON manifest instead:
+  * `{"snap": ..., "maxId": ..., "buckets": {"3": "snap-7/__b=3", ...}}`
+  * — each bucket points at the snapshot that last rewrote it, so a
+  * merge touching 2 of 1024 buckets writes 2 directories and reuses
+  * the other 1022 by reference. That is the 100-TB merge path: write
+  * cost scales with the batch's key footprint, not the table size.
+  *
+  * Writers build the next `snap-<n+1>` in full, then replace
   * `_CURRENT` — a single-file swap, so readers see either the old or
-  * the new snapshot, never a mix. This design survives object stores
-  * (no directory rename needed; at 100 TB the pointer would name a
-  * manifest of files instead of a directory, same protocol). Matches
-  * the reference's per-write transaction boundary
+  * the new state, never a mix (object-store friendly: no directory
+  * rename). Matches the reference's per-write transaction boundary
   * (tanker/context.py:238-248); cross-write transactions are out of
   * scope (documented divergence).
   *
@@ -30,13 +40,17 @@ import graft.schema.{ColType, ColumnDef, Registry, TableDef}
   */
 final class Warehouse(val spark: SparkSession, val root: String, val registry: Registry) {
 
+  /** Bucketed-table manifest: per-bucket pointers + the id high-water
+    * mark (so surrogate-id assignment never scans the full table). */
+  final case class Manifest(snap: String, maxId: Long, buckets: Map[Int, String])
+
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
 
   private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
   private def tableDir(t: String) = new Path(root, t)
   private def currentFile(t: String) = new Path(tableDir(t), "_CURRENT")
 
-  private def currentSnap(t: String): Option[String] = {
+  private def readPointer(t: String): Option[String] = {
     val f = currentFile(t)
     val fsys = fs(f)
     if (!fsys.exists(f)) None
@@ -48,8 +62,37 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     }
   }
 
+  private def currentSnap(t: String): Option[String] =
+    readPointer(t).map { p =>
+      if (p.startsWith("{")) parseManifest(p).snap else p
+    }
+
+  def currentManifest(t: String): Option[Manifest] =
+    readPointer(t).map { p =>
+      if (p.startsWith("{")) parseManifest(p)
+      else Manifest(p, -1L, Map())
+    }
+
+  private def parseManifest(text: String): Manifest = {
+    val y = new org.yaml.snakeyaml.Yaml()
+    val m = y.load[java.util.Map[String, Object]](text).asScala
+    val buckets = m.get("buckets").map(
+      _.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (k, v) => k.toInt -> v.toString
+      }.toMap).getOrElse(Map[Int, String]())
+    Manifest(m("snap").toString, m("maxId").toString.toLong, buckets)
+  }
+
+  private def manifestJson(m: Manifest): String =
+    Json.write(Map("snap" -> m.snap, "maxId" -> m.maxId,
+      "buckets" -> m.buckets.map { case (k, v) => k.toString -> v }))
+
   def exists(t: String): Boolean =
-    registry(t).external.isDefined || currentSnap(t).isDefined
+    registry(t).external.isDefined || readPointer(t).isDefined
+
+  /** Key-hash bucket id expression for a bucketed table. */
+  def bucketExpr(td: TableDef): Column =
+    pmod(hash(td.key.map(k => col("`" + k + "`")): _*), lit(td.buckets))
 
   /** Read the live snapshot of a table (schema-correct empty frame if
     * the table has never been written). */
@@ -57,6 +100,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     val td = registry(t)
     td.external match {
       case Some(path) => alignExternal(td, spark.read.parquet(path))
+      case None if td.buckets > 0 => readBuckets(t, None)
       case None =>
         currentSnap(t) match {
           case Some(snap) =>
@@ -67,12 +111,41 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     }
   }
 
+  /** Pruned read of a bucketed table: only the named buckets (None =
+    * all). The merge path reads just the buckets its batch keys hash
+    * into. */
+  def readBuckets(t: String, which: Option[Set[Int]]): DataFrame = {
+    val td = registry(t)
+    require(td.buckets > 0, s"Table '$t' is not bucketed")
+    currentManifest(t) match {
+      case None => empty(td)
+      case Some(m) =>
+        val entries = which match {
+          case Some(bs) => m.buckets.view.filterKeys(bs).toMap
+          case None => m.buckets
+        }
+        if (entries.isEmpty) empty(td)
+        else spark.read.schema(td.sparkSchema)
+          .parquet(entries.values.map(rel =>
+            new Path(tableDir(t), rel).toString).toSeq: _*)
+    }
+  }
+
+  /** Surrogate-id high-water mark: manifest-tracked for bucketed
+    * tables (no scan), max-scan otherwise. */
+  def maxId(t: String): Long = {
+    val td = registry(t)
+    if (td.buckets > 0) currentManifest(t).map(_.maxId).getOrElse(0L).max(0L)
+    else if (!td.columnMap.contains("id")) 0L
+    else Option(read(t).agg(org.apache.spark.sql.functions.max(col("id")))
+      .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
+
   /** External files keep their own schema, with one repair: columns a
     * registry declares as timestamps but the file stores as INT64
     * nanos (read via nanosAsLong) are converted — `div 1000` keeps
     * exact micros, no double rounding. */
   private def alignExternal(td: TableDef, df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val needsFix = df.schema.fields.exists(f => f.dataType == LongType &&
       td.columnMap.get(f.name).exists(c =>
@@ -92,29 +165,73 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], td.sparkSchema)
 
-  /** Atomically replace a table's contents with `df`. */
-  def write(t: String, df: DataFrame): Unit = {
-    val td = registry(t)
-    require(td.external.isEmpty, s"Table '$t' is external (read-only)")
-    val next = "snap-" + (currentSnap(t) match {
+  private def nextSnapName(t: String): String =
+    "snap-" + (currentSnap(t) match {
       case Some(s) => s.stripPrefix("snap-").toLong + 1
       case None => 0L
     })
-    val dir = new Path(tableDir(t), next)
-    // Align column order/types with the declared schema.
-    val aligned = df.select(td.sparkSchema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
-    aligned.write.mode("overwrite").parquet(dir.toString)
-    swapPointer(t, next)
-    gc(t, keep = Set(next))
+
+  private def aligned(td: TableDef, df: DataFrame): DataFrame =
+    df.select(td.sparkSchema.fields.map(f =>
+      col("`" + f.name + "`").cast(f.dataType)).toSeq: _*)
+
+  /** Atomically replace a table's contents with `df` (all buckets for
+    * bucketed tables). */
+  def write(t: String, df: DataFrame): Unit = {
+    val td = registry(t)
+    require(td.external.isEmpty, s"Table '$t' is external (read-only)")
+    if (td.buckets > 0) writeBucketed(t, df, affected = None, knownMaxId = None)
+    else {
+      val next = nextSnapName(t)
+      aligned(td, df).write.mode("overwrite")
+        .parquet(new Path(tableDir(t), next).toString)
+      swapPointer(t, next)
+      gc(t, keep = Set(next))
+    }
   }
 
-  private def swapPointer(t: String, snap: String): Unit = {
+  /** Partial write of a bucketed table: `df` holds the new content of
+    * `affected` buckets only; all other buckets carry over by
+    * reference. `newMaxId` advances the id high-water mark. */
+  def writeBuckets(t: String, df: DataFrame, affected: Set[Int], newMaxId: Long): Unit =
+    writeBucketed(t, df, Some(affected), Some(newMaxId))
+
+  private def writeBucketed(t: String, df: DataFrame, affected: Option[Set[Int]],
+      knownMaxId: Option[Long]): Unit = {
+    val td = registry(t)
+    val next = nextSnapName(t)
+    val dir = new Path(tableDir(t), next)
+    val out = aligned(td, df).withColumn("__b", bucketExpr(td))
+    out.write.mode("overwrite").partitionBy("__b").parquet(dir.toString)
+    // which bucket dirs did this snapshot produce?
+    val fsys = fs(dir)
+    val written: Map[Int, String] =
+      if (!fsys.exists(dir)) Map()
+      else fsys.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("__b=")).map { n =>
+          n.stripPrefix("__b=").toInt -> s"$next/$n"
+        }.toMap
+    val prev = currentManifest(t)
+    val prevBuckets = prev.map(_.buckets).getOrElse(Map())
+    val buckets = affected match {
+      case Some(bs) => (prevBuckets -- bs) ++ written // carry-over + new
+      case None => written // full rewrite
+    }
+    val maxIdNow = knownMaxId.getOrElse {
+      if (!td.columnMap.contains("id")) 0L
+      else Option(out.agg(org.apache.spark.sql.functions.max(col("id")))
+        .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }.max(prev.map(_.maxId).getOrElse(0L))
+    swapPointer(t, manifestJson(Manifest(next, maxIdNow, buckets)))
+    gc(t, keep = buckets.values.map(_.split("/")(0)).toSet + next)
+  }
+
+  private def swapPointer(t: String, content: String): Unit = {
     val f = currentFile(t)
     val fsys = fs(f)
     val tmp = new Path(tableDir(t), s"_CURRENT.tmp-${System.nanoTime()}")
     val out = fsys.create(tmp, true)
-    try out.write(snap.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     // HDFS/local rename onto an existing file: delete-then-rename is the
     // portable swap; the tiny race window only exposes old-or-new.
     if (fsys.exists(f)) fsys.delete(f, false)
@@ -122,7 +239,8 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       throw new java.io.IOException(s"Failed to swap $f")
   }
 
-  /** Drop all but the current (and one prior) snapshot. */
+  /** Drop snapshots that are neither referenced by the manifest nor
+    * among the 2 most recent (in-flight reader grace). */
   private def gc(t: String, keep: Set[String]): Unit = {
     val dir = tableDir(t)
     val fsys = fs(dir)
@@ -130,7 +248,6 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       val snaps = fsys.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("snap-"))
         .sortBy(_.getName.stripPrefix("snap-").toLong)
-      // keep current + most recent predecessor for in-flight readers
       val doomed = snaps.dropRight(2).filterNot(p => keep(p.getName))
       doomed.foreach(p => fsys.delete(p, true))
     }
@@ -142,7 +259,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * [[graft.Env.createTables]] (they may use dotted FK fields). */
   def createTables(): Unit = {
     registry.names.foreach { t =>
-      if (registry(t).external.isEmpty && currentSnap(t).isEmpty)
+      if (registry(t).external.isEmpty && readPointer(t).isEmpty)
         write(t, empty(registry(t)))
     }
     persistRegistry()
@@ -198,8 +315,15 @@ object Warehouse {
             try new String(org.apache.commons.io.IOUtils.toByteArray(in),
               StandardCharsets.UTF_8).trim finally in.close()
           }
-          val schema = spark.read.parquet(new Path(d, cur).toString).schema
-          val cols = schema.fields.map(f => ColumnDef(f.name, colType(f.dataType)))
+          val snap =
+            if (cur.startsWith("{")) { // bucketed manifest
+              val y = new org.yaml.snakeyaml.Yaml()
+              y.load[java.util.Map[String, Object]](cur)
+                .get("snap").toString
+            } else cur
+          val schema = spark.read.parquet(new Path(d, snap).toString).schema
+          val cols = schema.fields.filterNot(_.name == "__b")
+            .map(f => ColumnDef(f.name, colType(f.dataType)))
           TableDef(name, cols.toSeq, key = Seq("id"))
         }
       new Registry(defs.toSeq)

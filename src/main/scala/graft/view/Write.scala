@@ -242,10 +242,13 @@ object Write {
 
   /** 'old' pass: drop batch rows whose key exists in the stored table
     * and whose filter over the STORED values is strictly false
-    * (FROM tmp INNER JOIN main, no aliases; tanker view.py:563-567). */
-  private def oldPass(v: View, b: DataFrame, keyCols: Seq[String],
+    * (FROM tmp INNER JOIN main, no aliases; tanker view.py:563-567).
+    * `cur` may be a bucket-pruned frame — rows outside it can't match
+    * the batch keys anyway. */
+  private def oldPass(v: View, b: DataFrame, cur: DataFrame, keyCols: Seq[String],
       filters: Seq[Filter], argv: Args): DataFrame = {
-    val qb = QueryBuilder(v.env, v.table, v.fieldEnv)
+    val qb = new QueryBuilder(v.env, v.table, () => cur.as(v.table.name),
+      _ => v.table.name, None, v.fieldEnv)
     val cond = filters.map(f => v.compileFilter(qb, f, argv)).reduce(_ && _)
     val failing = qb.wideFrame().filter(strictFalse(cond))
       .select(keyCols.map(k => col(s"${v.table.name}.`$k`").as(k)): _*).distinct()
@@ -267,7 +270,21 @@ object Write {
     val argv = Args(env, args, kwargs)
 
     var b = prepare(v, groups, data).persist()
-    val cur = env.warehouse.read(t.name)
+
+    // Bucket pruning: when the table is key-hash bucketed and the
+    // merge is keyed on the natural key (and purge doesn't need the
+    // whole table), only the buckets the batch keys hash into are
+    // read and rewritten — write cost scales with the batch, not the
+    // table (SURVEY §4 100-TB merge path).
+    val affected: Option[Set[Int]] =
+      if (t.buckets > 0 && !purge && keyCols == t.key)
+        Some(b.select(env.warehouse.bucketExpr(t).as("__bk")).distinct()
+          .collect().map(_.getInt(0)).toSet)
+      else None
+    val cur = affected match {
+      case Some(bs) => env.warehouse.readBuckets(t.name, Some(bs))
+      case None => env.warehouse.read(t.name)
+    }
 
     val allFilters: Seq[Filter] = filters ++
       (if (disableAcl) Nil
@@ -277,7 +294,7 @@ object Write {
     if (allFilters.nonEmpty) {
       val total = b.count()
       val kept = oldPass(v, newPass(v, b, cur, mapped, keyCols, allFilters, argv),
-        keyCols, allFilters, argv).persist()
+        cur, keyCols, allFilters, argv).persist()
       filtered = total - kept.count()
       b.unpersist()
       b = kept
@@ -320,6 +337,9 @@ object Write {
     // Insert step: batch rows with no stored match get surrogate ids
     // (max(id) + row_number over key order: deterministic, no
     // monotonically_increasing_id in stored data) and column defaults.
+    // The high-water mark comes from Warehouse.maxId — manifest-
+    // tracked for bucketed tables, so no full scan under pruning.
+    var newMaxId = -1L
     val result =
       if (!insert) updated
       else {
@@ -327,8 +347,8 @@ object Write {
         val withId =
           if (mapped("id")) newRows0
           else {
-            val maxId = Option(base.agg(max(c("id"))).head.get(0))
-              .map(_.asInstanceOf[Long]).getOrElse(0L)
+            val maxId = env.warehouse.maxId(t.name)
+            if (affected.isDefined) newMaxId = maxId + newRows0.count()
             val wNew = Window.orderBy(keyCols.map(c): _*)
             newRows0.withColumn("id",
               lit(maxId) + row_number().over(wNew).cast(LongType))
@@ -343,7 +363,12 @@ object Write {
         updated.unionByName(withId.select(insCols: _*))
       }
 
-    env.warehouse.write(t.name, result)
+    affected match {
+      case Some(bs) =>
+        val hwm = if (newMaxId >= 0) newMaxId else env.warehouse.maxId(t.name)
+        env.warehouse.writeBuckets(t.name, result, bs, hwm)
+      case None => env.warehouse.write(t.name, result)
+    }
     b.unpersist()
     WriteResult(filtered, deleted)
   }
@@ -373,6 +398,19 @@ object Write {
           validateKey(v, groups.map(_.col.name).toSet)
           val keyCols = v.keyCols
           val bKeys = prepare(v, groups, data).select(keyCols.map(c): _*)
+          // bucket-pruned delete: only buckets holding batch keys can
+          // lose rows (not with swap — that deletes everywhere else)
+          if (t.buckets > 0 && !swap && keyCols == t.key) {
+            val bs = bKeys.select(env.warehouse.bucketExpr(t).as("__bk"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            val slice = env.warehouse.readBuckets(t.name, Some(bs)).persist()
+            val keptSlice = slice.join(bKeys, keyCols, "left_anti").persist()
+            val removed = slice.count() - keptSlice.count()
+            env.warehouse.writeBuckets(t.name, keptSlice, bs,
+              env.warehouse.maxId(t.name))
+            keptSlice.unpersist(); slice.unpersist()
+            return removed
+          }
           cur.join(bKeys, keyCols, if (swap) "left_semi" else "left_anti")
         } else {
           val qb = QueryBuilder(env, t, v.fieldEnv)

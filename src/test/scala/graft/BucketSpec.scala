@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import graft.schema.Registry
+
+/** Key-hash-bucketed storage: merges rewrite only affected buckets
+  * (the 100-TB write path). */
+class BucketSpec extends SparkSpec {
+
+  val yaml: String =
+    """- table: fact
+      |  columns:
+      |    code: varchar
+      |    val: float
+      |  key: [code]
+      |  buckets: 8
+      |""".stripMargin
+
+  def bEnv(): (Env, String) = {
+    val root = Files.createTempDirectory("graft-bk-").toString
+    val env = Env(spark, Registry.fromYaml(yaml), root)
+    env.createTables()
+    (env, root)
+  }
+
+  private def manifest(env: Env): env.warehouse.Manifest =
+    env.warehouse.currentManifest("fact").get
+
+  test("bucketed write/read round trip with continuing ids") {
+    val (env, _) = bEnv()
+    val v = env.view("fact", Seq("code", "val"))
+    v.write((1 to 50).map(i => Seq(s"c$i", i.toDouble)))
+    assert(rows(v.read()).size == 50)
+    assert(env.warehouse.maxId("fact") == 50)
+    // second batch: new ids continue past the high-water mark
+    v.write(Seq(Seq("x1", 1.0), Seq("x2", 2.0)))
+    val ids = rows(env.view("fact", Seq("id")).read()).map(_.head.asInstanceOf[Long])
+    assert(ids.distinct.size == 52 && ids.max == 52)
+  }
+
+  test("partial update rewrites only affected buckets") {
+    val (env, _) = bEnv()
+    val v = env.view("fact", Seq("code", "val"))
+    v.write((1 to 50).map(i => Seq(s"c$i", i.toDouble)))
+    val m1 = manifest(env)
+    assert(m1.buckets.nonEmpty)
+    // single-key update: only that key's bucket may move snapshots
+    v.write(Seq(Seq("c7", 700.0)))
+    val m2 = manifest(env)
+    val moved = m2.buckets.filter { case (b, dir) => m1.buckets.get(b) != Some(dir) }
+    assert(moved.size == 1, s"moved=$moved")
+    // untouched buckets still point at the previous snapshot dirs
+    assert((m2.buckets -- moved.keys) == (m1.buckets -- moved.keys))
+    // content is correct
+    assert(rows(env.view("fact", Seq("val"))
+      .read(Seq("""(= code "c7")"""))).head.head == 700.0)
+    assert(rows(v.read()).size == 50)
+  }
+
+  test("bucket-pruned delete by data") {
+    val (env, _) = bEnv()
+    val v = env.view("fact", Seq("code", "val"))
+    v.write((1 to 20).map(i => Seq(s"c$i", i.toDouble)))
+    val n = env.view("fact", Seq("code")).delete(data = Seq(Seq("c3"), Seq("c9")))
+    assert(n == 2)
+    assert(rows(v.read()).size == 18)
+  }
+
+  test("purge falls back to full rewrite and stays correct") {
+    val (env, _) = bEnv()
+    val v = env.view("fact", Seq("code", "val"))
+    v.write((1 to 10).map(i => Seq(s"c$i", i.toDouble)))
+    val cnt = v.write(Seq(Seq("c1", 1.0), Seq("new1", 99.0)), purge = true)
+    assert(cnt.deleted == 9)
+    assert(rows(v.read()).map(_.head).toSet == Set("c1", "new1"))
+  }
+
+  test("delete all resets the manifest") {
+    val (env, _) = bEnv()
+    val v = env.view("fact", Seq("code", "val"))
+    v.write((1 to 10).map(i => Seq(s"c$i", i.toDouble)))
+    assert(v.delete() == 10)
+    assert(rows(v.read()).isEmpty)
+    v.write(Seq(Seq("again", 1.0)))
+    assert(rows(v.read()).size == 1)
+  }
+
+  test("schema yaml round-trips buckets") {
+    val (env, root) = bEnv()
+    val env2 = Env.introspect(spark, root)
+    assert(env2.registry("fact").buckets == 8)
+  }
+}
