@@ -57,6 +57,14 @@ object SparkEntry {
       env(s, dir).viewNamed("region",
         Seq("r_name" -> "r_name", "n_name" -> "nations.n_name")).read()),
 
+    // R7+R9: aggregate over an O2M child with NULL-preserving parents
+    // (SURVEY §7.5 hard part 5: count(child col) ignores the NULL rows
+    // unmatched parents get from the left join)
+    "q5b_o2m_agg" -> ((s, dir) =>
+      env(s, dir).viewNamed("region", Seq(
+        "r_name" -> "r_name", "cnt" -> "(count nations.n_name)",
+        "top" -> "(max nations.n_name)")).read()),
+
     // R9: auto-groupby (aggregates + bare columns, no groupby given)
     "q6_auto_groupby" -> ((s, dir) =>
       env(s, dir).viewNamed("orders", Seq(
@@ -266,6 +274,10 @@ object SparkEntry {
     "q5_o2m" ->
       """SELECT r_name, n_name
         |FROM region LEFT JOIN nation ON n_regionkey = r_regionkey""".stripMargin,
+    "q5b_o2m_agg" ->
+      """SELECT r_name, count(n_name) AS cnt, max(n_name) AS top
+        |FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "q6_auto_groupby" ->
       """SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,

@@ -31,9 +31,20 @@ object Coerce {
     throw new IllegalArgumentException(s"""Unable to parse "$s" as timestamp""")
   }
 
+  // offset forms: +01:00 (ISO), +0100 / +01 (python %z)
+  private val tzFmts = Seq(
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]XXX"),
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]X"))
+
   private def parseInstant(s: String): Instant = {
-    try return OffsetDateTime.parse(s).toInstant catch { case _: Exception => }
-    try return Instant.parse(s) catch { case _: Exception => }
+    // accept the reference's space-separated form by normalizing to 'T'
+    val isoish = if (s.length > 10 && s.charAt(10) == ' ') s.updated(10, 'T') else s
+    try return OffsetDateTime.parse(isoish).toInstant catch { case _: Exception => }
+    tzFmts.foreach { f =>
+      try return OffsetDateTime.parse(isoish, f).toInstant
+      catch { case _: Exception => }
+    }
+    try return Instant.parse(isoish) catch { case _: Exception => }
     // naive string: interpret in UTC (session TZ is pinned UTC)
     parseLocal(s).toInstant(ZoneOffset.UTC)
   }
