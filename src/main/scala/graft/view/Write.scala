@@ -156,11 +156,17 @@ object Write {
 
   /** Staged frame → batch frame with one column per physical target
     * column; dotted FK groups joined against their remote views
-    * (tanker resolve_fk, view.py:642-711). */
-  private def resolve(env: Env, v: View, groups: Seq[Group], staged: DataFrame): DataFrame = {
+    * (tanker resolve_fk, view.py:642-711). Violation conditions
+    * (unknown FK values) are accumulated, not checked here — the
+    * caller validates everything in ONE Spark action. */
+  private def resolve(env: Env, v: View, groups: Seq[Group], staged: DataFrame)
+      : (DataFrame, Seq[(Column, Seq[Column], String)]) = {
     var df = staged
     val out = mutable.Buffer[(String, String)]() // (source col, target name)
+    val checks = mutable.Buffer[(Column, Seq[Column], String)]() // (cond, sample, msg)
     groups.zipWithIndex.foreach { case (g, gi) =>
+      def anyNonNull = g.items.map { case (_, i) => c(s"__f$i").isNotNull }.reduce(_ || _)
+      def sample = g.items.map { case (_, i) => c(s"__f$i").cast("string") }
       g.m2o match {
         case Some(m2o) if !g.byId =>
           val tails = g.items.map { case (f, _) => f.desc.split("\\.", 2)(1) }
@@ -173,7 +179,8 @@ object Write {
             c(s"__f$i") === c(kName(j))
           }.reduce(_ && _)
           df = df.join(lookup, cond, "left")
-          failUnknown(df, g, c(fkName), m2o.table)
+          checks += ((anyNonNull && c(fkName).isNull, sample,
+            s"""are not known in table "${m2o.table}""""))
           df = df.drop(tails.indices.map(kName): _*)
           out += fkName -> g.col.name
         case Some(m2o) => // fk given by id: emulate the FK constraint
@@ -182,41 +189,57 @@ object Write {
           val remote = env.warehouse.read(m2o.table)
             .select(c(m2o.col).as(refName)).distinct()
           df = df.join(remote, c(s"__f$i") === c(refName), "left")
-          failUnknown(df, g, c(refName), m2o.table)
+          checks += ((anyNonNull && c(refName).isNull, sample,
+            s"""are not known in table "${m2o.table}""""))
           df = df.drop(refName)
           out += s"__f$i" -> g.col.name
         case None =>
           out += s"__f${g.items.head._2}" -> g.col.name
       }
     }
-    df.select(out.toSeq.map { case (s, o) => c(s).as(o) } :+ c("__seq"): _*)
+    // violation flags/samples computed while the staged `__f` columns
+    // are still present, carried as two array columns
+    val vflags =
+      if (checks.isEmpty) array().cast("array<string>")
+      else array(checks.toSeq.map(_._1.cast("string")): _*)
+    val vsamples =
+      if (checks.isEmpty) array().cast("array<string>")
+      else array(checks.toSeq.map { case (_, smp, _) => concat_ws(", ", smp: _*) }: _*)
+    val withSamples = df.select(
+      out.toSeq.map { case (s, o) => c(s).as(o) } :+ c("__seq") :+
+        vflags.as("__vflags") :+ vsamples.as("__vsamples"): _*)
+    (withSamples, checks.toSeq)
   }
 
-  /** Raise when a non-null FK tuple has no remote match
-    * (tanker view.py:700-711). */
-  private def failUnknown(df: DataFrame, g: Group, fk: Column, remote: String): Unit = {
-    val anyNonNull = g.items.map { case (_, i) => c(s"__f$i").isNotNull }.reduce(_ || _)
-    val bad = df.filter(anyNonNull && fk.isNull)
-      .select(g.items.map { case (_, i) => c(s"__f$i") }: _*)
-      .limit(1).collect()
-    if (bad.nonEmpty) throw new IllegalArgumentException(
-      s"""Values (${bad.head.toSeq.mkString(", ")}) are not known in table "$remote"""")
-  }
-
-  /** Normalized, coerced, FK-resolved, key-checked, key-deduped batch. */
+  /** Normalized, coerced, FK-resolved, key-checked, key-deduped batch.
+    * All violations (unknown FK values, null key columns) surface via
+    * a single Spark action. */
   private def prepare(v: View, groups: Seq[Group], data: Any): DataFrame = {
     val env = v.env
     val keyCols = v.keyCols
-    val resolved = resolve(env, v, groups, stage(env, v, data))
-    // Null key values are rejected (tmp key columns are NOT NULL in the
-    // reference, view.py:306-318; tests/write_test.py:276-291).
-    val badKey = resolved
-      .filter(keyCols.map(k => c(k).isNull).reduce(_ || _)).limit(1).collect()
-    if (badKey.nonEmpty) throw new IllegalArgumentException(
-      s"Null value in key column when writing on table '${v.table.name}'")
+    val (resolved, checks) = resolve(env, v, groups, stage(env, v, data))
+    // Violations: unknown FKs (view.py:700-711) + null key values (tmp
+    // key columns are NOT NULL, view.py:306-318) — one action for all.
+    val nullKey = keyCols.map(k => c(k).isNull).reduce(_ || _)
+    val bad = resolved
+      .filter(nullKey || (if (checks.isEmpty) lit(false)
+        else expr("exists(__vflags, f -> f = 'true')")))
+      .select(c("__vflags") +: c("__vsamples") +: keyCols.map(c): _*)
+      .limit(1).collect()
+    if (bad.nonEmpty) {
+      val row = bad.head
+      val flags = row.getSeq[String](0)
+      val samples = row.getSeq[String](1)
+      val fkHit = flags.indexWhere(_ == "true")
+      if (fkHit >= 0) throw new IllegalArgumentException(
+        s"Values (${samples(fkHit)}) ${checks(fkHit)._3}")
+      throw new IllegalArgumentException(
+        s"Null value in key column when writing on table '${v.table.name}'")
+    }
     // Dedupe on key, last occurrence wins (one row per key per batch).
     val wk = Window.partitionBy(keyCols.map(c): _*).orderBy(c("__seq").desc)
-    resolved.withColumn("__rn", row_number().over(wk))
+    resolved.drop("__vflags", "__vsamples")
+      .withColumn("__rn", row_number().over(wk))
       .filter(col("__rn") === 1).drop("__rn", "__seq")
   }
 
