@@ -234,6 +234,18 @@ object SparkEntry {
         "embedding", "vec_id", q, 10).select(col("vec_id"))
     }),
 
+    // LLM-pipeline: multimodal decode plumbing (deterministic stub
+    // codec over document bytes) — rows-only check
+    "multimodal_decode" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val media = docs.select(col("doc_id"),
+        graft.ops.Multimodal.asMedia(encode(col("text"), "UTF-8"),
+          "image/fake", concat(lit("doc://"), col("doc_id"))).as("media"))
+      graft.ops.Multimodal.decode(media, "media")
+        .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
+          col("decoded.mean_luma"))
+    }),
+
     // LLM-pipeline: LSH-bucketed ANN top-k — rows-only check
     "ann_lsh_topk" -> ((s, dir) => {
       val e = env(s, dir)

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.Gen
+
+/** Property-style tests for the merge algebra (SURVEY §5): write
+  * idempotence, purge = set-sync, delete inverse — randomized batches
+  * over the fixture schema (ScalaCheck generators, explicit sampling
+  * to keep one SparkSession). */
+class PropertySpec extends SparkSpec {
+
+  private val seedParams = org.scalacheck.Gen.Parameters.default
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(seedParams, org.scalacheck.rng.Seed(seed)).get
+
+  private val nameGen = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(8))
+  private val countryGen = Gen.oneOf("Belgium", "France", "Holland")
+  private val batchGen: Gen[List[(String, String)]] =
+    Gen.listOfN(10, Gen.zip(nameGen, countryGen))
+
+  test("write twice = write once (idempotent upsert), ids stable") {
+    for (seed <- 1L to 4L) {
+      val batch = sample(batchGen, seed)
+      val env = freshEnv()
+      val v = env.view("team", Seq("name", "country.name"))
+      v.write(batch.map(r => Seq(r._1, r._2)))
+      val once = rows(v.read()).sortBy(_.mkString("|"))
+      val ids1 = rows(env.view("team", Seq("id", "name")).read()).toSet
+      v.write(batch.map(r => Seq(r._1, r._2)))
+      assert(rows(v.read()).sortBy(_.mkString("|")) == once, s"seed=$seed")
+      assert(rows(env.view("team", Seq("id", "name")).read()).toSet == ids1,
+        s"seed=$seed")
+    }
+  }
+
+  test("write with purge = exact set sync") {
+    for (seed <- 10L to 13L) {
+      val batch = sample(batchGen, seed)
+      val env = freshEnv()
+      val v = env.view("team", Seq("name", "country.name"))
+      v.write(batch.map(r => Seq(r._1, r._2)), purge = true)
+      assert(rows(v.read()).toSet ==
+        batch.distinct.map(r => Seq(r._1, r._2): Seq[Any]).toSet, s"seed=$seed")
+    }
+  }
+
+  test("delete by data removes exactly the named keys") {
+    for (seed <- 20L to 22L) {
+      val batch = sample(batchGen, seed)
+      val env = freshEnv()
+      val v = env.view("team", Seq("name", "country.name"))
+      v.write(batch.map(r => Seq(r._1, r._2)))
+      val before = rows(v.read()).toSet
+      val victim = batch.head
+      v.delete(data = Seq(Seq(victim._1, victim._2)))
+      assert(rows(v.read()).toSet == before - Seq(victim._1, victim._2),
+        s"seed=$seed")
+    }
+  }
+
+  test("parser roundtrip: parse(print(ast)) == ast") {
+    import graft.expr.{Ast, Parser}
+    def print_(a: Ast): String = a match {
+      case Ast.Word(t) => t
+      case Ast.Str(s) => "\"" + s + "\""
+      case Ast.Num(v) => v.toString
+      case Ast.Param(k, tail, conv, fmt) =>
+        "{" + (k +: tail).mkString(".") +
+          conv.map("!" + _).getOrElse("") + fmt.map(":" + _).getOrElse("") + "}"
+      case Ast.Node(items) => items.map(print_).mkString("(", " ", ")")
+    }
+    val leafGen: Gen[Ast] = Gen.oneOf(
+      Gen.oneOf("name", "country.name", "x_y").map(Ast.Word.apply),
+      Gen.listOfN(5, Gen.alphaNumChar).map(cs => Ast.Str(cs.mkString)),
+      Gen.chooseNum(-999L, 999L).map(n => Ast.Num(n)),
+      Gen.const(Ast.param("x!r")))
+    def nodeGen(depth: Int): Gen[Ast] =
+      if (depth == 0) leafGen
+      else Gen.oneOf(leafGen, Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, nodeGen(depth - 1)).map(xs =>
+          Ast.Node(Ast.Word("and") +: xs))))
+    for (seed <- 1L to 50L) {
+      val ast = sample(nodeGen(3), seed) match {
+        case n: Ast.Node => n
+        case leaf => Ast.Node(Seq(Ast.Word("and"), leaf))
+      }
+      assert(Parser.parse(print_(ast)) == ast, s"seed=$seed: ${print_(ast)}")
+    }
+  }
+}
