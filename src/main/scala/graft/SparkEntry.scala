@@ -182,6 +182,18 @@ object SparkEntry {
       e.view("nation_total", Seq("name", "total", "regionkey")).read()
     }),
 
+    // W3: dotted-FK write resolution round-trip — FK ids looked up by
+    // the remote natural value via the broadcast lookup join
+    "q22_fk_write" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      val batch = e.view("customer", Seq("c_name"))
+        .read(Seq("(< c_custkey 21)"))
+        .select(col("c_name").as("custkey.c_name"), lit("hello").as("note"))
+      e.view("cust_note", Seq("custkey.c_name", "note")).write(batch)
+      e.view("cust_note", Seq("custkey", "note")).read()
+    }),
+
     // LLM-pipeline: exact dedup (hash-groupBy, keep smallest id)
     "dedup_exact" -> ((s, dir) => {
       val docs = env(s, dir).view("documents",
@@ -352,6 +364,9 @@ object SparkEntry {
       """SELECT n_name AS name, CAST(1.5 AS DOUBLE) AS total,
         |  n_regionkey AS regionkey
         |FROM nation WHERE n_regionkey <> 1""".stripMargin,
+    "q22_fk_write" ->
+      """SELECT c_custkey AS custkey, 'hello' AS note FROM customer
+        |WHERE c_custkey < 21""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, text, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,

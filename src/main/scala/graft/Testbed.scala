@@ -84,7 +84,13 @@ object Testbed {
       TableDef.normalized("bench_scratch", Seq(
         cd("code", VarcharT), cd("ts", TimestampT), cd("n", IntegerT),
         cd("x", FloatT)),
-        key = Seq("code")))
+        key = Seq("code")),
+      // FK-resolution round-trip target: custkey is an M2O into the
+      // external customer table, written via dotted fields.
+      TableDef.normalized("cust_note", Seq(
+        cd("custkey", M2O("customer", "c_custkey", LongType)),
+        cd("note", VarcharT)),
+        key = Seq("custkey")))
   }
 
   /** Env over the test tables; managed tables live in a fresh temp
