@@ -33,7 +33,7 @@ object Main {
       offset: Option[Long] = None, file: Option[String] = None,
       purge: Boolean = false, asciiTable: Boolean = false,
       vbar: Boolean = false, tic: String = "•",
-      hideHeaders: Boolean = false)
+      hideHeaders: Boolean = false, yaml: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -52,6 +52,7 @@ object Main {
         case "--vbar" => o = o.copy(vbar = true); i += 1
         case "--tic" => o = o.copy(tic = argv(i + 1)); i += 2
         case "-H" | "--hide-headers" => o = o.copy(hideHeaders = true); i += 1
+        case "--yaml" => o = o.copy(yaml = true); i += 1
         case a if o.action.isEmpty => o = o.copy(action = a); i += 1
         case a => pos = pos :+ a; i += 1
       }
@@ -118,7 +119,13 @@ object Main {
         case None => out
       }
       try {
-        if (o.asciiTable)
+        if (o.yaml)
+          rows.foreach { r =>
+            sink.write(headers.zip(r).zipWithIndex.map { case ((h, v), i) =>
+              (if (i == 0) "- " else "  ") + h + ": " + String.valueOf(v)
+            }.mkString("", "\n", "\n"))
+          }
+        else if (o.asciiTable)
           Render.asciiTable(rows.map(_.map(String.valueOf)),
             if (o.hideHeaders) None else Some(headers)).foreach(sink.write)
         else if (o.vbar)
@@ -144,17 +151,29 @@ object Main {
     case other => out.write(s"""Action "$other" not supported\n""")
   }
 
-  /** CSV input: first row is the header (field names) unless fields
-    * were given on the command line (cli.py:137-160). */
+  /** CSV (or --yaml list-of-maps) input: first csv row is the header
+    * (field names) unless fields were given on the command line
+    * (cli.py:137-160). */
   private def readInput(o: Opts): (Option[Seq[String]], Seq[Seq[Any]]) = {
-    val lines = o.file match {
-      case Some(f) => Files.readAllLines(Paths.get(f)).asScala.toSeq
-      case None => scala.io.Source.stdin.getLines().toSeq
+    val text = o.file match {
+      case Some(f) => Files.readString(Paths.get(f))
+      case None => scala.io.Source.stdin.mkString
     }
-    val parsed = lines.filter(_.nonEmpty).map(Render.parseCsvRow)
-    if (o.fields.nonEmpty) (Some(o.fields), parsed)
-    else if (parsed.isEmpty) (None, Nil)
-    else (Some(parsed.head), parsed.tail)
+    if (o.yaml) {
+      val y = new org.yaml.snakeyaml.Yaml()
+      val docs = y.load[java.util.List[java.util.Map[String, Object]]](text)
+        .asScala.toSeq.map(_.asScala.toMap)
+      val fields =
+        if (o.fields.nonEmpty) o.fields
+        else docs.headOption.map(_.keys.toSeq).getOrElse(Nil)
+      (Some(fields), docs.map(d => fields.map(f => d.get(f).orNull: Any)))
+    } else {
+      val parsed = text.linesIterator.filter(_.nonEmpty)
+        .map(Render.parseCsvRow).toSeq
+      if (o.fields.nonEmpty) (Some(o.fields), parsed)
+      else if (parsed.isEmpty) (None, Nil)
+      else (Some(parsed.head), parsed.tail)
+    }
   }
 }
 

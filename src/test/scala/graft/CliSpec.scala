@@ -45,6 +45,17 @@ class CliSpec extends SparkSpec {
     assert(run(conf, "read", "team", "name", "-H") == "Blue\n")
   }
 
+  test("yaml input and output") {
+    val (conf, dir) = cfg()
+    run(conf, "init")
+    val yml = java.nio.file.Paths.get(dir, "teams.yaml")
+    Files.writeString(yml,
+      "- name: Blue\n  country.name: Belgium\n- name: Red\n  country.name: France\n")
+    run(conf, "write", "team", "--yaml", "-f", yml.toString)
+    val out = run(conf, "read", "team", "name", "--yaml", "-s", "name")
+    assert(out == "- name: Blue\n- name: Red\n", out)
+  }
+
   test("ascii table and vbar renderers") {
     assert(Render.asciiTable(
       Seq(Seq("a", "1"), Seq("bbb", "22")), Some(Seq("x", "y"))).mkString ==
