@@ -59,6 +59,23 @@ class ExprSpec extends SparkSpec {
         """(in country (from country (select id) (where (= name "Belgium"))))""")))
   }
 
+  test("exists sub-select with dotted joins inside") {
+    // expression_static_test.py:133-153 behavior: the sub-select's own
+    // WHERE walks FK paths (member -> team -> country)
+    val env = freshEnv()
+    check(Seq(Seq("Blue", 1L), Seq("Red", 3L)),
+      env.viewNamed("team", Seq("name" -> "name", "id" -> "id")).read(
+        Seq("""(exists (from member (select 1) (where (and (= team _parent.id) (= team.country.name "Belgium")))))"""),
+        order = Seq(view.Order("id"))))
+  }
+
+  test("in-subquery with filter on sub columns") { // expression_static_test.py:156-167
+    val env = freshEnv()
+    check(Seq(Seq("Blue")),
+      env.view("team", Seq("name")).read(Seq(
+        """(in id (from member (select team) (where (= name "Bob"))))""")))
+  }
+
   test("uncorrelated exists") {
     val env = freshEnv()
     // team table non-empty -> all countries pass
