@@ -182,6 +182,61 @@ object SparkEntry {
       e.view("nation_total", Seq("name", "total", "regionkey")).read()
     }),
 
+    // W5 toggles: update=false preserves stored values, insert=false
+    // drops unmatched rows (view.py:428-439)
+    "q23_write_toggles" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      val all = e.viewNamed("nation", Seq(
+        "name" -> "n_name", "total" -> "(+ 0.5 0.5)",
+        "regionkey" -> "n_regionkey")).read()
+      val v = e.view("nation_total", Seq("name", "total", "regionkey"))
+      v.write(all)
+      v.write(all.withColumn("total", lit(2.0)), update = false) // DO NOTHING
+      e.view("nation_total", Seq("name", "total"))
+        .write(Seq(Seq("ZZZ-nowhere", 9.0)), insert = false) // updates only
+      e.view("nation_total", Seq("name", "total")).read()
+    }),
+
+    // W8: purge round-trip — rows absent from the batch are deleted
+    "q24_purge" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      val v = e.view("nation_total", Seq("name", "total", "regionkey"))
+      v.write(e.viewNamed("nation", Seq("name" -> "n_name",
+        "total" -> "(+ 1.0 0.0)", "regionkey" -> "n_regionkey")).read())
+      val keep = e.viewNamed("nation", Seq("name" -> "n_name",
+        "total" -> "(+ 1.0 0.0)", "regionkey" -> "n_regionkey"))
+        .read(Seq("(= n_regionkey 0)"))
+      v.write(keep, purge = true)
+      e.view("nation_total", Seq("name", "regionkey")).read()
+    }),
+
+    // R17: ACL read filters injected into every read
+    "q25_acl_read" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.aclRead += ("supplier" -> Seq("(= s_nationkey.n_regionkey 1)"))
+      e.view("supplier", Seq("s_suppkey", "s_name")).read()
+    }),
+
+    // R5: list parameter auto-expansion inside (in ...)
+    "q26_param_list" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey"))
+        .read(Seq("(in c_mktsegment {segs})"),
+          kwargs = Map("segs" -> Seq("BUILDING", "MACHINERY")))),
+
+    // S5: introspection — write through a schema'd env, reopen the
+    // warehouse in auto mode, read through the introspected registry
+    "q27_introspect" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      e.view("nation_total", Seq("name", "total", "regionkey"))
+        .write(e.viewNamed("nation", Seq("name" -> "n_name",
+          "total" -> "(+ 2.0 0.0)", "regionkey" -> "n_regionkey")).read())
+      val auto = Env.introspect(s, e.warehouse.root)
+      auto.view("nation_total", Seq("name", "total", "regionkey")).read()
+    }),
+
     // W3: dotted-FK write resolution round-trip — FK ids looked up by
     // the remote natural value via the broadcast lookup join
     "q22_fk_write" -> ((s, dir) => {
@@ -367,6 +422,21 @@ object SparkEntry {
     "q22_fk_write" ->
       """SELECT c_custkey AS custkey, 'hello' AS note FROM customer
         |WHERE c_custkey < 21""".stripMargin,
+    "q23_write_toggles" ->
+      """SELECT n_name AS name, CAST(1.0 AS DOUBLE) AS total FROM nation""".stripMargin,
+    "q24_purge" ->
+      """SELECT n_name AS name, n_regionkey AS regionkey FROM nation
+        |WHERE n_regionkey = 0""".stripMargin,
+    "q25_acl_read" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |LEFT JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 1""".stripMargin,
+    "q26_param_list" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin,
+    "q27_introspect" ->
+      """SELECT n_name AS name, CAST(2.0 AS DOUBLE) AS total,
+        |  n_regionkey AS regionkey FROM nation""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, text, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
