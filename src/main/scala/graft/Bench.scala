@@ -63,6 +63,25 @@ object Bench {
     results("write_100k_update") = time(wv.write(batch))
     batch.unpersist()
 
+    // Pruned-merge probe: load the full lineitem keyspace into a
+    // 64-bucket table, then upsert 1k keys — the bucketed manifest
+    // rewrites only the touched buckets, so the update should cost a
+    // small fraction of the load (the 100-TB merge story, measured).
+    val allRows = e.view("lineitem", Seq("l_orderkey", "l_linenumber", "l_quantity"))
+      .read()
+      .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("code"),
+        col("l_quantity").cast("double").as("x"))
+      .cache()
+    allRows.count()
+    val bv = e.view("bench_bucketed", Seq("code", "x"))
+    results("bucketed_load_full") = time(bv.write(allRows))
+    // batch confined to 2 of 64 buckets -> only those rewrite
+    val small = allRows
+      .filter(pmod(hash(col("code")), lit(64)) < 2).limit(1000).cache()
+    small.count()
+    results("bucketed_update_1k") = time(bv.write(small))
+    allRows.unpersist(); small.unpersist()
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -90,7 +90,11 @@ object Testbed {
       TableDef.normalized("cust_note", Seq(
         cd("custkey", M2O("customer", "c_custkey", LongType)),
         cd("note", VarcharT)),
-        key = Seq("custkey")))
+        key = Seq("custkey")),
+      // Bench probe for the pruned-merge path (key-hash bucketed).
+      TableDef.normalized("bench_bucketed", Seq(
+        cd("code", VarcharT), cd("x", FloatT)),
+        key = Seq("code"), buckets = 64))
   }
 
   /** Env over the test tables; managed tables live in a fresh temp
