@@ -301,6 +301,20 @@ object SparkEntry {
         "embedding", "vec_id", q, 10).select(col("vec_id"))
     }),
 
+    // LLM-pipeline: embedding-cosine near-dup pairs (sign-LSH bucketed,
+    // exact cosine verify) — rows-only check
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val dims = emb.head().getSeq[Float](1).size
+      // synthetic embeddings have no true near-dups (max pairwise
+      // cosine ~0.45): surface the closest pairs with high-recall
+      // narrow bands
+      Similarity.cosinePairs(emb, "embedding", "vec_id", threshold = 0.35,
+        dims = dims, numPlanes = 16, bandBits = 2)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
     // LLM-pipeline: multimodal decode plumbing (deterministic stub
     // codec over document bytes) — rows-only check
     "multimodal_decode" -> ((s, dir) => {

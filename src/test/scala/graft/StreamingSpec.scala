@@ -39,6 +39,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over an events parquet directory") {
+    val s = spark
+    // stage an events directory (micros timestamps) for the file source
+    val dir = java.nio.file.Files.createTempDirectory("graft-evt-").toString
+    Testbed.env(s, "/root/testdata/sf0.001")
+      .view("events", Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .read().withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
+    val events = EventStream.readEvents(s, dir)
+    assert(events.isStreaming)
+    val q = EventStream.windowedCounts(events, window_ = "1 day")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode(OutputMode.Complete).start() // complete: no watermark wait
+    try {
+      q.processAllAvailable()
+      assert(rows(s.table("file_win")).nonEmpty)
+    } finally q.stop()
+  }
+
   test("gap-based sessionization with flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
