@@ -302,16 +302,19 @@ object SparkEntry {
     }),
 
     // LLM-pipeline: embedding-cosine near-dup pairs (sign-LSH bucketed,
-    // exact cosine verify) — rows-only check
+    // exact cosine verify) — rows-only check. The synthetic embeddings
+    // have no true near-dups (max pairwise cosine ~0.45), so plant
+    // deterministic scaled copies of the first 20 vectors: cosine 1.0
+    // with their originals, found through the production banding.
     "dedup_embedding_pairs" -> ((s, dir) => {
       val e = env(s, dir)
       val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
       val dims = emb.head().getSeq[Float](1).size
-      // synthetic embeddings have no true near-dups (max pairwise
-      // cosine ~0.45): surface the closest pairs with high-recall
-      // narrow bands
-      Similarity.cosinePairs(emb, "embedding", "vec_id", threshold = 0.35,
-        dims = dims, numPlanes = 16, bandBits = 2)
+      val planted = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.cosinePairs(emb.unionByName(planted), "embedding", "vec_id",
+        threshold = 0.95, dims = dims)
         .orderBy(col("idA"), col("idB"))
     }),
 
