@@ -131,14 +131,18 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     }
   }
 
-  /** Surrogate-id high-water mark: manifest-tracked for bucketed
-    * tables (no scan), max-scan otherwise. */
+  /** Surrogate-id high-water mark: manifest-tracked (no scan);
+    * max-scan only for a legacy plain-string pointer. */
   def maxId(t: String): Long = {
     val td = registry(t)
-    if (td.buckets > 0) currentManifest(t).map(_.maxId).getOrElse(0L).max(0L)
-    else if (!td.columnMap.contains("id")) 0L
-    else Option(read(t).agg(org.apache.spark.sql.functions.max(col("id")))
-      .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    currentManifest(t) match {
+      case Some(m) if m.maxId >= 0 => m.maxId
+      case None => 0L
+      case Some(_) => // legacy plain pointer: derive once by scan
+        if (!td.columnMap.contains("id")) 0L
+        else Option(read(t).agg(org.apache.spark.sql.functions.max(col("id")))
+          .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
   }
 
   /** External files keep their own schema, with one repair: columns a
@@ -176,16 +180,26 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       col("`" + f.name + "`").cast(f.dataType)).toSeq: _*)
 
   /** Atomically replace a table's contents with `df` (all buckets for
-    * bucketed tables). */
-  def write(t: String, df: DataFrame): Unit = {
+    * bucketed tables). `knownMaxId` lets a caller that already knows
+    * the post-write max(id) (the merge path: old max + insert count)
+    * skip the read-back; otherwise the id column of the just-written
+    * snapshot is re-read (column-pruned, fresh files — cheap, and
+    * never the pre-existing table). */
+  def write(t: String, df: DataFrame, knownMaxId: Option[Long] = None): Unit = {
     val td = registry(t)
     require(td.external.isEmpty, s"Table '$t' is external (read-only)")
-    if (td.buckets > 0) writeBucketed(t, df, affected = None, knownMaxId = None)
+    if (td.buckets > 0) writeBucketed(t, df, affected = None, knownMaxId = knownMaxId)
     else {
       val next = nextSnapName(t)
-      aligned(td, df).write.mode("overwrite")
-        .parquet(new Path(tableDir(t), next).toString)
-      swapPointer(t, next)
+      val dir = new Path(tableDir(t), next)
+      aligned(td, df).write.mode("overwrite").parquet(dir.toString)
+      val maxIdNow = knownMaxId.getOrElse {
+        if (!td.columnMap.contains("id")) 0L
+        else Option(spark.read.schema(td.sparkSchema).parquet(dir.toString)
+          .agg(org.apache.spark.sql.functions.max(col("id"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      }
+      swapPointer(t, manifestJson(Manifest(next, maxIdNow, Map())))
       gc(t, keep = Set(next))
     }
   }

@@ -128,6 +128,13 @@ object Write {
 
     data match {
       case df: DataFrame =>
+        // `__seq` decides which occurrence wins when a batch holds
+        // duplicate keys ("last wins", view.py:306-318). A DataFrame
+        // has no inherent row order, so dup-key priority for DataFrame
+        // inputs follows partition order and is UNDEFINED across
+        // retries (the reference has the same per-batch ambiguity —
+        // dict-driven executemany order). Callers needing a defined
+        // winner must pre-dedupe or pass a local collection.
         val cols = fields.zipWithIndex.map { case (f, i) =>
           c(f.name).cast(types(i)).as(s"__f$i")
         }
@@ -278,6 +285,37 @@ object Write {
     b.join(failing, keyCols, "left_anti")
   }
 
+  /** Deterministic surrogate ids without a single-task window.
+    *
+    * `Window.orderBy(key)` with no partition funnels the whole insert
+    * batch through ONE task — the classic global-row_number scale
+    * killer. Instead: range-partition on the key and sort within
+    * partitions (now globally sorted), collect per-partition counts
+    * (a few bytes per partition), then assign
+    * `maxId + partitionOffset + localRank` per partition. A row's id
+    * is its global key-rank regardless of where the range boundaries
+    * fall, so ids are deterministic across runs and retries (keys are
+    * unique after the batch dedupe). Returns the frame and the new id
+    * high-water mark (maxId + batch size).
+    */
+  private def assignIds(env: Env, df: DataFrame, keyCols: Seq[String],
+      maxId: Long): (DataFrame, Long) = {
+    val sorted = df.repartitionByRange(keyCols.map(c): _*)
+      .sortWithinPartitions(keyCols.map(c): _*)
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val withIds = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = maxId + offsets(i)
+      it.map { row => n += 1; Row.fromSeq(row.toSeq :+ n) }
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField("id", LongType, nullable = false))
+    (env.spark.createDataFrame(withIds, schema), maxId + offsets.last)
+  }
+
   // --------------------------------------------------------------- write
 
   def run(v: View, data: Any, purge: Boolean, insert: Boolean, update: Boolean,
@@ -358,10 +396,10 @@ object Write {
     val updated = joined.select(updatedCols: _*)
 
     // Insert step: batch rows with no stored match get surrogate ids
-    // (max(id) + row_number over key order: deterministic, no
+    // (max(id) + rank in key order: deterministic, no
     // monotonically_increasing_id in stored data) and column defaults.
     // The high-water mark comes from Warehouse.maxId — manifest-
-    // tracked for bucketed tables, so no full scan under pruning.
+    // tracked, so no full scan per batch.
     var newMaxId = -1L
     val result =
       if (!insert) updated
@@ -371,10 +409,9 @@ object Write {
           if (mapped("id")) newRows0
           else {
             val maxId = env.warehouse.maxId(t.name)
-            if (affected.isDefined) newMaxId = maxId + newRows0.count()
-            val wNew = Window.orderBy(keyCols.map(c): _*)
-            newRows0.withColumn("id",
-              lit(maxId) + row_number().over(wNew).cast(LongType))
+            val (assigned, hwm) = assignIds(env, newRows0, keyCols, maxId)
+            newMaxId = hwm
+            assigned
           }
         val insCols = t.physical.map { cd =>
           if (mapped(cd.name) || cd.name == "id") c(cd.name).as(cd.name)
@@ -390,7 +427,12 @@ object Write {
       case Some(bs) =>
         val hwm = if (newMaxId >= 0) newMaxId else env.warehouse.maxId(t.name)
         env.warehouse.writeBuckets(t.name, result, bs, hwm)
-      case None => env.warehouse.write(t.name, result)
+      case None =>
+        // maxId is exact (old max + inserts) unless purge may have
+        // removed the previous max row — then let the store re-derive
+        // it from the written snapshot (id-column-only read).
+        val hwm = if (newMaxId >= 0 && deleted == 0) Some(newMaxId) else None
+        env.warehouse.write(t.name, result, hwm)
     }
     b.unpersist()
     WriteResult(filtered, deleted)

@@ -207,6 +207,49 @@ class WriteSpec extends SparkSpec {
     assert(rows(env.view("team").read()).size == 3)
   }
 
+  test("surrogate ids deterministic across identical runs") {
+    // two-phase id assignment (Write.assignIds) must give every key the
+    // same id in two independent envs — id = maxId + rank in key order
+    def idMap(): Map[Any, Any] = {
+      val env = freshEnv()
+      val batch = (1 to 97).map(i => Seq(f"team-$i%03d", "France"))
+      env.view("team", Seq("name", "country.name")).write(batch)
+      rows(env.view("team", Seq("name", "id")).read())
+        .map(r => r.head -> r(1)).toMap
+    }
+    assert(idMap() == idMap())
+  }
+
+  test("maxId comes from the manifest, not a table scan") {
+    val env = freshEnv()
+    val before = env.warehouse.maxId("team")
+    assert(before == 3L)
+    // blow away the data files; the manifest alone must still answer
+    val dir = new java.io.File(env.warehouse.root, "team")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    dir.listFiles().filter(_.getName.startsWith("snap-")).foreach(rm)
+    assert(env.warehouse.maxId("team") == before)
+  }
+
+  test("ids monotone across writes, reset by delete-all") {
+    val env = freshEnv()
+    val v = env.view("country", Seq("name"))
+    v.write(Seq(Seq("Italy")))
+    v.write(Seq(Seq("Spain")))
+    val ids = rows(env.view("country", Seq("name", "id")).read())
+      .map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+    assert(ids("Spain") > ids("Italy"))
+    // reference semantics: max(id) of the live table seeds the next
+    // insert, so delete-all restarts ids from 1
+    env.view("country").delete()
+    v.write(Seq(Seq("Portugal")))
+    val fresh = rows(env.view("country", Seq("id")).read()).map(_.head)
+    assert(fresh == Seq(1L))
+  }
+
   test("writeResult counts update vs insert") {
     val env = freshEnv()
     val v = env.view("team", Seq("name", "country.name"))
