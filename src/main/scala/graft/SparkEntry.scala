@@ -330,12 +330,20 @@ object SparkEntry {
           col("decoded.mean_luma"))
     }),
 
-    // LLM-pipeline: LSH-bucketed ANN top-k — rows-only check
+    // LLM-pipeline: LSH-bucketed ANN top-k — rows-only check. Sign-LSH
+    // recalls genuinely-near vectors; the synthetic embeddings' best
+    // pair is only cos~0.45 (noise for banding), so plant scaled
+    // copies of the query (cos 1.0) that the production banding +
+    // multi-probe must surface in the top-k.
     "ann_lsh_topk" -> ((s, dir) => {
       val e = env(s, dir)
       val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
       val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
-      Similarity.annTopK(emb.filter(col("vec_id") =!= 0),
+      val planted = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        typedLit(q.map(_ * 1.001f)).as("embedding"))
+      Similarity.annTopK(
+        emb.filter(col("vec_id") =!= 0).unionByName(planted),
         "embedding", "vec_id", q, 10, dims = q.size).select(col("vec_id"))
     })
   )

@@ -43,11 +43,28 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dims)(rnd.nextGaussian()))
   }
 
+  /** Pack sign bits into per-band hashes: band b holds bits
+    * [b*bandBits, (b+1)*bandBits), tagged with `b << bandBits` so
+    * values from different bands never collide. Shared by the column
+    * and driver-side (query literal) signature paths — the two MUST
+    * stay bit-identical. */
+  private def packBands(bits: Seq[Long], numPlanes: Int, bandBits: Int): Seq[Long] = {
+    require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
+    (0 until numPlanes / bandBits).map { b =>
+      val h = bits.slice(b * bandBits, (b + 1) * bandBits).zipWithIndex
+        .map { case (bit, i) => bit << i }.sum
+      (b.toLong << bandBits) + h
+    }
+  }
+
   /** Sign-bit LSH signature column: one bit per hyperplane, packed per
     * `bandBits` bits into an array of band hashes. Vectors sharing a
-    * band value are cosine-similar candidates. */
-  def lshBands(vec: Column, dims: Int, numPlanes: Int = 16,
-      bandBits: Int = 8, seed: Long = 42L): Column = {
+    * band value are cosine-similar candidates. Defaults (64 planes →
+    * 4 bands × 16 bits) keep the random-pair collision rate at
+    * ~4 × 2⁻¹⁶ ≈ 6e-5, so candidate sets stay tiny at 1e9 vectors. */
+  def lshBands(vec: Column, dims: Int, numPlanes: Int = 64,
+      bandBits: Int = 16, seed: Long = 42L): Column = {
+    require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
     val ps = planes(dims, numPlanes, seed)
     val bits = ps.map { p =>
       val pc = array(p.map(lit): _*)
@@ -57,40 +74,83 @@ object Similarity {
     array((0 until numBands).map { b =>
       bits.slice(b * bandBits, (b + 1) * bandBits).zipWithIndex
         .map { case (bit, i) => bit * lit(1L << i) }.reduce(_ + _)
-        .+(lit(b.toLong * 4096L)) // band offset so bands don't collide
+        .+(lit(b.toLong << bandBits))
     }: _*)
   }
 
-  /** ANN top-k: probe only vectors sharing at least one LSH band with
-    * the query, then exact cosine on the candidates. At scale the
-    * banded table is precomputed + bucketed; here it is derived inline.
-    */
+  /** The query's probe set: its own band values plus, per multi-probe
+    * level, every band value within that hamming distance (level 1 =
+    * all single-bit flips). Computed on the driver — the query is a
+    * literal, so its signature needs no Spark job. */
+  private def queryProbes(query: Seq[Float], dims: Int, numPlanes: Int,
+      bandBits: Int, seed: Long, probeLevel: Int): Seq[Long] = {
+    val qd = query.map(_.toDouble)
+    val bits = planes(dims, numPlanes, seed).map { p =>
+      if (p.lazyZip(qd).map(_ * _).sum >= 0) 1L else 0L
+    }
+    val base = packBands(bits, numPlanes, bandBits)
+    def expand(vals: Seq[Long], level: Int): Seq[Long] =
+      if (level == 0) vals
+      else expand(vals.flatMap { v =>
+        v +: (0 until bandBits).map(i => v ^ (1L << i))
+      }, level - 1)
+    expand(base, probeLevel).distinct
+  }
+
+  /** ANN top-k: probe only vectors sharing an LSH band with the query
+    * (multi-probe: also bands one bit-flip away, recovering recall
+    * lost to the aggressive 16-bit bands), then exact cosine on the
+    * candidates.
+    *
+    * Scale shape: the probe set is a driver-side literal list (~4 ×
+    * (1+16) longs), so candidate selection is an `IN` predicate on the
+    * band column — with a precomputed banded table partitioned on
+    * `__band` this is a partition-pruned point lookup, no join and no
+    * full scan. Candidate rate for a random vector ≈ numBands ×
+    * (1 + bandBits) × 2^-bandBits ≈ 0.1% at the defaults. */
   def annTopK(df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, dims: Int, numPlanes: Int = 32,
-      bandBits: Int = 2): DataFrame = {
-    val qdf = df.sparkSession.range(1)
-      .select(array(query.map(v => lit(v.toDouble)): _*).as("__q"))
-      .select(explode(lshBands(col("__q"), dims, numPlanes, bandBits)).as("__band"))
+      query: Seq[Float], k: Int, dims: Int, numPlanes: Int = 64,
+      bandBits: Int = 16, probeLevel: Int = 1, seed: Long = 42L): DataFrame = {
+    val probes = queryProbes(query, dims, numPlanes, bandBits, seed, probeLevel)
     val banded = df.select(col(idCol), col(vecCol),
-      explode(lshBands(col(vecCol), dims, numPlanes, bandBits)).as("__band"))
-    val candidates = banded.join(broadcast(qdf), Seq("__band"))
+      explode(lshBands(col(vecCol), dims, numPlanes, bandBits, seed)).as("__band"))
+    val candidates = banded.filter(col("__band").isin(probes: _*))
       .select(col(idCol), col(vecCol)).distinct()
     bruteForceTopK(candidates, vecCol, idCol, query, k)
   }
 
-  /** All near-duplicate embedding pairs above a cosine threshold,
-    * LSH-bucketed (candidates share a band) then exactly verified. */
+  /** All near-duplicate embedding pairs above a cosine threshold:
+    * LSH-banded buckets → in-bucket pairs (bucket size capped to bound
+    * worst-case skew, mirroring [[Dedup.minhashPairs]] — one dense
+    * bucket must not go quadratic) → exact cosine verify on candidate
+    * ids only. The verify joins vectors back by id, so the bucket
+    * stage shuffles (id, band) longs, never the vectors themselves. */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, dims: Int, numPlanes: Int = 16,
-      bandBits: Int = 8): DataFrame = {
-    val banded = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-      explode(lshBands(col(vecCol), dims, numPlanes, bandBits)).as("__band"))
-    val l = banded.select(col("__id").as("idA"), col("__vec").as("__va"), col("__band"))
-    val r = banded.select(col("__id").as("idB"), col("__vec").as("__vb"), col("__band"))
-    l.join(r, Seq("__band")).filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        cosine(col("__va").cast("array<double>"), col("__vb").cast("array<double>")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      threshold: Double, dims: Int, numPlanes: Int = 64,
+      bandBits: Int = 16, maxBucket: Int = 1000, seed: Long = 42L): DataFrame = {
+    val banded = df.select(col(idCol).as("__id"),
+      explode(lshBands(col(vecCol), dims, numPlanes, bandBits, seed)).as("__band"))
+    val grouped = banded.groupBy("__band")
+      .agg(collect_list("__id").as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+    val pairs = grouped
+      .select(explode(expr(
+        """filter(
+             flatten(transform(__ids, (x, i) ->
+               transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
+                 struct(least(x, y) AS a, greatest(x, y) AS b)))),
+             p -> p.a <> p.b)""")).as("__p"))
+      .select(col("__p.a").as("idA"), col("__p.b").as("idB"))
       .distinct()
+    val vecs = df.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    pairs
+      .join(vecs.withColumnRenamed("__vid", "idA")
+        .withColumnRenamed("__v", "__va"), Seq("idA"))
+      .join(vecs.withColumnRenamed("__vid", "idB")
+        .withColumnRenamed("__v", "__vb"), Seq("idB"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), col("cosine"))
   }
 }

@@ -81,16 +81,59 @@ class OpsSpec extends SparkSpec {
     assert(top.map(_.head) == Seq(1L, 2L), top)
   }
 
-  test("LSH ANN candidates contain the exact nearest neighbour") {
+  test("LSH ANN recalls planted near-duplicates and actually prunes") {
+    // sign-LSH recall targets genuinely-near vectors; the synthetic
+    // embeddings' best pair is only cos~0.45 (indistinguishable from
+    // noise for banding), so plant true near-dups of the query: a
+    // scaled copy (cos 1.0) and a slightly perturbed one.
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
-    val exact = rows(Similarity.bruteForceTopK(
-      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 1)).head.head
-    val ann = rows(Similarity.annTopK(
-      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10, q.size))
-    assert(ann.map(_.head).contains(exact),
-      s"exact NN $exact missing from ANN ${ann.map(_.head)}")
+    val perturbed = q.zipWithIndex.map { case (v, i) =>
+      if (i == 0) v + 0.02f * math.abs(v).max(0.1f).toFloat else v }
+    val planted = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1000001L, q.map(_ * 1.001f)),
+      org.apache.spark.sql.Row(1000002L, perturbed)).asJava,
+      emb.schema)
+    val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+    val ann = rows(Similarity.annTopK(pool, "embedding", "vec_id", q, 10, q.size))
+      .map(_.head)
+    assert(ann.contains(1000001L) && ann.contains(1000002L),
+      s"planted near-dups missing from ANN top-10: $ann")
+    // pruning: vectors sharing an exact band with the query must be
+    // far below the pool size (multi-probe adds ~bandBits × 2^-bandBits
+    // more — still negligible)
+    val n = pool.count()
+    val qBands = spark.range(1).select(explode(Similarity.lshBands(
+      array(q.map(v => lit(v)): _*), q.size)).as("__band"))
+    val cand = pool.select(col("vec_id"),
+        explode(Similarity.lshBands(col("embedding"), q.size)).as("__band"))
+      .join(qBands, Seq("__band")).select("vec_id").distinct().count()
+    assert(cand < n / 5, s"ANN candidate set $cand is not ≪ pool size $n")
+  }
+
+  test("cosinePairs: planted dups found, candidate pairs ≪ n², cap bounds skew") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val planted = emb.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val pool = emb.unionByName(planted)
+    val dims = emb.head().getSeq[Float](1).size
+    val got = rows(Similarity.cosinePairs(pool, "embedding", "vec_id",
+      threshold = 0.95, dims = dims)).map(r => (r.head, r(1))).toSet
+    assert((0L until 10L).forall(i => got.contains((i, i + 1000000L))),
+      s"missing planted pairs in $got")
+    // only the 10 planted pairs survive verification...
+    assert(got.size == 10, got)
+    // ...and the pre-verify candidate set is tiny: with a degenerate
+    // all-same-band column the cap would bound it, with real LSH the
+    // banding itself does (n=~510 → n² ≈ 260k; candidates ≤ ~50)
+    val banded = pool.select(col("vec_id").as("__id"),
+      explode(Similarity.lshBands(col("embedding"), dims)).as("__band"))
+    val candPairs = banded.groupBy("__band").count()
+      .agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0)
+    assert(candPairs < 1000, s"candidate pairs $candPairs not ≪ n²")
   }
 
   test("text metrics") {
