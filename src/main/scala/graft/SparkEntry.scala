@@ -345,6 +345,25 @@ object SparkEntry {
       Similarity.annTopK(
         emb.filter(col("vec_id") =!= 0).unionByName(planted),
         "embedding", "vec_id", q, 10, dims = q.size).select(col("vec_id"))
+    }),
+
+    // LLM-pipeline: persisted-index ANN — the 100-TB repeated-query
+    // path: buildIndex writes a band-partitioned signature+vector
+    // table once, the probe reads only probed partition dirs (no
+    // full scan, no re-signing). Same pool/planting as ann_lsh_topk,
+    // so the result set matches it. Rows-only check.
+    "ann_indexed_topk" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      val planted = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        typedLit(q.map(_ * 1.001f)).as("embedding"))
+      val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+      Similarity.buildIndex(pool, "embedding", "vec_id", idxDir, dims = q.size)
+      Similarity.annTopKIndexed(s, idxDir, "embedding", "vec_id", q, 10)
+        .select(col("vec_id"))
     })
   )
 

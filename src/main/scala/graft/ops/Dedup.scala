@@ -78,6 +78,37 @@ object Dedup {
     }: _*)
   }
 
+  /** Candidate pairs from LSH buckets, shared by [[minhashPairs]] and
+    * [[Similarity.cosinePairs]]. `banded` holds one `__id` per bucket
+    * row; `bucketCols` name the bucket key.
+    *
+    * Normal buckets (2..maxBucket members) emit all in-bucket pairs
+    * (sorted ids, so idA < idB). Oversized buckets — a dense cluster
+    * of near-identical items collides in EVERY band, so a drop-it
+    * policy would silently lose exactly the densest duplicates —
+    * degrade to star pairs against the bucket's min id: linear output
+    * that still links every member to a canonical representative for
+    * dedup. The per-bucket stats aggregate keeps `collect_list`
+    * bounded at maxBucket (no unbounded in-memory bucket arrays). */
+  private[ops] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val keys = bucketCols.map(col)
+    val stats = banded.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
+    val small = banded
+      .join(stats.filter(col("__n").between(2, maxBucket)), bucketCols)
+      .groupBy(keys: _*).agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .select(explode(expr(
+        """flatten(transform(__ids, (x, i) ->
+             transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
+               struct(x AS a, y AS b))))""")).as("__p"))
+      .select(col("__p.a").as("idA"), col("__p.b").as("idB"))
+    val big = banded.join(stats.filter(col("__n") > maxBucket), bucketCols)
+      .filter(col("__id") =!= col("__min"))
+      .select(col("__min").as("idA"), col("__id").as("idB"))
+    small.unionByName(big).distinct()
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH banding, verified
     * with true n-gram Jaccard. Returns (idA, idB, jaccard) with
     * idA < idB and jaccard >= threshold.
@@ -85,8 +116,9 @@ object Dedup {
     * Scale shape: explode shingles → one groupBy(id) with 128 simple
     * `min` aggregates (map-side partial combine, codegen-friendly) →
     * explode to numBands rows/doc → shuffle on (band, bandHash) →
-    * pairs only within buckets (skew-guarded by capping bucket size)
-    * → verify joins on candidate ids only. Never an all-pairs product.
+    * pairs only within buckets ([[bucketPairs]]: skew-guarded, dense
+    * overflow buckets degrade to star pairs) → verify joins on
+    * candidate ids only. Never an all-pairs product.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 128, numBands: Int = 32,
@@ -108,19 +140,7 @@ object Dedup {
     }
     val banded = sig.select(col("__id"), explode(array(bandStructs: _*)).as("__b"))
       .select(col("__id"), col("__b.band").as("__band"), col("__b.sig").as("__bsig"))
-    // pairs within a bucket; bucket capped to bound worst-case skew
-    val grouped = banded.groupBy("__band", "__bsig")
-      .agg(collect_list("__id").as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucket))
-    val pairs = grouped
-      .select(explode(expr(
-        """filter(
-             flatten(transform(__ids, (x, i) ->
-               transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
-                 struct(least(x, y) AS a, greatest(x, y) AS b)))),
-             p -> p.a <> p.b)""")).as("__p"))
-      .select(col("__p.a").as("idA"), col("__p.b").as("idB"))
-      .distinct()
+    val pairs = bucketPairs(banded, Seq("__band", "__bsig"), maxBucket)
     // verify with true jaccard over per-doc precomputed hash sets
     // (computed once per doc, not once per candidate pair)
     val docsH = df.select(col(idCol).as("__vid"),

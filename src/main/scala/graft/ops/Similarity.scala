@@ -1,15 +1,22 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and a
   * random-hyperplane-LSH bucketed variant as the 100-TB path (probe
-  * only candidate buckets instead of scanning every vector).
+  * only candidate buckets instead of scanning every vector), with an
+  * optionally persisted band-partitioned index so repeated queries
+  * read only probed partitions.
   *
-  * Dot products are `zip_with` + `aggregate` higher-order functions —
-  * no UDF, stays inside whole-stage codegen.
+  * Per-row dot products are `zip_with` + `aggregate` higher-order
+  * functions — no UDF. Bulk signature computation uses the explode +
+  * simple-aggregate shape instead (64 per-row array lambdas overflow
+  * whole-stage codegen and silently run interpreted; 64 plain `sum`
+  * aggregates over exploded elements stay codegen'd with map-side
+  * combine — same fix as [[Dedup.minhashPairs]]).
   */
 object Similarity {
 
@@ -47,7 +54,7 @@ object Similarity {
     * [b*bandBits, (b+1)*bandBits), tagged with `b << bandBits` so
     * values from different bands never collide. Shared by the column
     * and driver-side (query literal) signature paths — the two MUST
-    * stay bit-identical. */
+    * stay bit-identical (OpsSpec pins this). */
   private def packBands(bits: Seq[Long], numPlanes: Int, bandBits: Int): Seq[Long] = {
     require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
     (0 until numPlanes / bandBits).map { b =>
@@ -57,11 +64,27 @@ object Similarity {
     }
   }
 
+  /** Driver-side signature of one vector — the literal-side twin of
+    * [[signatures]]; both fold the dot product left-to-right from 0.0
+    * so the sign bits match bit-for-bit. */
+  def signatureOf(vec: Seq[Float], dims: Int, numPlanes: Int = 64,
+      bandBits: Int = 16, seed: Long = 42L): Seq[Long] = {
+    val qd = vec.map(_.toDouble)
+    val bits = planes(dims, numPlanes, seed).map { p =>
+      if (p.lazyZip(qd).map(_ * _).sum >= 0) 1L else 0L
+    }
+    packBands(bits, numPlanes, bandBits)
+  }
+
   /** Sign-bit LSH signature column: one bit per hyperplane, packed per
     * `bandBits` bits into an array of band hashes. Vectors sharing a
     * band value are cosine-similar candidates. Defaults (64 planes →
     * 4 bands × 16 bits) keep the random-pair collision rate at
-    * ~4 × 2⁻¹⁶ ≈ 6e-5, so candidate sets stay tiny at 1e9 vectors. */
+    * ~4 × 2⁻¹⁶ ≈ 6e-5, so candidate sets stay tiny at 1e9 vectors.
+    *
+    * Per-row shape (64 array-lambda dots): fine for a handful of rows
+    * (query literals, tests) but falls out of codegen in bulk — the
+    * bulk paths use [[signatures]] instead. */
   def lshBands(vec: Column, dims: Int, numPlanes: Int = 64,
       bandBits: Int = 16, seed: Long = 42L): Column = {
     require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
@@ -78,17 +101,46 @@ object Similarity {
     }: _*)
   }
 
+  /** Bulk LSH signatures: `(__id, __bands array)` for every row, via
+    * explode + `numPlanes` simple `sum` aggregates.
+    *
+    * Scale shape: posexplode the vector (dims rows per doc, no
+    * shuffle), then ONE groupBy(id) computing each hyperplane dot as
+    * `sum(x * plane[pos])` with the plane as a constant-folded literal
+    * array — map-side partial combine, whole-stage codegen (the
+    * per-row [[lshBands]] with 64 array-aggregate lambdas overflows
+    * codegen and runs interpreted, a 10-15× CPU tax). Each doc's
+    * elements live in one partition, so every sum is a single
+    * left-to-right fold from 0.0 — bit-identical to [[signatureOf]]
+    * (pinned by OpsSpec). */
+  def signatures(df: DataFrame, vecCol: String, idCol: String, dims: Int,
+      numPlanes: Int = 64, bandBits: Int = 16, seed: Long = 42L): DataFrame = {
+    require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
+    val ps = planes(dims, numPlanes, seed)
+    val exploded = df.select(col(idCol).as("__id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
+    def dotAgg(p: Seq[Double]): Column =
+      sum(col("__x") * element_at(array(p.map(lit): _*), col("__pos") + 1))
+    val dots = exploded.groupBy("__id").agg(
+      dotAgg(ps.head).as("__d0"),
+      ps.tail.zipWithIndex.map { case (p, i) =>
+        dotAgg(p).as(s"__d${i + 1}")
+      }: _*)
+    val numBands = numPlanes / bandBits
+    dots.select(col("__id"), array((0 until numBands).map { b =>
+      (0 until bandBits).map { i =>
+        when(col(s"__d${b * bandBits + i}") >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(b.toLong << bandBits)
+    }: _*).as("__bands"))
+  }
+
   /** The query's probe set: its own band values plus, per multi-probe
     * level, every band value within that hamming distance (level 1 =
     * all single-bit flips). Computed on the driver — the query is a
     * literal, so its signature needs no Spark job. */
   private def queryProbes(query: Seq[Float], dims: Int, numPlanes: Int,
       bandBits: Int, seed: Long, probeLevel: Int): Seq[Long] = {
-    val qd = query.map(_.toDouble)
-    val bits = planes(dims, numPlanes, seed).map { p =>
-      if (p.lazyZip(qd).map(_ * _).sum >= 0) 1L else 0L
-    }
-    val base = packBands(bits, numPlanes, bandBits)
+    val base = signatureOf(query, dims, numPlanes, bandBits, seed)
     def expand(vals: Seq[Long], level: Int): Seq[Long] =
       if (level == 0) vals
       else expand(vals.flatMap { v =>
@@ -97,51 +149,94 @@ object Similarity {
     expand(base, probeLevel).distinct
   }
 
-  /** ANN top-k: probe only vectors sharing an LSH band with the query
-    * (multi-probe: also bands one bit-flip away, recovering recall
-    * lost to the aggressive 16-bit bands), then exact cosine on the
-    * candidates.
+  /** ANN top-k without a persisted index: probe only vectors sharing
+    * an LSH band with the query (multi-probe: also bands one bit-flip
+    * away, recovering recall lost to the aggressive 16-bit bands),
+    * then exact cosine on the candidates.
     *
-    * Scale shape: the probe set is a driver-side literal list (~4 ×
-    * (1+16) longs), so candidate selection is an `IN` predicate on the
-    * band column — with a precomputed banded table partitioned on
-    * `__band` this is a partition-pruned point lookup, no join and no
-    * full scan. Candidate rate for a random vector ≈ numBands ×
-    * (1 + bandBits) × 2^-bandBits ≈ 0.1% at the defaults. */
+    * Scale shape: the probe set is a driver-side literal (~4 × (1+16)
+    * longs), so candidate selection is one `arrays_overlap` against
+    * the signature frame — no explode, no distinct — and the
+    * candidate ids (≈0.1% of rows at the defaults) come back to the
+    * source via a broadcast semi join. Still scans the full table
+    * once per query to compute signatures; for repeated queries build
+    * the persisted index once ([[buildIndex]]) and use
+    * [[annTopKIndexed]], which reads only probed partitions. */
   def annTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int, dims: Int, numPlanes: Int = 64,
       bandBits: Int = 16, probeLevel: Int = 1, seed: Long = 42L): DataFrame = {
     val probes = queryProbes(query, dims, numPlanes, bandBits, seed, probeLevel)
-    val banded = df.select(col(idCol), col(vecCol),
-      explode(lshBands(col(vecCol), dims, numPlanes, bandBits, seed)).as("__band"))
-    val candidates = banded.filter(col("__band").isin(probes: _*))
-      .select(col(idCol), col(vecCol)).distinct()
-    bruteForceTopK(candidates, vecCol, idCol, query, k)
+    val sigs = signatures(df, vecCol, idCol, dims, numPlanes, bandBits, seed)
+    val candIds = sigs.filter(arrays_overlap(col("__bands"), typedLit(probes)))
+      .select(col("__id").as(idCol))
+    bruteForceTopK(df.join(candIds, Seq(idCol), "left_semi"),
+      vecCol, idCol, query, k)
+  }
+
+  /** Number of `__bp` partition buckets an index is laid out in: low
+    * bits of the band value. 256 keeps directory listings sane at any
+    * scale while a probe set (~68 bands) touches at most 68 of them. */
+  private def bucketOf(band: Long, buckets: Int): Long =
+    ((band % buckets) + buckets) % buckets
+
+  /** Build a persisted ANN index: `(idCol, vecCol, __band)` rows —
+    * one per (vector, band) — written as parquet partitioned by
+    * `__bp = band mod buckets`. A query probes ~68 band values, so an
+    * indexed lookup lists and reads at most 68 of the `buckets`
+    * partition directories (explicit path selection, same pattern as
+    * the warehouse's bucket-pruned reads) instead of re-scanning and
+    * re-signing the whole table. Vectors are stored in the index
+    * (numBands× duplication — the IVF trade) so a probe needs no join
+    * back to the source table. */
+  def buildIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
+      dims: Int, numPlanes: Int = 64, bandBits: Int = 16,
+      buckets: Int = 256, seed: Long = 42L): Unit = {
+    val sigs = signatures(df, vecCol, idCol, dims, numPlanes, bandBits, seed)
+    val banded = sigs.select(col("__id").as(idCol),
+      explode(col("__bands")).as("__band"))
+    banded.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("__bp", pmod(col("__band"), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("__bp").parquet(path)
+  }
+
+  /** ANN top-k against a persisted [[buildIndex]] index: reads ONLY
+    * the partition directories the probe set hashes into (driver-side
+    * path selection — no full-table scan, no signature recompute),
+    * filters to exact probed bands, dedupes candidates on id, exact
+    * cosine on what's left. Build-time and query-time LSH parameters
+    * must match. */
+  def annTopKIndexed(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, query: Seq[Float], k: Int, numPlanes: Int = 64,
+      bandBits: Int = 16, probeLevel: Int = 1, buckets: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    val probes = queryProbes(query, query.size, numPlanes, bandBits, seed, probeLevel)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = probes.map(bucketOf(_, buckets)).distinct
+      .map(b => new Path(root, s"__bp=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    val idx =
+      if (dirs.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(dirs: _*)
+    val cands = idx.filter(col("__band").isin(probes: _*))
+      .select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+    bruteForceTopK(cands, vecCol, idCol, query, k)
   }
 
   /** All near-duplicate embedding pairs above a cosine threshold:
-    * LSH-banded buckets → in-bucket pairs (bucket size capped to bound
-    * worst-case skew, mirroring [[Dedup.minhashPairs]] — one dense
-    * bucket must not go quadratic) → exact cosine verify on candidate
-    * ids only. The verify joins vectors back by id, so the bucket
-    * stage shuffles (id, band) longs, never the vectors themselves. */
+    * LSH-banded buckets → in-bucket pairs via [[Dedup.bucketPairs]]
+    * (all-pairs inside normal buckets; oversized buckets — a dense
+    * cluster colliding in every band — degrade to star pairs against
+    * the bucket's min id instead of being dropped, so dense duplicate
+    * clusters still dedupe) → exact cosine verify on candidate ids
+    * only. The bucket stage shuffles (id, band) longs, never the
+    * vectors themselves. */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, dims: Int, numPlanes: Int = 64,
       bandBits: Int = 16, maxBucket: Int = 1000, seed: Long = 42L): DataFrame = {
-    val banded = df.select(col(idCol).as("__id"),
-      explode(lshBands(col(vecCol), dims, numPlanes, bandBits, seed)).as("__band"))
-    val grouped = banded.groupBy("__band")
-      .agg(collect_list("__id").as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucket))
-    val pairs = grouped
-      .select(explode(expr(
-        """filter(
-             flatten(transform(__ids, (x, i) ->
-               transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
-                 struct(least(x, y) AS a, greatest(x, y) AS b)))),
-             p -> p.a <> p.b)""")).as("__p"))
-      .select(col("__p.a").as("idA"), col("__p.b").as("idB"))
-      .distinct()
+    val banded = signatures(df, vecCol, idCol, dims, numPlanes, bandBits, seed)
+      .select(col("__id"), explode(col("__bands")).as("__band"))
+    val pairs = Dedup.bucketPairs(banded, Seq("__band"), maxBucket)
     val vecs = df.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__v"))
     pairs

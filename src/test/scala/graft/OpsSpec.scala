@@ -112,6 +112,82 @@ class OpsSpec extends SparkSpec {
     assert(cand < n / 5, s"ANN candidate set $cand is not ≪ pool size $n")
   }
 
+  test("lshBands, bulk signatures, and driver-side signatureOf agree bit-for-bit") {
+    // the probe path (driver literal), the per-row column path, and
+    // the bulk explode+agg path MUST produce identical band values or
+    // recall silently collapses — pinned here on real embeddings
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+      .filter(col("vec_id") < 50)
+    val dims = emb.head().getSeq[Float](1).size
+    val perRow = rows(emb.select(col("vec_id"),
+        Similarity.lshBands(col("embedding"), dims).as("b")))
+      .map(r => r.head -> r(1)).toMap
+    val bulk = rows(Similarity.signatures(emb, "embedding", "vec_id", dims))
+      .map(r => r.head -> r(1)).toMap
+    val driver = emb.collect().map(r =>
+      r.get(0) -> Similarity.signatureOf(r.getSeq[Float](1), dims)).toMap
+    assert(perRow.keySet == bulk.keySet && bulk.keySet == driver.keySet)
+    perRow.keySet.foreach { id =>
+      assert(perRow(id) == bulk(id), s"per-row vs bulk mismatch for $id")
+      assert(bulk(id).asInstanceOf[scala.collection.Seq[Long]].toSeq
+        == driver(id), s"bulk vs driver mismatch for $id")
+    }
+  }
+
+  test("indexed ANN: probes read only probed partitions, recall holds") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val planted = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1000001L, q.map(_ * 1.001f))).asJava, emb.schema)
+    val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    try {
+      Similarity.buildIndex(pool, "embedding", "vec_id", dir, q.size)
+      val ann = Similarity.annTopKIndexed(spark, dir, "embedding", "vec_id", q, 10)
+      val got = rows(ann).map(_.head)
+      assert(got.contains(1000001L), s"planted dup missing from indexed ANN: $got")
+      // same answer as the index-less path
+      val direct = rows(Similarity.annTopK(pool, "embedding", "vec_id",
+        q, 10, q.size)).map(_.head)
+      assert(got == direct, s"indexed $got != direct $direct")
+      // pruning is structural: the probed dirs are a strict subset of
+      // the index's partition dirs
+      val allDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__bp=")).map(_.getName).toSet
+      // probe set = 4 bands × (1 + 16 flips) → ≤ 68 buckets of 256
+      assert(allDirs.size > 68, s"index only has ${allDirs.size} partitions")
+      val probedDirs = ann.inputFiles.map(f =>
+        new java.io.File(f).getParentFile.getName).toSet
+      assert(probedDirs.subsetOf(allDirs) && probedDirs.size <= 68,
+        s"indexed query read ${probedDirs.size} partitions: $probedDirs")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("overflow buckets degrade to star pairs, not silence") {
+    // >maxBucket identical vectors collide in ALL bands; dropping the
+    // bucket would yield zero pairs for exactly the densest-duplicate
+    // cluster. The star-pair fallback links every member to the min id.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val base = Seq.tabulate(8)(i => 0.1f * (i + 1))
+    val df = s.createDataFrame((0L until 12L).map(i =>
+      org.apache.spark.sql.Row(i, base)).asJava, schema)
+    val got = rows(Similarity.cosinePairs(df, "embedding", "vec_id",
+      threshold = 0.99, dims = 8, maxBucket = 5)).map(r => (r.head, r(1))).toSet
+    assert(got == (1L until 12L).map(i => (0L, i)).toSet, got)
+    // same policy on the minhash path
+    val docs = docsDf((0L until 12L).map(i => (i, "same text " * 20)))
+    val mh = rows(Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.9, maxBucket = 5)).map(r => (r.head, r(1))).toSet
+    assert(mh == (1L until 12L).map(i => (0L, i)).toSet, mh)
+  }
+
   test("cosinePairs: planted dups found, candidate pairs ≪ n², cap bounds skew") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
