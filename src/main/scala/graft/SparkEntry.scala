@@ -14,6 +14,20 @@ object SparkEntry {
 
   private def env(s: SparkSession, dir: String): Env = Testbed.env(s, dir)
 
+  /** Fixed scratch path (re-used and overwritten across invocations in
+    * one JVM, so repeated Verify/Bench runs don't accumulate copies)
+    * deleted on JVM exit. */
+  private def scratchDir(name: String): String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$name")
+    if (scratchRegistered.add(d.getAbsolutePath))
+      sys.addShutdownHook {
+        try org.apache.commons.io.FileUtils.deleteDirectory(d) catch { case _: Exception => }
+      }
+    d.getAbsolutePath
+  }
+  private val scratchRegistered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    .keySet(true)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -360,7 +374,7 @@ object SparkEntry {
         (col("vec_id") + 1000000L).as("vec_id"),
         typedLit(q.map(_ * 1.001f)).as("embedding"))
       val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+      val idxDir = scratchDir("annidx-" + Integer.toHexString(dir.hashCode))
       Similarity.buildIndex(pool, "embedding", "vec_id", idxDir, dims = q.size)
       Similarity.annTopKIndexed(s, idxDir, "embedding", "vec_id", q, 10)
         .select(col("vec_id"))

@@ -106,7 +106,11 @@ object Dedup {
     val big = banded.join(stats.filter(col("__n") > maxBucket), bucketCols)
       .filter(col("__id") =!= col("__min"))
       .select(col("__min").as("idA"), col("__id").as("idB"))
-    small.unionByName(big).distinct()
+    // defense-in-depth: callers are documented to feed at most one
+    // (__id, bucket) row per id, but a duplicate would make sort_array
+    // neighbours of the copies and emit a self-pair that then passes
+    // any verify stage at similarity 1.0 — drop them here.
+    small.unionByName(big).filter(col("idA") =!= col("idB")).distinct()
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH banding, verified

@@ -112,7 +112,16 @@ object Similarity {
     * codegen and runs interpreted, a 10-15× CPU tax). Each doc's
     * elements live in one partition, so every sum is a single
     * left-to-right fold from 0.0 — bit-identical to [[signatureOf]]
-    * (pinned by OpsSpec). */
+    * (pinned by OpsSpec).
+    *
+    * Caveat (best-effort, documented): under hash aggregation the
+    * within-group consumption order is posexplode order, matching the
+    * driver-side fold; if Spark falls back to sort-based aggregation
+    * under memory pressure, within-group order is not guaranteed and a
+    * dot product sitting exactly at 0.0 could flip a sign bit vs
+    * [[signatureOf]]. That costs recall only on borderline vectors
+    * (|dot| within float-summation noise of 0); multi-probe (1-bit
+    * flips) recovers those candidates. */
   def signatures(df: DataFrame, vecCol: String, idCol: String, dims: Int,
       numPlanes: Int = 64, bandBits: Int = 16, seed: Long = 42L): DataFrame = {
     require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
@@ -197,18 +206,49 @@ object Similarity {
     banded.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
       .withColumn("__bp", pmod(col("__band"), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("__bp").parquet(path)
+    writeMeta(df.sparkSession, path,
+      Map("dims" -> dims, "numPlanes" -> numPlanes, "bandBits" -> bandBits,
+        "buckets" -> buckets, "seed" -> seed))
+  }
+
+  /** Build-time LSH parameters, persisted next to the index so a query
+    * can never silently probe with mismatched parameters (which would
+    * read the wrong partitions and return near-zero recall). */
+  private def writeMeta(spark: SparkSession, path: String, m: Map[String, Any]): Unit = {
+    val f = new Path(path, "_graft_index_meta.json")
+    val out = f.getFileSystem(spark.sparkContext.hadoopConfiguration).create(f, true)
+    try out.write(graft.view.Json.write(m).getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Map[String, Long] = {
+    val f = new Path(path, "_graft_index_meta.json")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(f), s"No index metadata at $f — was this directory " +
+      "written by Similarity.buildIndex?")
+    val in = fs.open(f)
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    import scala.jdk.CollectionConverters._
+    new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](text)
+      .asScala.map { case (k, v) => k -> v.toString.toLong }.toMap
   }
 
   /** ANN top-k against a persisted [[buildIndex]] index: reads ONLY
     * the partition directories the probe set hashes into (driver-side
     * path selection — no full-table scan, no signature recompute),
     * filters to exact probed bands, dedupes candidates on id, exact
-    * cosine on what's left. Build-time and query-time LSH parameters
-    * must match. */
+    * cosine on what's left. Build-time LSH parameters are loaded from
+    * the index's own `_graft_index_meta.json`, so probes can never
+    * silently mismatch the signatures they query. */
   def annTopKIndexed(spark: SparkSession, path: String, vecCol: String,
-      idCol: String, query: Seq[Float], k: Int, numPlanes: Int = 64,
-      bandBits: Int = 16, probeLevel: Int = 1, buckets: Int = 256,
-      seed: Long = 42L): DataFrame = {
+      idCol: String, query: Seq[Float], k: Int,
+      probeLevel: Int = 1): DataFrame = {
+    val meta = readMeta(spark, path)
+    val (numPlanes, bandBits, buckets, seed) =
+      (meta("numPlanes").toInt, meta("bandBits").toInt,
+        meta("buckets").toInt, meta("seed"))
+    require(query.size == meta("dims").toInt,
+      s"Query vector has ${query.size} dims; index was built with ${meta("dims")}")
     val probes = queryProbes(query, query.size, numPlanes, bandBits, seed, probeLevel)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -299,10 +299,12 @@ object Write {
     * high-water mark (maxId + batch size).
     */
   private def assignIds(env: Env, df: DataFrame, keyCols: Seq[String],
-      maxId: Long): (DataFrame, Long) = {
-    val sorted = df.repartitionByRange(keyCols.map(c): _*)
+      maxId: Long): (DataFrame, Long, org.apache.spark.rdd.RDD[Row]) = {
+    // persist the sorted RDD: it is consumed twice (count pass + assign
+    // pass) and the range-partition shuffle + sort should run once
+    val rdd = df.repartitionByRange(keyCols.map(c): _*)
       .sortWithinPartitions(keyCols.map(c): _*)
-    val rdd = sorted.rdd
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
@@ -311,9 +313,9 @@ object Write {
       var n = maxId + offsets(i)
       it.map { row => n += 1; Row.fromSeq(row.toSeq :+ n) }
     }
-    val schema = StructType(sorted.schema.fields :+
+    val schema = StructType(df.schema.fields :+
       StructField("id", LongType, nullable = false))
-    (env.spark.createDataFrame(withIds, schema), maxId + offsets.last)
+    (env.spark.createDataFrame(withIds, schema), maxId + offsets.last, rdd)
   }
 
   // --------------------------------------------------------------- write
@@ -401,6 +403,7 @@ object Write {
     // The high-water mark comes from Warehouse.maxId — manifest-
     // tracked, so no full scan per batch.
     var newMaxId = -1L
+    var sortedCache: Option[org.apache.spark.rdd.RDD[Row]] = None
     val result =
       if (!insert) updated
       else {
@@ -409,8 +412,9 @@ object Write {
           if (mapped("id")) newRows0
           else {
             val maxId = env.warehouse.maxId(t.name)
-            val (assigned, hwm) = assignIds(env, newRows0, keyCols, maxId)
+            val (assigned, hwm, cache) = assignIds(env, newRows0, keyCols, maxId)
             newMaxId = hwm
+            sortedCache = Some(cache)
             assigned
           }
         val insCols = t.physical.map { cd =>
@@ -435,6 +439,7 @@ object Write {
         env.warehouse.write(t.name, result, hwm)
     }
     b.unpersist()
+    sortedCache.foreach(_.unpersist(blocking = false))
     WriteResult(filtered, deleted)
   }
 
