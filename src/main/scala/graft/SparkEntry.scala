@@ -263,6 +263,70 @@ object SparkEntry {
       e.view("cust_note", Seq("custkey", "note")).read()
     }),
 
+    // W6: write-by-id — the surrogate id as merge key (view.py:104-115:
+    // id mapped ⇒ key is id). Seed by natural key, fetch the ids of the
+    // first five rows in key order, update their totals through an
+    // (id, total) view.
+    "q28_write_by_id" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      e.view("nation_total", Seq("name", "total", "regionkey"))
+        .write(e.viewNamed("nation", Seq("name" -> "n_name",
+          "total" -> "(+ 1.0 0.0)", "regionkey" -> "n_regionkey")).read())
+      val ids = e.view("nation_total", Seq("id"))
+        .read(order = Seq(Order("name")), limit = Some(5))
+        .collect().map(_.getLong(0)).toSeq
+      e.view("nation_total", Seq("id", "total"))
+        .write(ids.map(i => Seq[Any](i, 9.0)), insert = false)
+      e.view("nation_total", Seq("name", "total")).read()
+    }),
+
+    // W9: ACL write filters — new-vs-old two-pass drop: an update batch
+    // covering every row only lands on rows whose STORED values pass
+    // the mandatory filter (tests/acl_test.py:62-107 semantics).
+    "q29_acl_write" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      e.view("nation_total", Seq("name", "total", "regionkey"))
+        .write(e.viewNamed("nation", Seq("name" -> "n_name",
+          "total" -> "(+ 1.0 0.0)", "regionkey" -> "n_regionkey")).read())
+      e.aclWrite += ("nation_total" -> Seq("(= regionkey 0)"))
+      e.view("nation_total", Seq("name", "total"))
+        .write(e.viewNamed("nation", Seq("name" -> "n_name",
+          "total" -> "(+ 5.0 0.0)")).read())
+      e.view("nation_total", Seq("name", "total", "regionkey")).read()
+    }),
+
+    // W11: delete-by-data — batch rows name the doomed keys
+    // (tests/delete_test.py semantics; filters-variant is q21).
+    "q30_delete_by_data" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      e.view("nation_total", Seq("name", "total", "regionkey"))
+        .write(e.viewNamed("nation", Seq("name" -> "n_name",
+          "total" -> "(+ 1.0 0.0)", "regionkey" -> "n_regionkey")).read())
+      val doomed = e.view("nation", Seq("n_name"))
+        .read(Seq("(= n_regionkey 1)")).collect().map(r => Seq[Any](r.getString(0))).toSeq
+      e.view("nation_total", Seq("name")).delete(data = doomed)
+      e.view("nation_total", Seq("name", "total", "regionkey")).read()
+    }),
+
+    // W13: delete-all, then reseed — ids restart from 1 (the id
+    // high-water mark is re-derived from the emptied snapshot).
+    "q31_delete_all" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      e.view("nation_total", Seq("name", "total", "regionkey"))
+        .write(e.viewNamed("nation", Seq("name" -> "n_name",
+          "total" -> "(+ 1.0 0.0)", "regionkey" -> "n_regionkey")).read())
+      e.view("nation_total").delete()
+      e.view("nation_total", Seq("name", "total", "regionkey"))
+        .write(e.viewNamed("nation", Seq("name" -> "n_name",
+          "total" -> "(+ 2.0 0.0)", "regionkey" -> "n_regionkey"))
+          .read(Seq("(= n_regionkey 0)")))
+      e.view("nation_total", Seq("id", "name", "total")).read()
+    }),
+
     // LLM-pipeline: exact dedup (hash-groupBy, keep smallest id)
     "dedup_exact" -> ((s, dir) => {
       val docs = env(s, dir).view("documents",
@@ -495,6 +559,24 @@ object SparkEntry {
     "q27_introspect" ->
       """SELECT n_name AS name, CAST(2.0 AS DOUBLE) AS total,
         |  n_regionkey AS regionkey FROM nation""".stripMargin,
+    "q28_write_by_id" ->
+      """SELECT n_name AS name,
+        |  CAST(CASE WHEN row_number() OVER (ORDER BY n_name) <= 5
+        |       THEN 9.0 ELSE 1.0 END AS DOUBLE) AS total
+        |FROM nation""".stripMargin,
+    "q29_acl_write" ->
+      """SELECT n_name AS name,
+        |  CAST(CASE WHEN n_regionkey = 0 THEN 5.0 ELSE 1.0 END AS DOUBLE) AS total,
+        |  n_regionkey AS regionkey
+        |FROM nation""".stripMargin,
+    "q30_delete_by_data" ->
+      """SELECT n_name AS name, CAST(1.0 AS DOUBLE) AS total,
+        |  n_regionkey AS regionkey
+        |FROM nation WHERE n_regionkey <> 1""".stripMargin,
+    "q31_delete_all" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS id,
+        |  n_name AS name, CAST(2.0 AS DOUBLE) AS total
+        |FROM nation WHERE n_regionkey = 0""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, text, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
