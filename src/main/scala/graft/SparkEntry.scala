@@ -393,6 +393,9 @@ object SparkEntry {
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
       Similarity.cosinePairs(emb.unionByName(planted), "embedding", "vec_id",
         threshold = 0.95, dims = dims)
+        // 6dp: the driver's compare sorts rows on raw values before
+        // rounding; sub-1e-12 cosine noise must not scramble row order
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("idA"), col("idB"))
     }),
 
@@ -589,6 +592,100 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // Full re-derivation of Text.qualityScore + Text.langId in DuckDB
+    // SQL (regexp + list lambdas); verified value-exact at 6dp.
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks,
+        |    len(text) AS nchar,
+        |    len(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, ntok, nchar, cjk,
+        |    CASE WHEN nchar = 0 THEN 0.0
+        |         ELSE CAST(nchar - len(regexp_replace(text, '[\p{P}\p{S}]', '', 'g')) AS DOUBLE) / nchar END AS punct,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be'], t))) AS DOUBLE) / len(ltoks) END AS stop,
+        |    CASE WHEN ntok = 0 THEN NULL
+        |         ELSE CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / ntok END AS avgtok,
+        |    len(list_filter(ltoks, t -> list_contains(['the','and','of','to','is','that','for','with'], t))) AS s_en,
+        |    len(list_filter(ltoks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], t))) AS s_de,
+        |    len(list_filter(ltoks, t -> list_contains(['le','la','les','et','est','pas','une','des'], t))) AS s_fr,
+        |    len(list_filter(ltoks, t -> list_contains(['el','la','los','y','es','no','una','con'], t))) AS s_es
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(
+        |    (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0 WHEN ntok = 0 THEN 0.0 ELSE 0.5 END) * 0.3 +
+        |    (1.0 - least(punct * 4, 1.0)) * 0.3 +
+        |    (least(stop * 5, 1.0)) * 0.2 +
+        |    (CASE WHEN coalesce(avgtok, 0.0) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |  , 4) AS quality,
+        |  CASE WHEN cjk * 2 > nchar THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'en'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred,
+        |  lang
+        |FROM m""".stripMargin,
+    // Brute-force n-gram-Jaccard self-join: the TRUE pair set. Valid as
+    // an oracle for the LSH-mined output because every >=threshold pair
+    // in this corpus has jaccard >= 0.88, where 128-hash/32-band LSH
+    // miss probability is ~1e-14 (verified at sf0.001 and sf0.01).
+    "dedup_minhash_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT * FROM p WHERE jaccard >= 0.2""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+    // Brute-force oracle over the same planted pool: gates the LSH
+    // paths on full recall of the planted near-duplicates.
+    "ann_lsh_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        |  UNION ALL
+        |  SELECT 1000000 + t.i,
+        |    list_transform(q.qe, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM range(0, 10) t(i), q)
+        |SELECT p.vec_id FROM pool p, q
+        |ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, p.vec_id
+        |LIMIT 10""".stripMargin,
+    "ann_indexed_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        |  UNION ALL
+        |  SELECT 1000000 + t.i,
+        |    list_transform(q.qe, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM range(0, 10) t(i), q)
+        |SELECT p.vec_id FROM pool p, q
+        |ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, p.vec_id
+        |LIMIT 10""".stripMargin,
+    "dedup_embedding_pairs" ->
+      """WITH pool AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 20)
+        |SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin
   )
 }
