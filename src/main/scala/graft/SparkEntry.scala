@@ -115,6 +115,17 @@ object SparkEntry {
       env(s, dir).view("supplier", Seq("s_suppkey", "s_name"))
         .read(Seq("(in s_nationkey (from nation (select n_nationkey) (where (= n_regionkey 0))))"))),
 
+    // R15 multi-level: nested EXISTS where the inner sub correlates
+    // with its grandparent (customer) — the `_parent._parent.` hoist
+    "q32_nested_exists" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey", "c_name"))
+        .read(Seq(
+          """(exists (from orders (select 1) (where
+            |  (and (= o_custkey _parent.c_custkey)
+            |       (exists (from lineitem (select 1) (where
+            |         (and (= l_orderkey _parent.o_orderkey)
+            |              (= l_linenumber _parent._parent.c_nationkey)))))))))""".stripMargin))),
+
     // cast / extract / date_trunc / strftime
     "q13_dates" -> ((s, dir) =>
       env(s, dir).viewNamed("orders", Seq(
@@ -503,6 +514,13 @@ object SparkEntry {
     "q12_in_subquery" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)""".stripMargin,
+    "q32_nested_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_linenumber = c_nationkey))""".stripMargin,
     "q13_dates" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,

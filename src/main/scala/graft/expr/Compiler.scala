@@ -125,9 +125,17 @@ final case class CSub(qb: QueryBuilder, selectAsts: Seq[Ast],
   * `residual` the non-correlated part of the sub's WHERE. Materialized
   * in [[QueryBuilder.wideFrame]] as `LEFT JOIN (SELECT DISTINCT subCols,
   * true AS flag FROM sub WHERE residual)` — deterministic (no row-id
-  * round-trip) and only the small sub side is aggregated. */
+  * round-trip) and only the small sub side is aggregated.
+  *
+  * `carried` holds extra (name, column) keys a DEEPER scope correlates
+  * on (`_parent._parent.` and beyond): they ride in the flag frame's
+  * distinct key set and stay visible in the joined frame (not join
+  * conditions at this level), so the NEXT scope up can join on them —
+  * the hoisting that makes multi-level correlation one flag join per
+  * scope instead of an unsupported shape. */
 final case class ExistsSpec(sub: QueryBuilder, pairs: Seq[(Column, Column)],
-    residual: Option[Column], flag: String)
+    residual: Option[Column], flag: String,
+    carried: Seq[(String, Column)] = Nil)
 
 /** Compiles s-expression ASTs to Spark [[Column]]s over a "wide frame":
   * the base table left-joined with every table reached by a dotted
@@ -157,6 +165,12 @@ final class QueryBuilder(
   val joins = mutable.LinkedHashMap[(String, String, String, String), String]()
   val children = mutable.ArrayBuffer[QueryBuilder]()
   val existsSpecs = mutable.ArrayBuffer[ExistsSpec]()
+  /** Multi-level correlation pairs a nested sub registered on THIS
+    * scope, awaiting consumption when this scope's own ExistsSpec is
+    * built: (outer column `levels` scopes above this one, name of the
+    * key column the nested flag join leaves in this scope's frame,
+    * remaining levels). */
+  private val pendingCarries = mutable.ArrayBuffer[(Column, String, Int)]()
   parent.foreach(_.children += this)
 
   private def nbJoins(up: Boolean = true): Int =
@@ -469,10 +483,32 @@ final class QueryBuilder(
   private val subCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   private val existsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Does the AST reference an enclosing scope (`_parent.`)? */
-  private def hasParentRef(ast: Ast): Boolean = ast match {
-    case Word(t) => t.startsWith("_parent.")
-    case Ast.Node(items) => items.exists(hasParentRef)
+  /** `_parent.` levels of a token: `_parent._parent.x` → 2. */
+  private def parentLevels(t: String): Int = {
+    var n = 0; var s = t
+    while (s.startsWith("_parent.")) { n += 1; s = s.substring("_parent.".length) }
+    n
+  }
+
+  /** Max `_parent.` depth referenced by an AST AT the current scope.
+    * Refs inside a nested `(from ...)` belong to that deeper scope —
+    * its own exists/in handling hoists them (via pendingCarries), so
+    * they don't count here. */
+  private def topDepth(ast: Ast): Int = ast match {
+    case Word(t) => parentLevels(t)
+    case Ast.Node(Word(h) +: _) if h.equalsIgnoreCase("from") => 0
+    case Ast.Node(items) => items.map(topDepth).maxOption.getOrElse(0)
+    case _ => 0
+  }
+
+  /** Is this a bare `(exists ...)` / `(in ...)` / `(notin ...)` node?
+    * Only these may register multi-level carries from their sub — a
+    * carry reaching the outer scope through `or`/`not` would need the
+    * nested flag to be non-conjunctive, which the hoisting can't
+    * express. */
+  private def isSubqueryNode(ast: Ast): Boolean = ast match {
+    case Ast.Node(Word(h) +: _) =>
+      Set("exists", "in", "notin")(h.toLowerCase)
     case _ => false
   }
 
@@ -488,31 +524,66 @@ final class QueryBuilder(
     * JOIN against `SELECT DISTINCT keys FROM sub WHERE residual` built
     * in [[wideFrame]] — deterministic under task retry and no extra
     * shuffle of the outer side (VERDICT r1 #4: replaces the
-    * monotonically_increasing_id flag join). Non-equi correlation is
-    * not supported (not used by the reference tests,
-    * tests/expression_static_test.py:93-153). */
+    * monotonically_increasing_id flag join).
+    *
+    * Multi-level correlation (`_parent._parent.col`, any depth —
+    * tanker expression.py:320-329, tests/expression_static_test.py:
+    * 112-127): the sub-side key is carried in this spec's flag frame
+    * and a pending pair is registered on the enclosing scope; each
+    * intermediate scope passes it one level up until the scope that
+    * owns the outer column joins on it. Non-equi correlation is not
+    * supported (not used by the reference tests). */
   private def existsSubquery(sub: CSub, extraPair: Option[(Column, Column)],
       negate: Boolean, args: Args): CV = {
     val qb = sub.qb
+    val flag = s"__exists_${root.existsCounter.getAndIncrement()}"
     val pairs = mutable.Buffer[(Column, Column)]()
+    val carried = mutable.Buffer[(String, Column)]()
     val residual = mutable.Buffer[Column]()
     extraPair.foreach(pairs += _)
     conjuncts(sub.whereAsts).foreach { c =>
-      if (!hasParentRef(c)) residual += qb.one(qb.compile(c, args))
-      else c match {
+      val d = topDepth(c)
+      if (d == 0) {
+        // May contain nested exists/in whose subs register carries on
+        // qb; only a bare subquery conjunct keeps the nested flag
+        // conjunctive, which the hoisting depends on.
+        val before = qb.pendingCarries.size
+        residual += qb.one(qb.compile(c, args))
+        if (qb.pendingCarries.size > before && !isSubqueryNode(c))
+          throw new UnsupportedOperationException(
+            "Multi-level _parent correlation must sit in a bare (exists ...)" +
+            s" / (in ...) conjunct, not under or/not: $c")
+      } else c match {
         case Ast.Node(Seq(Word(op), a, b)) if op == "=" &&
-            hasParentRef(a) != hasParentRef(b) =>
-          val (parentSide, subSide) = if (hasParentRef(a)) (a, b) else (b, a)
+            (topDepth(a) >= 1) != (topDepth(b) >= 1) =>
+          val (parentSide, subSide) = if (topDepth(a) >= 1) (a, b) else (b, a)
           // both compiled in the sub scope: _parent refs climb to the
-          // enclosing builder's frame automatically
-          pairs += ((qb.one(qb.compile(parentSide, args)),
-            qb.one(qb.compile(subSide, args))))
+          // right enclosing builder's frame automatically
+          val pc = qb.one(qb.compile(parentSide, args))
+          val sc = qb.one(qb.compile(subSide, args))
+          val pd = topDepth(parentSide)
+          if (pd == 1) pairs += ((pc, sc))
+          else { // grand(+)-parent: carry the sub key, register upward
+            val kn = s"${flag}_c${carried.size}"
+            carried += kn -> sc
+            pendingCarries += ((pc, kn, pd - 1))
+          }
         case _ => throw new UnsupportedOperationException(
           s"Only equi-correlation '(= col _parent.col)' is supported in exists/in, got: $c")
       }
     }
-    val flag = s"__exists_${root.existsCounter.getAndIncrement()}"
-    existsSpecs += ExistsSpec(qb, pairs.toSeq, residual.reduceOption(_ && _), flag)
+    // Consume carries nested subs registered on the sub's own scope:
+    // level 1 joins here; deeper levels keep riding up.
+    qb.pendingCarries.foreach { case (pc, kn, lvl) =>
+      if (lvl == 1) pairs += ((pc, col(kn)))
+      else { carried += kn -> col(kn); pendingCarries += ((pc, kn, lvl - 1)) }
+    }
+    qb.pendingCarries.clear()
+    if (negate && carried.nonEmpty) throw new UnsupportedOperationException(
+      "NOT EXISTS / notin cannot carry multi-level _parent correlation " +
+      "through an intermediate scope")
+    existsSpecs += ExistsSpec(qb, pairs.toSeq, residual.reduceOption(_ && _),
+      flag, carried.toSeq)
     val c = col(flag).isNotNull
     CCol(if (negate) !c else c)
   }
@@ -539,18 +610,22 @@ final class QueryBuilder(
     for (spec <- existsSpecs) {
       val sf = spec.sub.subFrame()
       val filtered = spec.residual.map(sf.filter).getOrElse(sf)
-      if (spec.pairs.isEmpty) {
+      if (spec.pairs.isEmpty && spec.carried.isEmpty) {
         // uncorrelated EXISTS: one-row flag frame, trivially broadcast
         val flagDf = filtered.limit(1).select(lit(true).as(spec.flag))
         df = df.join(flagDf, lit(true), "left")
       } else {
         val keyNames = spec.pairs.indices.map(i => s"${spec.flag}_k$i")
-        val flagDf = filtered
-          .select(spec.pairs.zip(keyNames).map { case ((_, s), n) => s.as(n) }: _*)
-          .distinct()
+        val sel = spec.pairs.zip(keyNames).map { case ((_, s), n) => s.as(n) } ++
+          spec.carried.map { case (n, c) => c.as(n) }
+        val flagDf = filtered.select(sel: _*).distinct()
           .withColumn(spec.flag, lit(true))
-        val cond = spec.pairs.zip(keyNames)
-          .map { case ((p, _), n) => p === col(n) }.reduce(_ && _)
+        val cond =
+          if (spec.pairs.isEmpty) lit(true)
+          else spec.pairs.zip(keyNames)
+            .map { case ((p, _), n) => p === col(n) }.reduce(_ && _)
+        // carried keys stay in the frame: the enclosing scope's flag
+        // frame selects them (multi-level hoisting); pair keys are done
         df = df.join(flagDf, cond, "left").drop(keyNames: _*)
       }
     }

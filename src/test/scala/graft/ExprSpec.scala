@@ -69,6 +69,65 @@ class ExprSpec extends SparkSpec {
         order = Seq(view.Order("id"))))
   }
 
+  test("multi-level _parent: nested in-subqueries two scopes deep") {
+    // tests/expression_static_test.py:112-127 (test_multi_parent):
+    // countries having a team with a member whose name equals the
+    // COUNTRY's name — the inner sub correlates with its grandparent.
+    val env = freshEnv()
+    env.view("member",
+      Seq("name", "team.country.name", "team.name", "registration_code"))
+      .write(Seq(Seq("France", "France", "Blue", "004")))
+    check(Seq(Seq("France")),
+      env.view("country", Seq("name")).read(Seq(
+        """(in id (from team (select country) (where
+          |  (in id (from member (select team) (where
+          |    (and (= team _parent.id)
+          |         (= name _parent._parent.name))))))))""".stripMargin)))
+    // no member named after any country -> empty
+    val env2 = freshEnv()
+    check(Nil,
+      env2.view("country", Seq("name")).read(Seq(
+        """(in id (from team (select country) (where
+          |  (in id (from member (select team) (where
+          |    (and (= team _parent.id)
+          |         (= name _parent._parent.name))))))))""".stripMargin)))
+  }
+
+  test("multi-level _parent: nested exists two scopes deep") {
+    val env = freshEnv()
+    // countries with a team whose member's registration_code equals
+    // the country's own name-length... keep it simple: member name =
+    // grandparent country name (same data as above, exists form)
+    env.view("member",
+      Seq("name", "team.country.name", "team.name", "registration_code"))
+      .write(Seq(Seq("Belgium", "Belgium", "Red", "005")))
+    check(Seq(Seq("Belgium")),
+      env.view("country", Seq("name")).read(Seq(
+        """(exists (from team (select 1) (where
+          |  (and (= country _parent.id)
+          |       (exists (from member (select 1) (where
+          |         (and (= team _parent.id)
+          |              (= name _parent._parent.name)))))))))""".stripMargin)))
+  }
+
+  test("multi-level _parent under not/or is rejected, one-level is fine") {
+    val env = freshEnv()
+    intercept[UnsupportedOperationException] {
+      env.view("country", Seq("name")).read(Seq(
+        """(exists (from team (select 1) (where
+          |  (and (= country _parent.id)
+          |       (not (exists (from member (select 1) (where
+          |         (= name _parent._parent.name)))))))))""".stripMargin)).collect()
+    }
+    // nested one-level exists inside an exists needs no carry and works
+    check(Seq(Seq("Belgium"), Seq("France")),
+      env.view("country", Seq("name")).read(Seq(
+        """(exists (from team (select 1) (where
+          |  (and (= country _parent.id)
+          |       (exists (from member (select 1) (where
+          |         (= team _parent.id))))))))""".stripMargin)))
+  }
+
   test("in-subquery with filter on sub columns") { // expression_static_test.py:156-167
     val env = freshEnv()
     check(Seq(Seq("Blue")),
