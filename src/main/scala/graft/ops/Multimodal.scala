@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * as opaque `binary` payloads + a typed metadata struct, with
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * The Spark-side plumbing is real — schemas, partition-wise batched
-  * decoding via `mapPartitions` with a pluggable [[Decoder]], codegen
-  * feature expressions — but the codec itself is a STUB: this
-  * container has no image/audio libraries, so the default decoder is
-  * a clearly-marked deterministic fake that derives stable
-  * pseudo-content from the payload bytes. A real deployment swaps in
-  * a JNI/javax.imageio decoder without touching the pipeline shape.
+  * The Spark-side plumbing — schemas, partition-wise batched decoding
+  * via `mapPartitions` with a pluggable [[Decoder]], codegen feature
+  * expressions — is real, and so is the default image codec:
+  * [[ImageIoDecoder]] decodes PNG/JPEG/GIF/BMP through the JDK's
+  * `javax.imageio` (no external deps). Audio/video payloads (no codec
+  * in the JVM) fall back to [[FakeDecoder]], a clearly-marked
+  * deterministic stub; a real deployment swaps a JNI decoder in
+  * without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -52,8 +53,8 @@ object Multimodal {
   }
 
   /** STUB codec — deterministic fake. Derives stable pseudo-stats
-    * from the payload so pipelines are testable end-to-end without
-    * image libraries. Replace with a real codec in production. */
+    * from the payload so pipelines are testable end-to-end for mime
+    * types with no real codec in the JVM (audio/video). */
   object FakeDecoder extends Decoder {
     def decode(bytes: Array[Byte]): Row = {
       val h = scala.util.hashing.MurmurHash3.bytesHash(
@@ -66,11 +67,59 @@ object Multimodal {
     }
   }
 
+  /** Real image codec on `javax.imageio` (JDK — PNG/JPEG/GIF/BMP, no
+    * external deps). Sniffs the container from magic bytes; payloads
+    * that aren't a known image format (or fail to parse) fall back to
+    * [[FakeDecoder]], so mixed-modality columns decode in one pass.
+    * mean_luma is the Rec.601 luma average in [0,1]; sharpness the
+    * mean absolute horizontal+vertical luma gradient (cheap Laplacian
+    * stand-in), both over a stride-sampled grid so cost stays bounded
+    * on large frames. */
+  object ImageIoDecoder extends Decoder {
+    private def looksLikeImage(b: Array[Byte]): Boolean =
+      b != null && b.length >= 4 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M'))
+
+    def decode(bytes: Array[Byte]): Row = {
+      if (!looksLikeImage(bytes)) return FakeDecoder.decode(bytes)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return FakeDecoder.decode(bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val channels = img.getColorModel.getNumComponents
+      val stride = math.max(1, math.max(w, h) / 256)
+      def luma(x: Int, y: Int): Double = {
+        val rgb = img.getRGB(x, y)
+        (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)) / 255.0
+      }
+      var sumL = 0.0; var nL = 0L
+      var sumG = 0.0; var nG = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val l = luma(x, y)
+          sumL += l; nL += 1
+          if (x + stride < w) { sumG += math.abs(luma(x + stride, y) - l); nG += 1 }
+          if (y + stride < h) { sumG += math.abs(luma(x, y + stride) - l); nG += 1 }
+          x += stride
+        }
+        y += stride
+      }
+      Row(w, h, channels, sumL / math.max(1L, nL), sumG / math.max(1L, nG))
+    }
+  }
+
   /** Partition-wise decode: the real plumbing (one decoder instance
     * per partition, rows streamed through it — the Scala analogue of
     * a pandas-batched UDF). Appends a `decoded` struct column. */
   def decode(df: DataFrame, mediaCol: String,
-      decoder: Decoder = FakeDecoder): DataFrame = {
+      decoder: Decoder = ImageIoDecoder): DataFrame = {
     val schema = df.schema.add("decoded", decodedType)
     val enc = RowEncoder.encoderFor(schema)
     val idx = df.schema.fieldIndex(mediaCol)

@@ -233,6 +233,40 @@ class OpsSpec extends SparkSpec {
     assert(rows(df.orderBy("doc_id")).map(_(1)) == Seq("en", "de", "fr", "zh"))
   }
 
+  test("imageio decoder: real PNG dimensions and luma, fake fallback") {
+    // generate a 24x16 PNG in-memory: left half black, right half white
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24)
+      img.setRGB(x, y, if (x < 12) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val df = s.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, png),
+      org.apache.spark.sql.Row(2L, "not an image".getBytes("UTF-8"))).asJava, schema)
+    val media = df.select(col("doc_id"),
+      Multimodal.asMedia(col("payload"), "image/png", lit("mem://t")).as("media"))
+    val got = rows(Multimodal.decode(media, "media")
+      .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
+        col("decoded.channels"), col("decoded.mean_luma"), col("decoded.sharpness"))
+      .orderBy("doc_id"))
+    // row 1: true decode — exact dims, half-white luma ~0.5, one sharp edge
+    assert(got(0)(1) == 24 && got(0)(2) == 16 && got(0)(3) == 3, got(0))
+    val luma = got(0)(4).asInstanceOf[Double]
+    assert(math.abs(luma - 0.5) < 0.05, s"mean_luma $luma not ~0.5")
+    assert(got(0)(5).asInstanceOf[Double] > 0, "edge image has zero sharpness")
+    // row 2: magic-byte sniff fails -> deterministic fake fallback
+    assert(got(1) == rows(media.filter(col("doc_id") === 2)
+      .select(col("doc_id"))).head ++
+      Multimodal.FakeDecoder.decode("not an image".getBytes("UTF-8")).toSeq, got(1))
+  }
+
   test("multimodal: decode plumbing + features + frame sampling") {
     val docs = docsDf(Seq((1L, "payload one"), (2L, "payload two")))
     val media = docs.select(col("doc_id"),
