@@ -257,4 +257,45 @@ class WriteSpec extends SparkSpec {
     assert(cnt.filtered == 0 && cnt.deleted == 0)
     assert(rows(v.read()).size == 4)
   }
+
+  test("schema migration: added column null-fills reads, realigns writes") {
+    // reference add_columns semantics (tanker/context.py:609-632):
+    // reopening a populated warehouse with a schema that has an extra
+    // column must not lose data; old snapshots read the new column as
+    // NULL, the next write realigns the stored layout.
+    val v1 =
+      """- table: gadget
+        |  columns:
+        |    name: varchar
+        |    qty: integer
+        |  key: [name]
+        |""".stripMargin
+    val v2 =
+      """- table: gadget
+        |  columns:
+        |    name: varchar
+        |    qty: integer
+        |    note: varchar
+        |  key: [name]
+        |""".stripMargin
+    val root = java.nio.file.Files.createTempDirectory("graft-mig-").toString
+    val e1 = Env(spark, graft.schema.Registry.fromYaml(v1), root)
+    e1.createTables()
+    e1.view("gadget", Seq("name", "qty")).write(Seq(Seq("a", 1), Seq("b", 2)))
+
+    val e2 = Env(spark, graft.schema.Registry.fromYaml(v2), root)
+    e2.createTables() // idempotent: must NOT wipe the populated table
+    check(Seq(Seq("a", 1, null), Seq("b", 2, null)),
+      e2.view("gadget", Seq("name", "qty", "note")).read())
+
+    // a write through the new schema: note lands, unmapped qty survives
+    e2.view("gadget", Seq("name", "note")).write(Seq(Seq("a", "hello")))
+    check(Seq(Seq("a", 1, "hello"), Seq("b", 2, null)),
+      e2.view("gadget", Seq("name", "qty", "note")).read())
+
+    // the persisted _SCHEMA.yaml now carries the migrated shape
+    val auto = Env.introspect(spark, root)
+    check(Seq(Seq("a", 1, "hello"), Seq("b", 2, null)),
+      auto.view("gadget", Seq("name", "qty", "note")).read())
+  }
 }
