@@ -102,4 +102,28 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .format("parquet")
       .option("path", outDir)
+
+  /** Incremental MERGE into a managed warehouse table: every
+    * micro-batch runs the full View write path (key dedupe, FK
+    * resolution, update/insert merge, atomic snapshot swap) via
+    * `foreachBatch`.
+    *
+    * Restart/exactly-once: the checkpoint tracks source offsets, and
+    * the merge is idempotent on the table key — a micro-batch replayed
+    * after a crash (offsets committed, sink action re-run) upserts the
+    * same keys to the same values, so the TABLE STATE is exactly-once
+    * even though the side effect may run twice. On a bucketed table
+    * each micro-batch rewrites only the buckets its keys hash into
+    * (the 100-TB path: ingest cost scales with batch footprint, not
+    * table size). */
+  def mergeInto(df: DataFrame, env: graft.Env, table: String,
+      fields: Seq[String], checkpointDir: String) = {
+    val sink = (batch: DataFrame, _: Long) => {
+      env.view(table, fields).write(batch): Unit
+    }
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink)
+  }
 }

@@ -58,6 +58,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming merge into a managed bucketed table survives restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val yaml =
+      """- table: stream_sink
+        |  columns:
+        |    event_id: bigint
+        |    event_type: varchar
+        |    value: float
+        |  key: [event_id]
+        |  buckets: 8
+        |""".stripMargin
+    val root = java.nio.file.Files.createTempDirectory("graft-ssink-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val env = Env(s, graft.schema.Registry.fromYaml(yaml), root)
+    env.createTables()
+    val fields = Seq("event_id", "event_type", "value")
+
+    val mem = MemoryStream[Event]
+    val q1 = EventStream.mergeInto(mem.toDF(), env, "stream_sink", fields, ckpt).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(1), 10, "click", 2.0),
+        Event(2, ts(1), 10, "click", 2.5)) // dup key inside one batch
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val after1 = rows(env.view("stream_sink", fields).read())
+    assert(after1.size == 2, after1.toString) // dedup-on-key merged
+
+    // restart from the same checkpoint; replay overlapping keys plus a
+    // new one — upsert idempotence keeps exactly one row per key
+    val q2 = EventStream.mergeInto(mem.toDF(), env, "stream_sink", fields, ckpt).start()
+    try {
+      mem.addData(
+        Event(2, ts(2), 10, "click", 9.0), // overwrites
+        Event(3, ts(3), 11, "buy", 5.0))   // inserts
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = rows(env.view("stream_sink", fields).read())
+      .map(r => r.head -> (r(1), r(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), got.toString)
+    assert(got(2L)._2 == 9.0f, got.toString)
+    // ids stayed stable for surviving keys across micro-batches
+    val ids = rows(env.view("stream_sink", Seq("id", "event_id")).read())
+      .map(r => r(1) -> r.head).toMap
+    assert(ids.values.toSet.size == 3, ids.toString)
+  }
+
   test("gap-based sessionization with flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
