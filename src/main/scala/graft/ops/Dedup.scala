@@ -92,6 +92,10 @@ object Dedup {
     * bounded at maxBucket (no unbounded in-memory bucket arrays). */
   private[ops] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
       maxBucket: Int): DataFrame = {
+    // `banded` is referenced three times below (stats + two joins) but
+    // needs no persist: the references share one shuffle exchange and
+    // AQE's ReusedExchange computes it once (verified — caching it was
+    // measurably slower by breaking exchange reuse).
     val keys = bucketCols.map(col)
     val stats = banded.groupBy(keys: _*)
       .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
@@ -144,11 +148,20 @@ object Dedup {
     }
     val banded = sig.select(col("__id"), explode(array(bandStructs: _*)).as("__b"))
       .select(col("__id"), col("__b.band").as("__band"), col("__b.sig").as("__bsig"))
+    // persisted: referenced by the verify join AND by the candidate-id
+    // semi-join below — without the cache each reference re-executes
+    // the whole mining subplan (Spark plans share no common subtrees)
     val pairs = bucketPairs(banded, Seq("__band", "__bsig"), maxBucket)
-    // verify with true jaccard over per-doc precomputed hash sets
-    // (computed once per doc, not once per candidate pair)
-    val docsH = df.select(col(idCol).as("__vid"),
-      shingleHashes(col(textCol), shingleSize).as("__hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify with true jaccard over per-doc precomputed hash sets,
+    // hashed only for docs that appear in a candidate pair (semi-join
+    // first): verify cost scales with the candidate set, not the
+    // corpus — at 100 TB candidates are a vanishing fraction
+    val candIds = pairs.select(col("idA").as(idCol))
+      .unionByName(pairs.select(col("idB").as(idCol))).distinct()
+    val docsH = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__vid"),
+        shingleHashes(col(textCol), shingleSize).as("__hs"))
     pairs
       .join(docsH.withColumnRenamed("__vid", "idA")
         .withColumnRenamed("__hs", "__ha"), Seq("idA"))
@@ -200,10 +213,15 @@ object Dedup {
       count(lit(1)).as("__n"),
       (0 until 64).map(b =>
         sum(shiftright(col("__h"), b).bitwiseAND(1L)).as(s"__b$b")): _*)
+    // persisted: the banded self-join below references this frame on
+    // both sides, and its lineage is the full explode + 64-aggregate
+    // pipeline; the cache is 16 bytes/doc (freed by the context
+    // cleaner once unreachable)
     val sh = perBit.select(col("__id"),
       (0 until 64).map(b =>
           when(col(s"__b$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -276,7 +276,10 @@ object Similarity {
       bandBits: Int = 16, maxBucket: Int = 1000, seed: Long = 42L): DataFrame = {
     val banded = signatures(df, vecCol, idCol, dims, numPlanes, bandBits, seed)
       .select(col("__id"), explode(col("__bands")).as("__band"))
+    // persisted: joined twice below (idA and idB vector lookups); the
+    // candidate frame is tiny and its lineage is the banding subplan
     val pairs = Dedup.bucketPairs(banded, Seq("__band"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = df.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__v"))
     pairs
