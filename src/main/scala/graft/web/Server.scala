@@ -1,0 +1,86 @@
+package graft.web
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.Env
+import graft.view.{Json, Order}
+
+/** Minimal embedded web layer over an [[Env]] — the engine-in-a-web-app
+  * integration the reference ships as a bottle plugin
+  * (contrib/bottle.py:1-28). The plugin's job there is scoping a
+  * connection per request; a SparkSession is thread-safe, so here the
+  * shared Env serves each request directly and the surface is a small
+  * read API over the View layer (JDK `com.sun.net.httpserver`, no
+  * external dependencies):
+  *
+  * {{{
+  *   GET /<table>?fields=a,b&filter=<s-expr>&limit=n&order=col&<k>=v
+  *   → {"columns": ["a","b"], "rows": [[...], ...]}
+  * }}}
+  *
+  * `filter` may repeat (AND semantics, like View.read); every other
+  * query parameter binds `{name}` parameters inside filters. Driver
+  * collects the page — the endpoint is for serving query RESULTS, so
+  * always pass a limit for big tables (default 1000).
+  */
+final class Server(env: Env, port: Int = 0) {
+
+  private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  http.createContext("/", (ex: HttpExchange) => handle(ex))
+  http.setExecutor(null) // serial; Spark parallelism lives below
+
+  def start(): Int = { http.start(); http.getAddress.getPort }
+  def stop(): Unit = http.stop(0)
+
+  private def params(raw: String): Seq[(String, String)] =
+    if (raw == null || raw.isEmpty) Nil
+    else raw.split("&").toSeq.map { kv =>
+      val i = kv.indexOf('=')
+      val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+      (URLDecoder.decode(k, "UTF-8"), URLDecoder.decode(v, "UTF-8"))
+    }
+
+  private val reserved = Set("fields", "filter", "limit", "offset", "order")
+
+  private def handle(ex: HttpExchange): Unit = {
+    val (code, body) =
+      try {
+        val table = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+        if (ex.getRequestMethod != "GET")
+          (405, Json.write(Map("error" -> "GET only")))
+        else if (table.isEmpty || !env.registry.names.contains(table))
+          (404, Json.write(Map("error" -> s"unknown table '$table'")))
+        else (200, read(table, params(ex.getRequestURI.getRawQuery)))
+      } catch {
+        case e: Exception =>
+          (400, Json.write(Map("error" -> String.valueOf(e.getMessage))))
+      }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  private def read(table: String, ps: Seq[(String, String)]): String = {
+    val get = ps.toMap
+    val fields = get.get("fields").map(_.split(",").toSeq.map(_.trim))
+    val filters = ps.filter(_._1 == "filter").map(_._2)
+    val kwargs: Map[String, Any] = get.filterNot { case (k, _) => reserved(k) }
+    val v = env.view(table, fields.orNull)
+    val df = v.read(
+      filters = filters.map(graft.view.FilterExpr.apply),
+      kwargs = kwargs,
+      order = get.get("order").map(Order(_)).toSeq,
+      limit = Some(get.get("limit").map(_.toLong).getOrElse(1000L)),
+      offset = get.get("offset").map(_.toLong))
+    val cols = df.columns.toSeq
+    val rows = df.collect().toSeq.map(_.toSeq.map {
+      case null => null
+      case n: Number => n
+      case b: Boolean => b
+      case other => String.valueOf(other)
+    })
+    Json.write(Map("columns" -> cols, "rows" -> rows))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+/** Web layer tests (reference contrib/bottle.py equivalent): read API
+  * over HTTP with filters, params, paging; JSON out; error paths. */
+class WebSpec extends SparkSpec {
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val url = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    (code, body)
+  }
+
+  private def parse(s: String): Map[String, Any] =
+    new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](s).asScala.toMap
+
+  test("read endpoint: fields, filter with bound params, order, limit") {
+    val env = freshEnv()
+    val srv = new graft.web.Server(env)
+    val port = srv.start()
+    try {
+      val (code, body) = get(port,
+        "/team?fields=name,country.name&filter=" +
+          java.net.URLEncoder.encode("(= country.name {c})", "UTF-8") +
+          "&c=Belgium&order=name")
+      assert(code == 200, body)
+      val m = parse(body)
+      assert(m("columns").asInstanceOf[java.util.List[_]].asScala ==
+        Seq("name", "country.name"))
+      val rows = m("rows").asInstanceOf[java.util.List[java.util.List[_]]]
+        .asScala.map(_.asScala.toSeq)
+      assert(rows == Seq(Seq("Blue", "Belgium"), Seq("Red", "Belgium")), rows)
+
+      // paging
+      val (_, page) = get(port, "/member?fields=name&order=name&limit=1&offset=1")
+      assert(parse(page)("rows").asInstanceOf[java.util.List[_]].size == 1)
+    } finally srv.stop()
+  }
+
+  test("error paths: unknown table 404, bad expression 400") {
+    val env = freshEnv()
+    val srv = new graft.web.Server(env)
+    val port = srv.start()
+    try {
+      assert(get(port, "/nope")._1 == 404)
+      val (code, body) = get(port, "/team?filter=" +
+        java.net.URLEncoder.encode("(bogus x)", "UTF-8"))
+      assert(code == 400 && body.contains("bogus"), s"$code $body")
+    } finally srv.stop()
+  }
+}
