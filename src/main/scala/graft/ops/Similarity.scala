@@ -205,6 +205,12 @@ object Similarity {
       explode(col("__bands")).as("__band"))
     banded.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
       .withColumn("__bp", pmod(col("__band"), lit(buckets.toLong)))
+      // cluster rows by partition value before the partitioned write:
+      // otherwise every map task opens a writer per directory it
+      // touches (up to tasks × buckets tiny files — an object-store
+      // killer at scale); clustered, each directory gets one file per
+      // owning task
+      .repartition(col("__bp"))
       .write.mode("overwrite").partitionBy("__bp").parquet(path)
     writeMeta(df.sparkSession, path,
       Map("dims" -> dims, "numPlanes" -> numPlanes, "bandBits" -> bandBits,
