@@ -338,6 +338,15 @@ object SparkEntry {
       e.view("nation_total", Seq("id", "name", "total")).read()
     }),
 
+    // R15 non-equi: EXISTS correlated on an inequality — decorrelated
+    // as a per-equi-group min/max reduction, no correlated subquery
+    "q33_nonequi_exists" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey", "c_name"))
+        .read(Seq(
+          """(exists (from orders (select 1) (where
+            |  (and (= o_custkey _parent.c_custkey)
+            |       (> o_totalprice _parent.c_acctbal)))))""".stripMargin))),
+
     // LLM-pipeline: exact dedup (hash-groupBy, keep smallest id)
     "dedup_exact" -> ((s, dir) => {
       val docs = env(s, dir).view("documents",
@@ -521,6 +530,10 @@ object SparkEntry {
         |    SELECT 1 FROM lineitem
         |    WHERE l_orderkey = o_orderkey
         |      AND l_linenumber = c_nationkey))""".stripMargin,
+    "q33_nonequi_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal)""".stripMargin,
     "q13_dates" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,

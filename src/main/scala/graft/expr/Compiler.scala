@@ -135,7 +135,12 @@ final case class CSub(qb: QueryBuilder, selectAsts: Seq[Ast],
   * scope instead of an unsupported shape. */
 final case class ExistsSpec(sub: QueryBuilder, pairs: Seq[(Column, Column)],
     residual: Option[Column], flag: String,
-    carried: Seq[(String, Column)] = Nil)
+    carried: Seq[(String, Column)] = Nil,
+    /** One non-equi correlation conjunct, decorrelated as a min/max
+      * reduction per equi-group: `∃s: p > s.col ⟺ p > min(col)` (and
+      * dually for < / >= / <= / !=). The sub column whose extremes the
+      * flag frame aggregates as `<flag>_mn` / `<flag>_mx`. */
+    reduceCol: Option[Column] = None)
 
 /** Compiles s-expression ASTs to Spark [[Column]]s over a "wide frame":
   * the base table left-joined with every table reached by a dotted
@@ -540,6 +545,7 @@ final class QueryBuilder(
     val pairs = mutable.Buffer[(Column, Column)]()
     val carried = mutable.Buffer[(String, Column)]()
     val residual = mutable.Buffer[Column]()
+    var nonEqui: Option[(String, Column, Column)] = None // (op, parent, sub)
     extraPair.foreach(pairs += _)
     conjuncts(sub.whereAsts).foreach { c =>
       val d = topDepth(c)
@@ -568,8 +574,23 @@ final class QueryBuilder(
             carried += kn -> sc
             pendingCarries += ((pc, kn, pd - 1))
           }
+        case Ast.Node(Seq(Word(op), a, b))
+            if Set(">", "<", ">=", "<=", "!=")(op) &&
+            (topDepth(a) >= 1) != (topDepth(b) >= 1) &&
+            topDepth(if (topDepth(a) >= 1) a else b) == 1 =>
+          // non-equi correlation: ∃s satisfying `p OP s.col` depends
+          // only on the extreme of s.col within the equi-group, so it
+          // decorrelates as a min/max reduction (one such conjunct —
+          // two would need joint satisfaction by a single sub row)
+          if (nonEqui.isDefined) throw new UnsupportedOperationException(
+            s"At most one non-equi correlation conjunct is supported, got a second: $c")
+          val (parentSide, subSide) = if (topDepth(a) >= 1) (a, b) else (b, a)
+          val normOp = if (topDepth(a) >= 1) op else flip(op)
+          nonEqui = Some((normOp,
+            qb.one(qb.compile(parentSide, args)),
+            qb.one(qb.compile(subSide, args))))
         case _ => throw new UnsupportedOperationException(
-          s"Only equi-correlation '(= col _parent.col)' is supported in exists/in, got: $c")
+          s"Only equi or single-comparison correlation against _parent is supported in exists/in, got: $c")
       }
     }
     // Consume carries nested subs registered on the sub's own scope:
@@ -582,9 +603,26 @@ final class QueryBuilder(
     if (negate && carried.nonEmpty) throw new UnsupportedOperationException(
       "NOT EXISTS / notin cannot carry multi-level _parent correlation " +
       "through an intermediate scope")
+    if (nonEqui.isDefined && carried.nonEmpty)
+      throw new UnsupportedOperationException(
+        "Non-equi correlation cannot combine with multi-level carries")
     existsSpecs += ExistsSpec(qb, pairs.toSeq, residual.reduceOption(_ && _),
-      flag, carried.toSeq)
-    val c = col(flag).isNotNull
+      flag, carried.toSeq, nonEqui.map(_._3))
+    val c = nonEqui match {
+      case None => col(flag).isNotNull
+      case Some((op, pc, _)) =>
+        val (mn, mx) = (col(s"${flag}_mn"), col(s"${flag}_mx"))
+        val cmp = op match {
+          case ">" => pc > mn
+          case ">=" => pc >= mn
+          case "<" => pc < mx
+          case "<=" => pc <= mx
+          case "!=" => (mn =!= pc) || (mx =!= pc)
+        }
+        // two-valued: an outer row with no equi-group (null extremes)
+        // must read EXISTS=false, and NOT EXISTS of it true
+        coalesce(cmp, lit(false))
+    }
     CCol(if (negate) !c else c)
   }
 
@@ -610,7 +648,23 @@ final class QueryBuilder(
     for (spec <- existsSpecs) {
       val sf = spec.sub.subFrame()
       val filtered = spec.residual.map(sf.filter).getOrElse(sf)
-      if (spec.pairs.isEmpty && spec.carried.isEmpty) {
+      if (spec.reduceCol.isDefined) {
+        // non-equi reduction: per-equi-group min/max of the compared
+        // sub column; the compile-time predicate reads <flag>_mn/_mx
+        val keyNames = spec.pairs.indices.map(i => s"${spec.flag}_k$i")
+        val aggs = Seq(min(spec.reduceCol.get).as(s"${spec.flag}_mn"),
+          max(spec.reduceCol.get).as(s"${spec.flag}_mx"))
+        val flagDf =
+          if (spec.pairs.isEmpty) filtered.agg(aggs.head, aggs(1))
+          else filtered.groupBy(spec.pairs.zip(keyNames)
+              .map { case ((_, s), n) => s.as(n) }: _*)
+            .agg(aggs.head, aggs(1))
+        val cond =
+          if (spec.pairs.isEmpty) lit(true)
+          else spec.pairs.zip(keyNames)
+            .map { case ((p, _), n) => p === col(n) }.reduce(_ && _)
+        df = df.join(flagDf, cond, "left").drop(keyNames: _*)
+      } else if (spec.pairs.isEmpty && spec.carried.isEmpty) {
         // uncorrelated EXISTS: one-row flag frame, trivially broadcast
         val flagDf = filtered.limit(1).select(lit(true).as(spec.flag))
         df = df.join(flagDf, lit(true), "left")

@@ -128,6 +128,33 @@ class ExprSpec extends SparkSpec {
           |         (= team _parent.id))))))))""".stripMargin)))
   }
 
+  test("non-equi exists correlation via min/max reduction") {
+    val env = freshEnv()
+    // teams having a member with id greater than the team's own id
+    // (every team: member ids 1-3 vs team ids 1-3 — Blue/Belgium id 1
+    // has members Bob id 1... compute expected from data)
+    val teams = rows(env.view("team", Seq("id", "name")).read())
+      .map(r => r.head.asInstanceOf[Long] -> r(1)).toMap
+    val memberTeams = rows(env.view("member", Seq("id", "team")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    val expect = teams.collect {
+      case (tid, name) if memberTeams.exists { case (mid, mt) => mt == tid && mid > tid } =>
+        Seq(name)
+    }.toSeq
+    check(expect, env.view("team", Seq("name")).read(Seq(
+      "(exists (from member (select 1) (where (and (= team _parent.id) (> id _parent.id)))))")))
+    // NOT EXISTS over an empty equi-group must be TRUE (coalesce path):
+    // Holland has no teams at all
+    val got = rows(env.view("country", Seq("name")).read(Seq(
+      "(not (exists (from team (select 1) (where (and (= country _parent.id) (> id _parent.id))))))")))
+    assert(got.map(_.head).contains("Holland"), got.toString)
+    // two non-equi conjuncts: unsupported, must raise
+    intercept[UnsupportedOperationException] {
+      env.view("team", Seq("name")).read(Seq(
+        "(exists (from member (select 1) (where (and (> id _parent.id) (< id _parent.country)))))")).collect()
+    }
+  }
+
   test("in-subquery with filter on sub columns") { // expression_static_test.py:156-167
     val env = freshEnv()
     check(Seq(Seq("Blue")),
