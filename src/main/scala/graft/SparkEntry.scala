@@ -368,6 +368,41 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // LLM-pipeline: end-to-end near-dedup — drop the larger id of
+    // every verified near-duplicate pair, keep the rest
+    "dedup_minhash_apply" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.2)
+        .select(col("doc_id"))
+    }),
+
+    // LLM-pipeline: video frame sampling — the explode shape over a
+    // synthetic per-doc duration (100ms per 100 chars, min 1 frame)
+    "multimodal_frames" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val media = docs.select(col("doc_id"),
+        graft.ops.Multimodal.asMedia(encode(col("text"), "UTF-8"),
+          "video/fake", concat(lit("doc://"), col("doc_id"))).as("m0"))
+        .withColumn("media", struct(
+          col("m0.bytes").as("bytes"), col("m0.mime").as("mime"),
+          col("m0.width").as("width"), col("m0.height").as("height"),
+          (length(col("m0.bytes")).cast("double")).as("duration_ms"),
+          col("m0.source_uri").as("source_uri")))
+      graft.ops.Multimodal.frameSample(media, "media", everyMs = 250.0)
+        .select(col("doc_id"), col("frame_ts_ms"))
+    }),
+
+    // LLM-pipeline: per-doc text statistics (punctuation density,
+    // mean token length, subword estimate is lookbehind-regex so not
+    // SQL-expressible — kept out of the oracle-gated columns)
+    "text_stats" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      docs.select(col("doc_id"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(coalesce(Text.avgTokenLength(col("text")), lit(0.0)), 6)
+          .as("avg_tok_len"))
+    }),
+
     // LLM-pipeline: SimHash near-dup pairs — rows-only check
     "dedup_simhash_pairs" -> ((s, dir) => {
       val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
@@ -678,6 +713,34 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT * FROM p WHERE jaccard >= 0.2""".stripMargin,
+    "dedup_minhash_apply" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT idB FROM p WHERE jaccard >= 0.2)""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id,
+        |  unnest(list_transform(range(0, n), i -> i * 250.0)) AS frame_ts_ms
+        |FROM (SELECT doc_id,
+        |        greatest(1, CAST(ceil(octet_length(encode(text)) / 250.0) AS BIGINT)) AS n
+        |      FROM documents)""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  round(CASE WHEN len(text) = 0 THEN 0.0
+        |    ELSE CAST(len(text) - len(regexp_replace(text, '[\p{P}\p{S}]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio,
+        |  round(CASE WHEN ntok = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / ntok END, 6) AS avg_tok_len
+        |FROM (SELECT doc_id, text,
+        |        CASE WHEN trim(text) = '' THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |      FROM documents)""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0

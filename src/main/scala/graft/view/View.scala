@@ -247,9 +247,16 @@ final class View(val env: Env, tableName: String, fieldSpecs: Seq[(String, Strin
   private def wrap(d: String): String = d
 
   private def page(df: DataFrame, limit: Option[Long], offset: Option[Long]): DataFrame = {
+    // Spark's limit/offset take Int; reject rather than silently
+    // truncate a >2^31 page (a driver-side collect that large is a
+    // design error anyway)
+    def asInt(v: Long, what: String): Int = {
+      require(v >= 0 && v <= Int.MaxValue, s"$what $v out of range")
+      v.toInt
+    }
     var out = df
-    offset.foreach(o => out = out.offset(o.toInt))
-    limit.foreach(l => out = out.limit(l.toInt))
+    offset.foreach(o => out = out.offset(asInt(o, "offset")))
+    limit.foreach(l => out = out.limit(asInt(l, "limit")))
     out
   }
 
