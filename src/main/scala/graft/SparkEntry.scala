@@ -483,6 +483,24 @@ object SparkEntry {
         "embedding", "vec_id", q, 10, dims = q.size).select(col("vec_id"))
     }),
 
+    // LLM-pipeline: IVF ANN — the k-means coarse-quantizer scale path
+    // (complement to sign-LSH): build once, probe nprobe centroid
+    // partitions. Planted copies of the query share its nearest
+    // centroid, so the brute-force oracle's top-k must be recalled.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      val planted = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        typedLit(q.map(_ * 1.001f)).as("embedding"))
+      val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+      val idxDir = scratchDir("ivfidx-" + Integer.toHexString(dir.hashCode))
+      Similarity.buildIvfIndex(pool, "embedding", "vec_id", idxDir, dims = q.size)
+      Similarity.ivfTopK(s, idxDir, "embedding", "vec_id", q, 10)
+        .select(col("vec_id"))
+    }),
+
     // LLM-pipeline: persisted-index ANN — the 100-TB repeated-query
     // path: buildIndex writes a band-partitioned signature+vector
     // table once, the probe reads only probed partition dirs (no
@@ -749,6 +767,17 @@ object SparkEntry {
     // Brute-force oracle over the same planted pool: gates the LSH
     // paths on full recall of the planted near-duplicates.
     "ann_lsh_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        |  UNION ALL
+        |  SELECT 1000000 + t.i,
+        |    list_transform(q.qe, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM range(0, 10) t(i), q)
+        |SELECT p.vec_id FROM pool p, q
+        |ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, p.vec_id
+        |LIMIT 10""".stripMargin,
+    "ann_ivf_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pool AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0

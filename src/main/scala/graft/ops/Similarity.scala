@@ -226,18 +226,24 @@ object Similarity {
     try out.write(graft.view.Json.write(m).getBytes("UTF-8")) finally out.close()
   }
 
-  private def readMeta(spark: SparkSession, path: String): Map[String, Long] = {
+  private def readMetaRaw(spark: SparkSession, path: String): Map[String, Any] = {
     val f = new Path(path, "_graft_index_meta.json")
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(f), s"No index metadata at $f — was this directory " +
-      "written by Similarity.buildIndex?")
+      "written by Similarity.buildIndex/buildIvfIndex?")
     val in = fs.open(f)
     val text = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
     import scala.jdk.CollectionConverters._
     new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](text)
-      .asScala.map { case (k, v) => k -> v.toString.toLong }.toMap
+      .asScala.toMap
   }
+
+  private def readMeta(spark: SparkSession, path: String): Map[String, Long] =
+    readMetaRaw(spark, path).collect {
+      case (k, v: Number) => k -> v.longValue()
+      case (k, v: String) if v.forall(c => c.isDigit || c == '-') => k -> v.toLong
+    }
 
   /** ANN top-k against a persisted [[buildIndex]] index: reads ONLY
     * the partition directories the probe set hashes into (driver-side
@@ -267,6 +273,70 @@ object Similarity {
     val cands = idx.filter(col("__band").isin(probes: _*))
       .select(col(idCol), col(vecCol)).dropDuplicates(idCol)
     bruteForceTopK(cands, vecCol, idCol, query, k)
+  }
+
+  // ------------------------------------------------------------- IVF
+
+  /** Build a persisted IVF (inverted-file) ANN index: a k-means coarse
+    * quantizer assigns every vector to its nearest centroid, and the
+    * index is written partitioned by centroid id. The complementary
+    * scale path to the sign-LSH index: LSH wins on hash-cheap inserts
+    * and tunable collision rates; IVF wins on recall per probed byte
+    * for clustered data (probe lists follow the data distribution).
+    *
+    * Centroids are persisted next to the index (driver-readable — they
+    * are `nlist × dims` doubles), so queries rank probe lists without
+    * any Spark job. Training uses Spark ML k-means (distributed,
+    * seed-fixed); assignment is one `ClusteringEvaluator`-free
+    * transform, one clustered partitioned write. */
+  def buildIvfIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
+      dims: Int, nlist: Int = 64, maxIter: Int = 10, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__feat"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__feat").setPredictionCol("__c")
+      .fit(feat)
+    model.transform(feat).drop("__feat")
+      .repartition(col("__c"))
+      .write.mode("overwrite").partitionBy("__c").parquet(path)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    writeMeta(df.sparkSession, path,
+      Map("kind" -> "ivf", "dims" -> dims, "nlist" -> nlist, "seed" -> seed,
+        "centroids" -> centroids))
+  }
+
+  /** ANN top-k against a [[buildIvfIndex]] index: ranks centroids
+    * against the query ON THE DRIVER (centroids ride in the index
+    * meta), reads only the `nprobe` nearest centroid partitions, exact
+    * cosine on those lists. */
+  def ivfTopK(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val meta = readMetaRaw(spark, path)
+    require(meta.get("kind").map(_.toString).contains("ivf"),
+      s"$path is not an IVF index")
+    require(query.size == meta("dims").toString.toInt,
+      s"Query vector has ${query.size} dims; index was built with ${meta("dims")}")
+    import scala.jdk.CollectionConverters._
+    val centroids = meta("centroids").asInstanceOf[java.util.List[java.util.List[Number]]]
+      .asScala.map(_.asScala.map(_.doubleValue()).toArray)
+    val qd = query.map(_.toDouble).toArray
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val x = c(j) - qd(j); d += x * x; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(math.max(1, nprobe)).map(_._1)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = probed.map(c => new Path(root, s"__c=$c"))
+      .filter(fs.exists(_)).map(_.toString)
+    val idx =
+      if (dirs.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(dirs.toSeq: _*)
+    bruteForceTopK(idx.select(col(idCol), col(vecCol)), vecCol, idCol, query, k)
   }
 
   /** All near-duplicate embedding pairs above a cosine threshold:

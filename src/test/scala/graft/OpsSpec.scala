@@ -165,6 +165,35 @@ class OpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("IVF ANN: probes read only nprobe centroid partitions, recall holds") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val planted = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1000001L, q.map(_ * 1.001f))).asJava, emb.schema)
+    val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      Similarity.buildIvfIndex(pool, "embedding", "vec_id", dir, q.size, nlist = 16)
+      val ann = Similarity.ivfTopK(spark, dir, "embedding", "vec_id", q, 10, nprobe = 2)
+      val got = rows(ann).map(_.head)
+      // the planted near-copy shares q's nearest centroid -> recalled
+      assert(got.contains(1000001L), s"planted dup missing from IVF ANN: $got")
+      // structural pruning: probed dirs ⊂ all centroid dirs, ≤ nprobe
+      val allDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__c=")).map(_.getName).toSet
+      assert(allDirs.size > 2, s"index only has ${allDirs.size} partitions")
+      val probedDirs = ann.inputFiles.map(f =>
+        new java.io.File(f).getParentFile.getName).toSet
+      assert(probedDirs.subsetOf(allDirs) && probedDirs.size <= 2,
+        s"IVF query read ${probedDirs.size} partitions: $probedDirs")
+      // dimension mismatch is an error, not silent zero recall
+      intercept[IllegalArgumentException] {
+        Similarity.ivfTopK(spark, dir, "embedding", "vec_id", Seq(1f, 2f), 5)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("overflow buckets degrade to star pairs, not silence") {
     // >maxBucket identical vectors collide in ALL bands; dropping the
     // bucket would yield zero pairs for exactly the densest-duplicate
