@@ -65,6 +65,24 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.map(p => (p(0), p(1))).contains((1L, 3L)), pairs)
   }
 
+  test("simhash banding is exact for hamming <= 3 on real docs") {
+    // 4 bands x 16 bits pigeonhole: hamming <= 3 forces one identical
+    // band, so simhashPairs(maxHamming=3) must equal the brute-force
+    // pair set computed from per-doc signatures — on the real corpus,
+    // not just planted cases
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "text")).read()
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ida, idb, h.toLong)).toSet
+    val got = rows(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+      .map(r => (r.head, r(1), r(2))).toSet
+    assert(got == brute, s"lsh=${got.size} brute=${brute.size}")
+  }
+
   test("brute-force cosine top-k is exact") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",

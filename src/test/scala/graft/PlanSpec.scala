@@ -53,6 +53,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("nested + non-equi exists plans: no cartesian or nested-loop joins") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val nested = env.view("customer", Seq("c_custkey")).read(Seq(
+      """(exists (from orders (select 1) (where
+        |  (and (= o_custkey _parent.c_custkey)
+        |       (exists (from lineitem (select 1) (where
+        |         (and (= l_orderkey _parent.o_orderkey)
+        |              (= l_linenumber _parent._parent.c_nationkey)))))))))""".stripMargin))
+    val p1 = plan(nested)
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoop"), p1)
+
+    val nonEqui = env.view("customer", Seq("c_custkey")).read(Seq(
+      "(exists (from orders (select 1) (where (and (= o_custkey _parent.c_custkey) (> o_totalprice _parent.c_acctbal)))))"))
+    val p2 = plan(nonEqui)
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoop"), p2)
+    // the reduction side is a per-key aggregate, not the raw sub table
+    assert(p2.contains("HashAggregate"), p2)
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val df = env.viewNamed("lineitem", Seq(
