@@ -12,7 +12,7 @@ import graft.view.{Filter, FilterExpr, Order}
   *
   * {{{
   *   graft.cli.Main <action> [table [fields...]] [options]
-  *     action: info | read | write | delete | init | version
+  *     action: info | read | write | delete | init | serve | version
   *     --config <file>     .tk.yaml-style config: {schema: path, warehouse: path}
   *     -F/--filter <expr>  repeatable s-expression filter
   *     -s/--sort  <col[:DESC]> repeatable sort
@@ -22,6 +22,7 @@ import graft.view.{Filter, FilterExpr, Order}
   *     -t/--ascii-table    ascii table output
   *     --vbar [--tic c]    vertical bar plot of the last (numeric) column
   *     -H/--hide-headers
+  *     --port N            port for `serve` (0 = ephemeral)
   * }}}
   */
 object Main {
@@ -33,7 +34,8 @@ object Main {
       offset: Option[Long] = None, file: Option[String] = None,
       purge: Boolean = false, asciiTable: Boolean = false,
       vbar: Boolean = false, tic: String = "•",
-      hideHeaders: Boolean = false, yaml: Boolean = false)
+      hideHeaders: Boolean = false, yaml: Boolean = false,
+      port: Int = 0)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -53,6 +55,7 @@ object Main {
         case "--tic" => o = o.copy(tic = argv(i + 1)); i += 2
         case "-H" | "--hide-headers" => o = o.copy(hideHeaders = true); i += 1
         case "--yaml" => o = o.copy(yaml = true); i += 1
+        case "--port" => o = o.copy(port = argv(i + 1).toInt); i += 2
         case a if o.action.isEmpty => o = o.copy(action = a); i += 1
         case a => pos = pos :+ a; i += 1
       }
@@ -147,6 +150,12 @@ object Main {
         else (Option(o.fields).filter(_.nonEmpty), null)
       env.view(o.table, fields.orNull)
         .delete(filters = o.filters.map(FilterExpr.apply): Seq[Filter], data = data)
+
+    case "serve" => // blocks; contrib/bottle.py analogue over HTTP
+      val srv = new graft.web.Server(env, o.port)
+      val port = srv.start()
+      out.write(s"serving on http://127.0.0.1:$port\n"); out.flush()
+      try Thread.currentThread().join() finally srv.stop()
 
     case other => out.write(s"""Action "$other" not supported\n""")
   }
