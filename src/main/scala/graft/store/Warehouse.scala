@@ -267,6 +267,35 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     }
   }
 
+  /** Retained snapshot names for a managed table, oldest first. GC
+    * keeps the manifest-referenced snapshots plus the two most recent,
+    * so this is a bounded time-travel window over immutable
+    * directories. */
+  def snapshots(t: String): Seq[String] = {
+    val dir = tableDir(t)
+    val fsys = fs(dir)
+    if (!fsys.exists(dir)) Nil
+    else fsys.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("snap-")).toSeq
+      .sortBy(_.stripPrefix("snap-").toLong)
+  }
+
+  /** Time travel: read one retained snapshot of an unbucketed table.
+    * Snapshot dirs are immutable once written, so this is safe against
+    * concurrent writers; bucketed tables are excluded (a snapshot dir
+    * holds only the buckets rewritten at that version — reconstructing
+    * an old full state needs the manifest history, which is not
+    * retained). */
+  def readSnapshot(t: String, snap: String): DataFrame = {
+    val td = registry(t)
+    require(td.external.isEmpty, s"Table '$t' is external (no snapshots)")
+    require(td.buckets == 0,
+      s"Table '$t' is bucketed; snapshots are per-bucket deltas, not full states")
+    require(snapshots(t).contains(snap), s"No retained snapshot '$snap' for '$t'")
+    spark.read.schema(td.sparkSchema)
+      .parquet(new Path(tableDir(t), snap).toString)
+  }
+
   /** Create empty snapshots for every managed table that doesn't exist
     * yet — idempotent like the reference's create_tables
     * (tanker/context.py:688-710). Seed `values` are written by

@@ -258,6 +258,25 @@ class WriteSpec extends SparkSpec {
     assert(rows(v.read()).size == 4)
   }
 
+  test("snapshot time travel: previous state readable within GC window") {
+    val env = freshEnv(seedTeams = false)
+    val v = env.view("country", Seq("name"))
+    v.write(Seq(Seq("Italy")))
+    v.write(Seq(Seq("Spain")))
+    val snaps = env.warehouse.snapshots("country")
+    assert(snaps.size >= 2, snaps.toString)
+    // the previous snapshot still shows the pre-Spain state
+    val prev = env.warehouse.readSnapshot("country", snaps(snaps.size - 2))
+    assert(rows(prev.select("name")).map(_.head).toSet ==
+      Set("Belgium", "France", "Holland", "Italy"))
+    // current read sees both writes
+    assert(rows(v.read()).map(_.head).toSet ==
+      Set("Belgium", "France", "Holland", "Italy", "Spain"))
+    intercept[IllegalArgumentException] {
+      env.warehouse.readSnapshot("country", "snap-99999")
+    }
+  }
+
   test("schema migration: added column null-fills reads, realigns writes") {
     // reference add_columns semantics (tanker/context.py:609-632):
     // reopening a populated warehouse with a schema that has an extra
