@@ -16,9 +16,11 @@ object SparkEntry {
 
   /** Fixed scratch path (re-used and overwritten across invocations in
     * one JVM, so repeated Verify/Bench runs don't accumulate copies)
-    * deleted on JVM exit. */
+    * deleted on JVM exit. PID-scoped: two concurrent JVMs (a bench and
+    * a test run) must not overwrite each other's live index dirs. */
   private def scratchDir(name: String): String = {
-    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$name")
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-${ProcessHandle.current().pid()}-$name")
     if (scratchRegistered.add(d.getAbsolutePath))
       sys.addShutdownHook {
         try org.apache.commons.io.FileUtils.deleteDirectory(d) catch { case _: Exception => }

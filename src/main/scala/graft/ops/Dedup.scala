@@ -11,6 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** One-slot cache registry: persists `df`, unpersisting whatever the
+    * same slot cached on the PREVIOUS call — Spark's SQL CacheManager
+    * holds cached plans strongly (the context cleaner never reclaims
+    * them), so without this a long-lived session mining pairs over
+    * changing inputs leaks one cache entry per call. An in-flight
+    * query over the evicted cache just recomputes from lineage. */
+  private[ops] def cacheSwap(
+      slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      df: DataFrame): DataFrame = {
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = slot.getAndSet(cached)
+    if ((prev ne null) && (prev ne cached)) prev.unpersist(blocking = false)
+    cached
+  }
+  private val minhashPairsSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val simhashSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Exact dedup on a set of columns: keeps the row with the smallest
     * `idCol` per group. One hash-partition shuffle. */
   def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
@@ -151,8 +171,8 @@ object Dedup {
     // persisted: referenced by the verify join AND by the candidate-id
     // semi-join below — without the cache each reference re-executes
     // the whole mining subplan (Spark plans share no common subtrees)
-    val pairs = bucketPairs(banded, Seq("__band", "__bsig"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cacheSwap(minhashPairsSlot,
+      bucketPairs(banded, Seq("__band", "__bsig"), maxBucket))
     // verify with true jaccard over per-doc precomputed hash sets,
     // hashed only for docs that appear in a candidate pair (semi-join
     // first): verify cost scales with the candidate set, not the
@@ -213,15 +233,13 @@ object Dedup {
       count(lit(1)).as("__n"),
       (0 until 64).map(b =>
         sum(shiftright(col("__h"), b).bitwiseAND(1L)).as(s"__b$b")): _*)
-    // persisted: the banded self-join below references this frame on
-    // both sides, and its lineage is the full explode + 64-aggregate
-    // pipeline; the cache is 16 bytes/doc (freed by the context
-    // cleaner once unreachable)
-    val sh = perBit.select(col("__id"),
+    // persisted (one-slot swap): the banded self-join below references
+    // this frame on both sides, and its lineage is the full explode +
+    // 64-aggregate pipeline; the cache is 16 bytes/doc
+    val sh = cacheSwap(simhashSlot, perBit.select(col("__id"),
       (0 until 64).map(b =>
           when(col(s"__b$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .reduce((a, b) => a.bitwiseOR(b)).as("__sh")))
     val banded = sh.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

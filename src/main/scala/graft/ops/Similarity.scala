@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val cosinePairsSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Dot product of two array<numeric> columns. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
@@ -213,8 +216,8 @@ object Similarity {
       .repartition(col("__bp"))
       .write.mode("overwrite").partitionBy("__bp").parquet(path)
     writeMeta(df.sparkSession, path,
-      Map("dims" -> dims, "numPlanes" -> numPlanes, "bandBits" -> bandBits,
-        "buckets" -> buckets, "seed" -> seed))
+      Map("kind" -> "lsh", "dims" -> dims, "numPlanes" -> numPlanes,
+        "bandBits" -> bandBits, "buckets" -> buckets, "seed" -> seed))
   }
 
   /** Build-time LSH parameters, persisted next to the index so a query
@@ -255,6 +258,9 @@ object Similarity {
   def annTopKIndexed(spark: SparkSession, path: String, vecCol: String,
       idCol: String, query: Seq[Float], k: Int,
       probeLevel: Int = 1): DataFrame = {
+    val kind = readMetaRaw(spark, path).get("kind").map(_.toString)
+    require(kind.forall(_ == "lsh"), // absent = pre-kind LSH index
+      s"$path is a ${kind.getOrElse("?")} index; use the matching query API")
     val meta = readMeta(spark, path)
     val (numPlanes, bandBits, buckets, seed) =
       (meta("numPlanes").toInt, meta("bandBits").toInt,
@@ -319,8 +325,10 @@ object Similarity {
     require(query.size == meta("dims").toString.toInt,
       s"Query vector has ${query.size} dims; index was built with ${meta("dims")}")
     import scala.jdk.CollectionConverters._
-    val centroids = meta("centroids").asInstanceOf[java.util.List[java.util.List[Number]]]
-      .asScala.map(_.asScala.map(_.doubleValue()).toArray)
+    // toString.toDouble, not Number cast: snakeyaml's YAML-1.1 float
+    // resolver types "1.23E7" (no signed exponent) as a String
+    val centroids = meta("centroids").asInstanceOf[java.util.List[java.util.List[Object]]]
+      .asScala.map(_.asScala.map(_.toString.toDouble).toArray)
     val qd = query.map(_.toDouble).toArray
     val probed = centroids.zipWithIndex
       .map { case (c, i) =>
@@ -352,10 +360,11 @@ object Similarity {
       bandBits: Int = 16, maxBucket: Int = 1000, seed: Long = 42L): DataFrame = {
     val banded = signatures(df, vecCol, idCol, dims, numPlanes, bandBits, seed)
       .select(col("__id"), explode(col("__bands")).as("__band"))
-    // persisted: joined twice below (idA and idB vector lookups); the
-    // candidate frame is tiny and its lineage is the banding subplan
-    val pairs = Dedup.bucketPairs(banded, Seq("__band"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (one-slot swap, see Dedup.cacheSwap): joined twice
+    // below (idA and idB vector lookups); the candidate frame is tiny
+    // and its lineage is the banding subplan
+    val pairs = Dedup.cacheSwap(cosinePairsSlot,
+      Dedup.bucketPairs(banded, Seq("__band"), maxBucket))
     val vecs = df.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__v"))
     pairs

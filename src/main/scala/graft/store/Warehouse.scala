@@ -281,11 +281,13 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   }
 
   /** Time travel: read one retained snapshot of an unbucketed table.
-    * Snapshot dirs are immutable once written, so this is safe against
-    * concurrent writers; bucketed tables are excluded (a snapshot dir
-    * holds only the buckets rewritten at that version — reconstructing
-    * an old full state needs the manifest history, which is not
-    * retained). */
+    * Snapshot dirs are immutable once written, but NOT immortal: gc on
+    * a concurrent write may delete all but the two newest, so
+    * materialize (or act on) the returned frame promptly — a lazy read
+    * held across later writes can hit a deleted directory. Bucketed
+    * tables are excluded (a snapshot dir holds only the buckets
+    * rewritten at that version — reconstructing an old full state
+    * needs the manifest history, which is not retained). */
   def readSnapshot(t: String, snap: String): DataFrame = {
     val td = registry(t)
     require(td.external.isEmpty, s"Table '$t' is external (no snapshots)")

@@ -150,10 +150,12 @@ object Json {
     case s: String => quote(s)
     case b: Boolean => b.toString
     case n: Number => n.toString
-    case m: Map[_, _] =>
+    case m: scala.collection.Map[_, _] =>
       m.map { case (k, x) => quote(String.valueOf(k)) + ": " + write(x) }
         .mkString("{", ", ", "}")
-    case s: Seq[_] => s.map(write).mkString("[", ", ", "]")
+    // scala.collection.Seq, not Seq: in 2.13 the default alias is the
+    // immutable variant and would stringify Spark's mutable.ArraySeq
+    case s: scala.collection.Seq[_] => s.map(write).mkString("[", ", ", "]")
     case a: Array[_] => write(a.toSeq)
     case other => quote(String.valueOf(other))
   }

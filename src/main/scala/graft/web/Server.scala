@@ -75,12 +75,20 @@ final class Server(env: Env, port: Int = 0) {
       limit = Some(get.get("limit").map(_.toLong).getOrElse(1000L)),
       offset = get.get("offset").map(_.toLong))
     val cols = df.columns.toSeq
-    val rows = df.collect().toSeq.map(_.toSeq.map {
+    def cell(v: Any): Any = v match {
       case null => null
       case n: Number => n
       case b: Boolean => b
+      case bytes: Array[Byte] => // binary → base64, not "[B@…"
+        java.util.Base64.getEncoder.encodeToString(bytes)
+      case s: scala.collection.Seq[_] => s.map(cell) // arrays → JSON lists
+      case a: Array[_] => a.toSeq.map(cell)
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => String.valueOf(k) -> cell(x) }
+      case r: org.apache.spark.sql.Row => r.toSeq.map(cell) // structs
       case other => String.valueOf(other)
-    })
+    }
+    val rows = df.collect().toSeq.map(_.toSeq.map(cell))
     Json.write(Map("columns" -> cols, "rows" -> rows))
   }
 }

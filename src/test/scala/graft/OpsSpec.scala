@@ -209,6 +209,10 @@ class OpsSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Similarity.ivfTopK(spark, dir, "embedding", "vec_id", Seq(1f, 2f), 5)
       }
+      // wrong index kind is an error, not a missing-key crash
+      intercept[IllegalArgumentException] {
+        Similarity.annTopKIndexed(spark, dir, "embedding", "vec_id", q, 5)
+      }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

@@ -44,6 +44,20 @@ class WebSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("array columns serialize as JSON lists, not toString") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val srv = new graft.web.Server(env)
+    val port = srv.start()
+    try {
+      val (code, body) = get(port, "/embeddings?fields=vec_id,embedding&limit=1&order=vec_id")
+      assert(code == 200, body)
+      val rows = parse(body)("rows").asInstanceOf[java.util.List[java.util.List[_]]]
+      val emb = rows.get(0).get(1)
+      assert(emb.isInstanceOf[java.util.List[_]], s"embedding cell: $emb")
+      assert(emb.asInstanceOf[java.util.List[_]].size == 64, emb)
+    } finally srv.stop()
+  }
+
   test("error paths: unknown table 404, bad expression 400") {
     val env = freshEnv()
     val srv = new graft.web.Server(env)
