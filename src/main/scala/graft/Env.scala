@@ -72,6 +72,19 @@ final class Env(
     val fields = data.keys.toSeq
     view(table, fields).write(Seq(fields.map(data(_))))
   }
+
+  /** Runtime table registration (reference ctx.register +
+    * create_table, tests/utils_test.py:60-80): a new Env over the SAME
+    * warehouse whose registry includes `td`; the table is created, its
+    * seed `values` written (dotted FK fields resolve), and the
+    * persisted `_SCHEMA.yaml` refreshed so introspection sees it. */
+  def register(td: graft.schema.TableDef): Env = {
+    val e2 = Env(spark, registry.extended(td), warehouse.root)
+    e2.aliases = aliases; e2.cfg = cfg
+    e2.aclRead = aclRead; e2.aclWrite = aclWrite
+    e2.createTables()
+    e2
+  }
 }
 
 object Env {

@@ -98,9 +98,14 @@ object Testbed {
   }
 
   /** Env over the test tables; managed tables live in a fresh temp
-    * warehouse so runs are independent. */
+    * warehouse so runs are independent (deleted on JVM exit — a
+    * Verify/Bench run creates one per query). */
   def env(spark: SparkSession, dir: String): Env = {
-    val root = Files.createTempDirectory("graft-testbed-").toString
-    Env(spark, registry(dir), root)
+    val root = Files.createTempDirectory("graft-testbed-")
+    sys.addShutdownHook {
+      try org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      catch { case _: Exception => }
+    }
+    Env(spark, registry(dir), root.toString)
   }
 }

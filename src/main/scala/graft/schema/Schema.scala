@@ -201,6 +201,12 @@ final class Registry(defs: Seq[TableDef]) extends Serializable {
   def has(name: String): Boolean = tables.contains(name)
   def names: Seq[String] = defs.map(_.name)
 
+  /** A registry with one more table (runtime registration — reference
+    * ctx.register, tanker/context.py). Re-registering a name replaces
+    * the old definition. */
+  def extended(td: TableDef): Registry =
+    new Registry(defs.filterNot(_.name == td.name) :+ td)
+
   /** Resolve the hop for a relation column (M2O or O2M) of `table`. */
   def hop(table: String, colName: String): Hop = {
     val col = apply(table).column(colName)

@@ -258,6 +258,37 @@ class WriteSpec extends SparkSpec {
     assert(rows(v.read()).size == 4)
   }
 
+  test("runtime table registration with FK-dotted seed values") {
+    // reference tests/utils_test.py:60-80 (ctx.register + create_table)
+    import graft.schema.{ColType, ColumnDef, TableDef}
+    import org.apache.spark.sql.types.LongType
+    val env = freshEnv()
+    val sponsor = TableDef.normalized("sponsor", Seq(
+      ColumnDef("name", ColType.VarcharT),
+      ColumnDef("country", ColType.M2O("country", "id", LongType)),
+      ColumnDef("type", ColType.VarcharT)),
+      key = Seq("name", "country"),
+      values = Seq(Map("name" -> "ACME-2000", "country.name" -> "Belgium",
+        "type" -> "gold")))
+    val env2 = env.register(sponsor)
+    check(Seq(Seq("ACME-2000", "Belgium", "gold")),
+      env2.view("sponsor").read())
+    // pre-existing data untouched; introspection sees the new table
+    assert(rows(env2.view("team").read()).size == 3)
+    val auto = Env.introspect(spark, env.warehouse.root)
+    assert(auto.registry.has("sponsor"))
+  }
+
+  test("unicode round trip through writes and filters") {
+    // reference tests/encoding_test.py
+    val env = freshEnv()
+    val v = env.view("country", Seq("name"))
+    v.write(Seq(Seq("日本"), Seq("Corée")))
+    assert(rows(v.read(Seq("""(= name "日本")"""))) == Seq(Seq("日本")))
+    assert(rows(v.read(Seq(graft.view.FilterEq(Map("name" -> "Corée")))))
+      == Seq(Seq("Corée")))
+  }
+
   test("snapshot time travel: previous state readable within GC window") {
     val env = freshEnv(seedTeams = false)
     val v = env.view("country", Seq("name"))
