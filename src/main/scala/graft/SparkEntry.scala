@@ -456,6 +456,25 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // LLM-pipeline: embedding near-dedup applied — planted scaled
+    // copies must vanish, originals survive
+    "dedup_embedding_apply" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val dims = emb.head().getSeq[Float](1).size
+      val planted = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.cosineDedup(emb.unionByName(planted), "embedding", "vec_id",
+        threshold = 0.95, dims = dims).select(col("vec_id"))
+    }),
+
+    // LLM-pipeline: corpus vocabulary with document frequencies
+    "text_vocab" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      Text.documentFrequencies(docs, "text")
+    }),
+
     // LLM-pipeline: multimodal decode plumbing (deterministic stub
     // codec over document bytes) — rows-only check
     "multimodal_decode" -> ((s, dir) => {
@@ -761,6 +780,26 @@ object SparkEntry {
         |        CASE WHEN trim(text) = '' THEN 0
         |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
         |      FROM documents)""".stripMargin,
+    "dedup_embedding_apply" ->
+      """WITH pool AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 20),
+        |doomed AS (
+        |  SELECT b.vec_id FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) >= 0.95)
+        |SELECT vec_id FROM pool
+        |WHERE vec_id NOT IN (SELECT vec_id FROM doomed)""".stripMargin,
+    "text_vocab" ->
+      """SELECT t AS token, count(*) AS docs
+        |FROM (SELECT DISTINCT doc_id, unnest(list_filter(
+        |        list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |        x -> len(x) > 0)) AS t
+        |      FROM documents)
+        |GROUP BY t""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0

@@ -347,6 +347,16 @@ object Similarity {
     bruteForceTopK(idx.select(col(idCol), col(vecCol)), vecCol, idCol, query, k)
   }
 
+  /** Embedding near-dedup: drop the larger id of every verified
+    * near-duplicate pair (greedy canonical-smallest, same policy as
+    * [[Dedup.minhashDedup]]) — one anti-join over the mined pairs. */
+  def cosineDedup(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, dims: Int): DataFrame = {
+    val doomed = cosinePairs(df, vecCol, idCol, threshold, dims)
+      .select(col("idB").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** All near-duplicate embedding pairs above a cosine threshold:
     * LSH-banded buckets → in-bucket pairs via [[Dedup.bucketPairs]]
     * (all-pairs inside normal buckets; oversized buckets — a dense

@@ -90,4 +90,18 @@ object Text {
     * dedup and change detection. */
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Corpus vocabulary with document frequencies: one row per distinct
+    * lowercased whitespace token, with the number of documents it
+    * appears in — the input to stopword mining / rare-token filters.
+    * Scale shape: explode distinct per-doc tokens (dedup inside the
+    * array first, so a token repeated in one doc costs one row), one
+    * count aggregate with map-side combine. */
+  def documentFrequencies(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = array_distinct(filter(
+      split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0))
+    df.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("docs"))
+  }
 }
