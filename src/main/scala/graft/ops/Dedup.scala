@@ -23,7 +23,13 @@ object Dedup {
     val cached = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prev = slot.getAndSet(cached)
-    if ((prev ne null) && (prev ne cached)) prev.unpersist(blocking = false)
+    // CacheManager keys cache entries on the CANONICALIZED plan:
+    // unpersisting a same-result previous frame would evict the entry
+    // the new frame just registered (and re-running the same query
+    // would lose its warm cache) — only evict genuinely stale plans.
+    if ((prev ne null) && (prev ne cached) &&
+        !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
     cached
   }
   private val minhashPairsSlot =
