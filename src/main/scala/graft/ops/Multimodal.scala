@@ -125,8 +125,12 @@ object Multimodal {
     val idx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { it =>
       it.map { row =>
+        // positional: nested struct Rows from another mapPartitions op
+        // (e.g. [[resizeImages]]) carry no schema for named access
         val media = row.getStruct(idx)
-        val bytes = if (media == null) null else media.getAs[Array[Byte]]("bytes")
+        val bytes =
+          if (media == null || media.isNullAt(0)) null
+          else media.get(0).asInstanceOf[Array[Byte]]
         Row.fromSeq(row.toSeq :+ decoder.decode(bytes))
       }
     }(enc)
@@ -139,14 +143,61 @@ object Multimodal {
     transform(sequence(lit(0), lit(dims - 1)), i =>
       pmod(xxhash64(media.getField("bytes"), i), lit(2000)).cast("double") / 1000.0 - 1.0)
 
-  /** Resize STUB: updates the metadata (real impl re-encodes bytes);
-    * payload passes through unchanged. */
+  /** Metadata-only resize (no payload re-encode): cheap Column form
+    * for pipelines that only need target dimensions recorded. For a
+    * real pixel resize of image payloads use [[resizeImages]]. */
   def resize(media: Column, w: Int, h: Int): Column =
     struct(media.getField("bytes").as("bytes"),
       media.getField("mime").as("mime"),
       lit(w).as("width"), lit(h).as("height"),
       media.getField("duration_ms").as("duration_ms"),
       media.getField("source_uri").as("source_uri"))
+
+  /** Real image resize: decodes each payload with `javax.imageio`,
+    * scales to (w, h) via Graphics2D bilinear interpolation, and
+    * re-encodes as PNG. Non-image payloads (magic-byte sniff fails or
+    * decode errors) pass through unchanged with only the metadata
+    * updated — same mixed-modality policy as [[ImageIoDecoder]].
+    * Partition-wise (`mapPartitions`), so the codec work distributes
+    * with the data. */
+  def resizeImages(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        // positional access against [[mediaType]]'s field order — a
+        // nested struct Row carries no schema inside mapPartitions
+        val media = row.getStruct(idx)
+        val bytes =
+          if (media == null || media.isNullAt(0)) null
+          else media.get(0).asInstanceOf[Array[Byte]]
+        val resized =
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) bytes
+            else {
+              val out = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              baos.toByteArray
+            }
+          } catch { case _: Exception => bytes }
+        val newMedia =
+          if (media == null) null
+          else Row(resized, media.get(1), Int.box(w), Int.box(h),
+            media.get(4), media.get(5))
+        Row.fromSeq(row.toSeq.updated(idx, newMedia))
+      }
+    }(enc)
+  }
 
   /** Frame sampling for video media: one row per sampled timestamp
     * (every `everyMs` over `duration_ms`). Frame payload slicing is

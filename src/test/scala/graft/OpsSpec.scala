@@ -318,6 +318,35 @@ class OpsSpec extends SparkSpec {
       Multimodal.FakeDecoder.decode("not an image".getBytes("UTF-8")).toSeq, got(1))
   }
 
+  test("resizeImages really re-encodes: decoded dims match the target") {
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24) img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val df = s.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, baos.toByteArray),
+      org.apache.spark.sql.Row(2L, "junk".getBytes("UTF-8"))).asJava, schema)
+    val media = df.select(col("doc_id"),
+      Multimodal.asMedia(col("payload"), "image/png", lit("mem://r")).as("media"))
+    val resized = Multimodal.resizeImages(media, "media", 8, 8)
+    // decode the RESIZED payload: true pixel dims must be 8x8
+    val got = rows(Multimodal.decode(resized, "media")
+      .select(col("doc_id"), col("decoded.width"), col("decoded.height"))
+      .orderBy("doc_id"))
+    assert(got(0)(1) == 8 && got(0)(2) == 8, got(0))
+    // junk payload passes through unchanged (fake decode, not a crash)
+    assert(got(1)(1) != null, got(1))
+    val passthrough = rows(resized.filter(col("doc_id") === 2)
+      .select(col("media.bytes"))).head.head.asInstanceOf[Array[Byte]]
+    assert(new String(passthrough, "UTF-8") == "junk")
+  }
+
   test("multimodal: decode plumbing + features + frame sampling") {
     val docs = docsDf(Seq((1L, "payload one"), (2L, "payload two")))
     val media = docs.select(col("doc_id"),
