@@ -402,7 +402,8 @@ object SparkEntry {
       docs.select(col("doc_id"),
         round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
         round(coalesce(Text.avgTokenLength(col("text")), lit(0.0)), 6)
-          .as("avg_tok_len"))
+          .as("avg_tok_len"),
+        Text.subwordCount(col("text")).cast("bigint").as("subwords"))
     }),
 
     // LLM-pipeline: SimHash near-dup pairs — rows-only check
@@ -770,12 +771,16 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        greatest(1, CAST(ceil(octet_length(encode(text)) / 250.0) AS BIGINT)) AS n
         |      FROM documents)""".stripMargin,
+    // subwords: the lookbehind-split count equals (# alphanumeric
+    // runs) + (# non-alnum non-space chars) — lookbehind-free algebra
     "text_stats" ->
       """SELECT doc_id,
         |  round(CASE WHEN len(text) = 0 THEN 0.0
         |    ELSE CAST(len(text) - len(regexp_replace(text, '[\p{P}\p{S}]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio,
         |  round(CASE WHEN ntok = 0 THEN 0.0
-        |    ELSE CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / ntok END, 6) AS avg_tok_len
+        |    ELSE CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / ntok END, 6) AS avg_tok_len,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))
+        |    + len(regexp_replace(text, '[\p{L}\p{N} ]', '', 'g')) AS BIGINT) AS subwords
         |FROM (SELECT doc_id, text,
         |        CASE WHEN trim(text) = '' THEN 0
         |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
