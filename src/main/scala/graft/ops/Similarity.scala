@@ -248,6 +248,32 @@ object Similarity {
       case (k, v: String) if v.forall(c => c.isDigit || c == '-') => k -> v.toLong
     }
 
+  /** Incrementally add vectors to an existing [[buildIndex]] LSH
+    * index: signatures are computed with the INDEX's stored parameters
+    * (never the caller's), and the new banded rows are appended into
+    * the same partition layout — no rebuild, cost scales with the new
+    * batch. The caller owns id-uniqueness across batches (duplicate
+    * ids would surface as duplicate candidates; queries dedupe on id,
+    * so recall is unaffected but bytes are wasted). */
+  def appendToIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val kind = readMetaRaw(spark, path).get("kind").map(_.toString)
+    require(kind.forall(_ == "lsh"),
+      s"$path is a ${kind.getOrElse("?")} index; appendToIndex supports lsh")
+    val meta = readMeta(spark, path)
+    val (dims, numPlanes, bandBits, buckets, seed) =
+      (meta("dims").toInt, meta("numPlanes").toInt, meta("bandBits").toInt,
+        meta("buckets").toInt, meta("seed"))
+    val sigs = signatures(df, vecCol, idCol, dims, numPlanes, bandBits, seed)
+    val banded = sigs.select(col("__id").as(idCol),
+      explode(col("__bands")).as("__band"))
+    banded.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("__bp", pmod(col("__band"), lit(buckets.toLong)))
+      .repartition(col("__bp"))
+      .write.mode("append").partitionBy("__bp").parquet(path)
+  }
+
   /** ANN top-k against a persisted [[buildIndex]] index: reads ONLY
     * the partition directories the probe set hashes into (driver-side
     * path selection — no full-table scan, no signature recompute),

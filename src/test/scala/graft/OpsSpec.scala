@@ -183,6 +183,33 @@ class OpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("indexed ANN: incremental append matches a full rebuild") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val planted = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1000001L, q.map(_ * 1.001f))).asJava, emb.schema)
+    val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+    val full = java.nio.file.Files.createTempDirectory("annfull").toString
+    val incr = java.nio.file.Files.createTempDirectory("annincr").toString
+    try {
+      Similarity.buildIndex(pool, "embedding", "vec_id", full, q.size)
+      // incremental: build on the first half, append the rest (incl.
+      // the planted dup) — queries must return the same top-k
+      val (lo, hi) = (pool.filter(col("vec_id") < 250),
+        pool.filter(col("vec_id") >= 250))
+      Similarity.buildIndex(lo, "embedding", "vec_id", incr, q.size)
+      Similarity.appendToIndex(hi, "embedding", "vec_id", incr)
+      val a = rows(Similarity.annTopKIndexed(spark, full, "embedding", "vec_id", q, 10)).map(_.head)
+      val b = rows(Similarity.annTopKIndexed(spark, incr, "embedding", "vec_id", q, 10)).map(_.head)
+      assert(a == b, s"full=$a incremental=$b")
+      assert(b.contains(1000001L), b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(full))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(incr))
+    }
+  }
+
   test("IVF ANN: probes read only nprobe centroid partitions, recall holds") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
