@@ -406,10 +406,13 @@ object SparkEntry {
         Text.subwordCount(col("text")).cast("bigint").as("subwords"))
     }),
 
-    // LLM-pipeline: SimHash near-dup pairs — rows-only check
+    // LLM-pipeline: SimHash near-dup pairs at maxHamming=3 — inside
+    // the 4x16 pigeonhole guarantee, so the output is the EXACT pair
+    // set (OpsSpec proves equality with brute force); rows-only check
+    // here because xxhash64 is not SQL-expressible
     "dedup_simhash_pairs" -> ((s, dir) => {
       val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
-      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
     }),
 
     // LLM-pipeline: token counting (whitespace)
