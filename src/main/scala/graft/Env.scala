@@ -82,7 +82,14 @@ final class Env(
     val e2 = Env(spark, registry.extended(td), warehouse.root)
     e2.aliases = aliases; e2.cfg = cfg
     e2.aclRead = aclRead; e2.aclWrite = aclWrite
-    e2.createTables()
+    e2.builtins ++= builtins
+    // create + seed ONLY the new table: re-seeding the whole registry
+    // would upsert seed rows back over user-modified data
+    e2.warehouse.createTables() // idempotent; only missing tables
+    if (td.values.nonEmpty) {
+      val fields = td.values.flatMap(_.keys).distinct
+      e2.view(td.name, fields).write(td.values.map(r => fields.map(f => r.get(f).orNull)))
+    }
     e2
   }
 }

@@ -97,15 +97,26 @@ object Testbed {
         key = Seq("code"), buckets = 64))
   }
 
+  /** Temp warehouse roots awaiting exit cleanup: ONE shutdown hook
+    * over a shared list (a hook per env() call would accumulate one
+    * thread per query for the JVM's life). */
+  private val scratchRoots =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File]())
+  locally {
+    sys.addShutdownHook {
+      scratchRoots.forEach { f =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: Exception => }
+      }
+    }
+  }
+
   /** Env over the test tables; managed tables live in a fresh temp
     * warehouse so runs are independent (deleted on JVM exit — a
     * Verify/Bench run creates one per query). */
   def env(spark: SparkSession, dir: String): Env = {
     val root = Files.createTempDirectory("graft-testbed-")
-    sys.addShutdownHook {
-      try org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
-      catch { case _: Exception => }
-    }
+    scratchRoots.add(root.toFile)
     Env(spark, registry(dir), root.toString)
   }
 }

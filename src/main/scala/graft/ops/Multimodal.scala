@@ -123,14 +123,18 @@ object Multimodal {
     val schema = df.schema.add("decoded", decodedType)
     val enc = RowEncoder.encoderFor(schema)
     val idx = df.schema.fieldIndex(mediaCol)
+    // resolve the struct's field position BY NAME from the frame's
+    // schema, driver-side: nested Rows inside mapPartitions carry no
+    // schema for named access, and a hard-coded position would read
+    // the wrong field of a reordered-but-valid media struct
+    val bytesIdx = df.schema(idx).dataType.asInstanceOf[StructType]
+      .fieldIndex("bytes")
     df.mapPartitions { it =>
       it.map { row =>
-        // positional: nested struct Rows from another mapPartitions op
-        // (e.g. [[resizeImages]]) carry no schema for named access
         val media = row.getStruct(idx)
         val bytes =
-          if (media == null || media.isNullAt(0)) null
-          else media.get(0).asInstanceOf[Array[Byte]]
+          if (media == null || media.isNullAt(bytesIdx)) null
+          else media.get(bytesIdx).asInstanceOf[Array[Byte]]
         Row.fromSeq(row.toSeq :+ decoder.decode(bytes))
       }
     }(enc)
@@ -163,14 +167,17 @@ object Multimodal {
   def resizeImages(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(df.schema)
     val idx = df.schema.fieldIndex(mediaCol)
+    // field positions resolved by name from the frame's schema (see
+    // [[decode]]); the output row is built in the struct's OWN order
+    val mSchema = df.schema(idx).dataType.asInstanceOf[StructType]
+    val Seq(bI, mI, wI, hI) =
+      Seq("bytes", "mime", "width", "height").map(mSchema.fieldIndex)
     df.mapPartitions { it =>
       it.map { row =>
-        // positional access against [[mediaType]]'s field order — a
-        // nested struct Row carries no schema inside mapPartitions
         val media = row.getStruct(idx)
         val bytes =
-          if (media == null || media.isNullAt(0)) null
-          else media.get(0).asInstanceOf[Array[Byte]]
+          if (media == null || media.isNullAt(bI)) null
+          else media.get(bI).asInstanceOf[Array[Byte]]
         val resized =
           try {
             val img = javax.imageio.ImageIO.read(
@@ -192,8 +199,14 @@ object Multimodal {
           } catch { case _: Exception => bytes }
         val newMedia =
           if (media == null) null
-          else Row(resized, media.get(1), Int.box(w), Int.box(h),
-            media.get(4), media.get(5))
+          else Row.fromSeq(media.toSeq.indices.map { i =>
+            if (i == bI) resized
+            // re-encoded payloads ARE png now; passthroughs keep mime
+            else if (i == mI) { if (resized eq bytes) media.get(mI) else "image/png" }
+            else if (i == wI) Int.box(w)
+            else if (i == hI) Int.box(h)
+            else media.get(i)
+          })
         Row.fromSeq(row.toSeq.updated(idx, newMedia))
       }
     }(enc)

@@ -265,6 +265,11 @@ object Similarity {
     val (dims, numPlanes, bandBits, buckets, seed) =
       (meta("dims").toInt, meta("numPlanes").toInt, meta("bandBits").toInt,
         meta("buckets").toInt, meta("seed"))
+    // dimension mismatch must fail loudly, not append wrong-band rows
+    df.select(size(col(vecCol)).as("__d")).head(1).foreach { r =>
+      require(r.getInt(0) == dims,
+        s"Batch vectors have ${r.getInt(0)} dims; index was built with $dims")
+    }
     val sigs = signatures(df, vecCol, idCol, dims, numPlanes, bandBits, seed)
     val banded = sigs.select(col("__id").as(idCol),
       explode(col("__bands")).as("__band"))
