@@ -406,6 +406,25 @@ object SparkEntry {
         Text.subwordCount(col("text")).cast("bigint").as("subwords"))
     }),
 
+    // LLM-pipeline: INCREMENTAL dedup — a batch deduped against a
+    // persisted corpus index (near-copies of corpus docs dropped,
+    // token-reversed = genuinely-fresh docs kept), never re-mining the
+    // corpus. The oracle is the brute-force batch-vs-corpus jaccard.
+    "dedup_incremental" -> ((s, dir) => {
+      val e = env(s, dir)
+      val corpus = e.view("documents", Seq("doc_id", "text")).read()
+      val idxDir = scratchDir("mhidx-" + Integer.toHexString(dir.hashCode))
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text", idxDir)
+      val near = corpus.filter(col("doc_id") < 5).select(
+        (col("doc_id") + 5000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+      val fresh = corpus.filter(col("doc_id") >= 5 && col("doc_id") < 10).select(
+        (col("doc_id") + 6000L).as("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), "\\s+"))).as("text"))
+      Dedup.dedupAgainstIndex(near.unionByName(fresh), "doc_id", "text",
+        idxDir, threshold = 0.5).select(col("doc_id"))
+    }),
+
     // LLM-pipeline: SimHash near-dup pairs at maxHamming=3 — inside
     // the 4x16 pigeonhole guarantee, so the output is the EXACT pair
     // set (OpsSpec proves equality with brute force); rows-only check
@@ -788,6 +807,28 @@ object SparkEntry {
         |        CASE WHEN trim(text) = '' THEN 0
         |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
         |      FROM documents)""".stripMargin,
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 5000 AS doc_id, text || ' zzz' AS text
+        |  FROM documents WHERE doc_id < 5
+        |  UNION ALL
+        |  SELECT doc_id + 6000,
+        |    array_to_string(list_reverse(regexp_split_to_array(text, '\s+')), ' ')
+        |  FROM documents WHERE doc_id >= 5 AND doc_id < 10),
+        |bg AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM batch)),
+        |cg AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |doomed AS (
+        |  SELECT DISTINCT b.doc_id FROM bg b JOIN cg c ON
+        |    CAST(len(list_intersect(b.grams, c.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(b.grams, c.grams))) >= 0.5)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_id FROM doomed)""".stripMargin,
     "dedup_embedding_apply" ->
       """WITH pool AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -36,6 +36,8 @@ object Dedup {
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val simhashSlot =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val crossDedupSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Exact dedup on a set of columns: keeps the row with the smallest
     * `idCol` per group. One hash-partition shuffle. */
@@ -157,23 +159,8 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 128, numBands: Int = 32,
       shingleSize: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    val coefs = minhashCoefs(numHashes)
-    val hashed = df.select(col(idCol).as("__id"),
-        explode(shingleHashes(col(textCol), shingleSize)).as("__h"))
-    val sig = hashed.groupBy("__id").agg(
-      min(col("__h") * coefs.head._1 + coefs.head._2).as("__m0"),
-      coefs.tail.zipWithIndex.map { case ((a, b), i) =>
-        min(col("__h") * a + b).as(s"__m${i + 1}")
-      }: _*)
-    val bandStructs = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r =>
-            col(s"__m${b * rowsPerBand + r}").cast("string")): _*)).as("sig"))
-    }
-    val banded = sig.select(col("__id"), explode(array(bandStructs: _*)).as("__b"))
-      .select(col("__id"), col("__b.band").as("__band"), col("__b.sig").as("__bsig"))
+    val banded = bandedSignatures(df, idCol, textCol, numHashes, numBands,
+      shingleSize)
     // persisted: referenced by the verify join AND by the candidate-id
     // semi-join below — without the cache each reference re-executes
     // the whole mining subplan (Spark plans share no common subtrees)
@@ -208,6 +195,114 @@ object Dedup {
     val doomed = minhashPairs(df, idCol, textCol, threshold)
       .select(col("idB").as(idCol)).distinct()
     df.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  // --------------------------------------------- cross-corpus dedup
+
+  /** Persist a MinHash-LSH index of a corpus for INCREMENTAL dedup:
+    * new batches are deduped against it without re-mining the corpus
+    * (the 100-TB pipeline shape — per-batch cost scales with the
+    * batch, never the corpus). Layout under `path`:
+    *
+    *  - `bands/` — one (id, band, bandHash) row per (doc, band),
+    *    parquet-partitioned by `__bp = bandHash mod buckets`, so a
+    *    probe reads only the partitions the batch's band hashes land
+    *    in;
+    *  - `docs/`  — (id, shingle-hash set) for the verify stage, read
+    *    column-pruned and semi-joined to candidates only;
+    *  - `_graft_index_meta.json` — the LSH parameters, so probes can
+    *    never silently mismatch the stored signatures.
+    */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 128, numBands: Int = 32,
+      shingleSize: Int = 3, buckets: Int = 256): Unit = {
+    val banded = bandedSignatures(df, idCol, textCol, numHashes, numBands,
+      shingleSize)
+      .withColumn("__bp", pmod(col("__bsig"), lit(buckets.toLong)))
+      .repartition(col("__bp"))
+    banded.write.mode("overwrite").partitionBy("__bp")
+      .parquet(new org.apache.hadoop.fs.Path(path, "bands").toString)
+    df.select(col(idCol).as("__id"),
+        shingleHashes(col(textCol), shingleSize).as("__hs"))
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(path, "docs").toString)
+    Similarity.writeIndexMeta(df.sparkSession, path,
+      Map("kind" -> "minhash", "numHashes" -> numHashes,
+        "numBands" -> numBands, "shingleSize" -> shingleSize,
+        "buckets" -> buckets))
+  }
+
+  /** The banded-signature frame `(__id, __band, __bsig)` shared by
+    * [[minhashPairs]] and the corpus index. */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, numBands: Int, shingleSize: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val coefs = minhashCoefs(numHashes)
+    val hashed = df.select(col(idCol).as("__id"),
+        explode(shingleHashes(col(textCol), shingleSize)).as("__h"))
+    val sig = hashed.groupBy("__id").agg(
+      min(col("__h") * coefs.head._1 + coefs.head._2).as("__m0"),
+      coefs.tail.zipWithIndex.map { case ((a, b), i) =>
+        min(col("__h") * a + b).as(s"__m${i + 1}")
+      }: _*)
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            col(s"__m${b * rowsPerBand + r}").cast("string")): _*)).as("sig"))
+    }
+    sig.select(col("__id"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col("__id"), col("__b.band").as("__band"), col("__b.sig").as("__bsig"))
+  }
+
+  /** Dedup a new batch AGAINST a [[buildMinhashIndex]] corpus index:
+    * drops batch docs whose n-gram Jaccard with some indexed doc is >=
+    * `threshold`; batch-internal duplicates are untouched (compose
+    * with [[minhashDedup]] for those). Reads only the band partitions
+    * the batch's band hashes bucket into, joins candidates on
+    * (band, bandHash), and verifies against the corpus hash sets
+    * semi-joined to candidate ids — batch-proportional cost.
+    */
+  def dedupAgainstIndex(newDf: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.8): DataFrame = {
+    val spark = newDf.sparkSession
+    val meta = Similarity.readIndexMeta(spark, path)
+    require(meta.get("kind").map(_.toString).contains("minhash"),
+      s"$path is not a minhash corpus index")
+    val (numHashes, numBands, shingleSize, buckets) =
+      (meta("numHashes").toString.toInt, meta("numBands").toString.toInt,
+        meta("shingleSize").toString.toInt, meta("buckets").toString.toInt)
+    val newBanded = cacheSwap(crossDedupSlot,
+      bandedSignatures(newDf, idCol, textCol, numHashes, numBands, shingleSize)
+        .withColumn("__bp", pmod(col("__bsig"), lit(buckets.toLong))))
+    // driver-side bucket pruning: ≤`buckets` longs
+    val probed = newBanded.select("__bp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val bandsRoot = new org.apache.hadoop.fs.Path(path, "bands")
+    val fs = bandsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = probed.toSeq.sorted
+      .map(b => new org.apache.hadoop.fs.Path(bandsRoot, s"__bp=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty) return newDf
+    val idx = spark.read.parquet(dirs: _*)
+    val cands = newBanded
+      .join(idx.select(col("__id").as("__cid"), col("__band"), col("__bsig")),
+        Seq("__band", "__bsig"))
+      .select(col("__id"), col("__cid")).distinct()
+    val newH = newDf.join(cands.select(col("__id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("__id"),
+        shingleHashes(col(textCol), shingleSize).as("__ha"))
+    val corpusH = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(path, "docs").toString)
+      .withColumnRenamed("__id", "__cid").withColumnRenamed("__hs", "__hb")
+      .join(cands.select("__cid").distinct(), Seq("__cid"), "left_semi")
+    val doomed = cands
+      .join(newH, Seq("__id")).join(corpusH, Seq("__cid"))
+      .filter(size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+        size(array_union(col("__ha"), col("__hb"))) >= threshold)
+      .select(col("__id").as(idCol)).distinct()
+    newDf.join(doomed, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of

@@ -220,6 +220,11 @@ object Similarity {
         "bandBits" -> bandBits, "buckets" -> buckets, "seed" -> seed))
   }
 
+  private[ops] def writeIndexMeta(spark: SparkSession, path: String,
+      m: Map[String, Any]): Unit = writeMeta(spark, path, m)
+  private[ops] def readIndexMeta(spark: SparkSession, path: String): Map[String, Any] =
+    readMetaRaw(spark, path)
+
   /** Build-time LSH parameters, persisted next to the index so a query
     * can never silently probe with mismatched parameters (which would
     * read the wrong partitions and return near-zero recall). */

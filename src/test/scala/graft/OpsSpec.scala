@@ -65,6 +65,42 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.map(p => (p(0), p(1))).contains((1L, 3L)), pairs)
   }
 
+  test("cross-corpus dedup: batch deduped against a persisted index") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val corpus = env.view("documents", Seq("doc_id", "text")).read()
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    try {
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text", dir)
+      // batch: near-copies of two corpus docs (one token appended) +
+      // two genuinely fresh docs
+      val near = corpus.filter(col("doc_id") < 2).select(
+        (col("doc_id") + 5000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+      val fresh = docsDf(Seq(
+        (9001L, "completely novel content about nothing else " * 10),
+        (9002L, Seq.tabulate(40)(i => s"tok$i").mkString(" "))))
+      val batch = near.unionByName(fresh)
+      val kept = Dedup.dedupAgainstIndex(batch, "doc_id", "text", dir,
+        threshold = 0.5)
+      assert(rows(kept).map(_.head).toSet == Set(9001L, 9002L),
+        rows(kept).map(_.head).toString)
+      // fresh-only batch: untouched
+      val kept2 = Dedup.dedupAgainstIndex(fresh, "doc_id", "text", dir,
+        threshold = 0.5)
+      assert(rows(kept2).map(_.head).toSet == Set(9001L, 9002L))
+      // wrong index kind raises
+      intercept[IllegalArgumentException] {
+        val lsh = java.nio.file.Files.createTempDirectory("notmh").toString
+        try {
+          val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+          Similarity.buildIndex(emb, "embedding", "vec_id", lsh, 64)
+          Dedup.dedupAgainstIndex(batch, "doc_id", "text", lsh)
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(lsh))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("simhash banding is exact for hamming <= 3 on real docs") {
     // 4 bands x 16 bits pigeonhole: hamming <= 3 forces one identical
     // band, so simhashPairs(maxHamming=3) must equal the brute-force
