@@ -381,7 +381,8 @@ object SparkEntry {
     // LLM-pipeline: video frame sampling — the explode shape over a
     // synthetic per-doc duration (100ms per 100 chars, min 1 frame)
     "multimodal_frames" -> ((s, dir) => {
-      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
       val media = docs.select(col("doc_id"),
         graft.ops.Multimodal.asMedia(encode(col("text"), "UTF-8"),
           "video/fake", concat(lit("doc://"), col("doc_id"))).as("m0"))
@@ -398,7 +399,8 @@ object SparkEntry {
     // mean token length, subword estimate is lookbehind-regex so not
     // SQL-expressible — kept out of the oracle-gated columns)
     "text_stats" -> ((s, dir) => {
-      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
       docs.select(col("doc_id"),
         round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
         round(coalesce(Text.avgTokenLength(col("text")), lit(0.0)), 6)
@@ -414,7 +416,10 @@ object SparkEntry {
       val e = env(s, dir)
       val corpus = e.view("documents", Seq("doc_id", "text")).read()
       val idxDir = scratchDir("mhidx-" + Integer.toHexString(dir.hashCode))
-      Dedup.buildMinhashIndex(corpus, "doc_id", "text", idxDir)
+      // buckets sized to the corpus: 64 dirs keep local-fs commit cost
+      // sane at this SF; the 100-TB default (256) only pays off once
+      // probe sets are small relative to the bucket count
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text", idxDir, buckets = 64)
       val near = corpus.filter(col("doc_id") < 5).select(
         (col("doc_id") + 5000L).as("doc_id"),
         concat(col("text"), lit(" zzz")).as("text"))
@@ -436,15 +441,16 @@ object SparkEntry {
 
     // LLM-pipeline: token counting (whitespace)
     "text_tokens" -> ((s, dir) => {
-      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
       docs.select(col("doc_id"),
         Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
     }),
 
     // LLM-pipeline: quality score + language id — rows-only check
     "text_quality" -> ((s, dir) => {
-      val docs = env(s, dir).view("documents",
-        Seq("doc_id", "text", "lang")).read()
+      val docs = graft.ops.Par.spread(env(s, dir).view("documents",
+        Seq("doc_id", "text", "lang")).read())
       docs.select(col("doc_id"), Text.qualityScore(col("text")).as("quality"),
         Text.langId(col("text")).as("lang_pred"), col("lang"))
     }),
@@ -501,7 +507,8 @@ object SparkEntry {
     // LLM-pipeline: multimodal decode plumbing (deterministic stub
     // codec over document bytes) — rows-only check
     "multimodal_decode" -> ((s, dir) => {
-      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
       val media = docs.select(col("doc_id"),
         graft.ops.Multimodal.asMedia(encode(col("text"), "UTF-8"),
           "image/fake", concat(lit("doc://"), col("doc_id"))).as("media"))
@@ -559,7 +566,8 @@ object SparkEntry {
         typedLit(q.map(_ * 1.001f)).as("embedding"))
       val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
       val idxDir = scratchDir("annidx-" + Integer.toHexString(dir.hashCode))
-      Similarity.buildIndex(pool, "embedding", "vec_id", idxDir, dims = q.size)
+      Similarity.buildIndex(pool, "embedding", "vec_id", idxDir, dims = q.size,
+        buckets = 64)
       Similarity.annTopKIndexed(s, idxDir, "embedding", "vec_id", q, 10)
         .select(col("vec_id"))
     })

@@ -53,7 +53,7 @@ object Dedup {
     * docs; acceptable for training-data dedup.) */
   def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
-    df.withColumn("__fp", Text.fingerprint(col(textCol)))
+    Par.spread(df).withColumn("__fp", Text.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__fp")
   }
@@ -216,30 +216,46 @@ object Dedup {
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 128, numBands: Int = 32,
       shingleSize: Int = 3, buckets: Int = 256): Unit = {
-    val banded = bandedSignatures(df, idCol, textCol, numHashes, numBands,
-      shingleSize)
-      .withColumn("__bp", pmod(col("__bsig"), lit(buckets.toLong)))
-      .repartition(col("__bp"))
-    banded.write.mode("overwrite").partitionBy("__bp")
-      .parquet(new org.apache.hadoop.fs.Path(path, "bands").toString)
-    df.select(col(idCol).as("__id"),
+    // Shingle-hash each doc ONCE: the hash sets feed both the docs/
+    // store (written verbatim) and the banded signatures (derived by
+    // exploding them) — without the persist the corpus is parsed and
+    // hashed twice, the single most expensive map stage of the build.
+    val docsH = Par.spread(df).select(col(idCol).as("__id"),
         shingleHashes(col(textCol), shingleSize).as("__hs"))
-      .write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(path, "docs").toString)
-    Similarity.writeIndexMeta(df.sparkSession, path,
-      Map("kind" -> "minhash", "numHashes" -> numHashes,
-        "numBands" -> numBands, "shingleSize" -> shingleSize,
-        "buckets" -> buckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      docsH.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(path, "docs").toString)
+      val banded = bandedFromHashed(
+        docsH.select(col("__id"), explode(col("__hs")).as("__h")),
+        numHashes, numBands)
+        .withColumn("__bp", pmod(col("__bsig"), lit(buckets.toLong)))
+        .repartition(col("__bp"))
+      banded.write.mode("overwrite").partitionBy("__bp")
+        .parquet(new org.apache.hadoop.fs.Path(path, "bands").toString)
+      Similarity.writeIndexMeta(df.sparkSession, path,
+        Map("kind" -> "minhash", "numHashes" -> numHashes,
+          "numBands" -> numBands, "shingleSize" -> shingleSize,
+          "buckets" -> buckets))
+    } finally docsH.unpersist(false): Unit
   }
 
   /** The banded-signature frame `(__id, __band, __bsig)` shared by
     * [[minhashPairs]] and the corpus index. */
-  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, numBands: Int, shingleSize: Int): DataFrame = {
+  private[graft] def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, numBands: Int, shingleSize: Int): DataFrame =
+    bandedFromHashed(
+      Par.spread(df).select(col(idCol).as("__id"),
+        explode(shingleHashes(col(textCol), shingleSize)).as("__h")),
+      numHashes, numBands)
+
+  /** Banding from an already-exploded `(__id, __h)` shingle-hash
+    * frame (lets [[buildMinhashIndex]] reuse its persisted doc hash
+    * sets instead of re-parsing the corpus). */
+  private def bandedFromHashed(hashed: DataFrame,
+      numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val coefs = minhashCoefs(numHashes)
-    val hashed = df.select(col(idCol).as("__id"),
-        explode(shingleHashes(col(textCol), shingleSize)).as("__h"))
     val sig = hashed.groupBy("__id").agg(
       min(col("__h") * coefs.head._1 + coefs.head._2).as("__m0"),
       coefs.tail.zipWithIndex.map { case ((a, b), i) =>
@@ -327,7 +343,7 @@ object Dedup {
     * interpreted). Majority vote: bit set iff 2*ones > tokens. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("__id"),
+    val hashed = Par.spread(df).select(col(idCol).as("__id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
       .select(col("__id"), xxhash64(col("__t")).as("__h"))
     val perBit = hashed.groupBy("__id").agg(

@@ -41,7 +41,7 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    df.select(col(idCol),
+    Par.spread(df).select(col(idCol),
         cosine(col(vecCol).cast("array<double>"), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
@@ -129,7 +129,7 @@ object Similarity {
       numPlanes: Int = 64, bandBits: Int = 16, seed: Long = 42L): DataFrame = {
     require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
     val ps = planes(dims, numPlanes, seed)
-    val exploded = df.select(col(idCol).as("__id"),
+    val exploded = Par.spread(df).select(col(idCol).as("__id"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
     def dotAgg(p: Seq[Double]): Column =
       sum(col("__x") * element_at(array(p.map(lit): _*), col("__pos") + 1))
@@ -335,7 +335,7 @@ object Similarity {
       dims: Int, nlist: Int = 64, maxIter: Int = 10, seed: Long = 42L): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.select(col(idCol), col(vecCol),
+    val feat = Par.spread(df).select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("__feat"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__feat").setPredictionCol("__c")

@@ -101,7 +101,7 @@ object Text {
       textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = array_distinct(filter(
       split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0))
-    df.select(explode(toks).as("token"))
+    Par.spread(df).select(explode(toks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("docs"))
   }
 }
