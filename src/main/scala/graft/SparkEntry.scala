@@ -378,6 +378,16 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // LLM-pipeline: EXACT n-gram Jaccard pairs via the shingle
+    // inverted index (df-capped posting lists, true-jaccard verify) —
+    // the deterministic complement to the LSH miners; oracle is the
+    // brute-force self-join
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.2)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
     // LLM-pipeline: video frame sampling — the explode shape over a
     // synthetic per-doc duration (100ms per 100 chars, min 1 frame)
     "multimodal_frames" -> ((s, dir) => {
@@ -795,6 +805,18 @@ object SparkEntry {
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT idB FROM p WHERE jaccard >= 0.2)""".stripMargin,
+    // exact op, exact oracle: same brute-force self-join, no LSH caveat
+    "dedup_jaccard_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT * FROM p WHERE jaccard >= 0.2""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |  unnest(list_transform(range(0, n), i -> i * 250.0)) AS frame_ts_ms

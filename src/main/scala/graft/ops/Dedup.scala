@@ -197,6 +197,49 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs — the deterministic
+    * complement to [[minhashPairs]] (which trades a ~1e-14 LSH miss
+    * probability for corpus-size-independent banding): every pair of
+    * docs sharing at least one candidate-eligible shingle is verified
+    * with true Jaccard over the full hash sets.
+    *
+    * Candidates come from the shingle inverted index (explode →
+    * posting lists), restricted to shingles with document frequency
+    * in [2, maxDf]: a df-1 shingle can't produce a pair, and a
+    * stop-shingle shared by half the corpus would produce df² noise
+    * candidates carrying ~zero Jaccard signal (prefix-filtering
+    * standard). A true pair is missed ONLY if every shingle it shares
+    * is more frequent than maxDf — at the default that means 1000+
+    * docs already share each of its grams, i.e. a dense duplicate
+    * cluster that [[bucketPairs]]' star-pair degradation still links.
+    *
+    * Scale note: candidate volume is Σ df² over eligible shingles —
+    * inherently corpus-quadratic in the worst case. At 100 TB use
+    * [[minhashPairs]]; this operator is the exact regime for
+    * small-to-mid corpora and for auditing the LSH output. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      maxDf: Int = 1000): DataFrame = {
+    val docsH = Par.spread(df).select(col(idCol).as("__id"),
+      shingleHashes(col(textCol), shingleSize).as("__hs"))
+    val posting = docsH.select(col("__id"), explode(col("__hs")).as("__h"))
+    val pairs = bucketPairs(posting, Seq("__h"), maxDf)
+    val candIds = pairs.select(col("idA").as("__vid"))
+      .unionByName(pairs.select(col("idB").as("__vid"))).distinct()
+    val verify = docsH.withColumnRenamed("__id", "__vid")
+      .join(candIds, Seq("__vid"), "left_semi")
+    pairs
+      .join(verify.withColumnRenamed("__vid", "idA")
+        .withColumnRenamed("__hs", "__ha"), Seq("idA"))
+      .join(verify.withColumnRenamed("__vid", "idB")
+        .withColumnRenamed("__hs", "__hb"), Seq("idB"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+          size(array_union(col("__ha"), col("__hb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
   // --------------------------------------------- cross-corpus dedup
 
   /** Persist a MinHash-LSH index of a corpus for INCREMENTAL dedup:

@@ -44,6 +44,34 @@ class OpsSpec extends SparkSpec {
     assert(rows(deduped).map(_.head).toSet == Set(1L, 3L))
   }
 
+  test("jaccardPairs: exact pair set matches brute force, df cap bounds noise") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val nearDup = base.replace("lazy", "sleepy")
+    val other = "completely different content about spark query engines " * 5
+    val df = docsDf(Seq((1L, base), (2L, nearDup), (3L, other), (4L, other + " extra")))
+    val pairs = rows(Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.5))
+    // brute force over the same shingle semantics
+    val expected = {
+      val texts = Map(1L -> base, 2L -> nearDup, 3L -> other, 4L -> (other + " extra"))
+      val sets = texts.map { case (k, v) =>
+        k -> v.toLowerCase.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet }
+      (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+        if j >= 0.5
+      } yield (a, b)).toSet
+    }
+    assert(pairs.map(p => (p(0), p(1))).toSet == expected, pairs)
+    // every returned jaccard is a true value >= threshold
+    pairs.foreach(p => assert(p(2).asInstanceOf[Double] >= 0.5))
+    // a tiny df cap suppresses frequent-shingle candidates but star
+    // pairs + verify still keep true near-dups (correctness: verify
+    // filters any false star candidates)
+    val capped = rows(Dedup.jaccardPairs(df, "doc_id", "text",
+      threshold = 0.5, maxDf = 2))
+    assert(capped.map(p => (p(0), p(1))).toSet == expected, capped)
+  }
+
   test("ngram jaccard is 1 for identical and ~0 for disjoint") {
     val df = docsDf(Seq((1L, "x")))
       .select(Dedup.ngramJaccard(lit("a b c d"), lit("a b c d")).as("same"),
