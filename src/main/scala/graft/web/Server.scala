@@ -23,6 +23,20 @@ import graft.view.{Json, Order}
   * query parameter binds `{name}` parameters inside filters. Driver
   * collects the page — the endpoint is for serving query RESULTS, so
   * always pass a limit for big tables (default 1000).
+  *
+  * Write side (the reference's routes call `view.write`/`delete`
+  * inside the plugin scope, so the integration exposes them too;
+  * `_`-prefixed paths can never collide with a table name):
+  *
+  * {{{
+  *   POST /_write/<table>   {"fields": [...], "rows": [[...], ...]}
+  *   → {"filtered": n, "deleted": n}          // View rowcounts
+  *   POST /_delete/<table>?filter=<s-expr>&<k>=v
+  *   → {"deleted": n}
+  * }}}
+  *
+  * ACL read/write filters configured on the env bind HTTP clients
+  * exactly as library callers.
   */
 final class Server(env: Env, port: Int = 0) {
 
@@ -46,11 +60,17 @@ final class Server(env: Env, port: Int = 0) {
   private def handle(ex: HttpExchange): Unit = {
     val (code, body) =
       try {
-        val table = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
-        if (ex.getRequestMethod != "GET")
-          (405, Json.write(Map("error" -> "GET only")))
+        val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+        val mutation = path.startsWith("_write/") || path.startsWith("_delete/")
+        val table = if (mutation) path.substring(path.indexOf('/') + 1) else path
+        if (ex.getRequestMethod != (if (mutation) "POST" else "GET"))
+          (405, Json.write(Map("error" ->
+            (if (mutation) "POST only" else "GET only"))))
         else if (table.isEmpty || !env.registry.names.contains(table))
           (404, Json.write(Map("error" -> s"unknown table '$table'")))
+        else if (path.startsWith("_write/")) (200, write(table, ex))
+        else if (path.startsWith("_delete/"))
+          (200, delete(table, params(ex.getRequestURI.getRawQuery)))
         else (200, read(table, params(ex.getRequestURI.getRawQuery)))
       } catch {
         case e: Exception =>
@@ -90,5 +110,35 @@ final class Server(env: Env, port: Int = 0) {
     }
     val rows = df.collect().toSeq.map(_.toSeq.map(cell))
     Json.write(Map("columns" -> cols, "rows" -> rows))
+  }
+
+  /** `POST /_write/<table>` — body `{"fields": [...], "rows": [[...]]}`
+    * through the full upsert path (key merge, FK resolution, ACL write
+    * filters). snakeyaml parses the JSON body (JSON ⊂ YAML). */
+  private def write(table: String, ex: HttpExchange): String = {
+    val text = new String(org.apache.commons.io.IOUtils
+      .toByteArray(ex.getRequestBody), StandardCharsets.UTF_8)
+    import scala.jdk.CollectionConverters._
+    val body = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](text).asScala
+    def arr(v: Any): Seq[Any] = v match {
+      case l: java.util.List[_] => l.toArray.toSeq
+      case other => throw new IllegalArgumentException(s"expected array, got $other")
+    }
+    val fields = arr(body("fields")).map(String.valueOf(_))
+    val rows = arr(body("rows")).map(arr)
+    val res = env.view(table, fields).write(rows)
+    Json.write(Map("filtered" -> res.filtered, "deleted" -> res.deleted))
+  }
+
+  /** `POST /_delete/<table>?filter=<s-expr>&<k>=v` — delete by filter
+    * with `{name}` parameter binding, same surface as the read side. */
+  private def delete(table: String, ps: Seq[(String, String)]): String = {
+    val get = ps.toMap
+    val kwargs: Map[String, Any] = get.filterNot { case (k, _) => reserved(k) }
+    val n = env.view(table).delete(
+      filters = ps.filter(_._1 == "filter").map(_._2).map(graft.view.FilterExpr.apply),
+      kwargs = kwargs)
+    Json.write(Map("deleted" -> n))
   }
 }

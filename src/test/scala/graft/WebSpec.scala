@@ -58,6 +58,61 @@ class WebSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  private def post(port: Int, path: String, body: String = null): (Int, String) = {
+    val url = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    if (body != null) {
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    (code, text)
+  }
+
+  test("write and delete endpoints: upsert via dotted FK fields, delete by filter") {
+    val env = freshEnv()
+    val srv = new graft.web.Server(env)
+    val port = srv.start()
+    try {
+      // upsert a new member through the full write path (FK resolution)
+      val (c1, wrote) = post(port, "/_write/member",
+        """{"fields": ["name", "registration_code", "team.country.name", "team.name"],
+          | "rows": [["Carol", "004", "France", "Blue"]]}""".stripMargin)
+      assert(c1 == 200 && wrote.contains("\"filtered\": 0"), s"$c1 $wrote")
+      val (_, after) = get(port, "/member?fields=name&filter=" +
+        java.net.URLEncoder.encode("(= registration_code '004')", "UTF-8"))
+      assert(after.contains("Carol"), after)
+
+      // delete it back out, with a bound parameter
+      val (c2, del) = post(port, "/_delete/member?filter=" +
+        java.net.URLEncoder.encode("(= registration_code {rc})", "UTF-8") + "&rc=004")
+      assert(c2 == 200 && del.contains("\"deleted\": 1"), s"$c2 $del")
+      val (_, gone) = get(port, "/member?fields=name")
+      assert(!gone.contains("Carol"), gone)
+
+      // method guards: GET on a mutation path, POST on a read path
+      assert(get(port, "/_write/member")._1 == 405)
+      assert(post(port, "/member")._1 == 405)
+      assert(post(port, "/_write/nope", "{}")._1 == 404)
+    } finally srv.stop()
+  }
+
+  test("ACL read filters bind HTTP clients like library callers") {
+    val env = freshEnv()
+    env.aclRead = Map("member" -> Seq("(!= name 'Trudy')"))
+    val srv = new graft.web.Server(env)
+    val port = srv.start()
+    try {
+      val (_, body) = get(port, "/member?fields=name")
+      assert(body.contains("Bob") && body.contains("Alice") && !body.contains("Trudy"), body)
+    } finally srv.stop()
+  }
+
   test("error paths: unknown table 404, bad expression 400") {
     val env = freshEnv()
     val srv = new graft.web.Server(env)
