@@ -38,6 +38,10 @@ object Dedup {
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val crossDedupSlot =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val jaccardPairsSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val jaccardDocsSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Exact dedup on a set of columns: keeps the row with the smallest
     * `idCol` per group. One hash-partition shuffle. */
@@ -118,7 +122,7 @@ object Dedup {
     * that still links every member to a canonical representative for
     * dedup. The per-bucket stats aggregate keeps `collect_list`
     * bounded at maxBucket (no unbounded in-memory bucket arrays). */
-  private[ops] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
+  private[graft] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
       maxBucket: Int): DataFrame = {
     // `banded` is referenced three times below (stats + two joins) but
     // needs no persist: the references share one shuffle exchange and
@@ -199,31 +203,89 @@ object Dedup {
 
   /** EXACT n-gram Jaccard near-dup pairs — the deterministic
     * complement to [[minhashPairs]] (which trades a ~1e-14 LSH miss
-    * probability for corpus-size-independent banding): every pair of
-    * docs sharing at least one candidate-eligible shingle is verified
-    * with true Jaccard over the full hash sets.
+    * probability for corpus-size-independent banding).
     *
-    * Candidates come from the shingle inverted index (explode →
-    * posting lists), restricted to shingles with document frequency
-    * in [2, maxDf]: a df-1 shingle can't produce a pair, and a
-    * stop-shingle shared by half the corpus would produce df² noise
-    * candidates carrying ~zero Jaccard signal (prefix-filtering
-    * standard). A true pair is missed ONLY if every shingle it shares
-    * is more frequent than maxDf — at the default that means 1000+
-    * docs already share each of its grams, i.e. a dense duplicate
-    * cluster that [[bucketPairs]]' star-pair degradation still links.
+    * Candidates come from a PREFIX-FILTERED shingle inverted index
+    * (SSJoin / AllPairs): order each doc's shingle set by global
+    * document frequency ascending (ties by hash), and index only the
+    * first `sz - ceil(t*sz) + 1` entries. Any pair with
+    * J(A,B) >= t shares at least `ceil(t*max(|A|,|B|))` shingles, so
+    * the two prefixes must intersect — the guarantee is exact, and
+    * the corpus-wide stop-shingles (the df² noise generators) sit in
+    * every doc's suffix where they produce no candidates at all.
+    * Survivors are verified with true Jaccard over the full hash
+    * sets, so every emitted `jaccard` value is exact.
     *
-    * Scale note: candidate volume is Σ df² over eligible shingles —
-    * inherently corpus-quadratic in the worst case. At 100 TB use
-    * [[minhashPairs]]; this operator is the exact regime for
-    * small-to-mid corpora and for auditing the LSH output. */
+    * `maxDf` is a skew guard, not the filter: a prefix-index bucket
+    * larger than it (only possible inside a dense cluster of
+    * near-identical docs, where the TRUE output is itself quadratic)
+    * degrades to [[bucketPairs]]-style star pairs against the
+    * canonical member.
+    *
+    * Candidates then pass PPJoin's POSITIONAL filter before the
+    * array verify: the pair explosion carries each shingle's per-doc
+    * rank, and because the df-ordering is one global total order,
+    * every shared element NOT counted among the c prefix collisions
+    * is globally greater than the last collision — so
+    * `O <= c + min(szA - iLast, szB - jLast)` (iLast/jLast = ranks of
+    * the last collision). Noise pairs collide on commonish shingles
+    * near the prefix end, where that bound falls under the threshold.
+    *
+    * Scale shape: two linear shuffles of the prefix postings (df
+    * join, per-doc rank) + one bucket mining with map-side-combinable
+    * per-pair aggregation + an exact verify joined only to surviving
+    * pairs — never an all-pairs product. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       maxDf: Int = 1000): DataFrame = {
-    val docsH = Par.spread(df).select(col(idCol).as("__id"),
-      shingleHashes(col(textCol), shingleSize).as("__hs"))
-    val posting = docsH.select(col("__id"), explode(col("__hs")).as("__h"))
-    val pairs = bucketPairs(posting, Seq("__h"), maxDf)
+    // cached: referenced by the posting/df chain and both verify sides
+    val docsH = cacheSwap(jaccardDocsSlot,
+      Par.spread(df).select(col(idCol).as("__id"),
+        shingleHashes(col(textCol), shingleSize).as("__hs")))
+    val posting = docsH.select(col("__id"), explode(col("__hs")).as("__h"),
+      size(col("__hs")).as("__sz"))
+    val dfs = posting.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    // rank each doc's shingles rarest-first; the 1e-9 nudge keeps
+    // ceil() exact when t*sz is an integer that float noise pushes up
+    val rk = row_number().over(
+      Window.partitionBy(col("__id")).orderBy(col("__df"), col("__h")))
+    val prefix = posting.join(dfs, Seq("__h"))
+      .withColumn("__rk", rk)
+      .filter(col("__rk") <=
+        col("__sz") - ceil(col("__sz") * threshold - lit(1e-9)) + 1)
+      .select(col("__h"), struct(col("__id"), col("__rk"), col("__sz")).as("__m"))
+    val stats = prefix.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"), min(col("__m.__id")).as("__minId"))
+    // normal buckets: ordered in-bucket pairs carrying both ranks,
+    // aggregated per pair (c collisions, last-collision ranks), then
+    // positional-filtered. All-integer arithmetic in doubles is
+    // exact, and correctly-rounded division is monotonic, so the
+    // bound can never reject a pair the exact verify would keep.
+    val collide = prefix
+      .join(stats.filter(col("__n").between(2, maxDf)), Seq("__h"))
+      .groupBy(col("__h"))
+      .agg(sort_array(collect_list(col("__m"))).as("__ms"))
+      .select(explode(expr(
+        """flatten(transform(__ms, (x, i) ->
+             transform(slice(__ms, i + 2, size(__ms) - i - 1), y ->
+               struct(x AS a, y AS b))))""")).as("__p"))
+      .groupBy(col("__p.a.__id").as("idA"), col("__p.b.__id").as("idB"),
+        col("__p.a.__sz").as("__szA"), col("__p.b.__sz").as("__szB"))
+      .agg(count(lit(1)).as("__c"),
+        max(col("__p.a.__rk")).as("__iLast"), max(col("__p.b.__rk")).as("__jLast"))
+      .withColumn("__oub", col("__c") +
+        least(col("__szA") - col("__iLast"), col("__szB") - col("__jLast")))
+      .filter(col("__oub").cast("double") /
+        (col("__szA") + col("__szB") - col("__oub")) >= threshold)
+      .select(col("idA"), col("idB"))
+    // oversized buckets: star pairs to the canonical member, no prune
+    val star = prefix.join(stats.filter(col("__n") > maxDf), Seq("__h"))
+      .filter(col("__m.__id") =!= col("__minId"))
+      .select(col("__minId").as("idA"), col("__m.__id").as("idB")).distinct()
+    // cached: the verify below references the mined pairs three times
+    // (candidate ids + both sides of the join) — without this the
+    // whole mining subplan re-executes per reference
+    val pairs = cacheSwap(jaccardPairsSlot, collide.unionByName(star))
     val candIds = pairs.select(col("idA").as("__vid"))
       .unionByName(pairs.select(col("idB").as("__vid"))).distinct()
     val verify = docsH.withColumnRenamed("__id", "__vid")
