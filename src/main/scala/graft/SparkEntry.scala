@@ -580,6 +580,95 @@ object SparkEntry {
         buckets = 64)
       Similarity.annTopKIndexed(s, idxDir, "embedding", "vec_id", q, 10)
         .select(col("vec_id"))
+    }),
+
+    // LLM-pipeline: connected components over mined near-dup pairs —
+    // transitive closure (A~B~C is ONE cluster even when the A-C pair
+    // itself falls under the threshold); oracle is a DuckDB recursive
+    // CTE over the brute-force pair set
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.2)
+      graft.ops.Cluster.components(pairs).orderBy(col("id"))
+    }),
+
+    // LLM-pipeline: cluster-aware dedup — keep one representative per
+    // component plus every unpaired doc
+    "dedup_cluster_apply" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.2)
+      graft.ops.Cluster.dedupByComponents(docs, pairs, "doc_id")
+        .select(col("doc_id"))
+    }),
+
+    // LLM-pipeline: deterministic hash sampling — membership depends
+    // only on the id (no RNG state, no shuffle), so samples are
+    // reproducible on any cluster size and splits are disjoint bands
+    "sample_hash" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id")).read()
+      graft.ops.Sample.byHash(docs, "doc_id", 0.25).select(col("doc_id"))
+    }),
+
+    // LLM-pipeline: per-source cap (stratified head) — the mixing
+    // recipe's per-domain budget
+    "sample_stratified" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "source")).read()
+      graft.ops.Sample.capPerStratum(docs, Seq("source"), Seq("doc_id"), 10)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // LLM-pipeline: token-budget shard packing — contiguous ~1000-token
+    // shards via the two-phase prefix sum (no single-partition window)
+    "sample_pack" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val toks = docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      graft.ops.Sample.packByBudget(toks, "doc_id", "n_tokens", 1000L)
+    }),
+
+    // LLM-pipeline: PII triage + redaction (emails / IPv4 / phones) —
+    // plant deterministic PII on every 7th doc so the patterns have
+    // real positives; RE2-safe regexes run identically in the oracle
+    "text_pii" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
+      val planted = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" contact bob.smith+spam@example.org" +
+            " or 10.0.0.1 call +1 555 867-5309"))).otherwise(col("text"))
+          .as("t"))
+      planted.withColumn("__pii", Text.piiCounts(col("t")))
+        .select(col("doc_id"),
+          col("__pii.emails").cast("bigint").as("emails"),
+          col("__pii.ips").cast("bigint").as("ips"),
+          col("__pii.phones").cast("bigint").as("phones"),
+          Text.redactPii(col("t")).as("redacted"))
+    }),
+
+    // LLM-pipeline: corpus TF-IDF (smoothed idf) — tf from one explode
+    // + map-side-combined count, df from the tf frame, N broadcast
+    "text_tfidf" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      Text.tfidf(docs, "doc_id", "text")
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
+    // S1/W5 maintenance: small-file compaction — three partial merges
+    // leave the bucketed manifest pointing into three snapshots;
+    // compact() collapses them to one fresh snap and the content
+    // round-trips exactly
+    "warehouse_compact" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      val docs = e.view("documents",
+        Seq("doc_id", "text", "lang", "source", "n_chars")).read()
+      val v = e.view("compact_scratch",
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      v.write(docs.filter(col("doc_id") % 3 === 0))
+      v.write(docs.filter(col("doc_id") % 3 === 1))
+      v.write(docs.filter(col("doc_id") % 3 === 2))
+      e.warehouse.compact("compact_scratch")
+      v.read().select(col("doc_id"), col("n_chars"))
     })
   )
 
@@ -929,6 +1018,89 @@ object SparkEntry {
         |SELECT a.vec_id AS idA, b.vec_id AS idB,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |FROM pool a JOIN pool b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin,
+    // Transitive closure over the brute-force pair set: component =
+    // min reachable id, via a recursive CTE (UNION dedups, so the
+    // fixpoint terminates). Valid for the LSH-mined input for the same
+    // reason as dedup_minhash_pairs (pair recall ~1 at this corpus).
+    "dedup_clusters" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
+        |e AS (SELECT idA AS a, idB AS b FROM p UNION SELECT idB, idA FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "dedup_cluster_apply" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
+        |e AS (SELECT idA AS a, idB AS b FROM p UNION SELECT idB, idA FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
+    // Same 32-bit Knuth multiplicative hash as Sample.idHash — folded
+    // to 2^31 first so the bigint product can't overflow either engine
+    "sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296
+        |      < 1073741824""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10""".stripMargin,
+    "sample_pack" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS BIGINT) AS shard
+        |FROM (SELECT doc_id,
+        |        CASE WHEN trim(text) = '' THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |      FROM documents)""".stripMargin,
+    "text_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' contact bob.smith+spam@example.org or 10.0.0.1 call +1 555 867-5309'
+        |    ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ips,
+        |  len(regexp_extract_all(t, '\+?\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{2,4}')) AS phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\+?\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{2,4}', '[PHONE]', 'g') AS redacted
+        |FROM d""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfs AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfs.df,
+        |  round(tf.tf * (ln((nn + 1.0) / (dfs.df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN dfs USING (token), n""".stripMargin,
+    "warehouse_compact" ->
+      "SELECT doc_id, n_chars FROM documents"
   )
 }

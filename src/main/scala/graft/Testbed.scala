@@ -94,7 +94,14 @@ object Testbed {
       // Bench probe for the pruned-merge path (key-hash bucketed).
       TableDef.normalized("bench_bucketed", Seq(
         cd("code", VarcharT), cd("x", FloatT)),
-        key = Seq("code"), buckets = 64))
+        key = Seq("code"), buckets = 64),
+      // Compaction round-trip target (warehouse_compact query): three
+      // partial merges fragment the manifest across snapshots, then
+      // compact() collapses it.
+      TableDef.normalized("compact_scratch", Seq(
+        cd("doc_id", BigIntT), cd("text", VarcharT), cd("lang", VarcharT),
+        cd("source", VarcharT), cd("n_chars", BigIntT)),
+        key = Seq("doc_id"), buckets = 16))
   }
 
   /** Temp warehouse roots awaiting exit cleanup: ONE shutdown hook

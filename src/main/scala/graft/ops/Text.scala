@@ -91,6 +91,72 @@ object Text {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  // ------------------------------------------------------------- PII
+  //
+  // Patterns are deliberately RE2-compatible (no lookaround, no
+  // backreferences) so the same regex text runs identically in Spark's
+  // java.util.regex and in RE2-based engines — redaction decisions
+  // must not depend on which engine scanned the shard.
+
+  /** Email addresses. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 addresses (syntactic — no octet range check,
+    * matching standard scrubber behavior). */
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Phone-ish numbers: optional +country, 2-4 digit groups separated
+    * by -, ., or space — at least three groups, so plain integers and
+    * years never match. */
+  val phonePattern =
+    "\\+?\\d{1,3}[-. ]\\(?\\d{2,4}\\)?[-. ]\\d{3,4}[-. ]\\d{2,4}"
+
+  /** Per-document PII hit counts — the triage pass that decides what
+    * goes to the (more expensive) redaction rewrite. Pure codegen'd
+    * regexp counts, one scan. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailPattern)).as("emails"),
+    regexp_count(text, lit(ipv4Pattern)).as("ips"),
+    regexp_count(text, lit(phonePattern)).as("phones"))
+
+  /** Redact PII in place: emails → `[EMAIL]`, IPv4 → `[IP]`,
+    * phone-ish numbers → `[PHONE]`. Email first (its local part may
+    * contain digits a later pattern would bite into), IP before phone
+    * (dotted quads also parse as dot-separated digit groups). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "[EMAIL]"),
+        ipv4Pattern, "[IP]"),
+      phonePattern, "[PHONE]")
+
+  // ----------------------------------------------------------- TF-IDF
+
+  /** Per-(document, token) TF-IDF over whitespace tokens:
+    * `tf * (ln((N + 1) / (df + 1)) + 1)` (smoothed idf, never
+    * negative). Returns (idCol, token, tf, df, tfidf).
+    *
+    * Scale shape: one explode + groupBy(doc, token) with map-side
+    * combine for tf; token document frequencies aggregated from the tf
+    * frame (already one row per doc×token, so no second corpus scan);
+    * the corpus size joins in as a broadcast one-row aggregate —
+    * no driver-side count, no window. */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = filter(
+      split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val tf = Par.spread(df)
+      .select(col(idCol), explode(toks).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    tf.join(dfs, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Corpus vocabulary with document frequencies: one row per distinct
     * lowercased whitespace token, with the number of documents it
     * appears in — the input to stopword mining / rare-token filters.

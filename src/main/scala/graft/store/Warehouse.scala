@@ -267,6 +267,29 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     }
   }
 
+  /** Compaction: rewrite the live state as ONE fresh snapshot and
+    * swap. For bucketed tables this collapses the manifest's
+    * many-snapshot bucket pointers (each partial merge leaves its
+    * touched buckets in a new snap dir, pinning every referenced old
+    * snap against gc) back to a single directory tree, with rows
+    * clustered so each bucket dir gets one file per owning task —
+    * the small-file compaction a long-lived 100-TB table needs after
+    * many incremental merges. Readers are never blocked: the new snap
+    * is built in full before the single-file pointer swap, and gc
+    * reclaims the old snaps afterwards. Content and the id high-water
+    * mark are unchanged. */
+  def compact(t: String): Unit = {
+    val td = registry(t)
+    require(td.external.isEmpty, s"Table '$t' is external (read-only)")
+    val keepMax = Some(maxId(t))
+    if (td.buckets > 0) {
+      // cluster by bucket id before the partitioned write: one file
+      // per bucket dir instead of (tasks × buckets) small files
+      val full = read(t).repartition(td.buckets, bucketExpr(td))
+      writeBucketed(t, full, affected = None, knownMaxId = keepMax)
+    } else write(t, read(t), knownMaxId = keepMax)
+  }
+
   /** Retained snapshot names for a managed table, oldest first. GC
     * keeps the manifest-referenced snapshots plus the two most recent,
     * so this is a bounded time-travel window over immutable

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Cluster, Sample, Text}
+
+/** Round-7 pipeline operators: connected-component clustering,
+  * deterministic sampling / sharding, PII scrubbing, TF-IDF, and
+  * warehouse compaction. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import scala.jdk.CollectionConverters._
+
+  private def pairsDf(rows: Seq[(Long, Long)]) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idA",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("idB",
+        org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(rows.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    s.createDataFrame(rows.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+  }
+
+  // ------------------------------------------------ connected components
+
+  test("components: chain collapses transitively to its minimum") {
+    // 1-2-3-4 is one component even though (1,4) was never a pair
+    val comp = rows(Cluster.components(pairsDf(Seq((1L, 2L), (2L, 3L), (3L, 4L)))))
+    assert(comp.map(r => r.head -> r(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("components: separate clusters stay separate; unpaired ids absent") {
+    val comp = rows(Cluster.components(
+      pairsDf(Seq((10L, 11L), (20L, 21L), (21L, 22L)))))
+    assert(comp.map(r => r.head -> r(1)).toMap ==
+      Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("components: long chain converges via pointer jumping") {
+    // path graph over 40 vertices — diameter 39; min-propagation alone
+    // would need ~39 rounds, pointer jumping must get there in <= 25
+    val edges = (0L until 39L).map(i => (i, i + 1))
+    val comp = rows(Cluster.components(pairsDf(edges)))
+    assert(comp.size == 40 && comp.forall(_(1) == 0L))
+  }
+
+  test("dedupByComponents keeps one representative per cluster + unpaired rows") {
+    val df = docsDf(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z")))
+    val out = Cluster.dedupByComponents(df,
+      pairsDf(Seq((1L, 2L), (2L, 3L))), "doc_id")
+    assert(rows(out).map(_.head).toSet == Set(1L, 4L, 9L))
+  }
+
+  // ---------------------------------------------------------- sampling
+
+  test("byHash is deterministic and bands partition the corpus") {
+    val df = s.range(0, 2000).toDF("doc_id")
+    val a = rows(Sample.byHash(df, "doc_id", 0.3)).map(_.head).toSet
+    val b = rows(Sample.byHash(df, "doc_id", 0.3)).map(_.head).toSet
+    assert(a == b) // no RNG state
+    assert(a.size > 400 && a.size < 800, s"0.3 sample of 2000 -> ${a.size}")
+    val lo = rows(Sample.split(df, "doc_id", 0.0, 0.3)).map(_.head).toSet
+    val hi = rows(Sample.split(df, "doc_id", 0.3, 1.0)).map(_.head).toSet
+    assert(lo == a) // byHash(f) IS the [0, f) band
+    assert((lo & hi).isEmpty && lo.size + hi.size == 2000) // disjoint cover
+  }
+
+  test("capPerStratum keeps the first n per stratum in order") {
+    val df = s.createDataFrame(
+      (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd")))
+      .toDF("id", "src")
+    val out = rows(Sample.capPerStratum(df, Seq("src"), Seq("id"), 3))
+    assert(out.map(_.head).toSet == Set(1L, 3L, 5L, 2L, 4L, 6L))
+  }
+
+  test("packByBudget: contiguous shards match the prefix-sum definition") {
+    // weights 10,20,...,100 over ids 1..10; budget 60
+    val df = s.createDataFrame((1 to 10).map(i => (i.toLong, i * 10L)))
+      .toDF("doc_id", "w")
+    val out = rows(Sample.packByBudget(df, "doc_id", "w", 60L)
+      .select(col("doc_id"), col("shard"))).map(r => r.head -> r(1)).toMap
+    // cumulative-before: 0,10,30,60,100,150,210,280,360,450
+    val expect = Seq(0L, 10L, 30L, 60L, 100L, 150L, 210L, 280L, 360L, 450L)
+      .map(_ / 60L).zipWithIndex.map { case (sh, i) => (i + 1).toLong -> sh }.toMap
+    assert(out == expect, s"got $out")
+  }
+
+  test("packByBudget shard ids are independent of input partitioning") {
+    val df = s.createDataFrame((1 to 100).map(i => (i.toLong, 7L)))
+      .toDF("doc_id", "w")
+    val one = rows(Sample.packByBudget(df.repartition(1), "doc_id", "w", 50L)
+      .select("doc_id", "shard")).map(r => r.head -> r(1)).toMap
+    val many = rows(Sample.packByBudget(df.repartition(13), "doc_id", "w", 50L)
+      .select("doc_id", "shard")).map(r => r.head -> r(1)).toMap
+    assert(one == many)
+  }
+
+  // --------------------------------------------------------------- PII
+
+  test("piiCounts and redactPii hit emails, IPv4, phone-ish numbers") {
+    val df = docsDf(Seq(
+      (1L, "reach me at jane.doe+x@corp.example.com thanks"),
+      (2L, "server at 192.168.1.77 port 80"),
+      (3L, "call +1 555 867-5309 today"),
+      (4L, "born in 1984, ordered 12 items"))) // no PII
+    val out = rows(df.select(col("doc_id"),
+      Text.piiCounts(col("text")).as("p"), Text.redactPii(col("text")).as("r")))
+      .map(r => r.head -> (r(1), r(2))).toMap
+    def counts(v: Any) = v.asInstanceOf[org.apache.spark.sql.Row].toSeq
+    assert(counts(out(1L)._1) == Seq(1, 0, 0))
+    assert(counts(out(2L)._1) == Seq(0, 1, 0))
+    assert(counts(out(3L)._1) == Seq(0, 0, 1))
+    assert(counts(out(4L)._1) == Seq(0, 0, 0))
+    assert(out(1L)._2 == "reach me at [EMAIL] thanks")
+    assert(out(2L)._2 == "server at [IP] port 80")
+    assert(out(3L)._2 == "call [PHONE] today")
+    assert(out(4L)._2 == "born in 1984, ordered 12 items")
+  }
+
+  // ------------------------------------------------------------- TF-IDF
+
+  test("tfidf matches the hand formula on a tiny corpus") {
+    val df = docsDf(Seq((1L, "a a b"), (2L, "a c")))
+    val out = rows(Text.tfidf(df, "doc_id", "text"))
+      .map(r => (r.head, r(1)) -> (r(2), r(3), r(4))).toMap
+    def idf(dfreq: Long) = math.log(3.0 / (dfreq + 1.0)) + 1.0
+    def exp(tf: Long, dfreq: Long) =
+      BigDecimal(tf * idf(dfreq)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    assert(out((1L, "a")) == ((2L, 2L, exp(2, 2))))
+    assert(out((1L, "b")) == ((1L, 1L, exp(1, 1))))
+    assert(out((2L, "a")) == ((1L, 2L, exp(1, 2))))
+    assert(out((2L, "c")) == ((1L, 1L, exp(1, 1))))
+  }
+
+  // --------------------------------------------------------- compaction
+
+  test("compact collapses a fragmented bucketed manifest to one snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    try {
+      val reg = graft.schema.Registry.fromYaml(
+        """- table: t
+          |  columns:
+          |    k: varchar
+          |    v: bigint
+          |  key: [k]
+          |  buckets: 8
+          |""".stripMargin)
+      val env = Env(spark, reg, root)
+      env.createTables()
+      val v = env.view("t", Seq("k", "v"))
+      v.write((1 to 40).map(i => Seq(s"k$i", i.toLong)))
+      v.write((41 to 80).map(i => Seq(s"k$i", i.toLong)))
+      v.write((1 to 10).map(i => Seq(s"k$i", i + 1000L))) // update slice
+      val before = env.warehouse.currentManifest("t").get
+      assert(before.buckets.values.map(_.split("/")(0)).toSet.size > 1,
+        s"expected a fragmented manifest, got $before")
+      val dataBefore = rows(v.read()).sortBy(_.head.toString)
+      env.warehouse.compact("t")
+      val after = env.warehouse.currentManifest("t").get
+      assert(after.buckets.values.map(_.split("/")(0)).toSet.size == 1,
+        s"expected one snapshot after compact, got $after")
+      assert(after.maxId == before.maxId) // high-water mark preserved
+      assert(rows(v.read()).sortBy(_.head.toString) == dataBefore)
+      // every referenced bucket dir holds exactly one data file
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      after.buckets.values.foreach { rel =>
+        val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/t/$rel"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"$rel has ${files.length} files")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root)): Unit
+  }
+}
