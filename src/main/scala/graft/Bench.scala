@@ -38,14 +38,20 @@ object Bench {
       .mode("overwrite").save()
     catch { case _: Throwable => }
 
+    // Local iteration aid: SPARK_GRAFT_ONLY=name1,name2 restricts the
+    // run to those queries (and skips the write probes).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if only.forall(_.contains(name)))
       results(name) = time {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
 
     // Write-path probe (BASELINE.md): 100k-row upsert, insert then
     // re-write as update, through the full View.write machinery.
+    if (only.isEmpty) {
     val e = Testbed.env(spark, sfDir)
     e.createTables()
     val batch = e.view("lineitem",
@@ -81,6 +87,7 @@ object Bench {
     small.count()
     results("bucketed_update_1k") = time(bv.write(small))
     allRows.unpersist(); small.unpersist()
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -653,6 +653,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    // LLM-pipeline: Okapi BM25 (k1=1.2, b=0.75) — corpus keyword
+    // ranking; doc lengths and corpus constants derived from the tf
+    // frame, one corpus scan total
+    "text_bm25" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      Text.bm25(docs, "doc_id", "text")
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
     // S1/W5 maintenance: small-file compaction — three partial merges
     // leave the bucketed manifest pointing into three snapshots;
     // compact() collapses them to one fresh snap and the content
@@ -1100,6 +1109,19 @@ object SparkEntry {
         |SELECT tf.doc_id, tf.token, tf.tf, dfs.df,
         |  round(tf.tf * (ln((nn + 1.0) / (dfs.df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfs USING (token), n""".stripMargin,
+    "text_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY 1),
+        |dfs AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT count(*) AS nn, avg(dlen) AS avglen FROM lens)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfs.df,
+        |  round(ln(1.0 + (nn - dfs.df + 0.5) / (dfs.df + 0.5))
+        |    * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dlen / avglen)), 6) AS bm25
+        |FROM tf JOIN lens USING (doc_id) JOIN dfs USING (token), c""".stripMargin,
     "warehouse_compact" ->
       "SELECT doc_id, n_chars FROM documents"
   )

@@ -157,6 +157,38 @@ object Text {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Per-(document, token) Okapi BM25 score — the ranking function a
+    * corpus-scale keyword search / quality-by-rarity filter needs.
+    * `idf = ln(1 + (N - df + 0.5) / (df + 0.5))`,
+    * `score = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len/avgLen))`.
+    * Returns (idCol, token, tf, df, bm25).
+    *
+    * Scale shape: same single explode + two map-side-combined
+    * aggregations as [[tfidf]]; doc lengths ride the tf frame (summed
+    * per doc — no second corpus scan), and the corpus constants
+    * (N, avg length) join in as ONE broadcast row. */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = filter(
+      split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val tf = Par.spread(df)
+      .select(col(idCol), explode(toks).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__len"))
+    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val consts = lens.agg(count(lit(1)).as("__n"),
+      avg(col("__len")).as("__avglen"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(lens, Seq(idCol)).join(dfs, Seq("token"))
+      .crossJoin(broadcast(consts))
+      .withColumn("bm25", round(idf * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("__len") / col("__avglen"))), 6))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("bm25"))
+  }
+
   /** Corpus vocabulary with document frequencies: one row per distinct
     * lowercased whitespace token, with the number of documents it
     * appears in — the input to stopword mining / rare-token filters.

@@ -144,6 +144,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((2L, "c")) == ((1L, 1L, exp(1, 1))))
   }
 
+  test("bm25 matches the hand formula on a tiny corpus") {
+    val df = docsDf(Seq((1L, "a a b"), (2L, "a c")))
+    val out = rows(Text.bm25(df, "doc_id", "text"))
+      .map(r => (r.head, r(1)) -> r(4)).toMap
+    // N=2, avgLen=2.5; idf(df)=ln(1+(2-df+0.5)/(df+0.5))
+    def score(tf: Long, dfreq: Long, len: Long) = {
+      val idf = math.log(1.0 + (2.0 - dfreq + 0.5) / (dfreq + 0.5))
+      val raw = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / 2.5))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out((1L, "a")) == score(2, 2, 3))
+    assert(out((1L, "b")) == score(1, 1, 3))
+    assert(out((2L, "a")) == score(1, 2, 2))
+    assert(out((2L, "c")) == score(1, 1, 2))
+  }
+
   // --------------------------------------------------------- compaction
 
   test("compact collapses a fragmented bucketed manifest to one snapshot") {
