@@ -205,101 +205,108 @@ object Dedup {
     * complement to [[minhashPairs]] (which trades a ~1e-14 LSH miss
     * probability for corpus-size-independent banding).
     *
-    * Candidates come from a PREFIX-FILTERED shingle inverted index
-    * (SSJoin / AllPairs): order each doc's shingle set by global
-    * document frequency ascending (ties by hash), and index only the
-    * first `sz - ceil(t*sz) + 1` entries. Any pair with
-    * J(A,B) >= t shares at least `ceil(t*max(|A|,|B|))` shingles, so
-    * the two prefixes must intersect — the guarantee is exact, and
-    * the corpus-wide stop-shingles (the df² noise generators) sit in
-    * every doc's suffix where they produce no candidates at all.
-    * Survivors are verified with true Jaccard over the full hash
-    * sets, so every emitted `jaccard` value is exact.
+    * The Jaccard numerator IS the collision count: shingle hashes are
+    * distinct within a doc, so |A ∩ B| equals the number of inverted-
+    * index buckets where the pair co-occurs, and
+    * `J = i / (szA + szB - i)` is exact with NO array comparison at
+    * all. The whole computation is one narrow self-join of the
+    * posting list on the shingle hash plus a map-side-combinable
+    * `count` per pair — this replaced a PPJoin-style mine-then-
+    * array-verify pipeline that spent its time in per-pair
+    * `array_intersect`/`array_union` (measured 31.7s → see bench;
+    * the positional filter pruned under 2× at low thresholds while
+    * the array verify cost ~9μs/row·core).
     *
-    * `maxDf` is a skew guard, not the filter: a prefix-index bucket
-    * larger than it (only possible inside a dense cluster of
-    * near-identical docs, where the TRUE output is itself quadratic)
-    * degrades to [[bucketPairs]]-style star pairs against the
-    * canonical member.
+    * At `threshold >= 0.5` the self-join is first restricted to
+    * CANDIDATE DOCS via prefix filtering (SSJoin/AllPairs): order
+    * each doc's shingles by global document frequency ascending and
+    * index only the first `sz - ceil(t*sz) + 1`; any pair with
+    * J >= t must collide inside those prefixes, so docs alone in
+    * every prefix bucket can be dropped before the join. The
+    * corpus-wide stop-shingles (the df² noise generators) sit in
+    * every doc's suffix where they generate no candidates.
     *
-    * Candidates then pass PPJoin's POSITIONAL filter before the
-    * array verify: the pair explosion carries each shingle's per-doc
-    * rank, and because the df-ordering is one global total order,
-    * every shared element NOT counted among the c prefix collisions
-    * is globally greater than the last collision — so
-    * `O <= c + min(szA - iLast, szB - jLast)` (iLast/jLast = ranks of
-    * the last collision). Noise pairs collide on commonish shingles
-    * near the prefix end, where that bound falls under the threshold.
+    * `maxDf` is a skew guard: shingles with df above it are excluded
+    * from the counting join (a bucket that hot only happens inside a
+    * dense cluster of near-identical docs, where the TRUE output is
+    * itself quadratic). Pairs that may share such a shingle — both
+    * ends carry one — fall back to an exact array verify, and
+    * oversized buckets additionally contribute star pairs against
+    * the canonical member so dense clusters stay linked for dedup.
     *
-    * Scale shape: two linear shuffles of the prefix postings (df
-    * join, per-doc rank) + one bucket mining with map-side-combinable
-    * per-pair aggregation + an exact verify joined only to surviving
-    * pairs — never an all-pairs product. */
+    * Scale shape: one df join + one hash-partitioned self-join of
+    * df-capped postings + one combinable aggregation; the array
+    * fallback touches only docs containing >maxDf shingles (none, on
+    * healthy corpora). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       maxDf: Int = 1000): DataFrame = {
-    // cached: referenced by the posting/df chain and both verify sides
+    // cached: referenced by the posting/df chain and the array verify
     val docsH = cacheSwap(jaccardDocsSlot,
       Par.spread(df).select(col(idCol).as("__id"),
         shingleHashes(col(textCol), shingleSize).as("__hs")))
     val posting = docsH.select(col("__id"), explode(col("__hs")).as("__h"),
       size(col("__hs")).as("__sz"))
     val dfs = posting.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-    // rank each doc's shingles rarest-first; the 1e-9 nudge keeps
-    // ceil() exact when t*sz is an integer that float noise pushes up
-    val rk = row_number().over(
-      Window.partitionBy(col("__id")).orderBy(col("__df"), col("__h")))
-    val prefix = posting.join(dfs, Seq("__h"))
-      .withColumn("__rk", rk)
-      .filter(col("__rk") <=
-        col("__sz") - ceil(col("__sz") * threshold - lit(1e-9)) + 1)
-      .select(col("__h"), struct(col("__id"), col("__rk"), col("__sz")).as("__m"))
-    val stats = prefix.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__n"), min(col("__m.__id")).as("__minId"))
-    // normal buckets: ordered in-bucket pairs carrying both ranks,
-    // aggregated per pair (c collisions, last-collision ranks), then
-    // positional-filtered. All-integer arithmetic in doubles is
-    // exact, and correctly-rounded division is monotonic, so the
-    // bound can never reject a pair the exact verify would keep.
-    val collide = prefix
-      .join(stats.filter(col("__n").between(2, maxDf)), Seq("__h"))
-      .groupBy(col("__h"))
-      .agg(sort_array(collect_list(col("__m"))).as("__ms"))
-      .select(explode(expr(
-        """flatten(transform(__ms, (x, i) ->
-             transform(slice(__ms, i + 2, size(__ms) - i - 1), y ->
-               struct(x AS a, y AS b))))""")).as("__p"))
-      .groupBy(col("__p.a.__id").as("idA"), col("__p.b.__id").as("idB"),
-        col("__p.a.__sz").as("__szA"), col("__p.b.__sz").as("__szB"))
-      .agg(count(lit(1)).as("__c"),
-        max(col("__p.a.__rk")).as("__iLast"), max(col("__p.b.__rk")).as("__jLast"))
-      .withColumn("__oub", col("__c") +
-        least(col("__szA") - col("__iLast"), col("__szB") - col("__jLast")))
-      .filter(col("__oub").cast("double") /
-        (col("__szA") + col("__szB") - col("__oub")) >= threshold)
-      .select(col("idA"), col("idB"))
-    // oversized buckets: star pairs to the canonical member, no prune
-    val star = prefix.join(stats.filter(col("__n") > maxDf), Seq("__h"))
-      .filter(col("__m.__id") =!= col("__minId"))
-      .select(col("__minId").as("idA"), col("__m.__id").as("idB")).distinct()
-    // cached: the verify below references the mined pairs three times
-    // (candidate ids + both sides of the join) — without this the
-    // whole mining subplan re-executes per reference
-    val pairs = cacheSwap(jaccardPairsSlot, collide.unionByName(star))
-    val candIds = pairs.select(col("idA").as("__vid"))
-      .unionByName(pairs.select(col("idB").as("__vid"))).distinct()
-    val verify = docsH.withColumnRenamed("__id", "__vid")
-      .join(candIds, Seq("__vid"), "left_semi")
-    pairs
-      .join(verify.withColumnRenamed("__vid", "idA")
+    val withDf = posting.join(dfs, Seq("__h"))
+    val normal = withDf.filter(col("__df") <= maxDf)
+    // high-threshold regime: drop docs that share no prefix bucket
+    // before paying for the self-join. The 1e-9 nudge keeps ceil()
+    // exact when t*sz is an integer that float noise pushes up.
+    val joinBase = if (threshold >= 0.5) {
+      val rk = row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__h")))
+      val prefix = normal.withColumn("__rk", rk)
+        .filter(col("__rk") <=
+          col("__sz") - ceil(col("__sz") * threshold - lit(1e-9)) + 1)
+        .select(col("__h"), col("__id"))
+      val bs = prefix.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      val candIds = prefix.join(bs.filter(col("__n") >= 2), Seq("__h"))
+        .select(col("__id")).distinct()
+      normal.join(candIds, Seq("__id"), "left_semi")
+    } else normal
+    val cnt = joinBase
+      .select(col("__h"), col("__id").as("idA"), col("__sz").as("__szA"))
+      .join(joinBase.select(col("__h"), col("__id").as("idB"),
+        col("__sz").as("__szB")), Seq("__h"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"), col("__szA"), col("__szB"))
+      .agg(count(lit(1)).as("__i"))
+    // docs carrying an over-cap shingle: a shared one is invisible to
+    // the count above, so pairs with BOTH ends tainted re-verify on
+    // the full hash arrays (rare path; empty on healthy corpora)
+    val overPost = withDf.filter(col("__df") > maxDf)
+    val tainted = overPost.select(col("__id")).distinct()
+      .withColumn("__t", lit(true))
+    val om = overPost.groupBy(col("__h")).agg(min(col("__id")).as("__minId"))
+    val star = overPost.join(om, Seq("__h"))
+      .filter(col("__id") =!= col("__minId"))
+      .select(col("__minId").as("idA"), col("__id").as("idB")).distinct()
+    // cached: clean + dirty branches both filter this frame
+    val marked = cacheSwap(jaccardPairsSlot, cnt
+      .join(tainted.withColumnRenamed("__id", "idA")
+        .withColumnRenamed("__t", "__tA"), Seq("idA"), "left")
+      .join(tainted.withColumnRenamed("__id", "idB")
+        .withColumnRenamed("__t", "__tB"), Seq("idB"), "left"))
+    val bothTainted = col("__tA").isNotNull && col("__tB").isNotNull
+    val clean = marked.filter(!bothTainted)
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__szA") + col("__szB") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+    val dirtyCand = marked.filter(bothTainted)
+      .select(col("idA"), col("idB")).unionByName(star).distinct()
+    val dirty = dirtyCand
+      .join(docsH.withColumnRenamed("__id", "idA")
         .withColumnRenamed("__hs", "__ha"), Seq("idA"))
-      .join(verify.withColumnRenamed("__vid", "idB")
+      .join(docsH.withColumnRenamed("__id", "idB")
         .withColumnRenamed("__hs", "__hb"), Seq("idB"))
       .withColumn("jaccard",
         size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
           size(array_union(col("__ha"), col("__hb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
+    clean.unionByName(dirty)
   }
 
   // --------------------------------------------- cross-corpus dedup
