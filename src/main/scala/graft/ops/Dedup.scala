@@ -11,37 +11,56 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** One-slot cache registry: persists `df`, unpersisting whatever the
-    * same slot cached on the PREVIOUS call — Spark's SQL CacheManager
-    * holds cached plans strongly (the context cleaner never reclaims
-    * them), so without this a long-lived session mining pairs over
-    * changing inputs leaks one cache entry per call. An in-flight
-    * query over the evicted cache just recomputes from lineage. */
+  /** One-slot materialization registry for expensive mining
+    * intermediates. Returns an EAGER `localCheckpoint` of `df` —
+    * computed now, lineage SEVERED — reusing the slot's existing
+    * checkpoint when the incoming plan is `sameResult` with the one
+    * that produced it (so a session mining the same corpus twice pays
+    * once).
+    *
+    * Why checkpoint instead of `persist`: these frames fan out into
+    * many downstream branches (posting/taint/fallback joins), and a
+    * cached-but-unmaterialized plan segment gets recomputed by every
+    * concurrently-scheduled consumer stage; worse, each consumer
+    * carries the full nested lineage (the 128-aggregate signature
+    * subplan, several joins deep), which AQE re-optimizes and the SQL
+    * CacheManager re-canonicalizes per stage per lookup — measured
+    * 15+ seconds of pure DRIVER time on the minhash miner at sf0.1.
+    * After the checkpoint, downstream plans see one leaf.
+    *
+    * Replaced checkpoints are reclaimed by the ContextCleaner once
+    * unreferenced (RDD persists are weakly tracked, unlike SQL cache
+    * entries). At cluster scale a long pipeline would land these in a
+    * real intermediate table instead; the reuse window here is one
+    * driver session. */
   private[ops] def cacheSwap(
-      slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      slot: java.util.concurrent.atomic.AtomicReference[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)],
       df: DataFrame): DataFrame = {
-    val cached = df.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = slot.getAndSet(cached)
-    // CacheManager keys cache entries on the CANONICALIZED plan:
-    // unpersisting a same-result previous frame would evict the entry
-    // the new frame just registered (and re-running the same query
-    // would lose its warm cache) — only evict genuinely stale plans.
-    if ((prev ne null) && (prev ne cached) &&
-        !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
-      prev.unpersist(blocking = false)
-    cached
+    val plan = df.queryExecution.analyzed
+    val prev = slot.get()
+    if ((prev ne null) && prev._1.sameResult(plan)) prev._2
+    else {
+      val cp = df.localCheckpoint()
+      slot.set((plan, cp))
+      cp
+    }
   }
-  private val minhashPairsSlot =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private val simhashSlot =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private val crossDedupSlot =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private val jaccardPairsSlot =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private val jaccardDocsSlot =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private[ops] type Slot = java.util.concurrent.atomic.AtomicReference[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+  private[ops] def newSlot(): Slot =
+    new java.util.concurrent.atomic.AtomicReference(null)
+  private val minhashPairsSlot = newSlot()
+  private val simhashSlot = newSlot()
+  private val crossDedupSlot = newSlot()
+  private val jaccardPairsSlot = newSlot()
+  private val jaccardDocsSlot = newSlot()
+  private val minhashDocsSlot = newSlot()
+  private val minhashVerifySlot = newSlot()
+  private val crossVerifySlot = newSlot()
+  private val crossCandsSlot = newSlot()
+  private val verifyLeftSlot = newSlot()
+  private val verifyRightSlot = newSlot()
 
   /** Exact dedup on a set of columns: keeps the row with the smallest
     * `idCol` per group. One hash-partition shuffle. */
@@ -149,6 +168,83 @@ object Dedup {
     small.unionByName(big).filter(col("idA") =!= col("idB")).distinct()
   }
 
+  /** Exact Jaccard for CANDIDATE pairs via collision counting: the
+    * hashes in `__ha`/`__hb` are per-doc distinct, so |A ∩ B| equals
+    * the number of hash buckets where the pair collides — one narrow
+    * join of the exploded postings plus a combinable `count` per
+    * pair, no per-pair `array_intersect`/`array_union` (measured
+    * ~2.5x on the minhash verify at sf0.1; the array kernels were
+    * the dominant cost of every near-dup verify stage).
+    *
+    * `pairs` is (idA, idB); `left`/`right` are (idA, __ha) /
+    * (idB, __hb) FULL hash-set frames, already restricted to
+    * candidate docs by the caller. Hashes hotter than `maxDf` across
+    * the candidate postings are excluded from the counting join (a
+    * bucket that hot only happens inside a dense near-identical
+    * cluster); pairs where BOTH ends carry an excluded hash re-verify
+    * on the full arrays, so every emitted value is exact. `ordered`
+    * = true when callers guarantee idA < idB (symmetric same-corpus
+    * pairs), halving the counting-join volume; bipartite id spaces
+    * (cross-corpus dedup) pass false. Requires threshold > 0 (zero-
+    * intersection pairs are dropped, not scored). */
+  private def verifyPairsByCount(pairs: DataFrame, left: DataFrame,
+      right: DataFrame, threshold: Double, maxDf: Int,
+      ordered: Boolean, slot: Slot): DataFrame = {
+    // Adaptive: for a SMALL checkpointed candidate set the direct
+    // array verify is one broadcast join + a per-pair intersect —
+    // cheaper than the ~10-stage counting pipeline whose fixed AQE
+    // latency dominates at this size. The counting join takes over
+    // when candidates are too many to ship arrays for (its volume is
+    // bounded by the df cap, not the pair count).
+    val nPairs = pairs.count()
+    if (nPairs <= 100000)
+      return pairs.join(left, Seq("idA")).join(right, Seq("idB"))
+        .withColumn("jaccard",
+          size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+            size(array_union(col("__ha"), col("__hb"))))
+        .filter(col("jaccard") >= threshold)
+        .select(col("idA"), col("idB"), col("jaccard"))
+    // big-candidate path only: materialize the hash-set frames, which
+    // fan out into the posting, taint and fallback branches below
+    // (the array path above reads each exactly once)
+    val leftCp = cacheSwap(verifyLeftSlot, left)
+    val rightCp = cacheSwap(verifyRightSlot, right)
+    val pa = leftCp.select(col("idA"), explode(col("__ha")).as("__h"),
+      size(col("__ha")).as("__szA"))
+    val pb = rightCp.select(col("idB"), explode(col("__hb")).as("__h"),
+      size(col("__hb")).as("__szB"))
+    val hot = pa.select(col("__h")).unionAll(pb.select(col("__h")))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+    val joined = pa.join(hot, Seq("__h"), "left_anti")
+      .join(pb.join(hot, Seq("__h"), "left_anti"), Seq("__h"))
+    val cnt = (if (ordered) joined.filter(col("idA") < col("idB")) else joined)
+      .groupBy(col("idA"), col("idB"), col("__szA"), col("__szB"))
+      .agg(count(lit(1)).as("__i"))
+    val taintA = pa.join(hot, Seq("__h"), "left_semi")
+      .select(col("idA")).distinct().withColumn("__tA", lit(true))
+    val taintB = pb.join(hot, Seq("__h"), "left_semi")
+      .select(col("idB")).distinct().withColumn("__tB", lit(true))
+    // cached: the clean and dirty branches below both filter this
+    // frame — without the cache the counting join runs once per branch
+    val marked = cacheSwap(slot, pairs.join(cnt, Seq("idA", "idB"), "left")
+      .join(taintA, Seq("idA"), "left").join(taintB, Seq("idB"), "left"))
+    val bothTainted = col("__tA").isNotNull && col("__tB").isNotNull
+    val clean = marked.filter(!bothTainted).filter(col("__i").isNotNull)
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__szA") + col("__szB") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+    val dirty = marked.filter(bothTainted).select(col("idA"), col("idB"))
+      .join(leftCp, Seq("idA")).join(rightCp, Seq("idB"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+          size(array_union(col("__ha"), col("__hb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+    clean.unionByName(dirty)
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH banding, verified
     * with true n-gram Jaccard. Returns (idA, idB, jaccard) with
     * idA < idB and jaccard >= threshold.
@@ -176,19 +272,16 @@ object Dedup {
     // corpus — at 100 TB candidates are a vanishing fraction
     val candIds = pairs.select(col("idA").as(idCol))
       .unionByName(pairs.select(col("idB").as(idCol))).distinct()
-    val docsH = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol).as("__vid"),
-        shingleHashes(col(textCol), shingleSize).as("__hs"))
-    pairs
-      .join(docsH.withColumnRenamed("__vid", "idA")
-        .withColumnRenamed("__hs", "__ha"), Seq("idA"))
-      .join(docsH.withColumnRenamed("__vid", "idB")
-        .withColumnRenamed("__hs", "__hb"), Seq("idB"))
-      .withColumn("jaccard",
-        size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
-          size(array_union(col("__ha"), col("__hb"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), col("jaccard"))
+    // cached: the count verify references the candidate hash sets from
+    // its posting, taint and array-fallback branches
+    val docsH = cacheSwap(minhashDocsSlot,
+      df.join(candIds, Seq(idCol), "left_semi")
+        .select(col(idCol).as("__vid"),
+          shingleHashes(col(textCol), shingleSize).as("__hs")))
+    verifyPairsByCount(pairs,
+      docsH.select(col("__vid").as("idA"), col("__hs").as("__ha")),
+      docsH.select(col("__vid").as("idB"), col("__hs").as("__hb")),
+      threshold, maxDf = maxBucket, ordered = true, minhashVerifySlot)
   }
 
   /** Near-dedup: drop every document that is the larger id of a
@@ -368,11 +461,20 @@ object Dedup {
       numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val coefs = minhashCoefs(numHashes)
-    val sig = hashed.groupBy("__id").agg(
-      min(col("__h") * coefs.head._1 + coefs.head._2).as("__m0"),
-      coefs.tail.zipWithIndex.map { case ((a, b), i) =>
-        min(col("__h") * a + b).as(s"__m${i + 1}")
-      }: _*)
+    // ≤64 aggregates per groupBy: a 128-column aggregate exceeds
+    // spark.sql.codegen.maxFields (100) and silently drops out of
+    // whole-stage codegen — measured 46 CPU-seconds interpreted vs ~8
+    // split (the halves share one shuffle via ReusedExchange, and the
+    // id-equi join of the two 1-row-per-doc halves is noise)
+    val sig = coefs.zipWithIndex.grouped(64)
+      .map { cs =>
+        hashed.groupBy("__id").agg(
+          min(col("__h") * cs.head._1._1 + cs.head._1._2)
+            .as(s"__m${cs.head._2}"),
+          cs.tail.map { case ((a, b), i) =>
+            min(col("__h") * a + b).as(s"__m$i")
+          }: _*)
+      }.reduce(_.join(_, Seq("__id")))
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
@@ -413,23 +515,30 @@ object Dedup {
       .filter(fs.exists(_)).map(_.toString)
     if (dirs.isEmpty) return newDf
     val idx = spark.read.parquet(dirs: _*)
-    val cands = newBanded
+    // the candidate frame is referenced by the verify's pair set and
+    // both hash-set semi-joins (and counted for the adaptive verify) —
+    // materialize it; the hash-set frames are left lazy, the verify
+    // materializes them itself only on the big-candidate path
+    val cands = cacheSwap(crossCandsSlot, newBanded
       .join(idx.select(col("__id").as("__cid"), col("__band"), col("__bsig")),
         Seq("__band", "__bsig"))
-      .select(col("__id"), col("__cid")).distinct()
+      .select(col("__id"), col("__cid")).distinct())
     val newH = newDf.join(cands.select(col("__id").as(idCol)).distinct(),
         Seq(idCol), "left_semi")
-      .select(col(idCol).as("__id"),
+      .select(col(idCol).as("idA"),
         shingleHashes(col(textCol), shingleSize).as("__ha"))
     val corpusH = spark.read.parquet(
         new org.apache.hadoop.fs.Path(path, "docs").toString)
-      .withColumnRenamed("__id", "__cid").withColumnRenamed("__hs", "__hb")
-      .join(cands.select("__cid").distinct(), Seq("__cid"), "left_semi")
-    val doomed = cands
-      .join(newH, Seq("__id")).join(corpusH, Seq("__cid"))
-      .filter(size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
-        size(array_union(col("__ha"), col("__hb"))) >= threshold)
-      .select(col("__id").as(idCol)).distinct()
+      .withColumnRenamed("__id", "idB").withColumnRenamed("__hs", "__hb")
+      .join(cands.select(col("__cid").as("idB")).distinct(),
+        Seq("idB"), "left_semi")
+    // bipartite count verify: batch ids vs corpus ids are separate
+    // spaces, so ordered = false (equal values are distinct docs)
+    val doomed = verifyPairsByCount(
+      cands.select(col("__id").as("idA"), col("__cid").as("idB")),
+      newH, corpusH, threshold, maxDf = 1000, ordered = false,
+      crossVerifySlot)
+      .select(col("idA").as(idCol)).distinct()
     newDf.join(doomed, Seq(idCol), "left_anti")
   }
 

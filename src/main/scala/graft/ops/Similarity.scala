@@ -20,8 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val cosinePairsSlot =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val cosinePairsSlot = Dedup.newSlot()
 
   /** Dot product of two array<numeric> columns. */
   def dot(a: Column, b: Column): Column =
