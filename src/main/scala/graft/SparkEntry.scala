@@ -662,6 +662,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    // LLM-pipeline: benchmark decontamination — docs sharing any word
+    // 8-gram with the "eval set" (docs 0-9 standing in for one), with
+    // the benchmark gram set broadcast so the corpus never shuffles
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val bench = docs.filter(col("doc_id") < 10).select(col("text"))
+      Text.decontaminate(docs, "doc_id", "text", bench, "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline: Gopher-style repetition statistics — fraction of
+    // content captured by the modal unigram/bigram/trigram per doc
+    "text_repetition" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      Text.repetition(docs, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
     // S1/W5 maintenance: small-file compaction — three partial merges
     // leave the bucketed manifest pointing into three snapshots;
     // compact() collapses them to one fresh snap and the content
@@ -1122,6 +1139,24 @@ object SparkEntry {
         |  round(ln(1.0 + (nn - dfs.df + 0.5) / (dfs.df + 0.5))
         |    * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dlen / avglen)), 6) AS bm25
         |FROM tf JOIN lens USING (doc_id) JOIN dfs USING (token), c""".stripMargin,
+    "text_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |  ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END)) AS gram FROM tok),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, count(*) AS n_hits FROM g JOIN bg USING (gram) GROUP BY 1""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |gn AS (SELECT n, doc_id, unnest(CASE WHEN len(t) < n THEN [array_to_string(t, ' ')]
+        |  ELSE list_transform(range(1, len(t) - n + 2), i -> array_to_string(t[i:i+n-1], ' ')) END) AS gram
+        |  FROM tok, (VALUES (1), (2), (3)) v(n)),
+        |c AS (SELECT n, doc_id, gram, count(*) AS c FROM gn GROUP BY 1, 2, 3),
+        |f AS (SELECT n, doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS frac FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  max(CASE WHEN n = 1 THEN frac END) AS top_unigram_frac,
+        |  max(CASE WHEN n = 2 THEN frac END) AS top_bigram_frac,
+        |  max(CASE WHEN n = 3 THEN frac END) AS top_trigram_frac
+        |FROM f GROUP BY 1""".stripMargin,
     "warehouse_compact" ->
       "SELECT doc_id, n_chars FROM documents"
   )

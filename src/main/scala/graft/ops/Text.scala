@@ -202,4 +202,64 @@ object Text {
     Par.spread(df).select(explode(toks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("docs"))
   }
+
+  /** 64-bit hashes of the word n-gram MULTISET (duplicates kept,
+    * unlike [[Dedup.shingleHashes]]) — the repetition statistics need
+    * occurrence counts, not set identity. */
+  private def rawGramHashes(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < n, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Benchmark DECONTAMINATION: flag corpus docs sharing any word
+    * `n`-gram with any document of `bench` (the eval-set overlap
+    * check a training pipeline runs before every release; n = 13 is
+    * the common published choice). Returns one row per CONTAMINATED
+    * doc: (idCol, n_hits) where n_hits counts the doc's distinct
+    * n-grams that appear anywhere in the benchmark.
+    *
+    * Scale shape: the benchmark side collapses to a distinct gram-
+    * hash set (eval suites are tiny next to a training corpus) and is
+    * broadcast, so the corpus side is ONE explode + broadcast-hash
+    * semi-join + count aggregate with map-side combine — no shuffle
+    * of text, no shuffle of the corpus at all. */
+  def decontaminate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bench: org.apache.spark.sql.DataFrame,
+      benchTextCol: String, n: Int = 13): org.apache.spark.sql.DataFrame = {
+    val bg = bench
+      .select(explode(Dedup.shingleHashes(col(benchTextCol), n)).as("__h"))
+      .distinct()
+    Par.spread(df)
+      .select(col(idCol), explode(Dedup.shingleHashes(col(textCol), n)).as("__h"))
+      .join(broadcast(bg), Seq("__h"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Gopher-style REPETITION statistics: per doc, the fraction of
+    * content captured by the single most frequent unigram / bigram /
+    * trigram (`top_ngram_frac` = occurrences of the modal n-gram over
+    * all n-gram occurrences). Heavily templated or looping text —
+    * the failure mode repetition filters exist for — scores high;
+    * healthy prose sits low. Returns
+    * (idCol, top_unigram_frac, top_bigram_frac, top_trigram_frac),
+    * each rounded to 6 places.
+    *
+    * Scale shape: per n, one explode + two map-side-combinable
+    * aggregations (count per (doc, gram-hash), then max/sum per doc);
+    * the three n-gram frames join back on the doc id. Gram hashes
+    * stand in for gram strings — counts only need identity. */
+  def repetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    def frac(n: Int, name: String) =
+      Par.spread(df)
+        .select(col(idCol), explode(rawGramHashes(col(textCol), n)).as("__h"))
+        .groupBy(col(idCol), col("__h")).agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol)).agg(
+          round(max(col("__c")).cast("double") / sum(col("__c")), 6).as(name))
+    frac(1, "top_unigram_frac")
+      .join(frac(2, "top_bigram_frac"), Seq(idCol))
+      .join(frac(3, "top_trigram_frac"), Seq(idCol))
+  }
 }

@@ -144,6 +144,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((2L, "c")) == ((1L, 1L, exp(1, 1))))
   }
 
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val df = docsDf(Seq(
+      (1L, "alpha beta gamma delta"),      // shares "alpha beta" with bench
+      (2L, "delta epsilon zeta eta"),      // no shared 2-gram
+      (3L, "x y alpha beta z gamma heta"))) // shares "alpha beta" only
+    val bench = docsDf(Seq((99L, "alpha beta theta iota"))).select(col("text"))
+    val out = rows(Text.decontaminate(df, "doc_id", "text", bench, "text", n = 2))
+      .map(r => r.head -> r(1)).toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L), out)
+  }
+
+  test("repetition fractions match hand counts") {
+    val df = docsDf(Seq((1L, "a a a b")))
+    val r = rows(Text.repetition(df, "doc_id", "text")).head
+    assert(r(1) == 0.75)               // 3 of 4 unigrams are "a"
+    assert(r(2) == BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) // "a a" twice of 3 bigrams
+    assert(r(3) == 0.5)                // "a a a" once of 2 trigrams
+  }
+
   test("bm25 matches the hand formula on a tiny corpus") {
     val df = docsDf(Seq((1L, "a a b"), (2L, "a c")))
     val out = rows(Text.bm25(df, "doc_id", "text"))
