@@ -626,6 +626,23 @@ object SparkEntry {
       graft.ops.Sample.packByBudget(toks, "doc_id", "n_tokens", 1000L)
     }),
 
+    // LLM-pipeline: corpus mixture sampling — greedy per-source token
+    // budget fill in md5(id) order (engine-independent, so the oracle
+    // reproduces the exact document set); the per-source running sums
+    // ride the packByBudget two-phase prefix machinery, no per-source
+    // single-reducer window
+    "sample_mixture" -> ((s, dir) => {
+      val docs = env(s, dir)
+        .view("documents", Seq("doc_id", "text", "source")).read()
+      val w = docs.select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      val budgets = (0 until 20)
+        .map(i => s"src$i" -> (if (i < 3) 2000L else 500L)).toMap
+      graft.ops.Sample.mixture(w, "doc_id", "n_tokens", "source", budgets)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: PII triage + redaction (emails / IPv4 / phones) —
     // plant deterministic PII on every 7th doc so the patterns have
     // real positives; RE2-safe regexes run identically in the oracle
@@ -1100,6 +1117,17 @@ object SparkEntry {
         |        CASE WHEN trim(text) = '' THEN 0
         |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |      FROM documents)""".stripMargin,
+    "sample_mixture" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS cum FROM w)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE cum <= CASE WHEN source IN ('src0', 'src1', 'src2')
+        |  THEN 2000 ELSE 500 END""".stripMargin,
     "text_pii" ->
       """WITH d AS (
         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0

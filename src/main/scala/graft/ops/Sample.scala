@@ -109,4 +109,70 @@ object Sample {
         .localCheckpoint() // materialize before unpersisting the input
     } finally sorted.unpersist(false): Unit
   }
+
+  /** Corpus MIXTURE sampling: greedily fill a per-source token budget
+    * in a deterministic document order, keeping each row while its
+    * source's running `weightCol` total stays within
+    * `budgets(source)` — the data-mixing step that turns "40% web,
+    * 30% code, 30% books" into a concrete document set. Sources
+    * absent from `budgets` contribute nothing. The fill order is
+    * `md5(id)` — engine-independent (unlike a raw hash function,
+    * md5's hex form is identical everywhere), so the selected set is
+    * reproducible on any cluster size or SQL engine.
+    *
+    * Scale shape: the naive form is a per-source running-total window
+    * — one reducer PER SOURCE, and real corpora have few huge
+    * sources. Instead, the [[packByBudget]] two-phase prefix sum
+    * generalized per source: range-partition on (source, md5),
+    * per-partition per-source subtotals (one row per pair to the
+    * driver), then a narrow pass adds each partition's offsets.
+    * Every stage parallel; driver traffic is #partitions × #sources
+    * longs. */
+  def mixture(df: DataFrame, idCol: String, weightCol: String,
+      sourceCol: String, budgets: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .withColumn("__k", md5(col(idCol).cast("string")))
+      .repartitionByRange(col(sourceCol), col("__k"))
+      .sortWithinPartitions(col(sourceCol), col("__k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perPart = sorted
+        .select(spark_partition_id().as("__p"), col(sourceCol), col("__w"))
+        .groupBy(col("__p"), col(sourceCol)).agg(sum("__w").as("__t"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val nPart = sorted.rdd.getNumPartitions
+      val srcs = perPart.keys.map(_._2).toSeq.distinct
+      // per-(partition, source) starting offsets: tokens of the same
+      // source in all earlier partitions (range partitioning keeps a
+      // source's rows contiguous across partition boundaries)
+      val offsets = scala.collection.mutable.Map[(Int, String), Long]()
+      for (s <- srcs) {
+        var acc = 0L
+        for (p <- 0 until nPart) {
+          offsets((p, s)) = acc
+          acc += perPart.getOrElse((p, s), 0L)
+        }
+      }
+      val offB = spark.sparkContext.broadcast(offsets.toMap)
+      val budB = spark.sparkContext.broadcast(budgets)
+      val wIdx = sorted.schema.fieldIndex("__w")
+      val sIdx = sorted.schema.fieldIndex(sourceCol)
+      val rdd = sorted.rdd.mapPartitions { it =>
+        val p = TaskContext.getPartitionId()
+        var cur: String = null
+        var cum = 0L
+        it.flatMap { r =>
+          val src = r.getString(sIdx)
+          if (src != cur) { cur = src; cum = offB.value.getOrElse((p, src), 0L) }
+          cum += r.getLong(wIdx)
+          if (cum <= budB.value.getOrElse(src, 0L)) Some(r) else None
+        }
+      }
+      spark.createDataFrame(rdd, sorted.schema).drop("__w", "__k")
+        .localCheckpoint()
+    } finally sorted.unpersist(false): Unit
+  }
 }

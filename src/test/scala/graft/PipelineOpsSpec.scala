@@ -144,6 +144,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((2L, "c")) == ((1L, 1L, exp(1, 1))))
   }
 
+  test("mixture matches the window reference and ignores partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val rows0 = (0L until 60L).map(i =>
+      (i, s"src${i % 3}", 10L + (i % 7)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ntok",
+        org.apache.spark.sql.types.LongType)))
+    val df = s.createDataFrame(rows0.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+    val budgets = Map("src0" -> 100L, "src1" -> 55L) // src2 absent -> dropped
+    val got = rows(Sample.mixture(df, "doc_id", "ntok", "source", budgets))
+      .map(_.head).toSet
+    val ref = rows(df.withColumn("cum", sum(col("ntok")).over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")))))
+      .filter(col("cum") <= when(col("source") === "src0", 100L)
+        .when(col("source") === "src1", 55L).otherwise(0L)))
+      .map(_.head).toSet
+    assert(got == ref, s"got=$got ref=$ref")
+    assert(got.nonEmpty && got.size < 60)
+    // same result from a different physical layout
+    val got7 = rows(Sample.mixture(df.repartition(7), "doc_id", "ntok",
+      "source", budgets)).map(_.head).toSet
+    assert(got7 == got)
+  }
+
   test("decontaminate flags only docs sharing an n-gram with the benchmark") {
     val df = docsDf(Seq(
       (1L, "alpha beta gamma delta"),      // shares "alpha beta" with bench
