@@ -444,9 +444,17 @@ object SparkEntry {
     // the 4x16 pigeonhole guarantee, so the output is the EXACT pair
     // set (OpsSpec proves equality with brute force); rows-only check
     // here because xxhash64 is not SQL-expressible
+    // LLM-pipeline: SimHash near-dup pairs in the pigeonhole-exact
+    // regime. The token hash here is a 60-bit md5 prefix instead of
+    // the default xxhash64 SOLELY so DuckDB can recompute the exact
+    // signatures — the banding/hamming pipeline under test is
+    // identical either way
     "dedup_simhash_pairs" -> ((s, dir) => {
       val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
-      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+        numBits = 60,
+        tokenHash = t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+        .orderBy(col("idA"), col("idB"))
     }),
 
     // LLM-pipeline: token counting (whitespace)
@@ -949,6 +957,21 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT * FROM p WHERE jaccard >= 0.2""".stripMargin,
+    // exact oracle: brute-force hamming self-join over the SAME
+    // md5-derived 60-bit simhash signatures (pigeonhole banding at
+    // maxHamming=3 is exact, so candidate generation drops nothing)
+    "dedup_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents),
+        |h AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) AS BIGINT) AS hv FROM tok),
+        |bits AS (SELECT doc_id, bb.b AS b,
+        |  sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+        |  FROM h, (SELECT unnest(range(0, 60)) AS b) bb GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS s
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |  unnest(list_transform(range(0, n), i -> i * 250.0)) AS frame_ts_ms

@@ -554,34 +554,45 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash near-dup candidate pairs: band the 64-bit hash into 4
-    * 16-bit chunks (pigeonhole: hamming distance <= 3 implies one
+  /** SimHash near-dup candidate pairs: band the `numBits`-bit hash
+    * into 4 chunks (pigeonhole: hamming distance <= 3 implies one
     * identical chunk), bucket-join, verify true hamming distance.
     *
-    * The signature is computed via explode + 64 per-bit `sum`
-    * aggregates (map-side combine; the per-row [[simhash]] column with
-    * 64 array-aggregate lambdas overflows codegen and runs
-    * interpreted). Majority vote: bit set iff 2*ones > tokens. */
+    * The signature is computed via explode + per-bit `sum` aggregates
+    * (map-side combine; the per-row [[simhash]] column with 64
+    * array-aggregate lambdas overflows codegen and runs interpreted).
+    * Majority vote: bit set iff 2*ones > tokens.
+    *
+    * `tokenHash` defaults to xxhash64 (the cheap choice at corpus
+    * scale); pass an engine-portable hash (e.g. an md5-derived 60-bit
+    * value) when the output must be reproducible outside Spark —
+    * that is exactly what the DuckDB-oracled verification query does. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, numBits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(numBits % 4 == 0 && numBits <= 64,
+      s"numBits must be a multiple of 4 up to 64, got $numBits")
+    val chunkBits = numBits / 4
+    val chunkMask = (1L << chunkBits) - 1
     val hashed = Par.spread(df).select(col(idCol).as("__id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
-      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+      .select(col("__id"), tokenHash(col("__t")).as("__h"))
     val perBit = hashed.groupBy("__id").agg(
       count(lit(1)).as("__n"),
-      (0 until 64).map(b =>
+      (0 until numBits).map(b =>
         sum(shiftright(col("__h"), b).bitwiseAND(1L)).as(s"__b$b")): _*)
     // persisted (one-slot swap): the banded self-join below references
     // this frame on both sides, and its lineage is the full explode +
-    // 64-aggregate pipeline; the cache is 16 bytes/doc
+    // per-bit-aggregate pipeline; the cache is 16 bytes/doc
     val sh = cacheSwap(simhashSlot, perBit.select(col("__id"),
-      (0 until 64).map(b =>
+      (0 until numBits).map(b =>
           when(col(s"__b$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("__sh")))
     val banded = sh.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("__sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("__b"))
+          shiftright(col("__sh"), b * chunkBits).bitwiseAND(chunkMask)
+            .as("chunk"))): _*)).as("__b"))
     val l = banded.select(col("__id").as("idA"), col("__sh").as("__shA"),
       col("__b.band").as("__band"), col("__b.chunk").as("__chunk"))
     val r = banded.select(col("__id").as("idB"), col("__sh").as("__shB"),
