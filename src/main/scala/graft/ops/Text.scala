@@ -252,6 +252,11 @@ object Text {
     * stand in for gram strings — counts only need identity. */
   def repetition(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
+    // three narrow explode+agg pipelines, one per n, joined on the
+    // doc id. (A single tagged explode — concat of (n, hash) structs,
+    // one shuffle — measured slightly SLOWER at sf0.1: struct-in-array
+    // construction costs more than the saved shuffles, and the three
+    // narrow chains run concurrently anyway.)
     def frac(n: Int, name: String) =
       Par.spread(df)
         .select(col(idCol), explode(rawGramHashes(col(textCol), n)).as("__h"))
