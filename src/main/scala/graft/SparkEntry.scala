@@ -535,6 +535,28 @@ object SparkEntry {
           col("decoded.mean_luma"))
     }),
 
+    // LLM-pipeline: REAL audio decode (javax.sound WAV codec, JDK
+    // only) over synthesized 16-bit PCM payloads whose stats are pure
+    // integer arithmetic — so the DuckDB oracle reproduces frames,
+    // duration and RMS bit-exactly without any audio support
+    "multimodal_audio" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
+      val wav = udf((n: Long) =>
+        graft.ops.Multimodal.synthPcmWav((256 + (n % 1024)).toInt))
+      val media = docs.select(col("doc_id"),
+        graft.ops.Multimodal.asMedia(wav(col("n_chars")), "audio/wav",
+          concat(lit("doc://"), col("doc_id"))).as("media"))
+      graft.ops.Multimodal.audioFeatures(media, "media")
+        .select(col("doc_id"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.channels").as("channels"),
+          col("audio.n_frames").as("n_frames"),
+          round(col("audio.duration_ms"), 3).as("duration_ms"),
+          round(col("audio.rms"), 6).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: LSH-bucketed ANN top-k — rows-only check. Sign-LSH
     // recalls genuinely-near vectors; the synthetic embeddings' best
     // pair is only cos~0.45 (noise for banding), so plant scaled
@@ -972,6 +994,15 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    "multimodal_audio" ->
+      """WITH d AS (SELECT doc_id, 256 + (n_chars % 1024) AS n FROM documents)
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  round(n / 8.0, 3) AS duration_ms,
+        |  round(sqrt(list_sum(list_transform(range(0, n),
+        |    k -> CAST((((k * 37) % 1001) - 500) * 60 AS DOUBLE)
+        |       * ((((k * 37) % 1001) - 500) * 60))) / n) / 32768.0, 6) AS rms
+        |FROM d""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |  unnest(list_transform(range(0, n), i -> i * 250.0)) AS frame_ts_ms

@@ -212,6 +212,96 @@ object Multimodal {
     }(enc)
   }
 
+  /** Decoded-audio schema produced by [[audioFeatures]]. */
+  val audioType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", DoubleType),
+    StructField("rms", DoubleType)))
+
+  /** Real audio codec on `javax.sound.sampled` (JDK — WAV/AIFF/AU, no
+    * external deps). Emits container facts (rate, channels, frame
+    * count, duration) for anything the JDK parses; RMS amplitude
+    * (normalized to [0,1]) additionally for 16-bit little-endian PCM
+    * (the overwhelmingly common WAV layout — other encodings keep a
+    * null rms rather than a wrong one). Payloads that aren't parseable
+    * audio yield an all-null struct. */
+  object WavDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Row = {
+      if (bytes == null) return Row(null, null, null, null, null)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength
+        val dur = n * 1000.0 / fmt.getFrameRate
+        val rms: java.lang.Double =
+          if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+            val data = ais.readAllBytes()
+            var sum = 0.0
+            var k = 0
+            while (k + 1 < data.length) {
+              val v = ((data(k) & 0xFF) | (data(k + 1) << 8)).toShort.toDouble
+              sum += v * v
+              k += 2
+            }
+            val frames = data.length / 2
+            if (frames == 0) null
+            else Double.box(math.sqrt(sum / frames) / 32768.0)
+          } else null
+        Row(Int.box(fmt.getSampleRate.toInt), Int.box(fmt.getChannels),
+          Long.box(n), Double.box(dur), rms)
+      } catch { case _: Exception => Row(null, null, null, null, null) }
+    }
+  }
+
+  /** Deterministic 16-bit mono PCM WAV payload (8 kHz, integer
+    * sawtooth `((k*37 mod 1001) - 500) * 60`) — the synthetic audio
+    * the pipeline queries/tests decode, chosen so every derived stat
+    * (frames, duration, RMS) is EXACT integer arithmetic any SQL
+    * engine reproduces bit-identically. */
+  private[graft] def synthPcmWav(nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var k = 0
+    while (k < nFrames) {
+      val v = (((k * 37) % 1001) - 500) * 60
+      data(2 * k) = (v & 0xFF).toByte
+      data(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+      k += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Partition-wise audio decode: appends an `audio` struct column
+    * ([[audioType]]) extracted from the media payload by
+    * [[WavDecoder]]. Same batched `mapPartitions` plumbing as
+    * [[decode]]. */
+  def audioFeatures(df: DataFrame, mediaCol: String): DataFrame = {
+    val schema = df.schema.add("audio", audioType)
+    val enc = RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(mediaCol)
+    val bytesIdx = df.schema(idx).dataType.asInstanceOf[StructType]
+      .fieldIndex("bytes")
+    df.mapPartitions { it =>
+      it.map { row =>
+        val media = row.getStruct(idx)
+        val bytes =
+          if (media == null || media.isNullAt(bytesIdx)) null
+          else media.get(bytesIdx).asInstanceOf[Array[Byte]]
+        Row.fromSeq(row.toSeq :+ WavDecoder.decode(bytes))
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video media: one row per sampled timestamp
     * (every `everyMs` over `duration_ms`). Frame payload slicing is
     * stubbed as a byte-window over the source; the explode shape —

@@ -409,6 +409,38 @@ class OpsSpec extends SparkSpec {
       Multimodal.FakeDecoder.decode("not an image".getBytes("UTF-8")).toSeq, got(1))
   }
 
+  test("WavDecoder decodes synthesized PCM exactly; non-audio yields nulls") {
+    val wav = Multimodal.synthPcmWav(800)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val df = s.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, wav),
+      org.apache.spark.sql.Row(2L, "definitely not audio".getBytes("UTF-8"))).asJava,
+      schema)
+    val media = df.select(col("doc_id"),
+      Multimodal.asMedia(col("payload"), "audio/wav", lit("mem://a")).as("media"))
+    val got = rows(Multimodal.audioFeatures(media, "media")
+      .select(col("doc_id"), col("audio.sample_rate"), col("audio.channels"),
+        col("audio.n_frames"), col("audio.duration_ms"), col("audio.rms"))
+      .orderBy("doc_id"))
+    assert(got(0)(1) == 8000 && got(0)(2) == 1 && got(0)(3) == 800L, got(0))
+    assert(got(0)(4) == 100.0, got(0)) // 800 frames at 8 kHz
+    // reference RMS from the sawtooth definition, summed the same way
+    val ref = {
+      var sum = 0.0
+      for (k <- 0 until 800) {
+        val v = (((k * 37) % 1001) - 500) * 60.0
+        sum += v * v
+      }
+      math.sqrt(sum / 800) / 32768.0
+    }
+    assert(got(0)(5) == ref, s"rms ${got(0)(5)} != $ref")
+    assert(got(1).drop(1).forall(_ == null), got(1))
+  }
+
   test("resizeImages really re-encodes: decoded dims match the target") {
     val img = new java.awt.image.BufferedImage(24, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
