@@ -524,15 +524,24 @@ object SparkEntry {
 
     // LLM-pipeline: multimodal decode plumbing (deterministic stub
     // codec over document bytes) — rows-only check
+    // LLM-pipeline: REAL image decode (javax.imageio, JDK only) over
+    // synthesized uniform-gray PNGs whose decoded stats are pure
+    // arithmetic of n_chars — the DuckDB oracle reproduces them with
+    // no image support. (The mixed-modality fallback path is covered
+    // by OpsSpec.)
     "multimodal_decode" -> ((s, dir) => {
       val docs = graft.ops.Par.spread(
-        env(s, dir).view("documents", Seq("doc_id", "text")).read())
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
+      val png = udf((n: Long) => graft.ops.Multimodal.synthPng(
+        (16 + (n % 64)).toInt, (16 + ((n / 7) % 48)).toInt))
       val media = docs.select(col("doc_id"),
-        graft.ops.Multimodal.asMedia(encode(col("text"), "UTF-8"),
-          "image/fake", concat(lit("doc://"), col("doc_id"))).as("media"))
+        graft.ops.Multimodal.asMedia(png(col("n_chars")),
+          "image/png", concat(lit("doc://"), col("doc_id"))).as("media"))
       graft.ops.Multimodal.decode(media, "media")
         .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
-          col("decoded.mean_luma"))
+          col("decoded.channels"), round(col("decoded.mean_luma"), 6).as("mean_luma"),
+          col("decoded.sharpness"))
+        .orderBy(col("doc_id"))
     }),
 
     // LLM-pipeline: REAL audio decode (javax.sound WAV codec, JDK
@@ -994,6 +1003,17 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    // decoded stats of a uniform gray-128 PNG: dims are arithmetic of
+    // n_chars, luma mirrors the decoder's Rec.601 expression order
+    // bit-for-bit, sharpness of a constant image is exactly 0
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + (n_chars % 64) AS INTEGER) AS width,
+        |  CAST(16 + ((n_chars // 7) % 48) AS INTEGER) AS height,
+        |  3 AS channels,
+        |  round((0.299 * 128 + 0.587 * 128 + 0.114 * 128) / 255.0, 6) AS mean_luma,
+        |  0.0 AS sharpness
+        |FROM documents""".stripMargin,
     "multimodal_audio" ->
       """WITH d AS (SELECT doc_id, 256 + (n_chars % 1024) AS n FROM documents)
         |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,

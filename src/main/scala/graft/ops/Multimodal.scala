@@ -281,6 +281,24 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic uniform-gray PNG (gray 128, dimensions chosen by
+    * the caller) — the synthetic image the pipeline queries decode,
+    * chosen so width/height/channels/mean-luma/sharpness are pure
+    * arithmetic any SQL engine reproduces. */
+  private[graft] def synthPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, 0x808080); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Partition-wise audio decode: appends an `audio` struct column
     * ([[audioType]]) extracted from the media payload by
     * [[WavDecoder]]. Same batched `mapPartitions` plumbing as
