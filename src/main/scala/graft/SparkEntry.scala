@@ -566,6 +566,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: embedding L2 normalization — HOF Column math, no
+    // UDF; oracle recomputes norm and first normalized component in
+    // double arithmetic
+    "embed_normalize" -> ((s, dir) => {
+      val emb = graft.ops.Par.spread(
+        env(s, dir).view("embeddings", Seq("vec_id", "embedding")).read())
+      emb.select(col("vec_id"),
+        round(Similarity.norm(col("embedding").cast("array<double>")), 6)
+          .as("norm"),
+        round(element_at(Similarity.l2Normalize(col("embedding")), 1), 6)
+          .as("c0"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // LLM-pipeline: symmetric int8 quantization + dequantized error —
+    // the 4x embedding shrink for billion-vector pipelines; all double
+    // arithmetic so the quantized values are engine-exact
+    "embed_quantize" -> ((s, dir) => {
+      val emb = graft.ops.Par.spread(
+        env(s, dir).view("embeddings", Seq("vec_id", "embedding")).read())
+      val qv = emb.select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("qv"))
+      qv.select(col("vec_id"),
+        round(col("qv.scale"), 9).as("scale"),
+        aggregate(col("qv.q"), lit(0L), (a, x) => a + x.cast("long"))
+          .as("q_sum"),
+        array_min(col("qv.q")).cast("int").as("q_min"),
+        array_max(col("qv.q")).cast("int").as("q_max"),
+        round(aggregate(zip_with(
+            Similarity.dequantizeInt8(col("qv")),
+            col("embedding").cast("array<double>"),
+            (d, o) => abs(d - o)), lit(0.0), (a, x) => greatest(a, x)), 6)
+          .as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // LLM-pipeline: LSH-bucketed ANN top-k — rows-only check. Sign-LSH
     // recalls genuinely-near vectors; the synthetic embeddings' best
     // pair is only cos~0.45 (noise for banding), so plant scaled
@@ -1014,6 +1050,26 @@ object SparkEntry {
         |  round((0.299 * 128 + 0.587 * 128 + 0.114 * 128) / 255.0, 6) AS mean_luma,
         |  0.0 AS sharpness
         |FROM documents""".stripMargin,
+    "embed_normalize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nm FROM e)
+        |SELECT vec_id, round(nm, 6) AS norm,
+        |  round(CASE WHEN nm = 0 THEN v[1] ELSE v[1] / nm END, 6) AS c0
+        |FROM n""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id, v,
+        |  CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale FROM m),
+        |z AS (SELECT vec_id, scale, v,
+        |  list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) AS qq FROM q)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  CAST(list_sum(qq) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qq) AS INTEGER) AS q_min,
+        |  CAST(list_max(qq) AS INTEGER) AS q_max,
+        |  round(list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(CAST(qq[i] AS DOUBLE) * scale - v[i]))), 6) AS max_err
+        |FROM z""".stripMargin,
     "multimodal_audio" ->
       """WITH d AS (SELECT doc_id, 256 + (n_chars % 1024) AS n FROM documents)
         |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,

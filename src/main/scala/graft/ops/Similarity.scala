@@ -35,6 +35,34 @@ object Similarity {
     when(n === 0, lit(null)).otherwise(d / n)
   }
 
+  /** L2-normalize a vector (as `array<double>`); zero vectors pass
+    * through unscaled. Pure higher-order-function Column — codegen,
+    * no UDF, composes under any projection. */
+  def l2Normalize(vec: Column): Column = {
+    val n = norm(vec.cast("array<double>"))
+    when(n === 0.0, vec.cast("array<double>"))
+      .otherwise(transform(vec, x => x.cast("double") / n))
+  }
+
+  /** Symmetric int8 quantization: `struct(scale double, q
+    * array<tinyint>)` with `scale = max|x| / 127` (so dequantized
+    * error is bounded by scale/2 per component). The 4x storage/
+    * shuffle shrink is what makes billion-vector similarity pipelines
+    * movable; all arithmetic in double so any engine reproduces the
+    * quantized values exactly. */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = aggregate(vec, lit(0.0d), (a, x) =>
+      greatest(a, abs(x.cast("double"))))
+    val scale = when(mx === 0.0, lit(1.0)).otherwise(mx / 127.0)
+    struct(scale.as("scale"),
+      transform(vec, x => round(x.cast("double") / scale, 0)
+        .cast("tinyint")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `array<double>` reconstruction. */
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv.getField("q"), x => x.cast("double") * qv.getField("scale"))
+
   /** Exact brute-force cosine top-k for one query vector. The global
     * top-k is a TakeOrderedAndProject — no full sort, map-side k. */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,

@@ -409,6 +409,29 @@ class OpsSpec extends SparkSpec {
       Multimodal.FakeDecoder.decode("not an image".getBytes("UTF-8")).toSeq, got(1))
   }
 
+  test("int8 quantization round-trips within scale/2 per component") {
+    val df = s.sql("SELECT CAST(array(0.5, -1.0, 0.25, 0.0) AS array<float>) AS v")
+    val r = df.select(Similarity.quantizeInt8(col("v")).as("qv"))
+      .select(col("qv.scale"), col("qv.q"),
+        Similarity.dequantizeInt8(col("qv")).as("d")).head()
+    val scale = r.getDouble(0)
+    assert(scale == 1.0 / 127.0, scale)
+    assert(r.getSeq[Byte](1) == Seq[Byte](64, -127, 32, 0), r.getSeq[Byte](1))
+    val d = r.getSeq[Double](2)
+    val orig = Seq(0.5, -1.0, 0.25, 0.0)
+    d.zip(orig).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= scale / 2 + 1e-12, s"$a vs $b") }
+    // zero vector: unit scale, all-zero codes
+    val z = s.sql("SELECT CAST(array(0.0, 0.0) AS array<float>) AS v")
+      .select(Similarity.quantizeInt8(col("v")).as("qv"))
+      .select(col("qv.scale"), col("qv.q")).head()
+    assert(z.getDouble(0) == 1.0 && z.getSeq[Byte](1) == Seq[Byte](0, 0), z)
+    // l2Normalize: unit norm, zero vector passes through
+    val n = s.sql("SELECT CAST(array(3.0, 4.0) AS array<float>) AS v")
+      .select(Similarity.l2Normalize(col("v")).as("n")).head().getSeq[Double](0)
+    assert(n == Seq(0.6, 0.8), n)
+  }
+
   test("WavDecoder decodes synthesized PCM exactly; non-audio yields nulls") {
     val wav = Multimodal.synthPcmWav(800)
     val schema = org.apache.spark.sql.types.StructType(Seq(
