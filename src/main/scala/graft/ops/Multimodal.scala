@@ -20,6 +20,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache — one temp file
+  // per encode/decode, which serializes a 32-thread partition-wise
+  // codec stage on filesystem calls. Heap buffers are strictly better
+  // for the small per-row payloads this pipeline moves.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried alongside every media payload. */
   val mediaType: StructType = StructType(Seq(
     StructField("bytes", BinaryType),
@@ -228,11 +234,34 @@ object Multimodal {
     * null rms rather than a wrong one). Payloads that aren't parseable
     * audio yield an all-null struct. */
   object WavDecoder extends Serializable {
+    // the JDK's own AudioFileReader providers (WaveFileReader etc.),
+    // loaded ONCE per JVM: AudioSystem.getAudioInputStream funnels
+    // every call through a global synchronized provider registry,
+    // which serialized the 32-thread decode stage
+    private lazy val readers: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      buf.toArray
+    }
+
+    private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      var i = 0
+      while (i < readers.length) {
+        try return readers(i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+        i += 1
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException("no reader")
+    }
+
     def decode(bytes: Array[Byte]): Row = {
       if (bytes == null) return Row(null, null, null, null, null)
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val ais = openAudio(bytes)
         val fmt = ais.getFormat
         val n = ais.getFrameLength
         val dur = n * 1000.0 / fmt.getFrameRate
@@ -264,21 +293,30 @@ object Multimodal {
     * (frames, duration, RMS) is EXACT integer arithmetic any SQL
     * engine reproduces bit-identically. */
   private[graft] def synthPcmWav(nFrames: Int): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val data = new Array[Byte](nFrames * 2)
+    // canonical 44-byte RIFF/fmt/data header written directly — the
+    // AudioSystem.write path funnels every call through the
+    // synchronized service-provider registry, which serialized the
+    // 32-thread synthesis stage; the decoder side still parses this
+    // through javax.sound (it IS a standard WAV)
+    val dataLen = nFrames * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)            // PCM
+      .putShort(1)            // mono
+      .putInt(8000)           // sample rate
+      .putInt(8000 * 2)       // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var k = 0
     while (k < nFrames) {
-      val v = (((k * 37) % 1001) - 500) * 60
-      data(2 * k) = (v & 0xFF).toByte
-      data(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+      out.putShort(((((k * 37) % 1001) - 500) * 60).toShort)
       k += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
+    out.array()
   }
 
   /** Deterministic uniform-gray PNG (gray 128, dimensions chosen by
