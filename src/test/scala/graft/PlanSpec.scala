@@ -84,6 +84,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) HashAggregate") && p.contains("*(2) HashAggregate"), p)
   }
 
+  test("decontaminate plan: benchmark gram set broadcasts, no corpus shuffle join") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "text")).read()
+    val bench = docs.filter(col("doc_id") < 10).select(col("text"))
+    val p = plan(graft.ops.Text.decontaminate(
+      docs, "doc_id", "text", bench, "text", n = 8))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mixture plan: no single-partition window") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "text", "source")).read()
+    val w = docs.select(col("doc_id"), col("source"),
+      graft.ops.Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+    val out = graft.ops.Sample.mixture(w, "doc_id", "n_tokens", "source",
+      Map("src0" -> 500L))
+    // the two-phase prefix sum never plans a WindowExec at all
+    assert(!plan(out).contains("Window"), plan(out))
+    assert(rows(out).nonEmpty)
+  }
+
   test("write merge plan: no cartesian products") {
     val env = freshEnv()
     // capture the merge result plan by running a write and checking it
