@@ -445,6 +445,38 @@ object Dedup {
     } finally docsH.unpersist(false): Unit
   }
 
+  /** Incrementally add documents to a [[buildMinhashIndex]] corpus
+    * index: signatures are computed with the INDEX's stored
+    * parameters, appended into the same bucket-partition layout —
+    * no rebuild, cost scales with the batch. The caller owns
+    * id-uniqueness across batches; appends are at-least-once safe
+    * (a replayed append duplicates signature rows, which costs bytes
+    * but never changes a dedup decision — candidates dedupe on id). */
+  def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val meta = Similarity.readIndexMeta(spark, path)
+    require(meta.get("kind").map(_.toString).contains("minhash"),
+      s"$path is not a minhash corpus index")
+    val (numHashes, numBands, shingleSize, buckets) =
+      (meta("numHashes").toString.toInt, meta("numBands").toString.toInt,
+        meta("shingleSize").toString.toInt, meta("buckets").toString.toInt)
+    val docsH = Par.spread(df).select(col(idCol).as("__id"),
+        shingleHashes(col(textCol), shingleSize).as("__hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      docsH.write.mode("append")
+        .parquet(new org.apache.hadoop.fs.Path(path, "docs").toString)
+      bandedFromHashed(
+        docsH.select(col("__id"), explode(col("__hs")).as("__h")),
+        numHashes, numBands)
+        .withColumn("__bp", pmod(col("__bsig"), lit(buckets.toLong)))
+        .repartition(col("__bp"))
+        .write.mode("append").partitionBy("__bp")
+        .parquet(new org.apache.hadoop.fs.Path(path, "bands").toString)
+    } finally docsH.unpersist(false): Unit
+  }
+
   /** The banded-signature frame `(__id, __band, __bsig)` shared by
     * [[minhashPairs]] and the corpus index. */
   private[graft] def bandedSignatures(df: DataFrame, idCol: String, textCol: String,

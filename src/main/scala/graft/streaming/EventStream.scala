@@ -126,4 +126,41 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(sink)
   }
+
+  /** Streaming NEAR-DUP-FILTERED ingest: every micro-batch is deduped
+    * against the persisted minhash corpus index
+    * ([[graft.ops.Dedup.buildMinhashIndex]]), then within itself, and
+    * the survivors are merged into the managed table AND appended to
+    * the index — so later batches (and later restarts) dedup against
+    * everything ingested so far. The streaming shape of a training-
+    * data ingestion firewall: per-batch cost scales with the batch,
+    * never the corpus.
+    *
+    * Crash-safety, per sink step order (dedup → merge → append):
+    * a batch replayed after the append committed is fully dropped by
+    * the index dedup (its docs are their own near-dups), and the
+    * table merge it would have re-run is idempotent anyway; a batch
+    * replayed after merge but before append re-merges the same keys
+    * to the same values and re-appends. Either way the TABLE holds
+    * exactly the novel documents; the index is at-least-once (row
+    * duplicates cost bytes, never decisions). */
+  def dedupedMergeInto(df: DataFrame, env: graft.Env, table: String,
+      fields: Seq[String], idCol: String, textCol: String,
+      indexPath: String, checkpointDir: String,
+      threshold: Double = 0.8) = {
+    val sink = (batch: DataFrame, _: Long) => {
+      val fresh = graft.ops.Dedup.dedupAgainstIndex(
+        batch, idCol, textCol, indexPath, threshold)
+      val kept = graft.ops.Dedup.minhashDedup(fresh, idCol, textCol, threshold)
+        .localCheckpoint() // two consumers below; also pins the decision
+      if (!kept.isEmpty) {
+        env.view(table, fields).write(kept)
+        graft.ops.Dedup.appendToMinhashIndex(kept, idCol, textCol, indexPath)
+      }
+    }
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink)
+  }
 }

@@ -108,6 +108,50 @@ class StreamingSpec extends SparkSpec {
     assert(ids.values.toSet.size == 3, ids.toString)
   }
 
+  test("deduped streaming ingest drops cross-batch near-dups, keeps novel docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val yaml =
+      """- table: doc_sink
+        |  columns:
+        |    doc_id: bigint
+        |    text: varchar
+        |  key: [doc_id]
+        |""".stripMargin
+    val root = java.nio.file.Files.createTempDirectory("graft-dsink-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dckpt-").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-didx-").toString
+    try {
+      val env = Env(s, graft.schema.Registry.fromYaml(yaml), root)
+      env.createTables()
+      val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+      val other = "completely different content about spark streaming engines " * 5
+      val third = "yet another topic entirely about warehouse compaction cycles " * 5
+      // seed corpus: one doc, indexed
+      val seed = Seq((100L, base)).toDF("doc_id", "text")
+      graft.ops.Dedup.buildMinhashIndex(seed, "doc_id", "text", idx, buckets = 8)
+
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+      val q = EventStream.dedupedMergeInto(stream, env, "doc_sink",
+        Seq("doc_id", "text"), "doc_id", "text", idx, ckpt,
+        threshold = 0.5).start()
+      try {
+        // batch 1: near-dup of the seed corpus + a novel doc
+        mem.addData((1L, base.replace("lazy", "sleepy")), (2L, other))
+        q.processAllAvailable()
+        // batch 2: near-dup of batch 1's novel doc + another novel doc
+        mem.addData((3L, other + " extra"), (4L, third))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = rows(env.view("doc_sink", Seq("doc_id")).read())
+        .map(_.head).toSet
+      assert(got == Set(2L, 4L), got.toString)
+    } finally Seq(root, ckpt, idx).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
   test("gap-based sessionization with flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
