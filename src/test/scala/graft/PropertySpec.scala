@@ -87,6 +87,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairs equals brute force on random corpora") {
+    import org.apache.spark.sql.functions.col
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    for (seed <- 30L to 33L) {
+      val texts = (0 until 12).map(i => (i.toLong, sample(docGen, seed * 100 + i)))
+      val s = spark
+      import s.implicits._
+      val df = texts.toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.7)) {
+        val got = rows(graft.ops.Dedup.jaccardPairs(df, "doc_id", "text",
+          threshold = t)).map(r => (r.head, r(1))).toSet
+        val sets = texts.map { case (k, v) =>
+          k -> v.split(" ").sliding(3).map(_.mkString(" ")).toSet }.toMap
+        val want = (for {
+          a <- sets.keys; b <- sets.keys if a.asInstanceOf[Long] < b.asInstanceOf[Long]
+          j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+          if j >= t
+        } yield (a, b)).toSet
+        assert(got == want, s"seed=$seed t=$t got=$got want=$want")
+      }
+    }
+  }
+
+  test("mixture never exceeds a budget and is maximal in md5 order") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    for (seed <- 40L to 42L) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 40).map(i =>
+        (i.toLong, s"src${rnd.nextInt(3)}", 5L + rnd.nextInt(20)))
+      val df = docs.toDF("doc_id", "source", "ntok")
+      val budgets = Map("src0" -> 120L, "src1" -> 60L, "src2" -> 1L)
+      val kept = rows(graft.ops.Sample.mixture(df, "doc_id", "ntok",
+        "source", budgets)).map(r => (r.head.asInstanceOf[Long],
+          r(1).asInstanceOf[String], r(2).asInstanceOf[Long]))
+      // budget respected per source
+      kept.groupBy(_._2).foreach { case (src, rs) =>
+        assert(rs.map(_._3).sum <= budgets(src), s"seed=$seed $src") }
+      // prefix policy: in md5 order the running total counts every
+      // doc, and a doc is kept iff its own running total fits
+      def key(id: Long) = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val keptIds = kept.map(_._1).toSet
+      docs.groupBy(_._2).foreach { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(d => key(d._1)).foreach { d =>
+          cum += d._3
+          assert(keptIds(d._1) == (cum <= budgets(src)),
+            s"seed=$seed $src doc ${d._1} cum=$cum")
+        }
+      }
+    }
+  }
+
   test("parser roundtrip: parse(print(ast)) == ast") {
     import graft.expr.{Ast, Parser}
     def print_(a: Ast): String = a match {
