@@ -566,6 +566,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // AS-OF join: per user, the latest click value at-or-before each
+    // error event — the point-in-time lookup via union + ordered
+    // window (one key shuffle, no range-join explosion); oracle is
+    // DuckDB's native ASOF LEFT JOIN
+    "q34_asof_join" -> ((s, dir) => {
+      val ev = env(s, dir)
+        .view("events", Seq("event_id", "ts", "user_id", "event_type", "value"))
+        .read()
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.ops.AsOf.asofJoin(errors, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_value"))
+        .select(col("event_id"), col("user_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // LLM-pipeline: embedding L2 normalization — HOF Column math, no
     // UDF; oracle recomputes norm and first normalized component in
     // double arithmetic
@@ -1050,6 +1069,12 @@ object SparkEntry {
         |  round((0.299 * 128 + 0.587 * 128 + 0.114 * 128) / 255.0, 6) AS mean_luma,
         |  0.0 AS sharpness
         |FROM documents""".stripMargin,
+    "q34_asof_join" ->
+      """WITH e AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts, max(value) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, c.click_value
+        |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
     "embed_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nm FROM e)

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join: match each left row with the single right row having
+  * the greatest timestamp at-or-before the left row's, per key — the
+  * point-in-time lookup every event/feature pipeline needs (last
+  * observed price, last session marker, latest model score), and an
+  * operator Spark's built-in joins cannot express without a quadratic
+  * range join.
+  *
+  * Implementation is the UNION + ordered-window shape, not a join:
+  * both sides are tagged and unioned on (key, ts), and one window
+  * partitioned by key and ordered by (ts, side) carries the latest
+  * right-side payload forward into each left row via
+  * `last(_, ignoreNulls)`. At equal timestamps the right row sorts
+  * FIRST, so the match is inclusive.
+  *
+  * Scale shape: ONE hash shuffle on the key plus a per-key sort —
+  * cost is that of a sort-merge join without the join's range
+  * explosion; keys parallelize across partitions (a single pathological
+  * hot key serializes only itself, the usual keyed-window caveat).
+  */
+object AsOf {
+
+  /** Left rows plus `payloadCols` from the matched right row (null
+    * when no right row is at-or-before). `toleranceMs` additionally
+    * voids matches older than the given distance. The caller must
+    * make the right side unique per (key, ts) — with duplicates the
+    * carried payload among equal timestamps is unspecified (pre-
+    * aggregate, e.g. `groupBy(key, ts).agg(max(payload))`). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("__side"), "left must not contain __side")
+    val l = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        payloadCols.map(p => lit(null).cast(
+          right.schema(p).dataType).as(s"__p_$p")) :+
+        lit(null).cast(right.schema(rightTs).dataType).as("__rts"): _*)
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(p => col(p).as(s"__p_$p")) :+
+        col(rightTs).as("__rts"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .select(col("*") +:
+        payloadCols.map(p =>
+          last(col(s"__p_$p"), ignoreNulls = true).over(w).as(s"__f_$p")) :+
+        last(col("__rts"), ignoreNulls = true).over(w).as("__frts"): _*)
+      .filter(col("__side") === 1)
+    val inTol: Column = toleranceMs match {
+      // timestamp→double is fractional epoch seconds
+      case Some(ms) => col("__frts").isNotNull &&
+        (col("__ts").cast("double") - col("__frts").cast("double")) <= ms / 1000.0
+      case None => lit(true)
+    }
+    filled.select(
+      keyCols.map(col) ++
+        Seq(col("__ts").as(leftTs)) ++
+        leftCols.filterNot(c => keyCols.contains(c) || c == leftTs).map(col) ++
+        payloadCols.map(p =>
+          when(inTol, col(s"__f_$p")).otherwise(lit(null)).as(p)): _*)
+  }
+}

@@ -2,14 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import graft.SparkEntry
+import graft.ops.Dedup
 
 /** Throwaway stage-level profiler for the slow bench queries. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val only = sys.env.getOrElse("SPARK_GRAFT_PROFILE_Q", "dedup_minhash_pairs")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -20,24 +18,25 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val epoch = System.currentTimeMillis()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val sub = si.submissionTime.map(t => (t - epoch) / 1000.0).getOrElse(-1.0)
-        val dur = (for {s <- si.submissionTime; c <- si.completionTime}
-          yield (c - s) / 1000.0).getOrElse(-1.0)
-        val cpu = si.taskMetrics.executorCpuTime / 1e9
-        println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
-          f"sub=$sub%7.2f wall=$dur%7.2fs cpu=$cpu%8.2fs")
-      }
-    })
-
+    def t(name: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $r")
+    }
     spark.range(1000).selectExpr("sum(id)").collect()
-    val t0 = System.nanoTime()
-    SparkEntry.queries(only)(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    println(f"[profile] $only total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+
+    val raw = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    raw.count()
+    val banded = Dedup.bandedSignatures(raw, "doc_id", "text", 128, 32, 3)
+    val plan = banded.queryExecution.executedPlan.toString
+    // show operator tree heads only
+    plan.linesIterator.filter(l => l.contains("WholeStageCodegen") ||
+      l.contains("HashAggregate") || l.contains("Generate") ||
+      l.contains("Exchange") || l.contains("Scan") || l.contains("Project"))
+      .take(40).foreach(l => println("[plan] " + l.take(150)))
+    t("banded count")(banded.count())
+    t("banded count again")(banded.count())
     spark.stop()
   }
 }

@@ -409,6 +409,29 @@ class OpsSpec extends SparkSpec {
       Multimodal.FakeDecoder.decode("not an image".getBytes("UTF-8")).toSeq, got(1))
   }
 
+  test("asofJoin picks the latest at-or-before right row per key") {
+    val s2 = s
+    import s2.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, t(10), 100L), (1L, t(20), 101L), (2L, t(5), 102L),
+      (3L, t(30), 103L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, t(10), 1.0), (1L, t(15), 2.0), (2L, t(9), 3.0))
+      .toDF("k", "ts", "price")
+    val out = rows(graft.ops.AsOf.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("price")).select(col("lid"), col("price")).orderBy(col("lid")))
+      .map(r => r.head -> r(1)).toMap
+    // lid 100: right at exactly ts=10 matches (inclusive); 101: ts=15
+    // wins over ts=10; 102: right is at 9 > 5? no — 9 AFTER 5 -> none;
+    // 103: key 3 has no right rows
+    assert(out == Map(100L -> 1.0, 101L -> 2.0, 102L -> null, 103L -> null), out)
+    // tolerance: 101 matched a row 5s old; 3s tolerance voids it
+    val tol = rows(graft.ops.AsOf.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("price"), toleranceMs = Some(3000L))
+      .select(col("lid"), col("price")).orderBy(col("lid")))
+      .map(r => r.head -> r(1)).toMap
+    assert(tol == Map(100L -> 1.0, 101L -> null, 102L -> null, 103L -> null), tol)
+  }
+
   test("int8 quantization round-trips within scale/2 per component") {
     val df = s.sql("SELECT CAST(array(0.5, -1.0, 0.25, 0.0) AS array<float>) AS v")
     val r = df.select(Similarity.quantizeInt8(col("v")).as("qv"))
