@@ -585,6 +585,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // RANGE join: click events inside each user's 10-minute error
+    // "incident window" — binned equi-join + exact interval filter
+    // (never a per-key cross product); oracle is the plain BETWEEN join
+    "q35_range_join" -> ((s, dir) => {
+      val ev = env(s, dir)
+        .view("events", Seq("event_id", "ts", "user_id", "event_type"))
+        .read()
+      val incidents = ev.filter(col("event_type") === "error").select(
+        col("user_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"),
+        col("event_id").as("incident_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.AsOf.rangeJoin(clicks, incidents, Seq("user_id"), "ts",
+        "w_start", "w_end", binMs = 600000L)
+        .select(col("event_id"), col("incident_id"))
+        .orderBy(col("event_id"), col("incident_id"))
+    }),
+
     // LLM-pipeline: embedding L2 normalization — HOF Column math, no
     // UDF; oracle recomputes norm and first normalized component in
     // double arithmetic
@@ -1069,6 +1088,13 @@ object SparkEntry {
         |  round((0.299 * 128 + 0.587 * 128 + 0.114 * 128) / 255.0, 6) AS mean_luma,
         |  0.0 AS sharpness
         |FROM documents""".stripMargin,
+    "q35_range_join" ->
+      """WITH i AS (SELECT user_id, ts AS w_start,
+        |    ts + INTERVAL 10 MINUTE AS w_end, event_id AS incident_id
+        |  FROM events WHERE event_type = 'error'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, i.incident_id FROM c JOIN i
+        |ON c.user_id = i.user_id AND c.ts >= i.w_start AND c.ts < i.w_end""".stripMargin,
     "q34_asof_join" ->
       """WITH e AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, ts, max(value) AS click_value

@@ -72,4 +72,46 @@ object AsOf {
         payloadCols.map(p =>
           when(inTol, col(s"__f_$p")).otherwise(lit(null)).as(p)): _*)
   }
+
+  /** RANGE (interval) join: every (left, right) pair with the left
+    * timestamp inside the right row's `[startCol, endCol)` interval,
+    * equi-constrained on `keyCols` — the "which maintenance window /
+    * session / promo covers this event" join that a naive formulation
+    * plans as a cross product with a post-filter.
+    *
+    * Scale shape: BINNING. Each right interval explodes to the
+    * `binMs`-wide bins it spans, each left row maps to its single
+    * bin, and the join runs on (key…, bin) — an ordinary hash
+    * equi-join — with the exact `[start, end)` predicate applied
+    * after. Join volume is bounded by per-bin co-occurrence instead
+    * of |L|x|R| per key; pick `binMs` near the typical interval
+    * length (shorter bins explode more interval rows, longer bins
+    * admit more false pairs for the filter). */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, startCol: String, endCol: String,
+      binMs: Long): DataFrame = {
+    require(binMs > 0, s"binMs must be positive, got $binMs")
+    val binUs = binMs * 1000L
+    // exact integer microsecond arithmetic — doubles lose microsecond
+    // resolution at current epochs, which could mis-bin boundary rows
+    // exact floor division for any magnitude: subtract the floor-mod
+    // first so the division is of exactly-divisible integers (a bare
+    // double `/` misrounds near bin edges once bins pass ~6 days)
+    def bin(c: Column): Column =
+      ((c - pmod(c, lit(binUs))) / binUs).cast("long")
+    // unix_micros rejects TIMESTAMP_NTZ; the session TZ is pinned
+    // UTC, so the cast is a stable reinterpretation
+    def unixMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val r = right
+      .filter(col(endCol) > col(startCol)) // empty intervals match nothing
+      .withColumn("__bin", explode(sequence(
+        bin(unixMicros(col(startCol))),
+        // end is exclusive: a row ending exactly on a bin edge only
+        // occupies that bin's predecessor
+        bin(unixMicros(col(endCol)) - 1))))
+    val l = left.withColumn("__bin", bin(unixMicros(col(leftTs))))
+    l.join(r, keyCols :+ "__bin")
+      .filter(col(leftTs) >= col(startCol) && col(leftTs) < col(endCol))
+      .drop("__bin")
+  }
 }

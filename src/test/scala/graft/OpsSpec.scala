@@ -432,6 +432,24 @@ class OpsSpec extends SparkSpec {
     assert(tol == Map(100L -> 1.0, 101L -> null, 102L -> null, 103L -> null), tol)
   }
 
+  test("rangeJoin: inclusive start, exclusive end, multi-bin spans") {
+    val s2 = s
+    import s2.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, t(10), 100L), (1L, t(20), 101L), (1L, t(25), 102L),
+      (2L, t(10), 103L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, t(10), t(20), 900L),  // [10,20): catches 100, not 101
+      (1L, t(5), t(65), 901L),   // spans many 7s bins: catches all of k=1
+      (2L, t(11), t(11), 902L))  // empty interval: catches nothing
+      .toDF("k", "s", "e", "rid")
+    val out = rows(graft.ops.AsOf.rangeJoin(left, right, Seq("k"), "ts",
+      "s", "e", binMs = 7000L).select(col("lid"), col("rid")))
+      .map(r => (r.head, r(1))).toSet
+    assert(out == Set((100L, 900L), (100L, 901L), (101L, 901L), (102L, 901L)),
+      out)
+  }
+
   test("int8 quantization round-trips within scale/2 per component") {
     val df = s.sql("SELECT CAST(array(0.5, -1.0, 0.25, 0.0) AS array<float>) AS v")
     val r = df.select(Similarity.quantizeInt8(col("v")).as("qv"))
