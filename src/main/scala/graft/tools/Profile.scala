@@ -1,13 +1,21 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.ops.Dedup
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import graft.SparkEntry
 
-/** Throwaway stage-level profiler for the slow bench queries. */
+/** Stage-level profiler for any `SparkEntry` query: prints one line
+  * per completed stage (submission offset, wall, task CPU) plus the
+  * total, so shuffle shape and driver gaps are visible without the UI.
+  *
+  *   SPARK_GRAFT_PROFILE_Q=dedup_minhash_pairs \
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.Profile"
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.getOrElse("SPARK_GRAFT_PROFILE_Q", "q1_agg")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -18,25 +26,24 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def t(name: String)(body: => Any): Unit = {
-      val t0 = System.nanoTime()
-      val r = body
-      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $r")
-    }
-    spark.range(1000).selectExpr("sum(id)").collect()
+    val epoch = System.currentTimeMillis()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val sub = si.submissionTime.map(t => (t - epoch) / 1000.0).getOrElse(-1.0)
+        val dur = (for {s <- si.submissionTime; c <- si.completionTime}
+          yield (c - s) / 1000.0).getOrElse(-1.0)
+        val cpu = si.taskMetrics.executorCpuTime / 1e9
+        println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
+          f"sub=$sub%7.2f wall=$dur%7.2fs cpu=$cpu%8.2fs")
+      }
+    })
 
-    val raw = spark.read.parquet(dir + "/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    raw.count()
-    val banded = Dedup.bandedSignatures(raw, "doc_id", "text", 128, 32, 3)
-    val plan = banded.queryExecution.executedPlan.toString
-    // show operator tree heads only
-    plan.linesIterator.filter(l => l.contains("WholeStageCodegen") ||
-      l.contains("HashAggregate") || l.contains("Generate") ||
-      l.contains("Exchange") || l.contains("Scan") || l.contains("Project"))
-      .take(40).foreach(l => println("[plan] " + l.take(150)))
-    t("banded count")(banded.count())
-    t("banded count again")(banded.count())
+    spark.range(1000).selectExpr("sum(id)").collect() // JIT/codegen warmup
+    val t0 = System.nanoTime()
+    SparkEntry.queries(only)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"[profile] $only total ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }
