@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with cached signature/vector frames + 32 concurrent
   // shuffle tasks GC-thrashes an 8g heap; the box has 125 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Bench calls System.gc() between timed queries so the
+  // ContextCleaner reclaims dead checkpoint/broadcast blocks before
+  // they force a stop-the-world full GC mid-query; make that call a
+  // concurrent cycle instead of a full STW pause
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -44,10 +44,17 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if only.forall(_.contains(name)))
+         if only.forall(_.contains(name))) {
       results(name) = time {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
+      // untimed: reclaim dead checkpoint/broadcast/cache garbage NOW
+      // (the ContextCleaner is GC-driven; without this a long run
+      // accumulates until a stop-the-world full GC lands inside a
+      // later query's timed section — observed 5x noise on late
+      // queries)
+      System.gc()
+    }
 
     // Write-path probe (BASELINE.md): 100k-row upsert, insert then
     // re-write as update, through the full View.write machinery.
