@@ -756,6 +756,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: sequence packing — each ~1000-token shard's docs
+    // concatenated (id order) into one training-sequence row
+    "sample_sequences" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val toks = docs.select(col("doc_id"), col("text"),
+        Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      graft.ops.Sample.packSequences(toks, "doc_id", "text", "n_tokens", 1000L)
+        .orderBy(col("seq_id"))
+    }),
+
     // LLM-pipeline: PII triage + redaction (emails / IPv4 / phones) —
     // plant deterministic PII on every 7th doc so the patterns have
     // real positives; RE2-safe regexes run identically in the oracle
@@ -1298,6 +1308,18 @@ object SparkEntry {
         |        CASE WHEN trim(text) = '' THEN 0
         |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |      FROM documents)""".stripMargin,
+    "sample_sequences" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS BIGINT) AS seq_id
+        |  FROM w)
+        |SELECT seq_id, string_agg(text, ' ' ORDER BY doc_id) AS text,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1""".stripMargin,
     "sample_mixture" ->
       """WITH w AS (SELECT doc_id, source,
         |  CASE WHEN trim(text) = '' THEN 0

@@ -110,6 +110,31 @@ object Sample {
     } finally sorted.unpersist(false): Unit
   }
 
+  /** SEQUENCE PACKING: concatenate each [[packByBudget]] shard's
+    * documents (in id order, single-space separated) into one
+    * training-sequence row — the "fill every context window" step
+    * that turns a sharded corpus into fixed-budget model inputs.
+    * Returns (seq_id, text, n_docs, n_tokens); `n_tokens` sums the
+    * caller's weight column, so it is the same budget currency
+    * [[packByBudget]] packed by.
+    *
+    * Scale shape: the shard assignment already range-partitioned by
+    * id, so each shard's docs are near-contiguous; the concat is one
+    * hash aggregation on the shard id whose payload per group is
+    * bounded by the token budget (a shard never exceeds budget by
+    * more than one document). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    val sharded = packByBudget(df, idCol, weightCol, budget)
+    sharded.groupBy(col("shard").as("seq_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol)), " ").as("text"),
+        count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("n_tokens"))
+  }
+
   /** Corpus MIXTURE sampling: greedily fill a per-source token budget
     * in a deterministic document order, keeping each row while its
     * source's running `weightCol` total stays within

@@ -144,6 +144,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((2L, "c")) == ((1L, 1L, exp(1, 1))))
   }
 
+  test("packSequences concatenates shard docs in id order") {
+    val df = docsDf(Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"),
+      (4L, "j")))
+      .withColumn("ntok", size(split(col("text"), " ")).cast("bigint"))
+    // budget 5: shard0 = docs 1,2 (3+2), shard1 = docs 3,4 (4+1)
+    val out = rows(Sample.packSequences(df, "doc_id", "text", "ntok", 5L)
+      .orderBy(col("seq_id")))
+    assert(out.map(r => (r.head, r(1), r(2), r(3))) == Seq(
+      (0L, "a b c d e", 2L, 5L), (1L, "f g h i j", 2L, 5L)), out)
+  }
+
   test("mixture matches the window reference and ignores partitioning") {
     import org.apache.spark.sql.expressions.Window
     val rows0 = (0L until 60L).map(i =>
