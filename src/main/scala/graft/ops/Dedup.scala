@@ -32,7 +32,14 @@ object Dedup {
     * unreferenced (RDD persists are weakly tracked, unlike SQL cache
     * entries). At cluster scale a long pipeline would land these in a
     * real intermediate table instead; the reuse window here is one
-    * driver session. */
+    * driver session.
+    *
+    * INVARIANT: slot plans must read IMMUTABLE paths. Reuse keys on
+    * plan `sameResult`, and a localCheckpoint can never refresh — if
+    * the files under a canonically-equal plan mutated, the slot would
+    * serve stale data. Current call sites honor this: snapshot paths
+    * change on every write, and index probes construct a fresh
+    * FileIndex (distinct plan) per `spark.read`. */
   private[ops] def cacheSwap(
       slot: java.util.concurrent.atomic.AtomicReference[
         (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)],
@@ -42,7 +49,10 @@ object Dedup {
     if ((prev ne null) && prev._1.sameResult(plan)) prev._2
     else {
       val cp = df.localCheckpoint()
-      slot.set((plan, cp))
+      // CAS so concurrent callers can't interleave get-then-set; if
+      // another thread won the race, its entry stays (both checkpoints
+      // are valid — ours is still returned for this caller's use)
+      slot.compareAndSet(prev, (plan, cp))
       cp
     }
   }
@@ -213,7 +223,11 @@ object Dedup {
       size(col("__ha")).as("__szA"))
     val pb = rightCp.select(col("idB"), explode(col("__hb")).as("__h"),
       size(col("__hb")).as("__szB"))
-    val hot = pa.select(col("__h")).unionAll(pb.select(col("__h")))
+    // symmetric mode: pa and pb are the same corpus, so counting the
+    // union would double every hash's df and silently halve the
+    // effective maxDf — count one side only; bipartite mode needs both
+    val hot = (if (ordered) pa.select(col("__h"))
+               else pa.select(col("__h")).unionAll(pb.select(col("__h"))))
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
     val joined = pa.join(hot, Seq("__h"), "left_anti")
@@ -598,10 +612,20 @@ object Dedup {
     * `tokenHash` defaults to xxhash64 (the cheap choice at corpus
     * scale); pass an engine-portable hash (e.g. an md5-derived 60-bit
     * value) when the output must be reproducible outside Spark —
-    * that is exactly what the DuckDB-oracled verification query does. */
+    * that is exactly what the DuckDB-oracled verification query does.
+    *
+    * Candidate generation routes through [[bucketPairs]]: buckets of
+    * 2..maxBucket members emit all in-bucket pairs; denser buckets —
+    * a cluster of near-identical docs collides in every chunk, the
+    * exact input dedup corpora contain — degrade to LINEAR star pairs
+    * against the bucket's min id instead of an O(n²) self-join, same
+    * as the minhash and cosine miners. Inside the degrade the output
+    * is no longer the full pair set, but every cluster member stays
+    * linked to a canonical representative, which is what dedup needs. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, numBits: Int = 64,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_),
+      maxBucket: Int = 1000): DataFrame = {
     require(numBits % 4 == 0 && numBits <= 64,
       s"numBits must be a multiple of 4 up to 64, got $numBits")
     val chunkBits = numBits / 4
@@ -620,18 +644,20 @@ object Dedup {
       (0 until numBits).map(b =>
           when(col(s"__b$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("__sh")))
-    val banded = sh.select(col("__id"), col("__sh"),
+    val banded = sh.select(col("__id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("__sh"), b * chunkBits).bitwiseAND(chunkMask)
             .as("chunk"))): _*)).as("__b"))
-    val l = banded.select(col("__id").as("idA"), col("__sh").as("__shA"),
-      col("__b.band").as("__band"), col("__b.chunk").as("__chunk"))
-    val r = banded.select(col("__id").as("idB"), col("__sh").as("__shB"),
-      col("__b.band").as("__band"), col("__b.chunk").as("__chunk"))
-    l.join(r, Seq("__band", "__chunk")).filter(col("idA") < col("idB"))
+      .select(col("__id"), col("__b.band").as("__band"),
+        col("__b.chunk").as("__chunk"))
+    // skew-guarded pair mining (star-pair degrade above maxBucket),
+    // then join the 16-byte signatures back and verify true hamming
+    bucketPairs(banded, Seq("__band", "__chunk"), maxBucket)
+      .join(sh.select(col("__id").as("idA"), col("__sh").as("__shA")), Seq("idA"))
+      .join(sh.select(col("__id").as("idB"), col("__sh").as("__shB")), Seq("idB"))
       .withColumn("hamming", bit_count(col("__shA").bitwiseXOR(col("__shB"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("idA"), col("idB"), col("hamming")).distinct()
+      .select(col("idA"), col("idB"), col("hamming"))
   }
 }

@@ -147,6 +147,21 @@ class OpsSpec extends SparkSpec {
     assert(got == brute, s"lsh=${got.size} brute=${brute.size}")
   }
 
+  test("simhash pairs: dense identical cluster degrades to O(n) star pairs") {
+    // 3000 identical docs collide into ONE chunk bucket in every band;
+    // an uncapped self-join would emit 3000*2999/2 ≈ 4.5M pairs (the
+    // quadratic stuck-stage shape at 100 TB). The bucketPairs star
+    // degrade must emit exactly n-1 pairs, all against the min id.
+    val n = 3000
+    val df = docsDf(Seq.tabulate(n)(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta")))
+    val pairs = rows(Dedup.simhashPairs(df, "doc_id", "text",
+      maxHamming = 3, maxBucket = 100))
+    assert(pairs.size == n - 1, s"expected ${n - 1} star pairs, got ${pairs.size}")
+    assert(pairs.forall(p => p.head == 0L && p(2) == 0L), pairs.take(5))
+    assert(pairs.map(p => p(1)).toSet == (1L until n.toLong).toSet)
+  }
+
   test("brute-force cosine top-k is exact") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
