@@ -516,6 +516,57 @@ object SparkEntry {
         threshold = 0.95, dims = dims).select(col("vec_id"))
     }),
 
+    // LLM-pipeline: vector CROSS-CORPUS incremental dedup — the
+    // embedding twin of dedup_incremental: a persisted LSH vector
+    // index is built once, then a batch (5 scaled near-copies + 5
+    // reversed fresh vectors) is deduped against it reading only the
+    // probed band partitions. Oracle: brute-force batch-vs-corpus
+    // cosine (reversed vectors max out near 0.4 on this corpus, so
+    // the 0.95 decision has a wide margin in both engines).
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val dims = emb.head().getSeq[Float](1).size
+      val idxDir = scratchDir("vecidx-" + Integer.toHexString(dir.hashCode))
+      Similarity.buildIndex(emb, "embedding", "vec_id", idxDir, dims = dims,
+        buckets = 64)
+      val near = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 5000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val fresh = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10).select(
+        (col("vec_id") + 6000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Similarity.dedupAgainstIndex(near.unionByName(fresh), "embedding",
+        "vec_id", idxDir, threshold = 0.95)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
+    // LLM-pipeline: embedding pipeline END-TO-END — normalize →
+    // int8 quantize → dequantize (the storage round-trip) → persisted
+    // index build → batch dedup-against-index, proving the ops
+    // compose (each is also oracle-verified alone). The oracle
+    // replicates the exact double arithmetic of every stage.
+    "embed_pipeline" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val dims = emb.head().getSeq[Float](1).size
+      def stored(df: DataFrame) = df.select(col("vec_id"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(
+          Similarity.l2Normalize(col("embedding")))).as("embedding"))
+      val idxDir = scratchDir("pipeidx-" + Integer.toHexString(dir.hashCode))
+      Similarity.buildIndex(stored(emb), "embedding", "vec_id", idxDir,
+        dims = dims, buckets = 64)
+      val near = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 5000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val fresh = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10).select(
+        (col("vec_id") + 6000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Similarity.dedupAgainstIndex(stored(near.unionByName(fresh)),
+        "embedding", "vec_id", idxDir, threshold = 0.95)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // LLM-pipeline: corpus vocabulary with document frequencies
     "text_vocab" -> ((s, dir) => {
       val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
@@ -1242,6 +1293,46 @@ object SparkEntry {
         |SELECT p.vec_id FROM pool p, q
         |ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, p.vec_id
         |LIMIT 10""".stripMargin,
+    // brute-force batch-vs-corpus cosine; keep = no corpus vector
+    // within 0.95 (planted copies sit at 1.0, reversed fresh ~0.4)
+    "dedup_embedding_incremental" ->
+      """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |batch AS (
+        |  SELECT vec_id + 5000 AS vec_id,
+        |    CAST(list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 5
+        |  UNION ALL
+        |  SELECT vec_id + 6000, CAST(list_reverse(embedding) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10)
+        |SELECT b.vec_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c
+        |  WHERE list_cosine_similarity(b.v, c.v) >= 0.95)
+        |ORDER BY vec_id""".stripMargin,
+    // normalize -> quantize -> dequantize replicated stage-for-stage
+    // in double arithmetic, then the same batch-vs-corpus decision
+    "embed_pipeline" ->
+      """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |batch AS (
+        |  SELECT vec_id + 5000 AS vec_id,
+        |    CAST(list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 5
+        |  UNION ALL
+        |  SELECT vec_id + 6000, CAST(list_reverse(embedding) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+        |nc AS (SELECT vec_id, CASE WHEN nm = 0 THEN v ELSE list_transform(v, x -> x / nm) END AS v
+        |       FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nm FROM corpus)),
+        |qc AS (SELECT vec_id, CAST(list_transform(v, x -> CAST(round(x / scale) AS TINYINT) * scale) AS DOUBLE[]) AS v
+        |       FROM (SELECT vec_id, v, CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+        |             FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM nc))),
+        |nb AS (SELECT vec_id, CASE WHEN nm = 0 THEN v ELSE list_transform(v, x -> x / nm) END AS v
+        |       FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nm FROM batch)),
+        |qb AS (SELECT vec_id, CAST(list_transform(v, x -> CAST(round(x / scale) AS TINYINT) * scale) AS DOUBLE[]) AS v
+        |       FROM (SELECT vec_id, v, CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+        |             FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM nb)))
+        |SELECT b.vec_id FROM qb b
+        |WHERE NOT EXISTS (SELECT 1 FROM qc c
+        |  WHERE list_cosine_similarity(b.v, c.v) >= 0.95)
+        |ORDER BY vec_id""".stripMargin,
     "dedup_embedding_pairs" ->
       """WITH pool AS (
         |  SELECT vec_id, embedding FROM embeddings

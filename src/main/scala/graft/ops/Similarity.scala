@@ -280,28 +280,36 @@ object Similarity {
       case (k, v: String) if v.forall(c => c.isDigit || c == '-') => k -> v.toLong
     }
 
-  /** Incrementally add vectors to an existing [[buildIndex]] LSH
-    * index: signatures are computed with the INDEX's stored parameters
-    * (never the caller's), and the new banded rows are appended into
-    * the same partition layout — no rebuild, cost scales with the new
-    * batch. The caller owns id-uniqueness across batches (duplicate
-    * ids would surface as duplicate candidates; queries dedupe on id,
-    * so recall is unaffected but bytes are wasted). */
+  /** Incrementally add vectors to an existing persisted index — LSH
+    * ([[buildIndex]]) or IVF ([[buildIvfIndex]]), dispatched on the
+    * index's own metadata. Signatures/assignments are computed with
+    * the INDEX's stored parameters (never the caller's), and the new
+    * rows are appended into the same partition layout — no rebuild,
+    * cost scales with the new batch. The caller owns id-uniqueness
+    * across batches (duplicate ids would surface as duplicate
+    * candidates; queries dedupe on id, so recall is unaffected but
+    * bytes are wasted). */
   def appendToIndex(df: DataFrame, vecCol: String, idCol: String,
       path: String): Unit = {
     val spark = df.sparkSession
     val kind = readMetaRaw(spark, path).get("kind").map(_.toString)
-    require(kind.forall(_ == "lsh"),
-      s"$path is a ${kind.getOrElse("?")} index; appendToIndex supports lsh")
+    kind match {
+      case Some("ivf") => appendToIvfIndex(df, vecCol, idCol, path)
+      case Some("lsh") | None => appendToLshIndex(df, vecCol, idCol, path)
+      case Some(other) => throw new IllegalArgumentException(
+        s"$path is a $other index; appendToIndex supports lsh and ivf")
+    }
+  }
+
+  private def appendToLshIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
     val meta = readMeta(spark, path)
     val (dims, numPlanes, bandBits, buckets, seed) =
       (meta("dims").toInt, meta("numPlanes").toInt, meta("bandBits").toInt,
         meta("buckets").toInt, meta("seed"))
     // dimension mismatch must fail loudly, not append wrong-band rows
-    df.select(size(col(vecCol)).as("__d")).head(1).foreach { r =>
-      require(r.getInt(0) == dims,
-        s"Batch vectors have ${r.getInt(0)} dims; index was built with $dims")
-    }
+    requireDims(df, vecCol, dims)
     val sigs = signatures(df, vecCol, idCol, dims, numPlanes, bandBits, seed)
     val banded = sigs.select(col("__id").as(idCol),
       explode(col("__bands")).as("__band"))
@@ -309,6 +317,62 @@ object Similarity {
       .withColumn("__bp", pmod(col("__band"), lit(buckets.toLong)))
       .repartition(col("__bp"))
       .write.mode("append").partitionBy("__bp").parquet(path)
+  }
+
+  private def requireDims(df: DataFrame, vecCol: String, dims: Int): Unit =
+    df.select(size(col(vecCol)).as("__d")).head(1).foreach { r =>
+      require(r.getInt(0) == dims,
+        s"Batch vectors have ${r.getInt(0)} dims; index was built with $dims")
+    }
+
+  /** Incrementally add vectors to a [[buildIvfIndex]] index: each new
+    * vector is assigned to its nearest STORED centroid (squared
+    * Euclidean argmin, first-index tie-break — the same rule Spark
+    * ML's k-means prediction applies) and appended into the matching
+    * `__c=` partition. Centroids are never retrained — an append-heavy
+    * corpus that drifts from its training distribution should rebuild;
+    * until then queries stay correct because probe ranking and row
+    * assignment use the same frozen centroid set. */
+  def appendToIvfIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val meta = readMetaRaw(spark, path)
+    require(meta.get("kind").map(_.toString).contains("ivf"),
+      s"$path is not an IVF index")
+    val dims = meta("dims").toString.toInt
+    requireDims(df, vecCol, dims)
+    val cents = centroidsOf(meta)
+    assignToCentroids(df, vecCol, idCol, cents)
+      .join(df.select(col(idCol), col(vecCol)),
+        col("__id") === col(idCol))
+      .select(col(idCol), col(vecCol), col("__c"))
+      .repartition(col("__c"))
+      .write.mode("append").partitionBy("__c").parquet(path)
+  }
+
+  /** Nearest-centroid assignment `(__id, __c)` via the codegen-safe
+    * bulk shape: posexplode the vector, then `nlist` plain
+    * `sum((x - c[pos])²)` aggregates per ≤64-aggregate groupBy (the
+    * per-row alternative — nlist array-lambda distances — overflows
+    * whole-stage codegen, same pitfall as [[lshBands]]). Ties pick the
+    * lowest centroid id, matching Spark ML's strict-< scan. */
+  private def assignToCentroids(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    val exploded = Par.spread(df).select(col(idCol).as("__id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
+    def distAgg(c: Array[Double]): Column = {
+      val diff = col("__x") -
+        element_at(array(c.toSeq.map(lit): _*), col("__pos") + 1)
+      sum(diff * diff)
+    }
+    val dists = centroids.zipWithIndex.grouped(64).map { cs =>
+      exploded.groupBy("__id").agg(
+        distAgg(cs.head._1).as(s"__e${cs.head._2}"),
+        cs.tail.map { case (c, i) => distAgg(c).as(s"__e$i") }: _*)
+    }.reduce(_.join(_, Seq("__id")))
+    val arr = array(centroids.indices.map(i => col(s"__e$i")): _*)
+    dists.select(col("__id"),
+      (array_position(arr, array_min(arr)) - 1).cast("int").as("__c"))
   }
 
   /** ANN top-k against a persisted [[buildIndex]] index: reads ONLY
@@ -376,6 +440,15 @@ object Similarity {
         "centroids" -> centroids))
   }
 
+  /** Centroids from an IVF index's metadata map.
+    * toString.toDouble, not Number cast: snakeyaml's YAML-1.1 float
+    * resolver types "1.23E7" (no signed exponent) as a String. */
+  private def centroidsOf(meta: Map[String, Any]): Seq[Array[Double]] = {
+    import scala.jdk.CollectionConverters._
+    meta("centroids").asInstanceOf[java.util.List[java.util.List[Object]]]
+      .asScala.toSeq.map(_.asScala.map(_.toString.toDouble).toArray)
+  }
+
   /** ANN top-k against a [[buildIvfIndex]] index: ranks centroids
     * against the query ON THE DRIVER (centroids ride in the index
     * meta), reads only the `nprobe` nearest centroid partitions, exact
@@ -387,11 +460,7 @@ object Similarity {
       s"$path is not an IVF index")
     require(query.size == meta("dims").toString.toInt,
       s"Query vector has ${query.size} dims; index was built with ${meta("dims")}")
-    import scala.jdk.CollectionConverters._
-    // toString.toDouble, not Number cast: snakeyaml's YAML-1.1 float
-    // resolver types "1.23E7" (no signed exponent) as a String
-    val centroids = meta("centroids").asInstanceOf[java.util.List[java.util.List[Object]]]
-      .asScala.map(_.asScala.map(_.toString.toDouble).toArray)
+    val centroids = centroidsOf(meta)
     val qd = query.map(_.toDouble).toArray
     val probed = centroids.zipWithIndex
       .map { case (c, i) =>
@@ -408,6 +477,60 @@ object Similarity {
       if (dirs.isEmpty) spark.read.parquet(path).filter(lit(false))
       else spark.read.parquet(dirs.toSeq: _*)
     bruteForceTopK(idx.select(col(idCol), col(vecCol)), vecCol, idCol, query, k)
+  }
+
+  private val vecCrossBandedSlot = Dedup.newSlot()
+
+  /** Dedup a new batch of vectors AGAINST a persisted [[buildIndex]]
+    * LSH index — the embedding twin of [[Dedup.dedupAgainstIndex]]:
+    * drops batch vectors whose cosine with some indexed vector is >=
+    * `threshold`; batch-internal near-dups are untouched (compose with
+    * [[cosineDedup]] for those).
+    *
+    * Scale shape (batch-proportional, corpus never re-signed): batch
+    * signatures are computed with the INDEX's stored parameters, the
+    * probe reads ONLY the `__bp` partition directories the batch's
+    * band values hash into (driver-side path selection over ≤`buckets`
+    * longs), candidates join on exact band value, and the verify is
+    * one exact-cosine filter over (batch id, corpus id) candidates —
+    * the index stores vectors, so no join back to the corpus table. */
+  def dedupAgainstIndex(newDf: DataFrame, vecCol: String, idCol: String,
+      path: String, threshold: Double): DataFrame = {
+    val spark = newDf.sparkSession
+    val kind = readMetaRaw(spark, path).get("kind").map(_.toString)
+    require(kind.forall(_ == "lsh"), // absent = pre-kind LSH index
+      s"$path is a ${kind.getOrElse("?")} index; dedupAgainstIndex probes lsh")
+    val meta = readMeta(spark, path)
+    val (dims, numPlanes, bandBits, buckets, seed) =
+      (meta("dims").toInt, meta("numPlanes").toInt, meta("bandBits").toInt,
+        meta("buckets").toInt, meta("seed"))
+    // cached (one-slot swap): referenced by the driver-side bucket
+    // collect AND the candidate join; its lineage is the full explode +
+    // 64-aggregate signature pipeline
+    val banded = Dedup.cacheSwap(vecCrossBandedSlot,
+      signatures(newDf, vecCol, idCol, dims, numPlanes, bandBits, seed)
+        .select(col("__id"), explode(col("__bands")).as("__band"))
+        .withColumn("__bp", pmod(col("__band"), lit(buckets.toLong))))
+    // driver-side bucket pruning: ≤`buckets` longs
+    val probed = banded.select("__bp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = probed.toSeq.sorted.map(b => new Path(root, s"__bp=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty) return newDf
+    val idx = spark.read.parquet(dirs: _*)
+    val cands = banded.join(
+        idx.select(col(idCol).as("__cid"), col("__band"),
+          col(vecCol).as("__cv")),
+        Seq("__band"))
+      .dropDuplicates("__id", "__cid")
+    val newVecs = newDf.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__nv"))
+    val doomed = cands.join(newVecs, Seq("__id"))
+      .filter(cosine(col("__nv"), col("__cv").cast("array<double>")) >= threshold)
+      .select(col("__id").as(idCol)).distinct()
+    newDf.join(doomed, Seq(idCol), "left_anti")
   }
 
   /** Embedding near-dedup: drop the larger id of every verified

@@ -289,6 +289,110 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("vector cross-corpus dedup: batch deduped against persisted LSH index") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val dims = emb.head().getSeq[Float](1).size
+    val dir = java.nio.file.Files.createTempDirectory("vecxidx").toString
+    try {
+      Similarity.buildIndex(emb, "embedding", "vec_id", dir, dims, buckets = 64)
+      // batch: scaled near-copies of two corpus vectors (cosine 1.0)
+      // + two reversed vectors (max corpus cosine ~0.4 on this data)
+      val near = emb.filter(col("vec_id") < 2).select(
+        (col("vec_id") + 5000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val fresh = emb.filter(col("vec_id") >= 2 && col("vec_id") < 4).select(
+        (col("vec_id") + 6000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      val batch = near.unionByName(fresh)
+      val kept = Similarity.dedupAgainstIndex(batch, "embedding", "vec_id",
+        dir, threshold = 0.95)
+      assert(rows(kept).map(_.head).toSet == Set(6002L, 6003L),
+        rows(kept).map(_.head).toString)
+      // batch-proportionality: the probe reads ONLY the partition dirs
+      // the batch's own band values hash into — a strict subset of the
+      // index (driver-side path selection, never a full index scan)
+      val allDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__bp="))
+        .map(_.getName).toSet
+      val expected = rows(batch).flatMap(r =>
+        Similarity.signatureOf(
+          r(1).asInstanceOf[scala.collection.Seq[Float]].toSeq, dims))
+        .map(b => s"__bp=${((b % 64) + 64) % 64}").toSet
+      val readDirs = kept.inputFiles.filter(_.contains(dir))
+        .map(f => new java.io.File(f).getParentFile.getName).toSet
+      assert(readDirs.nonEmpty && readDirs.subsetOf(expected),
+        s"probe read $readDirs beyond the batch's own buckets $expected")
+      assert(readDirs.size < allDirs.size,
+        s"probe read all ${allDirs.size} index partitions")
+      // fresh-only batch: untouched
+      assert(rows(Similarity.dedupAgainstIndex(fresh, "embedding", "vec_id",
+        dir, threshold = 0.95)).map(_.head).toSet == Set(6002L, 6003L))
+      // wrong index kind raises
+      intercept[IllegalArgumentException] {
+        val ivf = java.nio.file.Files.createTempDirectory("notlsh").toString
+        try {
+          Similarity.buildIvfIndex(emb, "embedding", "vec_id", ivf, dims,
+            nlist = 4)
+          Similarity.dedupAgainstIndex(batch, "embedding", "vec_id", ivf, 0.95)
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(ivf))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("IVF append: stored-centroid assignment, recall after append") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val planted = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1000001L, q.map(_ * 1.001f))).asJava, emb.schema)
+    val pool = emb.filter(col("vec_id") =!= 0 && col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    try {
+      Similarity.buildIvfIndex(pool, "embedding", "vec_id", dir, q.size, nlist = 16)
+      val extra = emb.filter(col("vec_id") >= 400).select(
+        (col("vec_id") + 2000L).as("vec_id"), col("embedding"))
+      Similarity.appendToIndex(planted.unionByName(extra), "embedding",
+        "vec_id", dir)
+      // the appended near-copy of q lands in q's nearest centroid, so
+      // even an nprobe=1 query recalls it — proof the append assigned
+      // with the index's frozen centroids, not arbitrarily
+      val got = rows(Similarity.ivfTopK(spark, dir, "embedding", "vec_id",
+        q, 10, nprobe = 1)).map(_.head)
+      assert(got.contains(1000001L), s"appended dup missing at nprobe=1: $got")
+      // every appended vector sits in its exact argmin centroid
+      // partition (first-index tie-break), checked against the meta
+      // centroids brute-force on the driver
+      val metaText = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_index_meta.json")), "UTF-8")
+      val cents = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](metaText)
+        .get("centroids").asInstanceOf[java.util.List[java.util.List[Object]]]
+        .asScala.map(_.asScala.map(_.toString.toDouble).toArray)
+      val assigned = spark.read.parquet(dir)
+        .filter(col("vec_id") >= 2000L && col("vec_id") < 1000000L)
+        .select(col("vec_id"), col("__c")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val vecs = rows(extra).map(r =>
+        r.head.asInstanceOf[Long] ->
+          r(1).asInstanceOf[scala.collection.Seq[Float]].toSeq.map(_.toDouble))
+      assert(vecs.nonEmpty && assigned.size == vecs.size)
+      vecs.foreach { case (vid, v) =>
+        val dists = cents.map(c =>
+          c.toSeq.lazyZip(v).map((a, b) => (a - b) * (a - b)).sum)
+        val exp = dists.indexOf(dists.min)
+        assert(assigned(vid) == exp, s"vec $vid in __c=${assigned(vid)}, argmin $exp")
+      }
+      // dimension mismatch is an error, not wrong-partition appends
+      intercept[IllegalArgumentException] {
+        val bad = spark.createDataFrame(Seq(
+          org.apache.spark.sql.Row(9L, Seq(1f, 2f))).asJava, emb.schema)
+        Similarity.appendToIndex(bad, "embedding", "vec_id", dir)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("IVF ANN: probes read only nprobe centroid partitions, recall holds") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
