@@ -42,18 +42,29 @@ object Bench {
     // run to those queries (and skips the write probes).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Repeats per query (median reported): a single-shot timing lets
+    // one stop-the-world GC land inside a timed section and fabricate
+    // a 10x "regression" (r7: q15_json read 6.78s in-run, 0.84s
+    // isolated). The median of 3 is immune to one bad run and also
+    // absorbs first-run JIT/plan-compilation warmup.
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if only.forall(_.contains(name))) {
-      results(name) = time {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val runs = Seq.fill(repeats) {
+        val t = time {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        // untimed: reclaim dead checkpoint/broadcast/cache garbage NOW
+        // (the ContextCleaner is GC-driven; without this a long run
+        // accumulates until a stop-the-world full GC lands inside a
+        // later query's timed section — observed 5x noise on late
+        // queries)
+        System.gc()
+        t
       }
-      // untimed: reclaim dead checkpoint/broadcast/cache garbage NOW
-      // (the ContextCleaner is GC-driven; without this a long run
-      // accumulates until a stop-the-world full GC lands inside a
-      // later query's timed section — observed 5x noise on late
-      // queries)
-      System.gc()
+      results(name) =
+        if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(repeats / 2)
     }
 
     // Write-path probe (BASELINE.md): 100k-row upsert, insert then

@@ -808,10 +808,15 @@ object SparkEntry {
     }),
 
     // LLM-pipeline: sequence packing — each ~1000-token shard's docs
-    // concatenated (id order) into one training-sequence row
+    // concatenated (id order) into one training-sequence row. A
+    // planted 3.5x-budget doc (id -1, sorts first) exercises the
+    // long-doc split path: it enters as four budget-boundary pieces,
+    // so no sequence exceeds budget + one piece.
     "sample_sequences" -> ((s, dir) => {
       val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
-      val toks = docs.select(col("doc_id"), col("text"),
+      val planted = s.range(1).select(lit(-1L).as("doc_id"),
+        trim(repeat(lit("w "), 3500)).as("text"))
+      val toks = docs.unionByName(planted).select(col("doc_id"), col("text"),
         Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
       graft.ops.Sample.packSequences(toks, "doc_id", "text", "n_tokens", 1000L)
         .orderBy(col("seq_id"))
@@ -1399,16 +1404,31 @@ object SparkEntry {
         |        CASE WHEN trim(text) = '' THEN 0
         |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |      FROM documents)""".stripMargin,
+    // long docs (> 1000 tokens) split into 1000-token pieces on
+    // whitespace boundaries before the prefix-sum shard assignment,
+    // ordered by (doc_id, piece)
     "sample_sequences" ->
-      """WITH w AS (SELECT doc_id, text,
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT -1, trim(repeat('w ', 3500))),
+        |w AS (SELECT doc_id, text,
         |  CASE WHEN trim(text) = '' THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-        |  FROM documents),
-        |s AS (SELECT doc_id, text, n_tokens,
-        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |  FROM d),
+        |pl AS (SELECT doc_id, text, n_tokens,
+        |  unnest(range(0, CAST(ceil(n_tokens / 1000.0) AS BIGINT))) AS k
+        |  FROM w WHERE n_tokens > 1000),
+        |p AS (
+        |  SELECT doc_id, 0 AS pi, text, n_tokens FROM w WHERE n_tokens <= 1000
+        |  UNION ALL
+        |  SELECT doc_id, k AS pi,
+        |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[k*1000+1 : (k+1)*1000], ' '),
+        |    least(1000, n_tokens - k*1000)
+        |  FROM pl),
+        |s AS (SELECT doc_id, pi, text, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id, pi
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS BIGINT) AS seq_id
-        |  FROM w)
-        |SELECT seq_id, string_agg(text, ' ' ORDER BY doc_id) AS text,
+        |  FROM p)
+        |SELECT seq_id, string_agg(text, ' ' ORDER BY doc_id, pi) AS text,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM s GROUP BY 1""".stripMargin,
     "sample_mixture" ->

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -62,14 +61,19 @@ object Sample {
   /** Token-budget shard packing: orders rows by `idCol`, then assigns
     * each row to shard `floor(tokens-before-it / budget)` — contiguous
     * runs of ~`budget` tokens each (a shard exceeds `budget` by at
-    * most one document, never splits one).
+    * most one document, never splits one; compose with
+    * [[packSequences]] for context-window splitting).
     *
     * Scale shape: a naive global window (`sum over (order by id)`)
     * plans as a SINGLE-partition WindowExec — the whole corpus through
-    * one task. Instead: range-repartition on id, sort within
-    * partitions, collect ONE long per partition (its token total) for
-    * a driver-side prefix sum, then a narrow per-partition pass adds
-    * the offset. Two shuffles of the data, driver traffic = one long
+    * one task. Instead: range-repartition on id, collect ONE long per
+    * partition (its token total) for a driver-side prefix sum,
+    * broadcast-join the per-partition offsets back on
+    * `spark_partition_id()`, and add a PARTITION-LOCAL running-sum
+    * window (partitioned by the stamped partition id, so no group ever
+    * exceeds one input partition). Fully columnar — every stage is
+    * codegen'd Tungsten, no RDD round-trip — at the cost of one extra
+    * hash exchange on the partition id; driver traffic stays one long
     * per partition, every stage parallel. */
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
       budget: Long): DataFrame = {
@@ -78,34 +82,34 @@ object Sample {
     val sorted = df
       .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
       .repartitionByRange(col(idCol))
-      .sortWithinPartitions(col(idCol))
+      .withColumn("__p", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val perPart = sorted.select(spark_partition_id().as("__p"), col("__w"))
-        .groupBy("__p").agg(sum("__w").as("__t"))
+      val perPart = sorted.groupBy("__p").agg(sum("__w").as("__t"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val nPart = sorted.rdd.getNumPartitions
-      val offsets = new Array[Long](nPart)
+      val nPart = perPart.keys.maxOption.map(_ + 1).getOrElse(0)
       var acc = 0L
-      for (p <- 0 until nPart) {
-        offsets(p) = acc
-        acc += perPart.getOrElse(p, 0L)
+      val offRows = (0 until nPart).map { p =>
+        val off = acc; acc += perPart.getOrElse(p, 0L); Row(p, off)
       }
-      val wIdx = sorted.schema.fieldIndex("__w")
-      val outSchema = org.apache.spark.sql.types.StructType(
-        sorted.schema.fields :+
-          org.apache.spark.sql.types.StructField("shard", LongType, false))
-      val rdd = sorted.rdd.mapPartitions { it =>
-        var cum = offsets(TaskContext.getPartitionId())
-        it.map { r =>
-          val shard = cum / budget
-          cum += r.getLong(wIdx)
-          Row.fromSeq(r.toSeq :+ shard)
-        }
-      }
+      val offDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(offRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__p",
+            org.apache.spark.sql.types.IntegerType, false),
+          org.apache.spark.sql.types.StructField("__off", LongType, false))))
+      // range partitioning already clusters ids, so the window group =
+      // one input partition: parallel, bounded, never single-partition
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__p")).orderBy(col(idCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       // shard ids depend only on the id order and weights, not the
       // partition count — offsets absorb the layout
-      spark.createDataFrame(rdd, outSchema).drop("__w")
+      sorted.join(broadcast(offDf), Seq("__p"))
+        .withColumn("__cb", col("__off") +
+          coalesce(sum(col("__w")).over(w), lit(0L)))
+        .withColumn("shard", expr(s"__cb div ${budget}L"))
+        .select(df.columns.map(col).toSeq :+ col("shard"): _*)
         .localCheckpoint() // materialize before unpersisting the input
     } finally sorted.unpersist(false): Unit
   }
@@ -118,21 +122,45 @@ object Sample {
     * caller's weight column, so it is the same budget currency
     * [[packByBudget]] packed by.
     *
-    * Scale shape: the shard assignment already range-partitioned by
-    * id, so each shard's docs are near-contiguous; the concat is one
-    * hash aggregation on the shard id whose payload per group is
-    * bounded by the token budget (a shard never exceeds budget by
-    * more than one document). */
+    * Documents LARGER than the budget are split first, on whitespace
+    * token boundaries, into budget-sized pieces (piece k = tokens
+    * [k·budget, (k+1)·budget)) that enter shard assignment in (id,
+    * piece) order — so no sequence ever exceeds budget + one piece
+    * < 2·budget, the real context-window contract. This assumes
+    * `weightCol` counts whitespace tokens for docs above the budget
+    * (it is the packing currency); docs at or below the budget pass
+    * through verbatim, never re-tokenized. `n_docs` counts pieces.
+    *
+    * Scale shape: the split is a narrow per-row explode (pieces of one
+    * doc stay put); shard assignment already range-partitions by the
+    * (id, piece) key, so each shard's pieces are near-contiguous; the
+    * concat is one hash aggregation on the shard id whose payload per
+    * group is bounded by ~2× the token budget. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       weightCol: String, budget: Long): DataFrame = {
-    val sharded = packByBudget(df, idCol, weightCol, budget)
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = coalesce(col(weightCol).cast("long"), lit(0L))
+    val toks = org.apache.spark.sql.functions.split(trim(col(textCol)), "\\s+")
+    val pieces = df.select(col(idCol),
+        when(w > budget,
+          transform(sequence(lit(0L), floor((w - 1L) / budget)),
+            k => struct(
+              array_join(slice(toks, (k * budget + 1L).cast("int"),
+                lit(budget.toInt)), " ").as("t"),
+              least(lit(budget), w - k * budget).as("pw"))))
+          .otherwise(array(struct(col(textCol).as("t"), w.as("pw"))))
+          .as("__pieces"))
+      .select(col(idCol), posexplode(col("__pieces")).as(Seq("__pi", "__piece")))
+      .select(struct(col(idCol).as("id"), col("__pi").as("pi")).as("__ord"),
+        col("__piece.t").as(textCol), col("__piece.pw").as("__pw"))
+    val sharded = packByBudget(pieces, "__ord", "__pw", budget)
     sharded.groupBy(col("shard").as("seq_id"))
       .agg(
         array_join(transform(
-          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          array_sort(collect_list(struct(col("__ord"), col(textCol)))),
           s => s.getField(textCol)), " ").as("text"),
         count(lit(1)).as("n_docs"),
-        sum(col(weightCol)).as("n_tokens"))
+        sum(col("__pw")).as("n_tokens"))
   }
 
   /** Corpus MIXTURE sampling: greedily fill a per-source token budget
@@ -150,8 +178,10 @@ object Sample {
     * sources. Instead, the [[packByBudget]] two-phase prefix sum
     * generalized per source: range-partition on (source, md5),
     * per-partition per-source subtotals (one row per pair to the
-    * driver), then a narrow pass adds each partition's offsets.
-    * Every stage parallel; driver traffic is #partitions × #sources
+    * driver), broadcast-join the offsets back on
+    * (`spark_partition_id()`, source) and add a partition-local
+    * running-sum window — columnar end to end, window groups bounded
+    * by one input partition. Driver traffic is #partitions × #sources
     * longs. */
   def mixture(df: DataFrame, idCol: String, weightCol: String,
       sourceCol: String, budgets: Map[String, Long]): DataFrame = {
@@ -160,43 +190,41 @@ object Sample {
       .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
       .withColumn("__k", md5(col(idCol).cast("string")))
       .repartitionByRange(col(sourceCol), col("__k"))
-      .sortWithinPartitions(col(sourceCol), col("__k"))
+      .withColumn("__p", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val perPart = sorted
-        .select(spark_partition_id().as("__p"), col(sourceCol), col("__w"))
         .groupBy(col("__p"), col(sourceCol)).agg(sum("__w").as("__t"))
         .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
         .toMap
-      val nPart = sorted.rdd.getNumPartitions
+      val nPart = perPart.keys.map(_._1).maxOption.map(_ + 1).getOrElse(0)
       val srcs = perPart.keys.map(_._2).toSeq.distinct
       // per-(partition, source) starting offsets: tokens of the same
       // source in all earlier partitions (range partitioning keeps a
       // source's rows contiguous across partition boundaries)
-      val offsets = scala.collection.mutable.Map[(Int, String), Long]()
-      for (s <- srcs) {
+      val offRows = srcs.flatMap { s =>
         var acc = 0L
-        for (p <- 0 until nPart) {
-          offsets((p, s)) = acc
-          acc += perPart.getOrElse((p, s), 0L)
+        (0 until nPart).map { p =>
+          val off = acc; acc += perPart.getOrElse((p, s), 0L); Row(p, s, off)
         }
       }
-      val offB = spark.sparkContext.broadcast(offsets.toMap)
-      val budB = spark.sparkContext.broadcast(budgets)
-      val wIdx = sorted.schema.fieldIndex("__w")
-      val sIdx = sorted.schema.fieldIndex(sourceCol)
-      val rdd = sorted.rdd.mapPartitions { it =>
-        val p = TaskContext.getPartitionId()
-        var cur: String = null
-        var cum = 0L
-        it.flatMap { r =>
-          val src = r.getString(sIdx)
-          if (src != cur) { cur = src; cum = offB.value.getOrElse((p, src), 0L) }
-          cum += r.getLong(wIdx)
-          if (cum <= budB.value.getOrElse(src, 0L)) Some(r) else None
-        }
-      }
-      spark.createDataFrame(rdd, sorted.schema).drop("__w", "__k")
+      val offDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(offRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__p",
+            org.apache.spark.sql.types.IntegerType, false),
+          org.apache.spark.sql.types.StructField(sourceCol,
+            org.apache.spark.sql.types.StringType, false),
+          org.apache.spark.sql.types.StructField("__off", LongType, false))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__p"), col(sourceCol)).orderBy(col("__k"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      sorted.join(broadcast(offDf), Seq("__p", sourceCol))
+        .withColumn("__cum", col("__off") + sum(col("__w")).over(w))
+        .filter(col("__cum") <=
+          coalesce(element_at(typedLit(budgets), col(sourceCol)), lit(0L)))
+        .select(df.columns.map(col).toSeq: _*)
         .localCheckpoint()
     } finally sorted.unpersist(false): Unit
   }

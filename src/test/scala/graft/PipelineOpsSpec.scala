@@ -155,6 +155,25 @@ class PipelineOpsSpec extends SparkSpec {
       (0L, "a b c d e", 2L, 5L), (1L, "f g h i j", 2L, 5L)), out)
   }
 
+  test("packSequences splits docs larger than the budget into pieces") {
+    // doc 2 is 13 tokens against budget 5 -> pieces 5,5,3 entering in
+    // (id, piece) order; no sequence exceeds budget + one piece, and
+    // the concatenation across sequences is lossless
+    val longDoc = (1 to 13).map(i => s"t$i").mkString(" ")
+    val df = docsDf(Seq((1L, "a b"), (2L, longDoc), (3L, "x y z")))
+      .withColumn("ntok", size(split(trim(col("text")), "\\s+")).cast("bigint"))
+    val out = rows(Sample.packSequences(df, "doc_id", "text", "ntok", 5L)
+      .orderBy(col("seq_id"))).map(r => (r.head, r(1), r(2), r(3)))
+    assert(out == Seq(
+      (0L, "a b t1 t2 t3 t4 t5", 2L, 7L),
+      (1L, "t6 t7 t8 t9 t10", 1L, 5L),
+      (2L, "t11 t12 t13", 1L, 3L),
+      (3L, "x y z", 1L, 3L)), out)
+    out.foreach(r => assert(r._4.asInstanceOf[Long] <= 2 * 5L - 1,
+      s"sequence over budget+piece: $r"))
+    assert(out.map(_._2).mkString(" ") == s"a b $longDoc x y z")
+  }
+
   test("mixture matches the window reference and ignores partitioning") {
     import org.apache.spark.sql.expressions.Window
     val rows0 = (0L until 60L).map(i =>

