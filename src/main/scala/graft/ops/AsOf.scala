@@ -35,7 +35,26 @@ object AsOf {
       leftTs: String, rightTs: String, payloadCols: Seq[String],
       toleranceMs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("__side"), "left must not contain __side")
+    // the whole `__`-prefixed namespace is reserved internally
+    // (__side/__ts/__rts/__frts/__p_*/__f_*) — a collision would
+    // silently mis-resolve rather than fail, so reject it up front
+    require(!leftCols.exists(_.startsWith("__")) &&
+      !payloadCols.exists(_.startsWith("__")),
+      "column names starting with __ are reserved by asofJoin")
+    require(payloadCols.intersect(leftCols).isEmpty,
+      s"payload columns ${payloadCols.intersect(leftCols).mkString(", ")} " +
+        "collide with left columns; alias one side first")
+    // toleranceMs arithmetic casts ts → double = fractional epoch
+    // SECONDS; a numeric epoch column (long millis/seconds) would
+    // silently compare wrong units
+    if (toleranceMs.isDefined) {
+      import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+      for ((df, c, side) <- Seq((left, leftTs, "left"), (right, rightTs, "right")))
+        require(Set[org.apache.spark.sql.types.DataType](
+          TimestampType, TimestampNTZType).contains(df.schema(c).dataType),
+          s"toleranceMs requires a timestamp-typed $side ts column; " +
+            s"$c is ${df.schema(c).dataType.simpleString} — cast it first")
+    }
     val l = left.select(
       keyCols.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++

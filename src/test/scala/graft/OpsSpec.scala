@@ -551,6 +551,95 @@ class OpsSpec extends SparkSpec {
     assert(tol == Map(100L -> 1.0, 101L -> null, 102L -> null, 103L -> null), tol)
   }
 
+  test("video probe: flat-output parse contract, deterministic fallback, gated binary") {
+    // the parse step is pure — the ffprobe -of flat format contract
+    // holds with no binary installed
+    val canned =
+      """format.format_name="mov,mp4,m4a,3gp,3g2,mj2"
+        |format.duration="12.480000"
+        |format.nb_streams=2
+        |streams.stream.0.codec_name="h264"
+        |streams.stream.0.width=640
+        |streams.stream.0.height=360
+        |""".stripMargin
+    val parsed = Multimodal.parseProbeOutput(canned).get
+    assert(parsed.getString(0) == "mov,mp4,m4a,3gp,3g2,mj2", parsed)
+    assert(parsed.getString(1) == "h264" && parsed.getInt(2) == 640 &&
+      parsed.getInt(3) == 360, parsed)
+    assert(parsed.getDouble(4) == 12480.0 && parsed.getInt(5) == 2, parsed)
+    assert(parsed.getBoolean(6), parsed)
+    // no format section -> None (not a media file)
+    assert(Multimodal.parseProbeOutput("garbage\n").isEmpty)
+    // partial facts stay null, never crash
+    val partial = Multimodal.parseProbeOutput(
+      "format.format_name=\"wav\"\nformat.duration=\"abc\"\n").get
+    assert(partial.getString(0) == "wav" && partial.isNullAt(4), partial)
+
+    // pipeline plumbing: absent binary -> deterministic fallback with
+    // probed=false; payload-stable across calls
+    val missing = new Multimodal.ExternalVideoProber("graft-no-such-binary")
+    assert(!missing.available)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val df = s.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "fake mp4 payload".getBytes("UTF-8")),
+      org.apache.spark.sql.Row(2L, null)).asJava, schema)
+    val media = df.select(col("doc_id"),
+      Multimodal.asMedia(col("payload"), "video/mp4", lit("mem://v")).as("media"))
+    val got = rows(Multimodal.videoFeatures(media, "media", missing)
+      .select(col("doc_id"), col("video.width"), col("video.duration_ms"),
+        col("video.probed")).orderBy("doc_id"))
+    val fake = Multimodal.FakeDecoder.decode("fake mp4 payload".getBytes("UTF-8"))
+    assert(got(0)(1) == fake.get(0) &&
+      got(0)(2) == fake.getDouble(3) * 60000.0 && got(0)(3) == false, got(0))
+    assert(got(1)(1) == null && got(1)(3) == false, got(1))
+
+    // real-binary path, exercised only where a system ffprobe exists
+    val real = new Multimodal.ExternalVideoProber()
+    if (real.available) {
+      val probed = real.probe(Multimodal.synthPcmWav(800))
+      assert(probed.getBoolean(6), probed)
+      assert(probed.getString(0).contains("wav"), probed)
+    }
+  }
+
+  test("asofJoin rejects reserved names, payload collisions, numeric ts tolerance") {
+    val s2 = s
+    import s2.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, t(10), 100L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, t(9), 2.0)).toDF("k", "ts", "price")
+    // any __-prefixed column on either input namespace is reserved
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOf.asofJoin(left.withColumnRenamed("lid", "__rts"), right,
+        Seq("k"), "ts", "ts", Seq("price"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOf.asofJoin(left, right.withColumnRenamed("price", "__p_x"),
+        Seq("k"), "ts", "ts", Seq("__p_x"))
+    }
+    // a payload column shadowing a left column would emit duplicates
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOf.asofJoin(left, right.withColumnRenamed("price", "lid"),
+        Seq("k"), "ts", "ts", Seq("lid"))
+    }
+    // toleranceMs math assumes timestamp-typed ts columns
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOf.asofJoin(
+        left.withColumn("ts", lit(10000L)),
+        right.withColumn("ts", lit(9000L)),
+        Seq("k"), "ts", "ts", Seq("price"), toleranceMs = Some(3000L))
+    }
+    // without tolerance, numeric ts is fine (pure ordering semantics)
+    val ok = rows(graft.ops.AsOf.asofJoin(
+      left.withColumn("ts", lit(10000L)), right.withColumn("ts", lit(9000L)),
+      Seq("k"), "ts", "ts", Seq("price")))
+    assert(ok.map(_.last) == Seq(2.0), ok)
+  }
+
   test("rangeJoin: inclusive start, exclusive end, multi-bin spans") {
     val s2 = s
     import s2.implicits._
