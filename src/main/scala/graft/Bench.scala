@@ -52,17 +52,18 @@ object Bench {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if only.forall(_.contains(name))) {
       val runs = Seq.fill(repeats) {
-        val t = time {
+        time {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
-        // untimed: reclaim dead checkpoint/broadcast/cache garbage NOW
-        // (the ContextCleaner is GC-driven; without this a long run
-        // accumulates until a stop-the-world full GC lands inside a
-        // later query's timed section — observed 5x noise on late
-        // queries)
-        System.gc()
-        t
       }
+      // untimed, ONCE per query (not per repeat — a full GC on this
+      // heap costs seconds, and the median already absorbs a stray GC
+      // landing inside one of the repeats): reclaim dead checkpoint/
+      // broadcast/cache garbage NOW. The ContextCleaner is GC-driven;
+      // without this a long run accumulates until a stop-the-world
+      // full GC lands inside a later query's timed section — observed
+      // 5x noise on late queries.
+      System.gc()
       results(name) =
         if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(repeats / 2)
     }

@@ -203,14 +203,26 @@ object Text {
       .groupBy("token").agg(count(lit(1)).as("docs"))
   }
 
-  /** 64-bit hashes of the word n-gram MULTISET (duplicates kept,
-    * unlike [[Dedup.shingleHashes]]) — the repetition statistics need
-    * occurrence counts, not set identity. */
-  private def rawGramHashes(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) < n, array(xxhash64(concat_ws(" ", toks))))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  /** 64-bit identity hashes of the word n-gram MULTISET (duplicates
+    * kept, unlike [[Dedup.shingleHashes]]) — the repetition statistics
+    * need occurrence counts, not set identity. Each token is hashed
+    * ONCE (`tokenHashes`), and a gram's hash is the left fold
+    * `a*P + h(tok)` over its window — pure long arithmetic per gram
+    * instead of a per-gram string slice + concat + byte hash, which
+    * dominated the old cost (an n-token doc built O(n·3) strings).
+    * Documents with fewer than n tokens collapse to one whole-text
+    * gram (the same fold over all tokens), so every doc has ≥1 gram
+    * for every n. */
+  private val gramP = lit(-7046029254386353131L) // 2^64 / golden ratio
+  private def tokenHashes(text: Column): Column =
+    transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+  private def rawGramHashes(th: Column, n: Int): Column = {
+    if (n == 1) th
+    else when(size(th) < n,
+        array(aggregate(th, lit(0L), (a, x) => a * gramP + x)))
+      .otherwise(transform(sequence(lit(0), size(th) - n), i =>
+        (0 until n).foldLeft(lit(0L): Column)((a, k) =>
+          a * gramP + element_at(th, i + k + 1))))
   }
 
   /** Benchmark DECONTAMINATION: flag corpus docs sharing any word
@@ -252,19 +264,39 @@ object Text {
     * stand in for gram strings — counts only need identity. */
   def repetition(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    // three narrow explode+agg pipelines, one per n, joined on the
-    // doc id. (A single tagged explode — concat of (n, hash) structs,
-    // one shuffle — measured slightly SLOWER at sf0.1: struct-in-array
-    // construction costs more than the saved shuffles, and the three
-    // narrow chains run concurrently anyway.)
-    def frac(n: Int, name: String) =
-      Par.spread(df)
-        .select(col(idCol), explode(rawGramHashes(col(textCol), n)).as("__h"))
-        .groupBy(col(idCol), col("__h")).agg(count(lit(1)).as("__c"))
-        .groupBy(col(idCol)).agg(
-          round(max(col("__c")).cast("double") / sum(col("__c")), 6).as(name))
-    frac(1, "top_unigram_frac")
-      .join(frac(2, "top_bigram_frac"), Seq(idCol))
-      .join(frac(3, "top_trigram_frac"), Seq(idCol))
+    // ZERO-shuffle shape: all of one document's n-grams live in its
+    // own row, so the modal-gram count never needs to leave the row —
+    // sort the gram-hash array and take the maximal run length in one
+    // sequential per-row fold. Replaces the former explode → count per
+    // (doc, hash) → max/sum per doc chain, whose first aggregation
+    // shuffled ~every gram occurrence (distinct-(doc,gram) pairs ≈ all
+    // occurrences in natural text): 18.6s → ~3s at sf0.1, and at
+    // 100 TB the map-only plan cannot skew — no hot keys exist.
+    // (rawGramHashes emits one whole-text gram when a doc has fewer
+    // than n tokens, so every doc appears for every n and the division
+    // is never by zero.)
+    def topFrac(n: Int, name: String) = {
+      val sorted = array_sort(rawGramHashes(col("__th"), n))
+      val acc0 = struct(lit(0L).as("prev"), lit(0L).as("run"),
+        lit(0L).as("mx"))
+      val modal = aggregate(sorted, acc0,
+        (acc, x) => {
+          val run = when(acc.getField("run") === 0L ||
+            x =!= acc.getField("prev"), lit(1L))
+            .otherwise(acc.getField("run") + 1L)
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("mx"), run).as("mx"))
+        },
+        acc => acc.getField("mx"))
+      round(modal.cast("double") / size(sorted), 6).as(name)
+    }
+    // tokenize + hash in a projection of its OWN so the work runs once
+    // per row, not once per output column (HOFs are interpreted, so
+    // codegen subexpression elimination can't dedup them; CollapseProject
+    // keeps the split because __th is non-cheap and referenced 3×)
+    Par.spread(df)
+      .select(col(idCol), tokenHashes(col(textCol)).as("__th"))
+      .select(col(idCol), topFrac(1, "top_unigram_frac"),
+        topFrac(2, "top_bigram_frac"), topFrac(3, "top_trigram_frac"))
   }
 }

@@ -216,12 +216,18 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("repetition fractions match hand counts") {
-    val df = docsDf(Seq((1L, "a a a b")))
-    val r = rows(Text.repetition(df, "doc_id", "text")).head
+    val df = docsDf(Seq((1L, "a a a b"), (2L, "q w"), (3L, "")))
+    val got = rows(Text.repetition(df, "doc_id", "text").orderBy("doc_id"))
+    val r = got.head
     assert(r(1) == 0.75)               // 3 of 4 unigrams are "a"
     assert(r(2) == BigDecimal(2.0 / 3).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble) // "a a" twice of 3 bigrams
     assert(r(3) == 0.5)                // "a a a" once of 2 trigrams
+    // fewer tokens than n: the whole text is the one n-gram (frac 1);
+    // two distinct unigrams tie at 0.5
+    assert(got(1).drop(1) == Seq(0.5, 1.0, 1.0), got(1))
+    // empty text degenerates to the single empty token everywhere
+    assert(got(2).drop(1) == Seq(1.0, 1.0, 1.0), got(2))
   }
 
   test("bm25 matches the hand formula on a tiny corpus") {
