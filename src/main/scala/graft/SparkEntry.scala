@@ -349,6 +349,17 @@ object SparkEntry {
             |  (and (= o_custkey _parent.c_custkey)
             |       (> o_totalprice _parent.c_acctbal)))))""".stripMargin))),
 
+    // R15 multi-non-equi: TWO inequality correlations must be
+    // jointly satisfied by one sub row — decorrelated as a skyline-
+    // pruned distinct-tuple carry per equi-group + an exists() HOF
+    "q34_multi_nonequi_exists" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey", "c_name"))
+        .read(Seq(
+          """(exists (from orders (select 1) (where
+            |  (and (= o_custkey _parent.c_custkey)
+            |       (> o_totalprice _parent.c_acctbal)
+            |       (< o_orderkey (* _parent.c_custkey 40))))))""".stripMargin))),
+
     // LLM-pipeline: exact dedup (hash-groupBy, keep smallest id)
     "dedup_exact" -> ((s, dir) => {
       val docs = env(s, dir).view("documents",
@@ -550,9 +561,16 @@ object SparkEntry {
       val e = env(s, dir)
       val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
       val dims = emb.head().getSeq[Float](1).size
-      def stored(df: DataFrame) = df.select(col("vec_id"),
-        Similarity.dequantizeInt8(Similarity.quantizeInt8(
-          Similarity.l2Normalize(col("embedding")))).as("embedding"))
+      // one projection per stage so each intermediate is evaluated
+      // once as an attribute (the per-element O(d²) hazard itself is
+      // fixed by Hof.bind inside the Similarity columns)
+      def stored(df: DataFrame) = df
+        .select(col("vec_id"),
+          Similarity.l2Normalize(col("embedding")).as("embedding"))
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("qv"))
+        .select(col("vec_id"),
+          Similarity.dequantizeInt8(col("qv")).as("embedding"))
       val idxDir = scratchDir("pipeidx-" + Integer.toHexString(dir.hashCode))
       Similarity.buildIndex(stored(emb), "embedding", "vec_id", idxDir,
         dims = dims, buckets = 64)
@@ -960,6 +978,11 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal)""".stripMargin,
+    "q34_multi_nonequi_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal
+        |    AND o_orderkey < c_custkey * 40)""".stripMargin,
     "q13_dates" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,

@@ -1,6 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 import scala.collection.mutable
@@ -140,7 +141,18 @@ final case class ExistsSpec(sub: QueryBuilder, pairs: Seq[(Column, Column)],
       * reduction per equi-group: `∃s: p > s.col ⟺ p > min(col)` (and
       * dually for < / >= / <= / !=). The sub column whose extremes the
       * flag frame aggregates as `<flag>_mn` / `<flag>_mx`. */
-    reduceCol: Option[Column] = None)
+    reduceCol: Option[Column] = None,
+    /** Two-plus non-equi correlation conjuncts, each (op, sub column):
+      * joint satisfaction by a single sub row can't decompose into
+      * independent extremes, so the flag frame carries the DISTINCT
+      * compared-value tuples per equi-group as an array of structs
+      * `<flag>_ts` (fields `t0..tn`), tested by an `exists` HOF at the
+      * predicate site. When both ops are monotone (< <= > >=) and
+      * there are exactly two dims, the tuple set is pruned to its
+      * skyline (Pareto frontier) — a dominated tuple can never be the
+      * only witness — bounding the array by the frontier size, not the
+      * group size. */
+    tupleSpecs: Seq[(String, Column)] = Nil)
 
 /** Compiles s-expression ASTs to Spark [[Column]]s over a "wide frame":
   * the base table left-joined with every table reached by a dotted
@@ -536,8 +548,10 @@ final class QueryBuilder(
     * 112-127): the sub-side key is carried in this spec's flag frame
     * and a pending pair is registered on the enclosing scope; each
     * intermediate scope passes it one level up until the scope that
-    * owns the outer column joins on it. Non-equi correlation is not
-    * supported (not used by the reference tests). */
+    * owns the outer column joins on it. Non-equi correlation: one
+    * conjunct decorrelates as a per-group min/max reduction; two or
+    * more carry the distinct compared-value tuples (skyline-pruned
+    * when monotone) and test them with an `exists` HOF. */
   private def existsSubquery(sub: CSub, extraPair: Option[(Column, Column)],
       negate: Boolean, args: Args): CV = {
     val qb = sub.qb
@@ -545,7 +559,7 @@ final class QueryBuilder(
     val pairs = mutable.Buffer[(Column, Column)]()
     val carried = mutable.Buffer[(String, Column)]()
     val residual = mutable.Buffer[Column]()
-    var nonEqui: Option[(String, Column, Column)] = None // (op, parent, sub)
+    val nonEquis = mutable.Buffer[(String, Column, Column)]() // (op, parent, sub)
     extraPair.foreach(pairs += _)
     conjuncts(sub.whereAsts).foreach { c =>
       val d = topDepth(c)
@@ -578,15 +592,14 @@ final class QueryBuilder(
             if Set(">", "<", ">=", "<=", "!=")(op) &&
             (topDepth(a) >= 1) != (topDepth(b) >= 1) &&
             topDepth(if (topDepth(a) >= 1) a else b) == 1 =>
-          // non-equi correlation: ∃s satisfying `p OP s.col` depends
-          // only on the extreme of s.col within the equi-group, so it
-          // decorrelates as a min/max reduction (one such conjunct —
-          // two would need joint satisfaction by a single sub row)
-          if (nonEqui.isDefined) throw new UnsupportedOperationException(
-            s"At most one non-equi correlation conjunct is supported, got a second: $c")
+          // non-equi correlation `p OP s.col`: ONE such conjunct
+          // depends only on the extreme of s.col within the equi-group
+          // (min/max reduction); TWO OR MORE need joint satisfaction
+          // by a single sub row, so the distinct compared-value tuples
+          // ride the flag frame and an `exists` HOF tests them
           val (parentSide, subSide) = if (topDepth(a) >= 1) (a, b) else (b, a)
           val normOp = if (topDepth(a) >= 1) op else flip(op)
-          nonEqui = Some((normOp,
+          nonEquis += ((normOp,
             qb.one(qb.compile(parentSide, args)),
             qb.one(qb.compile(subSide, args))))
         case _ => throw new UnsupportedOperationException(
@@ -603,14 +616,18 @@ final class QueryBuilder(
     if (negate && carried.nonEmpty) throw new UnsupportedOperationException(
       "NOT EXISTS / notin cannot carry multi-level _parent correlation " +
       "through an intermediate scope")
-    if (nonEqui.isDefined && carried.nonEmpty)
+    if (nonEquis.nonEmpty && carried.nonEmpty)
       throw new UnsupportedOperationException(
         "Non-equi correlation cannot combine with multi-level carries")
     existsSpecs += ExistsSpec(qb, pairs.toSeq, residual.reduceOption(_ && _),
-      flag, carried.toSeq, nonEqui.map(_._3))
-    val c = nonEqui match {
-      case None => col(flag).isNotNull
-      case Some((op, pc, _)) =>
+      flag, carried.toSeq,
+      reduceCol = if (nonEquis.size == 1) Some(nonEquis.head._3) else None,
+      tupleSpecs = if (nonEquis.size >= 2)
+        nonEquis.toSeq.map { case (op, _, sc) => (op, sc) } else Nil)
+    val c =
+      if (nonEquis.isEmpty) col(flag).isNotNull
+      else if (nonEquis.size == 1) {
+        val (op, pc, _) = nonEquis.head
         val (mn, mx) = (col(s"${flag}_mn"), col(s"${flag}_mx"))
         val cmp = op match {
           case ">" => pc > mn
@@ -622,7 +639,23 @@ final class QueryBuilder(
         // two-valued: an outer row with no equi-group (null extremes)
         // must read EXISTS=false, and NOT EXISTS of it true
         coalesce(cmp, lit(false))
-    }
+      } else {
+        // joint satisfaction: some carried tuple passes ALL conjuncts
+        val cmp = exists(col(s"${flag}_ts"), t =>
+          nonEquis.zipWithIndex.map { case ((op, pc, _), i) =>
+            val tv = t.getField(s"t$i")
+            op match {
+              case ">" => pc > tv
+              case ">=" => pc >= tv
+              case "<" => pc < tv
+              case "<=" => pc <= tv
+              case "!=" => pc =!= tv
+            }
+          }.reduce(_ && _))
+        // null-dim tuples are dropped frame-side; a null parent value
+        // or empty/missing group reads EXISTS=false, like SQL
+        coalesce(cmp, lit(false))
+      }
     CCol(if (negate) !c else c)
   }
 
@@ -648,7 +681,54 @@ final class QueryBuilder(
     for (spec <- existsSpecs) {
       val sf = spec.sub.subFrame()
       val filtered = spec.residual.map(sf.filter).getOrElse(sf)
-      if (spec.reduceCol.isDefined) {
+      if (spec.tupleSpecs.nonEmpty) {
+        // 2+ non-equi conjuncts: carry the DISTINCT compared-value
+        // tuples per equi-group; the predicate runs an `exists` HOF
+        // over them. Array size is bounded by distinct tuples per
+        // group — and by the skyline when the ops allow pruning.
+        val keyNames = spec.pairs.indices.map(i => s"${spec.flag}_k$i")
+        val dimNames = spec.tupleSpecs.indices.map(i => s"t$i")
+        val sel = spec.pairs.zip(keyNames).map { case ((_, s), n) => s.as(n) } ++
+          spec.tupleSpecs.zip(dimNames).map { case ((_, c), n) => c.as(n) }
+        // a null dim satisfies no comparison -> drop before distinct
+        var tf = filtered.select(sel: _*).na.drop("any", dimNames).distinct()
+        val monotone = Set(">", ">=", "<", "<=")
+        if (dimNames.size == 2 && spec.tupleSpecs.forall(t => monotone(t._1))) {
+          // skyline prune: tuple u dominates v when u is at least as
+          // good in both dims (strictly better in one) — "good" being
+          // the direction that satisfies the op (`p < s.c` is easier
+          // the bigger s.c). A dominated tuple can never be the only
+          // witness, so only the Pareto frontier is collected. Sorted
+          // best-first on t0, a tuple survives iff its t1 strictly
+          // beats the best t1 of every earlier (t0-better-or-equal)
+          // tuple. The window sorts within the same keys the groupBy
+          // below shuffles on — one extra in-partition pass, no new
+          // shuffle (global sort when uncorrelated: pairs is empty).
+          def bigBetter(op: String) = op == "<" || op == "<="
+          val Seq(op0, op1) = spec.tupleSpecs.map(_._1)
+          val ord0 = if (bigBetter(op0)) col("t0").desc else col("t0").asc
+          val ord1 = if (bigBetter(op1)) col("t1").desc else col("t1").asc
+          val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord0, ord1)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val (bestPrev, keep) =
+            if (bigBetter(op1))
+              (max(col("t1")).over(w), (b: Column) => b.isNull || col("t1") > b)
+            else
+              (min(col("t1")).over(w), (b: Column) => b.isNull || col("t1") < b)
+          tf = tf.withColumn("__sky", keep(bestPrev))
+            .filter(col("__sky")).drop("__sky")
+        }
+        val tuplesCol = collect_list(struct(dimNames.map(col): _*))
+          .as(s"${spec.flag}_ts")
+        val flagDf =
+          if (spec.pairs.isEmpty) tf.agg(tuplesCol)
+          else tf.groupBy(keyNames.map(col): _*).agg(tuplesCol)
+        val cond =
+          if (spec.pairs.isEmpty) lit(true)
+          else spec.pairs.zip(keyNames)
+            .map { case ((p, _), n) => p === col(n) }.reduce(_ && _)
+        df = df.join(flagDf, cond, "left").drop(keyNames: _*)
+      } else if (spec.reduceCol.isDefined) {
         // non-equi reduction: per-equi-group min/max of the compared
         // sub column; the compile-time predicate reads <flag>_mn/_mx
         val keyNames = spec.pairs.indices.map(i => s"${spec.flag}_k$i")

@@ -22,6 +22,11 @@ object Similarity {
 
   private val cosinePairsSlot = Dedup.newSlot()
 
+  // per-row scalars (norms, maxima) referenced inside element lambdas
+  // are let-bound via Hof.bind — embedded free subtrees re-evaluate
+  // per element in interpreted HOFs, turning O(d) columns into O(d²)
+  import Hof.bind
+
   /** Dot product of two array<numeric> columns. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
@@ -31,18 +36,17 @@ object Similarity {
   /** Cosine similarity; null when either side has zero norm. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n === 0, lit(null)).otherwise(d / n)
+    bind(norm(a) * norm(b), n =>
+      when(n === 0, lit(null)).otherwise(d / n))
   }
 
   /** L2-normalize a vector (as `array<double>`); zero vectors pass
     * through unscaled. Pure higher-order-function Column — codegen,
     * no UDF, composes under any projection. */
-  def l2Normalize(vec: Column): Column = {
-    val n = norm(vec.cast("array<double>"))
-    when(n === 0.0, vec.cast("array<double>"))
-      .otherwise(transform(vec, x => x.cast("double") / n))
-  }
+  def l2Normalize(vec: Column): Column =
+    bind(norm(vec.cast("array<double>")), n =>
+      when(n === 0.0, vec.cast("array<double>"))
+        .otherwise(transform(vec, x => x.cast("double") / n)))
 
   /** Symmetric int8 quantization: `struct(scale double, q
     * array<tinyint>)` with `scale = max|x| / 127` (so dequantized
@@ -50,18 +54,19 @@ object Similarity {
     * shuffle shrink is what makes billion-vector similarity pipelines
     * movable; all arithmetic in double so any engine reproduces the
     * quantized values exactly. */
-  def quantizeInt8(vec: Column): Column = {
-    val mx = aggregate(vec, lit(0.0d), (a, x) =>
-      greatest(a, abs(x.cast("double"))))
-    val scale = when(mx === 0.0, lit(1.0)).otherwise(mx / 127.0)
-    struct(scale.as("scale"),
-      transform(vec, x => round(x.cast("double") / scale, 0)
-        .cast("tinyint")).as("q"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    bind(aggregate(vec, lit(0.0d), (a, x) =>
+        greatest(a, abs(x.cast("double")))), mx => {
+      val scale = when(mx === 0.0, lit(1.0)).otherwise(mx / 127.0)
+      struct(scale.as("scale"),
+        transform(vec, x => round(x.cast("double") / scale, 0)
+          .cast("tinyint")).as("q"))
+    })
 
   /** Inverse of [[quantizeInt8]]: `array<double>` reconstruction. */
   def dequantizeInt8(qv: Column): Column =
-    transform(qv.getField("q"), x => x.cast("double") * qv.getField("scale"))
+    bind(qv, v =>
+      transform(v.getField("q"), x => x.cast("double") * v.getField("scale")))
 
   /** Exact brute-force cosine top-k for one query vector. The global
     * top-k is a TakeOrderedAndProject — no full sort, map-side k. */

@@ -148,11 +148,82 @@ class ExprSpec extends SparkSpec {
     val got = rows(env.view("country", Seq("name")).read(Seq(
       "(not (exists (from team (select 1) (where (and (= country _parent.id) (> id _parent.id))))))")))
     assert(got.map(_.head).contains("Holland"), got.toString)
-    // two non-equi conjuncts: unsupported, must raise
-    intercept[UnsupportedOperationException] {
-      env.view("team", Seq("name")).read(Seq(
-        "(exists (from member (select 1) (where (and (> id _parent.id) (< id _parent.country)))))")).collect()
+  }
+
+  test("two-plus non-equi exists conjuncts: joint satisfaction via tuple carry") {
+    val env = freshEnv()
+    val teams = rows(env.view("team", Seq("id", "name", "country")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[String],
+        r(2).asInstanceOf[Long]))
+    val members = rows(env.view("member", Seq("id", "team")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+
+    // equi group + two monotone conjuncts (skyline-pruned path):
+    // a member of the team with id > team.id and id < team.country+2
+    val exp1 = teams.collect {
+      case (tid, name, ctry) if members.exists { case (mid, mt) =>
+        mt == tid && mid > tid && mid < ctry + 2 } => Seq(name)
     }
+    check(exp1, env.view("team", Seq("name")).read(Seq(
+      """(exists (from member (select 1) (where
+        |  (and (= team _parent.id) (> id _parent.id)
+        |       (< id (+ _parent.country 2))))))""".stripMargin)))
+
+    // no equi conjunct: global tuple set, still exact
+    val exp2 = teams.collect {
+      case (tid, name, ctry) if members.exists { case (mid, _) =>
+        mid > tid && mid < ctry + 2 } => Seq(name)
+    }
+    check(exp2, env.view("team", Seq("name")).read(Seq(
+      """(exists (from member (select 1) (where
+        |  (and (> id _parent.id) (< id (+ _parent.country 2))))))""".stripMargin)))
+
+    // non-monotone mix (!= blocks skyline pruning, plain distinct)
+    val exp3 = teams.collect {
+      case (tid, name, ctry) if members.exists { case (mid, mt) =>
+        mt == tid && mid > tid && mid != ctry } => Seq(name)
+    }
+    check(exp3, env.view("team", Seq("name")).read(Seq(
+      """(exists (from member (select 1) (where
+        |  (and (= team _parent.id) (> id _parent.id)
+        |       (!= id _parent.country)))))""".stripMargin)))
+
+    // NOT EXISTS: an outer row with NO equi-group (Holland has no
+    // teams) must come back — null tuple array reads EXISTS=false
+    val countries = rows(env.view("country", Seq("id", "name")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[String]))
+    val exp4 = countries.collect {
+      case (cid, cname) if !teams.exists { case (tid, tname, tctry) =>
+        tctry == cid && tid >= cid && tname > cname } => Seq(cname)
+    }
+    check(exp4, env.view("country", Seq("name")).read(Seq(
+      """(not (exists (from team (select 1) (where
+        |  (and (= country _parent.id) (>= id _parent.id)
+        |       (> name _parent.name))))))""".stripMargin)))
+  }
+
+  test("multi-non-equi exists matches brute force on a dense dominated cluster") {
+    val env = freshEnv()
+    // plant many members per team whose (id, id) tuples are mostly
+    // dominated — skyline must prune without changing the answer
+    val extra = (1 to 40).map(i =>
+      Seq(s"m$i", "Belgium", if (i % 2 == 0) "Blue" else "Red", f"9$i%03d"))
+    env.view("member",
+      Seq("name", "team.country.name", "team.name", "registration_code"))
+      .write(extra)
+    val teams = rows(env.view("team", Seq("id", "name", "country")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[String],
+        r(2).asInstanceOf[Long]))
+    val members = rows(env.view("member", Seq("id", "team")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    val exp = teams.collect {
+      case (tid, name, ctry) if members.exists { case (mid, mt) =>
+        mt == tid && mid > tid * 3 && mid <= ctry * 20 } => Seq(name)
+    }
+    check(exp, env.view("team", Seq("name")).read(Seq(
+      """(exists (from member (select 1) (where
+        |  (and (= team _parent.id) (> id (* _parent.id 3))
+        |       (<= id (* _parent.country 20))))))""".stripMargin)))
   }
 
   test("in-subquery with filter on sub columns") { // expression_static_test.py:156-167
