@@ -143,11 +143,12 @@ object Sample {
     val toks = org.apache.spark.sql.functions.split(trim(col(textCol)), "\\s+")
     val pieces = df.select(col(idCol),
         when(w > budget,
-          transform(sequence(lit(0L), floor((w - 1L) / budget)),
-            k => struct(
-              array_join(slice(toks, (k * budget + 1L).cast("int"),
-                lit(budget.toInt)), " ").as("t"),
-              least(lit(budget), w - k * budget).as("pw"))))
+          Hof.bind(toks, tk => // split once, not once per piece
+            transform(sequence(lit(0L), floor((w - 1L) / budget)),
+              k => struct(
+                array_join(slice(tk, (k * budget + 1L).cast("int"),
+                  lit(budget.toInt)), " ").as("t"),
+                least(lit(budget), w - k * budget).as("pw")))))
           .otherwise(array(struct(col(textCol).as("t"), w.as("pw"))))
           .as("__pieces"))
       .select(col(idCol), posexplode(col("__pieces")).as(Seq("__pi", "__piece")))

@@ -27,18 +27,18 @@ object Similarity {
   // per element in interpreted HOFs, turning O(d) columns into O(d²)
   import Hof.bind
 
-  /** Dot product of two array<numeric> columns. */
+  /** Dot product of two array<numeric> columns — a codegen'd native
+    * expression ([[graft.functions.DotProduct]]); bit-exact with the
+    * HOF `aggregate(zip_with(_*_), 0.0, _+_)` fold it replaced. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VectorKernels.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null when either side has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    bind(norm(a) * norm(b), n =>
-      when(n === 0, lit(null)).otherwise(d / n))
-  }
+  /** Cosine similarity; null when either side has zero norm. Fused
+    * single-pass codegen kernel ([[graft.functions.CosineSim]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorKernels.cosine(a, b)
 
   /** L2-normalize a vector (as `array<double>`); zero vectors pass
     * through unscaled. Pure higher-order-function Column — codegen,

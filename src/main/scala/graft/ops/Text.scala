@@ -275,21 +275,22 @@ object Text {
     // (rawGramHashes emits one whole-text gram when a doc has fewer
     // than n tokens, so every doc appears for every n and the division
     // is never by zero.)
-    def topFrac(n: Int, name: String) = {
-      val sorted = array_sort(rawGramHashes(col("__th"), n))
-      val acc0 = struct(lit(0L).as("prev"), lit(0L).as("run"),
-        lit(0L).as("mx"))
-      val modal = aggregate(sorted, acc0,
-        (acc, x) => {
-          val run = when(acc.getField("run") === 0L ||
-            x =!= acc.getField("prev"), lit(1L))
-            .otherwise(acc.getField("run") + 1L)
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("mx"), run).as("mx"))
-        },
-        acc => acc.getField("mx"))
-      round(modal.cast("double") / size(sorted), 6).as(name)
-    }
+    def topFrac(n: Int, name: String) =
+      // sorted is referenced twice (fold input + size) — let-bind it
+      Hof.bind(array_sort(rawGramHashes(col("__th"), n)), sorted => {
+        val acc0 = struct(lit(0L).as("prev"), lit(0L).as("run"),
+          lit(0L).as("mx"))
+        val modal = aggregate(sorted, acc0,
+          (acc, x) => {
+            val run = when(acc.getField("run") === 0L ||
+              x =!= acc.getField("prev"), lit(1L))
+              .otherwise(acc.getField("run") + 1L)
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("mx"), run).as("mx"))
+          },
+          acc => acc.getField("mx"))
+        round(modal.cast("double") / size(sorted), 6)
+      }).as(name)
     // tokenize + hash in a projection of its OWN so the work runs once
     // per row, not once per output column (HOFs are interpreted, so
     // codegen subexpression elimination can't dedup them; CollapseProject
