@@ -117,6 +117,37 @@ class PlanSpec extends SparkSpec {
     assert(rows(out).nonEmpty)
   }
 
+  test("multi-non-equi exists plan: skyline window shares the flag-frame shuffle") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val df = env.view("customer", Seq("c_custkey")).read(Seq(
+      """(exists (from orders (select 1) (where
+        |  (and (= o_custkey _parent.c_custkey)
+        |       (> o_totalprice _parent.c_acctbal)
+        |       (< o_orderkey (* _parent.c_custkey 40))))))""".stripMargin))
+    val p = plan(df)
+    // the skyline prune runs as a Window over the equi-key — sorted
+    // WITHIN the partitioning the tuple-collect groupBy needs anyway
+    assert(p.contains("Window"), p)
+    // exactly two shuffles on the sub side: the distinct's and the
+    // regroup-by-key the window+collect share; skyline adds none
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    // outer side joins the tiny flag frame by broadcast, left outer
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("native cosine kernel stays inside whole-stage codegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = org.apache.spark.sql.functions.array(
+      (0 until 64).map(i => org.apache.spark.sql.functions.lit(i * 0.01)): _*)
+    val p = plan(emb.select(col("vec_id"),
+      graft.ops.Similarity.cosine(col("embedding").cast("array<double>"), q).as("c")))
+    // "*(n) Project [... vec_cosine(...)]" = the kernel is evaluated
+    // inside a whole-stage-codegen span, not via CodegenFallback
+    assert("""\*\(\d+\) Project \[[^\n]*vec_cosine""".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("zip_with"), p)
+  }
+
   test("write merge plan: no cartesian products") {
     val env = freshEnv()
     // capture the merge result plan by running a write and checking it
