@@ -744,6 +744,26 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // LLM-pipeline: QUANTIZED persisted IVF — the index stores int8
+    // (scale + tinyints, ~4× less probe IO than float32) and scoring
+    // dequantizes on read (asymmetric: full-precision query). The
+    // oracle replays the exact quantize→dequantize arithmetic in SQL,
+    // so the top-k order over quantized cosines must match bit-wise.
+    "ann_quantized_topk" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      val planted = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        typedLit(q.map(_ * 1.001f)).as("embedding"))
+      val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+      val idxDir = scratchDir("qivfidx-" + Integer.toHexString(dir.hashCode))
+      Similarity.buildIvfIndex(pool, "embedding", "vec_id", idxDir,
+        dims = q.size, quantized = true)
+      Similarity.ivfTopK(s, idxDir, "embedding", "vec_id", q, 10)
+        .select(col("vec_id"))
+    }),
+
     // LLM-pipeline: persisted-index ANN — the 100-TB repeated-query
     // path: buildIndex writes a band-partitioned signature+vector
     // table once, the probe reads only probed partition dirs (no
@@ -1309,6 +1329,26 @@ object SparkEntry {
         |  FROM range(0, 10) t(i), q)
         |SELECT p.vec_id FROM pool p, q
         |ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, p.vec_id
+        |LIMIT 10""".stripMargin,
+    "ann_quantized_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        |  UNION ALL
+        |  SELECT 1000000 + t.i,
+        |    list_transform(q.qe, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM range(0, 10) t(i), q),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM pool),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS mx FROM d),
+        |sc AS (SELECT vec_id, v,
+        |  CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale FROM m),
+        |z AS (SELECT vec_id, scale,
+        |  list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) AS qq FROM sc),
+        |dq AS (SELECT vec_id,
+        |  list_transform(qq, x -> CAST(x AS DOUBLE) * scale) AS dv FROM z)
+        |SELECT dq.vec_id FROM dq, q
+        |ORDER BY list_cosine_similarity(dv, CAST(q.qe AS DOUBLE[])) DESC, dq.vec_id
         |LIMIT 10""".stripMargin,
     "ann_indexed_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -347,10 +347,13 @@ object Similarity {
     val dims = meta("dims").toString.toInt
     requireDims(df, vecCol, dims)
     val cents = centroidsOf(meta)
+    val (payload, payloadName) =
+      if (meta.get("quantized").exists(_.toString.toBoolean))
+        (quantizeInt8(col(vecCol)).as("__qv"), "__qv")
+      else (col(vecCol), vecCol)
     assignToCentroids(df, vecCol, idCol, cents)
-      .join(df.select(col(idCol), col(vecCol)),
-        col("__id") === col(idCol))
-      .select(col(idCol), col(vecCol), col("__c"))
+      .join(df.select(col(idCol), payload), col("__id") === col(idCol))
+      .select(col(idCol), col(payloadName), col("__c"))
       .repartition(col("__c"))
       .write.mode("append").partitionBy("__c").parquet(path)
   }
@@ -428,7 +431,8 @@ object Similarity {
     * seed-fixed); assignment is one `ClusteringEvaluator`-free
     * transform, one clustered partitioned write. */
   def buildIvfIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
-      dims: Int, nlist: Int = 64, maxIter: Int = 10, seed: Long = 42L): Unit = {
+      dims: Int, nlist: Int = 64, maxIter: Int = 10, seed: Long = 42L,
+      quantized: Boolean = false): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = Par.spread(df).select(col(idCol), col(vecCol),
@@ -436,13 +440,21 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__feat").setPredictionCol("__c")
       .fit(feat)
-    model.transform(feat).drop("__feat")
-      .repartition(col("__c"))
+    val assigned = model.transform(feat).drop("__feat")
+    // quantized: store per-vector symmetric int8 (scale + tinyints)
+    // instead of the float array — ~4× less index IO per probe at
+    // unchanged recall shape; scoring dequantizes on read (the usual
+    // asymmetric scheme: full-precision query, quantized corpus)
+    val stored = if (quantized)
+      assigned.select(col(idCol), quantizeInt8(col(vecCol)).as("__qv"),
+        col("__c"))
+    else assigned
+    stored.repartition(col("__c"))
       .write.mode("overwrite").partitionBy("__c").parquet(path)
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     writeMeta(df.sparkSession, path,
       Map("kind" -> "ivf", "dims" -> dims, "nlist" -> nlist, "seed" -> seed,
-        "centroids" -> centroids))
+        "quantized" -> quantized, "centroids" -> centroids))
   }
 
   /** Centroids from an IVF index's metadata map.
@@ -481,7 +493,11 @@ object Similarity {
     val idx =
       if (dirs.isEmpty) spark.read.parquet(path).filter(lit(false))
       else spark.read.parquet(dirs.toSeq: _*)
-    bruteForceTopK(idx.select(col(idCol), col(vecCol)), vecCol, idCol, query, k)
+    val lists =
+      if (meta.get("quantized").exists(_.toString.toBoolean))
+        idx.select(col(idCol), dequantizeInt8(col("__qv")).as(vecCol))
+      else idx.select(col(idCol), col(vecCol))
+    bruteForceTopK(lists, vecCol, idCol, query, k)
   }
 
   private val vecCrossBandedSlot = Dedup.newSlot()

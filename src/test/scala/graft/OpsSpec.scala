@@ -341,6 +341,46 @@ class OpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("quantized IVF: int8 storage, same top-k ids, quantized append") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val planted = spark.createDataFrame((0 until 5).map(i =>
+      org.apache.spark.sql.Row(1000000L + i, q.map(_ * 1.001f))).asJava,
+      emb.schema)
+    val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+    val qdir = java.nio.file.Files.createTempDirectory("qivf").toString
+    val fdir = java.nio.file.Files.createTempDirectory("fivf").toString
+    try {
+      Similarity.buildIvfIndex(pool, "embedding", "vec_id", qdir, q.size,
+        nlist = 16, quantized = true)
+      Similarity.buildIvfIndex(pool, "embedding", "vec_id", fdir, q.size,
+        nlist = 16)
+      // storage really is int8: scale double + tinyint array
+      val schema = spark.read.parquet(qdir).schema
+      assert(schema.fieldNames.contains("__qv"), schema.treeString)
+      assert(schema("__qv").dataType.simpleString ==
+        "struct<scale:double,q:array<tinyint>>", schema.treeString)
+      // planted dominant dups survive quantization: same id set as the
+      // full-precision index
+      def ids(dir: String) = rows(Similarity.ivfTopK(spark, dir,
+        "embedding", "vec_id", q, 10, nprobe = 4)).map(_.head).toSet
+      assert(ids(qdir) == ids(fdir), s"${ids(qdir)} vs ${ids(fdir)}")
+      // append keeps the quantized layout and stays queryable
+      val extra = spark.createDataFrame(Seq(
+        org.apache.spark.sql.Row(2000001L, q.map(_ * 0.999f))).asJava,
+        emb.schema)
+      Similarity.appendToIndex(extra, "embedding", "vec_id", qdir)
+      val after = rows(Similarity.ivfTopK(spark, qdir, "embedding",
+        "vec_id", q, 11, nprobe = 1)).map(_.head)
+      assert(after.contains(2000001L), s"appended dup missing: $after")
+      assert(spark.read.parquet(qdir).schema.fieldNames.contains("__qv"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(qdir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fdir))
+    }
+  }
+
   test("IVF append: stored-centroid assignment, recall after append") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
