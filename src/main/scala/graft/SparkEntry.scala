@@ -360,6 +360,16 @@ object SparkEntry {
             |       (> o_totalprice _parent.c_acctbal)
             |       (< o_orderkey (* _parent.c_custkey 40))))))""".stripMargin))),
 
+    // EXISTS over a correlated OR — distributes into per-disjunct
+    // variants (∃r (A∨B) = ∃r A ∨ ∃r B), each decorrelating on its own
+    "q36_or_exists" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey", "c_name"))
+        .read(Seq(
+          """(exists (from orders (select 1) (where
+            |  (and (= o_custkey _parent.c_custkey)
+            |       (or (> o_totalprice _parent.c_acctbal)
+            |           (< o_orderkey (* _parent.c_custkey 40)))))))""".stripMargin))),
+
     // LLM-pipeline: exact dedup (hash-groupBy, keep smallest id)
     "dedup_exact" -> ((s, dir) => {
       val docs = env(s, dir).view("documents",
@@ -1003,6 +1013,11 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal
         |    AND o_orderkey < c_custkey * 40)""".stripMargin,
+    "q36_or_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND (o_totalprice > c_acctbal
+        |    OR o_orderkey < c_custkey * 40))""".stripMargin,
     "q13_dates" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,

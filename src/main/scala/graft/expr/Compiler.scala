@@ -518,6 +518,19 @@ final class QueryBuilder(
     case _ => 0
   }
 
+  /** Does `ast` hold a `_parent…` reference that ESCAPES the current
+    * exists scope — a direct ref at this level, or one inside a nested
+    * `(from …)` whose depth exceeds the nesting? Such a ref under a
+    * non-conjunctive operator can't ride the carry hoisting, so the
+    * enclosing exists must distribute over the operator first. */
+  private def escapesScope(ast: Ast, fromDepth: Int): Boolean = ast match {
+    case Word(t) => parentLevels(t) > fromDepth
+    case Ast.Node(Word(h) +: rest) if h.equalsIgnoreCase("from") =>
+      rest.exists(escapesScope(_, fromDepth + 1))
+    case Ast.Node(items) => items.exists(escapesScope(_, fromDepth))
+    case _ => false
+  }
+
   /** Is this a bare `(exists ...)` / `(in ...)` / `(notin ...)` node?
     * Only these may register multi-level carries from their sub — a
     * carry reaching the outer scope through `or`/`not` would need the
@@ -555,6 +568,29 @@ final class QueryBuilder(
   private def existsSubquery(sub: CSub, extraPair: Option[(Column, Column)],
       negate: Boolean, args: Args): CV = {
     val qb = sub.qb
+    // ∃ distributes over ∨: an OR conjunct whose disjuncts correlate
+    // against the parent (directly, or through a nested sub deeply
+    // enough to need a carry) splits the EXISTS into one variant per
+    // disjunct, OR-combined. Each variant re-enters this method, so
+    // stacked ORs keep splitting; the sub scans once per variant —
+    // the price of a non-conjunctive correlated filter.
+    val cs0 = conjuncts(sub.whereAsts)
+    val splitIdx = cs0.indexWhere {
+      case n @ Ast.Node(Word(h) +: _) if h.equalsIgnoreCase("or") =>
+        escapesScope(n, 0)
+      case _ => false
+    }
+    if (splitIdx >= 0) {
+      val disjuncts = cs0(splitIdx) match {
+        case Ast.Node(_ +: rest) => rest
+        case _ => Nil // unreachable: matched Node above
+      }
+      val combined = disjuncts.map { d =>
+        one(existsSubquery(sub.copy(whereAsts = cs0.updated(splitIdx, d)),
+          extraPair, negate = false, args))
+      }.reduce(_ || _)
+      return CCol(if (negate) !combined else combined)
+    }
     val flag = s"__exists_${root.existsCounter.getAndIncrement()}"
     val pairs = mutable.Buffer[(Column, Column)]()
     val carried = mutable.Buffer[(String, Column)]()

@@ -202,6 +202,49 @@ class ExprSpec extends SparkSpec {
         |       (> name _parent.name))))))""".stripMargin)))
   }
 
+  test("exists distributes over or: correlated disjuncts, carries, negation") {
+    val env = freshEnv()
+    val countries = rows(env.view("country", Seq("id", "name")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[String]))
+    val teams = rows(env.view("team", Seq("id", "name", "country")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[String],
+        r(2).asInstanceOf[Long]))
+    val members = rows(env.view("member", Seq("id", "team")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+
+    // two level-1 correlated disjuncts (raised before round 8)
+    val exp1 = teams.collect {
+      case (tid, name, _) if members.exists { case (mid, mt) =>
+        mt == tid || mid > tid * 7 } => Seq(name)
+    }
+    check(exp1, env.view("team", Seq("name")).read(Seq(
+      """(exists (from member (select 1) (where
+        |  (or (= team _parent.id) (> id (* _parent.id 7))))))""".stripMargin)))
+
+    // a deep carry under or: the nested member-exists references
+    // _parent._parent — the split makes it a bare conjunct, so the
+    // standard carry hoisting applies per variant
+    val exp2 = countries.collect {
+      case (cid, cname) if teams.exists { case (tid, _, _) =>
+        tid == cid || members.exists { case (mid, _) => mid == cid } } =>
+        Seq(cname)
+    }
+    check(exp2, env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (or (= id _parent.id)
+        |      (exists (from member (select 1) (where
+        |        (= id _parent._parent.id))))))))""".stripMargin)))
+
+    // NOT EXISTS over a correlated or
+    val exp3 = countries.collect {
+      case (cid, cname) if !teams.exists { case (tid, _, tctry) =>
+        tctry == cid || tid > cid } => Seq(cname)
+    }
+    check(exp3, env.view("country", Seq("name")).read(Seq(
+      """(not (exists (from team (select 1) (where
+        |  (or (= country _parent.id) (> id _parent.id))))))""".stripMargin)))
+  }
+
   test("multi-non-equi exists matches brute force on a dense dominated cluster") {
     val env = freshEnv()
     // plant many members per team whose (id, id) tuples are mostly
