@@ -531,6 +531,29 @@ final class QueryBuilder(
     case _ => false
   }
 
+  /** Does `ast` reference a column of the scope sitting `d` `from`
+    * levels up — i.e. resolve a `_parent^l` ref with l equal to its
+    * nesting depth? Node heads are operators, never refs. */
+  private def referencesScope(ast: Ast, d: Int): Boolean = ast match {
+    case Word(t) => parentLevels(t) == d
+    case Ast.Node(Word(h) +: rest) if h.equalsIgnoreCase("from") =>
+      rest.exists(referencesScope(_, d + 1))
+    case Ast.Node(_ +: rest) => rest.exists(referencesScope(_, d))
+    case _ => false
+  }
+
+  /** Rewrite `ast` for evaluation one scope up: every ref that reaches
+    * ABOVE its own nesting depth loses one `_parent.`. */
+  private def dropOneParent(ast: Ast, d: Int): Ast = ast match {
+    case Word(t) if parentLevels(t) > d =>
+      Word(t.substring("_parent.".length))
+    case Ast.Node(Word(h) +: rest) if h.equalsIgnoreCase("from") =>
+      Ast.Node(Word(h) +: rest.map(dropOneParent(_, d + 1)))
+    case Ast.Node(head +: rest) =>
+      Ast.Node(head +: rest.map(dropOneParent(_, d)))
+    case other => other
+  }
+
   /** Is this a bare `(exists ...)` / `(in ...)` / `(notin ...)` node?
     * Only these may register multi-level carries from their sub — a
     * carry reaching the outer scope through `or`/`not` would need the
@@ -595,11 +618,24 @@ final class QueryBuilder(
     val pairs = mutable.Buffer[(Column, Column)]()
     val carried = mutable.Buffer[(String, Column)]()
     val residual = mutable.Buffer[Column]()
+    val pulledUp = mutable.Buffer[Column]()
     val nonEquis = mutable.Buffer[(String, Column, Column)]() // (op, parent, sub)
     extraPair.foreach(pairs += _)
     conjuncts(sub.whereAsts).foreach { c =>
       val d = topDepth(c)
-      if (d == 0) {
+      val pullable = c match {
+        // a negated subquery conjunct that references every scope
+        // EXCEPT this sub is r-independent: ∃r (C(r) ∧ K) = ∃r C(r) ∧ K,
+        // so K evaluates one scope up (each outer ref drops a
+        // `_parent.`) — the complement-set carry the hoisting can't
+        // express is never needed
+        case Ast.Node(Seq(Word(n), inner)) => n.equalsIgnoreCase("not") &&
+          isSubqueryNode(inner) && !referencesScope(c, 0) && escapesScope(c, 0)
+        case _ => false
+      }
+      if (pullable) {
+        pulledUp += one(compile(dropOneParent(c, 0), args))
+      } else if (d == 0) {
         // May contain nested exists/in whose subs register carries on
         // qb; only a bare subquery conjunct keeps the nested flag
         // conjunctive, which the hoisting depends on.
@@ -692,7 +728,10 @@ final class QueryBuilder(
         // or empty/missing group reads EXISTS=false, like SQL
         coalesce(cmp, lit(false))
       }
-    CCol(if (negate) !c else c)
+    // pulled-up r-independent conjuncts AND with the exists result at
+    // THIS scope (inside the negation: ¬∃r(C∧K) = ¬(∃rC ∧ K))
+    val full = (c +: pulledUp.toSeq).reduce(_ && _)
+    CCol(if (negate) !full else full)
   }
 
   private def inSubquery(lhs: Column, sub: CSub, negate: Boolean, args: Args): CV = {

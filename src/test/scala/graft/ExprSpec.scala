@@ -110,15 +110,25 @@ class ExprSpec extends SparkSpec {
           |              (= name _parent._parent.name)))))))))""".stripMargin)))
   }
 
-  test("multi-level _parent under not/or is rejected, one-level is fine") {
+  test("multi-level _parent under not pulls up when r-independent; one-level is fine") {
     val env = freshEnv()
-    intercept[UnsupportedOperationException] {
-      env.view("country", Seq("name")).read(Seq(
-        """(exists (from team (select 1) (where
-          |  (and (= country _parent.id)
-          |       (not (exists (from member (select 1) (where
-          |         (= name _parent._parent.name)))))))))""".stripMargin)).collect()
+    // the negated sub references only the grandparent, so since round 8
+    // it pulls up one scope and computes instead of raising
+    val countries = rows(env.view("country", Seq("id", "name")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[String]))
+    val teams = rows(env.view("team", Seq("country")).read())
+      .map(_.head.asInstanceOf[Long])
+    val memberNames = rows(env.view("member", Seq("name")).read())
+      .map(_.head.asInstanceOf[String]).toSet
+    val exp = countries.collect {
+      case (cid, cname) if teams.contains(cid) &&
+        !memberNames.contains(cname) => Seq(cname)
     }
+    check(exp, env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (not (exists (from member (select 1) (where
+        |         (= name _parent._parent.name)))))))))""".stripMargin)))
     // nested one-level exists inside an exists needs no carry and works
     check(Seq(Seq("Belgium"), Seq("France")),
       env.view("country", Seq("name")).read(Seq(
@@ -243,6 +253,42 @@ class ExprSpec extends SparkSpec {
     check(exp3, env.view("country", Seq("name")).read(Seq(
       """(not (exists (from team (select 1) (where
         |  (or (= country _parent.id) (> id _parent.id))))))""".stripMargin)))
+  }
+
+  test("r-independent negated subquery conjuncts pull up one scope") {
+    val env = freshEnv()
+    val countries = rows(env.view("country", Seq("id", "name")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[String]))
+    val teams = rows(env.view("team", Seq("id", "name", "country")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[String],
+        r(2).asInstanceOf[Long]))
+    val members = rows(env.view("member", Seq("id", "team")).read())
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+
+    // the NOT EXISTS references only the grandparent (country), never
+    // the team sub it syntactically sits in -> evaluated at the outer
+    // scope instead of needing a complement-set carry (raised pre-r8)
+    val exp = countries.collect {
+      case (cid, cname) if teams.exists { case (_, _, tc) => tc == cid } &&
+        !members.exists { case (mid, _) => mid > cid * 20 } => Seq(cname)
+    }
+    check(exp, env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (not (exists (from member (select 1) (where
+        |         (> id (* _parent._parent.id 20))))))))))""".stripMargin)))
+
+    // referencing BOTH the sub and the grandparent still raises (the
+    // complement of a carried key set is inexpressible), loudly
+    intercept[UnsupportedOperationException] {
+      env.view("country", Seq("name")).read(Seq(
+        """(exists (from team (select 1) (where
+          |  (and (= country _parent.id)
+          |       (not (exists (from member (select 1) (where
+          |         (and (= team _parent.id)
+          |              (> id _parent._parent.id))))))))))""".stripMargin))
+        .collect()
+    }
   }
 
   test("multi-non-equi exists matches brute force on a dense dominated cluster") {
