@@ -923,6 +923,32 @@ object SparkEntry {
       Text.repetition(docs, "doc_id", "text").orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: unigram LM quality scoring — every doc scored by
+    // mean token log-prob under an add-one-smoothed model trained on
+    // docs 0-99 (the "trusted reference corpus" stand-in); the model
+    // is joined (not broadcast) so its size is unbounded
+    "text_lm_score" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val ref = docs.filter(col("doc_id") < 100).select(col("text"))
+      Text.lmScore(docs, "doc_id", "text", ref, "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline: exact substring-dedup signal (Lee et al.) — the
+    // fraction of each doc covered by a word 8-gram that also occurs
+    // in ANOTHER doc; a shared boilerplate footer is planted on every
+    // 7th doc so cross-doc duplicated spans certainly exist
+    "dedup_spans" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val planted = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" this shared boilerplate footer" +
+            " sentence repeats across many documents verbatim")))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicateSpans(planted, "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // S1/W5 maintenance: small-file compaction — three partial merges
     // leave the bucketed manifest pointing into three snapshots;
     // compact() collapses them to one fresh snap and the content
@@ -1577,6 +1603,40 @@ object SparkEntry {
         |  max(CASE WHEN n = 2 THEN frac END) AS top_bigram_frac,
         |  max(CASE WHEN n = 3 THEN frac END) AS top_trigram_frac
         |FROM f GROUP BY 1""".stripMargin,
+    "text_lm_score" ->
+      """WITH tokr AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id < 100),
+        |counts AS (SELECT token, count(*) AS c FROM tokr GROUP BY 1),
+        |k AS (SELECT sum(c) AS t, count(*) AS v FROM counts),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf.tf * ln((coalesce(counts.c, 0) + 1.0) / (k.t + k.v)))
+        |    / sum(tf.tf), 6) AS lm_logprob
+        |FROM tf LEFT JOIN counts USING (token), k GROUP BY 1""".stripMargin,
+    "dedup_spans" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' this shared boilerplate footer sentence repeats across many documents verbatim'
+        |    ELSE text END AS text FROM documents),
+        |tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM d),
+        |g0 AS (SELECT doc_id, len(t) AS nt, unnest(CASE WHEN len(t) < 8
+        |    THEN [{'p': 0, 's': len(t), 'g': array_to_string(t, ' ')}]
+        |    ELSE list_transform(range(0, len(t) - 7), i ->
+        |      {'p': i, 's': 8, 'g': array_to_string(t[i+1:i+8], ' ')}) END) AS u
+        |  FROM tok),
+        |g AS (SELECT doc_id, nt, u.p AS pos, u.s AS span, u.g AS gram FROM g0),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |cov0 AS (SELECT g.doc_id, g.nt, unnest(range(g.pos, g.pos + g.span)) AS ti
+        |  FROM g JOIN dup USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, nt, ti FROM cov0)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, count(*) AS dup_tokens,
+        |  round(CAST(count(*) AS DOUBLE) / nt, 6) AS dup_frac
+        |FROM cov GROUP BY doc_id, nt""".stripMargin,
     "warehouse_compact" ->
       "SELECT doc_id, n_chars FROM documents"
   )

@@ -115,6 +115,55 @@ object Dedup {
       array_distinct(grams)
     })
 
+  /** Cross-document duplicate-SPAN coverage — the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": for each document, how much of it is
+    * covered by a word `n`-gram that also occurs in at least one
+    * OTHER document of the corpus (within-doc repeats alone do not
+    * count — [[Text.repetition]] measures those). Returns one row per
+    * document containing ≥1 duplicated gram:
+    * (idCol, n_tokens, dup_tokens, dup_frac) where dup_tokens counts
+    * distinct token positions covered by any duplicated gram and
+    * dup_frac = dup_tokens / n_tokens rounded to 6 places — the
+    * "remove or trim docs that are mostly boilerplate" input.
+    * Documents shorter than `n` tokens collapse to one whole-text
+    * gram spanning the document.
+    *
+    * Scale shape: the corpus text never shuffles — one posexplode
+    * emits (id, pos, gramHash) longs; a gram is duplicated iff
+    * `min(id) ≠ max(id)` for its hash (map-side-combinable min/max,
+    * NO countDistinct); duplicated positions expand to ≤ n token
+    * indices each and collapse with one distinct + count per doc.
+    * Two shuffles of longs total (hash groupBy, hash join back). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // (pos, span, hash) per gram; short docs → one whole-doc gram
+    val grams = Hof.bind(toks, t =>
+      when(size(t) < n, array(struct(lit(0).as("p"), size(t).as("s"),
+          xxhash64(concat_ws(" ", t)).as("h"))))
+        .otherwise(transform(sequence(lit(0), size(t) - n), i =>
+          struct(i.as("p"), lit(n).as("s"),
+            xxhash64(concat_ws(" ", slice(t, i + 1, lit(n)))).as("h")))))
+    val g = Par.spread(df)
+      .select(col(idCol), size(toks).as("__nt"), explode(grams).as("__g"))
+      .select(col(idCol), col("__nt"), col("__g.p").as("__pos"),
+        col("__g.s").as("__span"), col("__g.h").as("__h"))
+    val dup = g.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx")).select(col("__h"))
+    g.join(dup, Seq("__h"))
+      .select(col(idCol), col("__nt"),
+        explode(sequence(col("__pos"), col("__pos") + col("__span") - 1))
+          .as("__ti"))
+      .distinct()
+      .groupBy(col(idCol), col("__nt")).agg(count(lit(1)).as("dup_tokens"))
+      .select(col(idCol), col("__nt").cast("bigint").as("n_tokens"),
+        col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("__nt"), 6)
+          .as("dup_frac"))
+  }
+
   /** Jaccard similarity of the (hashed) shingle sets of two text
     * columns — exact up to 64-bit hash collisions. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {

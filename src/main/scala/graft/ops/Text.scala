@@ -203,6 +203,50 @@ object Text {
       .groupBy("token").agg(count(lit(1)).as("docs"))
   }
 
+  // ------------------------------------------------- unigram LM score
+
+  /** Unigram language-model quality scoring: the mean token
+    * log-probability of each document under an add-one-smoothed
+    * unigram model trained on `ref` — the cheap stand-in for the
+    * "score candidates with a small LM trained on a trusted corpus"
+    * filter every published data pipeline runs (CCNet/KenLM-style,
+    * one order lower). `logp(t) = ln((c(t)+1)/(T+V))` with `c` the
+    * ref count, `T` total ref tokens, `V` ref vocabulary size; tokens
+    * unseen in ref score `ln(1/(T+V))`. Returns one row per document
+    * with ≥1 token: (idCol, n_tokens, lm_logprob), logprob rounded to
+    * 6 places (higher = more ref-like).
+    *
+    * Scale shape: ref collapses to one (token, count) frame via a
+    * map-side-combined aggregate; the corpus side is the same single
+    * explode + per-(doc, token) count as [[tfidf]], joined to the ref
+    * counts on token (OOV via left join), with the two model constants
+    * (T, V) broadcast as ONE row. No window, no driver collect — the
+    * model may be arbitrarily large because it is joined, not
+    * broadcast. */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, ref: org.apache.spark.sql.DataFrame,
+      refTextCol: String): org.apache.spark.sql.DataFrame = {
+    def toks(c: Column) =
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    val counts = Par.spread(ref)
+      .select(explode(toks(col(refTextCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__c"))
+    val consts = counts.agg(sum(col("__c")).as("__t"),
+      count(lit(1)).as("__v"))
+    val tf = Par.spread(df)
+      .select(col(idCol), explode(toks(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    tf.join(counts, Seq("token"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("__lp",
+        log((coalesce(col("__c"), lit(0L)) + lit(1.0)) /
+          (col("__t") + col("__v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).cast("bigint").as("n_tokens"),
+        round(sum(col("__tf") * col("__lp")) / sum(col("__tf")), 6)
+          .as("lm_logprob"))
+  }
+
   /** 64-bit identity hashes of the word n-gram MULTISET (duplicates
     * kept, unlike [[Dedup.shingleHashes]]) — the repetition statistics
     * need occurrence counts, not set identity. Each token is hashed

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Cluster, Sample, Text}
+import graft.ops.{Cluster, Dedup, Sample, Text}
 
 /** Round-7 pipeline operators: connected-component clustering,
   * deterministic sampling / sharding, PII scrubbing, TF-IDF, and
@@ -244,6 +244,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((1L, "b")) == score(1, 1, 3))
     assert(out((2L, "a")) == score(1, 2, 2))
     assert(out((2L, "c")) == score(1, 1, 2))
+  }
+
+  test("lmScore matches the hand formula on a tiny corpus") {
+    // ref model: c(a)=3, c(b)=1, c(c)=1 -> T=5, V=3, denom T+V=8
+    val ref = docsDf(Seq((1L, "a a b"), (2L, "a c"))).select(col("text"))
+    val df = docsDf(Seq((10L, "a b z"), (11L, ""), (12L, "c")))
+    val out = rows(Text.lmScore(df, "doc_id", "text", ref, "text")
+      .orderBy("doc_id"))
+    def lp(c: Long) = math.log((c + 1.0) / 8.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the blank doc has no tokens and is absent
+    assert(out.map(_.head) == Seq(10L, 12L))
+    assert(out(0).drop(1) == Seq(3L, r6((lp(3) + lp(1) + lp(0)) / 3)))
+    assert(out(1).drop(1) == Seq(1L, r6(lp(1))))
+  }
+
+  test("duplicateSpans: cross-doc grams cover merged token spans") {
+    // n=3: docs 1/2 share "a b c" and "b c d" (overlapping spans merge
+    // to 4 covered tokens each); doc 3 repeats a gram only WITHIN
+    // itself (not duplication); docs 4/5 are shorter than n and
+    // identical, so their whole-text gram duplicates
+    val df = docsDf(Seq(
+      (1L, "a b c d x y z w"),
+      (2L, "q a b c d r s t"),
+      (3L, "k l m n k l m n"),
+      (4L, "u v"),
+      (5L, "u v")))
+    val out = rows(Dedup.duplicateSpans(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id"))
+    assert(out.map(_.head) == Seq(1L, 2L, 4L, 5L))
+    assert(out(0).drop(1) == Seq(8L, 4L, 0.5))   // tokens 0-3 of 8
+    assert(out(1).drop(1) == Seq(8L, 4L, 0.5))   // tokens 1-4 of 8
+    assert(out(2).drop(1) == Seq(2L, 2L, 1.0))   // whole short doc
+    assert(out(3).drop(1) == Seq(2L, 2L, 1.0))
   }
 
   // --------------------------------------------------------- compaction
