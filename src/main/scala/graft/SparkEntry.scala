@@ -949,6 +949,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: duplicate-span REMOVAL — same planted corpus, but
+    // the signal is applied: every doc is rewritten with spans owned
+    // by a lower-id doc trimmed out (keep-one semantics); all 500 rows
+    // come back, untouched docs verbatim
+    "dedup_spans_apply" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val planted = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" this shared boilerplate footer" +
+            " sentence repeats across many documents verbatim")))
+          .otherwise(col("text")).as("text"))
+      Dedup.trimDuplicateSpans(planted, "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // S1/W5 maintenance: small-file compaction — three partial merges
     // leave the bucketed manifest pointing into three snapshots;
     // compact() collapses them to one fresh snap and the content
@@ -1637,6 +1652,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, count(*) AS dup_tokens,
         |  round(CAST(count(*) AS DOUBLE) / nt, 6) AS dup_frac
         |FROM cov GROUP BY doc_id, nt""".stripMargin,
+    "dedup_spans_apply" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' this shared boilerplate footer sentence repeats across many documents verbatim'
+        |    ELSE text END AS text FROM documents),
+        |tok AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM d),
+        |g0 AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8
+        |    THEN [{'p': 0, 's': len(t), 'g': array_to_string(t, ' ')}]
+        |    ELSE list_transform(range(0, len(t) - 7), i ->
+        |      {'p': i, 's': 8, 'g': array_to_string(t[i+1:i+8], ' ')}) END) AS u
+        |  FROM tok),
+        |g AS (SELECT doc_id, u.p AS pos, u.s AS span, u.g AS gram FROM g0),
+        |dup AS (SELECT gram, min(doc_id) AS own FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |rm0 AS (SELECT g.doc_id, unnest(range(g.pos, g.pos + g.span)) AS ti
+        |  FROM g JOIN dup USING (gram) WHERE g.doc_id <> dup.own),
+        |rm AS (SELECT doc_id, list(DISTINCT ti) AS rml FROM rm0 GROUP BY 1)
+        |SELECT tok.doc_id,
+        |  CASE WHEN rm.doc_id IS NULL THEN tok.text
+        |  ELSE coalesce(array_to_string(list_filter(regexp_split_to_array(trim(tok.text), '\s+'),
+        |    (x, i) -> NOT list_contains(rml, i - 1)), ' '), '') END AS text
+        |FROM tok LEFT JOIN rm USING (doc_id)""".stripMargin,
     "warehouse_compact" ->
       "SELECT doc_id, n_chars FROM documents"
   )

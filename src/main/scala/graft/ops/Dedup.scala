@@ -135,20 +135,28 @@ object Dedup {
     * NO countDistinct); duplicated positions expand to ≤ n token
     * indices each and collapse with one distinct + count per doc.
     * Two shuffles of longs total (hash groupBy, hash join back). */
-  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
+  /** One row per positional word n-gram: (idCol, __nt tokens in doc,
+    * __pos 0-based start, __span covered tokens, __h gram hash); short
+    * docs collapse to one whole-doc gram. Shared by the duplicate-span
+    * miner and its apply step. */
+  private def spanGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
-    // (pos, span, hash) per gram; short docs → one whole-doc gram
     val grams = Hof.bind(toks, t =>
       when(size(t) < n, array(struct(lit(0).as("p"), size(t).as("s"),
           xxhash64(concat_ws(" ", t)).as("h"))))
         .otherwise(transform(sequence(lit(0), size(t) - n), i =>
           struct(i.as("p"), lit(n).as("s"),
             xxhash64(concat_ws(" ", slice(t, i + 1, lit(n)))).as("h")))))
-    val g = Par.spread(df)
+    Par.spread(df)
       .select(col(idCol), size(toks).as("__nt"), explode(grams).as("__g"))
       .select(col(idCol), col("__nt"), col("__g.p").as("__pos"),
         col("__g.s").as("__span"), col("__g.h").as("__h"))
+  }
+
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val g = spanGrams(df, idCol, textCol, n)
     val dup = g.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
       .filter(col("__mn") =!= col("__mx")).select(col("__h"))
@@ -162,6 +170,45 @@ object Dedup {
         col("dup_tokens"),
         round(col("dup_tokens").cast("double") / col("__nt"), 6)
           .as("dup_frac"))
+  }
+
+  /** APPLY the duplicate-span signal: rewrite each document with its
+    * cross-document duplicated spans removed, keeping the copy in the
+    * LOWEST-id document containing each duplicated gram (Lee et al.
+    * keep-one semantics, ownership at document granularity). Trimmed
+    * documents come back whitespace-normalized (surviving original-case
+    * tokens joined by single spaces; a fully-covered doc becomes the
+    * empty string); untouched documents keep their text verbatim.
+    * Returns (idCol, textCol) for every input row.
+    *
+    * Scale shape: same long-only shuffles as [[duplicateSpans]] plus
+    * one join of per-doc removed-position arrays (bounded by the doc's
+    * own token count) back to the corpus; the rewrite is a per-row
+    * indexed-lambda filter over the token array — no window, no
+    * driver-side text. */
+  def trimDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val g = spanGrams(df, idCol, textCol, n)
+    // duplicated gram → owning (minimum) doc id; owner keeps its copy
+    val dup = g.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__own"), max(col(idCol)).as("__mx"))
+      .filter(col("__own") =!= col("__mx"))
+      .select(col("__h"), col("__own"))
+    val removed = g.join(dup, Seq("__h"))
+      .filter(col(idCol) =!= col("__own"))
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + col("__span") - 1))
+          .as("__ti"))
+      .distinct()
+      .groupBy(col(idCol)).agg(collect_set(col("__ti")).as("__rm"))
+    // reconstruct from ORIGINAL-case tokens (positions align: same \s+
+    // split); gram identity above is case-folded, the output is not
+    val keep = filter(split(trim(col(textCol)), "\\s+"),
+      (_, i) => !array_contains(col("__rm"), i))
+    df.join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__rm").isNull, col(textCol))
+          .otherwise(concat_ws(" ", keep)).as(textCol))
   }
 
   /** Jaccard similarity of the (hashed) shingle sets of two text

@@ -281,6 +281,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3).drop(1) == Seq(2L, 2L, 1.0))
   }
 
+  test("trimDuplicateSpans: owner keeps its copy, others lose the span") {
+    val df = docsDf(Seq(
+      (1L, "A b c d x y z w"),       // owner of "a b c"/"b c d" grams
+      (2L, "q a b C d r s t"),       // loses tokens 1-4, case survives
+      (3L, "k l m n k l m n"),       // within-doc repeat only: verbatim
+      (4L, "u  v"),                  // owner of whole-short-doc gram
+      (5L, "u v")))                  // fully covered -> empty string
+    val out = rows(Dedup.trimDuplicateSpans(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id")).map(r => r.head -> r(1)).toMap
+    assert(out(1L) == "A b c d x y z w")    // untouched, verbatim
+    assert(out(2L) == "q r s t")            // trimmed, original case kept
+    assert(out(3L) == "k l m n k l m n")
+    assert(out(4L) == "u  v")               // owner: verbatim double space
+    assert(out(5L) == "")
+  }
+
   // --------------------------------------------------------- compaction
 
   test("compact collapses a fragmented bucketed manifest to one snapshot") {
