@@ -115,26 +115,6 @@ object Dedup {
       array_distinct(grams)
     })
 
-  /** Cross-document duplicate-SPAN coverage — the exact-substring
-    * dedup signal of Lee et al., "Deduplicating Training Data Makes
-    * Language Models Better": for each document, how much of it is
-    * covered by a word `n`-gram that also occurs in at least one
-    * OTHER document of the corpus (within-doc repeats alone do not
-    * count — [[Text.repetition]] measures those). Returns one row per
-    * document containing ≥1 duplicated gram:
-    * (idCol, n_tokens, dup_tokens, dup_frac) where dup_tokens counts
-    * distinct token positions covered by any duplicated gram and
-    * dup_frac = dup_tokens / n_tokens rounded to 6 places — the
-    * "remove or trim docs that are mostly boilerplate" input.
-    * Documents shorter than `n` tokens collapse to one whole-text
-    * gram spanning the document.
-    *
-    * Scale shape: the corpus text never shuffles — one posexplode
-    * emits (id, pos, gramHash) longs; a gram is duplicated iff
-    * `min(id) ≠ max(id)` for its hash (map-side-combinable min/max,
-    * NO countDistinct); duplicated positions expand to ≤ n token
-    * indices each and collapse with one distinct + count per doc.
-    * Two shuffles of longs total (hash groupBy, hash join back). */
   /** One row per positional word n-gram: (idCol, __nt tokens in doc,
     * __pos 0-based start, __span covered tokens, __h gram hash); short
     * docs collapse to one whole-doc gram. Shared by the duplicate-span
@@ -154,6 +134,28 @@ object Dedup {
         col("__g.s").as("__span"), col("__g.h").as("__h"))
   }
 
+  /** Cross-document duplicate-SPAN coverage — the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": for each document, how much of it is
+    * covered by a word `n`-gram that also occurs in at least one
+    * OTHER document of the corpus (within-doc repeats alone do not
+    * count — [[Text.repetition]] measures those). Returns one row per
+    * document containing ≥1 duplicated gram:
+    * (idCol, n_tokens, dup_tokens, dup_frac) where dup_tokens counts
+    * distinct token positions covered by any duplicated gram and
+    * dup_frac = dup_tokens / n_tokens rounded to 6 places — the
+    * "remove or trim docs that are mostly boilerplate" input.
+    * Documents shorter than `n` tokens collapse to one whole-text
+    * gram spanning the document.
+    *
+    * Scale shape: the corpus text never shuffles — one posexplode
+    * emits (id, pos, gramHash) longs; a gram is duplicated iff
+    * `min(id) ≠ max(id)` for its hash (map-side-combinable min/max,
+    * NO countDistinct); a doc's duplicated (pos, span) intervals
+    * collect per doc (bounded by its own gram count) and the covered
+    * token total comes from a per-row sorted interval-merge fold —
+    * no token-level explode, no corpus-wide distinct. Two shuffles of
+    * longs total (hash groupBy, hash join back). */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val g = spanGrams(df, idCol, textCol, n)
@@ -161,16 +163,30 @@ object Dedup {
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
       .filter(col("__mn") =!= col("__mx")).select(col("__h"))
     g.join(dup, Seq("__h"))
-      .select(col(idCol), col("__nt"),
-        explode(sequence(col("__pos"), col("__pos") + col("__span") - 1))
-          .as("__ti"))
-      .distinct()
-      .groupBy(col(idCol), col("__nt")).agg(count(lit(1)).as("dup_tokens"))
+      .groupBy(col(idCol), col("__nt"))
+      .agg(collect_list(struct(col("__pos").as("p"), col("__span").as("s")))
+        .as("__iv"))
       .select(col(idCol), col("__nt").cast("bigint").as("n_tokens"),
-        col("dup_tokens"),
-        round(col("dup_tokens").cast("double") / col("__nt"), 6)
-          .as("dup_frac"))
+        mergedIntervalLength(col("__iv")).as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Total length of the union of half-open (p, s) intervals
+    * [p, p+s): sort (struct order = lexicographic, p first), then one
+    * sequential fold tracking the merged frontier. */
+  private def mergedIntervalLength(ivs: Column): Column =
+    Hof.bind(array_sort(ivs), sorted => {
+      val acc0 = struct(lit(0).as("end"), lit(0L).as("tot"))
+      aggregate(sorted, acc0, (acc, iv) => {
+        val e = iv.getField("p") + iv.getField("s")
+        val add = when(e > acc.getField("end"),
+          e - greatest(iv.getField("p"), acc.getField("end")))
+          .otherwise(lit(0))
+        struct(greatest(acc.getField("end"), e).as("end"),
+          (acc.getField("tot") + add).as("tot"))
+      }, acc => acc.getField("tot"))
+    })
 
   /** APPLY the duplicate-span signal: rewrite each document with its
     * cross-document duplicated spans removed, keeping the copy in the
@@ -183,9 +199,10 @@ object Dedup {
     *
     * Scale shape: same long-only shuffles as [[duplicateSpans]] plus
     * one join of per-doc removed-position arrays (bounded by the doc's
-    * own token count) back to the corpus; the rewrite is a per-row
-    * indexed-lambda filter over the token array — no window, no
-    * driver-side text. */
+    * own token count, expanded from collected intervals in-row — no
+    * token-level explode/distinct shuffle) back to the corpus; the
+    * rewrite is a per-row indexed-lambda filter over the token array —
+    * no window, no driver-side text. */
   def trimDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val g = spanGrams(df, idCol, textCol, n)
@@ -196,11 +213,12 @@ object Dedup {
       .select(col("__h"), col("__own"))
     val removed = g.join(dup, Seq("__h"))
       .filter(col(idCol) =!= col("__own"))
-      .select(col(idCol),
-        explode(sequence(col("__pos"), col("__pos") + col("__span") - 1))
-          .as("__ti"))
-      .distinct()
-      .groupBy(col(idCol)).agg(collect_set(col("__ti")).as("__rm"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__pos").as("p"), col("__span").as("s")))
+        .as("__iv"))
+      .select(col(idCol), array_distinct(flatten(transform(col("__iv"),
+        iv => sequence(iv.getField("p"),
+          iv.getField("p") + iv.getField("s") - 1)))).as("__rm"))
     // reconstruct from ORIGINAL-case tokens (positions align: same \s+
     // split); gram identity above is case-folded, the output is not
     val keep = filter(split(trim(col(textCol)), "\\s+"),

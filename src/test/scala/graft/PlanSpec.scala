@@ -148,6 +148,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with"), p)
   }
 
+  test("duplicate-span plans: only longs shuffle, no token-level explode") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "text")).read()
+    val p = plan(graft.ops.Dedup.duplicateSpans(docs, "doc_id", "text", n = 8))
+    // every exchange carries (id, gram-hash, pos/span ints) — never the
+    // document text; coverage comes from the per-row interval fold, so
+    // no second Generate after the gram posexplode and no distinct of
+    // exploded token indices
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text")), p)
+    // both Generates are the gram-level posexplode (the gram frame
+    // feeds the dup-detection aggregate AND the join back); the old
+    // token-level `explode(sequence(pos…))` shape must not return
+    assert("Generate explode".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("explode(sequence("), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+
+    val pt = plan(graft.ops.Dedup.trimDuplicateSpans(docs, "doc_id", "text", n = 8))
+    // the apply path adds only the final join of removed-position
+    // arrays back to the corpus — still no token-level explode
+    assert("Generate explode".r.findAllIn(pt).size == 2, pt)
+    assert(!pt.contains("explode(sequence("), pt)
+    assert(!pt.contains("CartesianProduct") && !pt.contains("BroadcastNestedLoop"), pt)
+  }
+
+  test("lmScore plan: model joined not broadcast-collected, constants broadcast") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "text")).read()
+    val ref = docs.filter(col("doc_id") < 100).select(col("text"))
+    val p = plan(graft.ops.Text.lmScore(docs, "doc_id", "text", ref, "text"))
+    // the one-row (T, V) constants frame rides a broadcast nested-loop
+    // (a 1-row cross join is the cheap correct shape); the token-count
+    // model joins on token — no driver collect anywhere
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("write merge plan: no cartesian products") {
     val env = freshEnv()
     // capture the merge result plan by running a write and checking it
