@@ -106,6 +106,27 @@ object Bench {
     small.count()
     results("bucketed_update_1k") = time(bv.write(small))
     allRows.unpersist(); small.unpersist()
+
+    // BRIN probe: archive events into the range-clustered zoned table,
+    // then (a) merge a narrow recent-key batch — only overlapping
+    // zones rewrite — and (b) read a narrow key range — zone dirs
+    // prune driver-side. Both should cost a small fraction of the
+    // full load / full scan.
+    val ev = e.view("events", Seq("event_id", "ts", "event_type", "value"))
+      .read().cache()
+    ev.count()
+    val av = e.view("event_archive", Seq("event_id", "ts", "event_type", "value"))
+    results("brin_load_full") = time(av.write(ev))
+    val recent = ev.orderBy(col("event_id").desc).limit(1000).cache()
+    recent.count()
+    results("brin_update_recent_1k") = time(av.write(recent))
+    ev.unpersist(); recent.unpersist()
+    val rv = e.view("event_archive", Seq("event_id", "event_type", "value"))
+    results("brin_scan_full") = time(
+      rv.read().write.format("noop").mode("overwrite").save())
+    results("brin_range_read") = time(
+      rv.read(Seq("(and (>= event_id 1000) (<= event_id 1500))"))
+        .write.format("noop").mode("overwrite").save())
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

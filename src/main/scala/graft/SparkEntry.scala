@@ -683,6 +683,21 @@ object SparkEntry {
         .orderBy(col("event_id"), col("incident_id"))
     }),
 
+    // S6'/BRIN: use-index brin round-trip — events archived into a
+    // range-clustered zoned table (manifest zone maps), read back with
+    // key bounds that prune zone directories driver-side; the filter
+    // still applies in full, so the result is exact
+    "q36_brin_range" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      val evs = e.view("events", Seq("event_id", "ts", "event_type", "value"))
+        .read()
+      e.view("event_archive", Seq("event_id", "ts", "event_type", "value"))
+        .write(evs)
+      e.view("event_archive", Seq("event_id", "event_type", "value"))
+        .read(Seq("(and (>= event_id 100) (<= event_id 400))"))
+    }),
+
     // LLM-pipeline: embedding L2 normalization — HOF Column math, no
     // UDF; oracle recomputes norm and first normalized component in
     // double arithmetic
@@ -1260,6 +1275,9 @@ object SparkEntry {
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT c.event_id, i.incident_id FROM c JOIN i
         |ON c.user_id = i.user_id AND c.ts >= i.w_start AND c.ts < i.w_end""".stripMargin,
+    "q36_brin_range" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id BETWEEN 100 AND 400""".stripMargin,
     "q34_asof_join" ->
       """WITH e AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, ts, max(value) AS click_value

@@ -95,6 +95,12 @@ object Testbed {
       TableDef.normalized("bench_bucketed", Seq(
         cd("code", VarcharT), cd("x", FloatT)),
         key = Seq("code"), buckets = 64),
+      // BRIN round-trip target: range-clustered zoned snapshots, reads
+      // with event_id bounds prune zone dirs driver-side (q36).
+      TableDef.normalized("event_archive", Seq(
+        cd("event_id", BigIntT), cd("ts", TimestampT),
+        cd("event_type", VarcharT), cd("value", FloatT)),
+        key = Seq("event_id"), useIndex = "brin"),
       // Compaction round-trip target (warehouse_compact query): three
       // partial merges fragment the manifest across snapshots, then
       // compact() collapses it.

@@ -867,11 +867,13 @@ object QueryBuilder {
     Set("avg", "count", "max", "min", "sum", "bool_and", "bool_or", "every")
 
   def apply(env: Env, table: TableDef, fieldEnv: Map[String, String] = Map(),
-      baseAlias: String = null): QueryBuilder = {
+      baseAlias: String = null,
+      baseRead: Option[() => DataFrame] = None): QueryBuilder = {
     val t = env.registry(table.name)
     val alias = Option(baseAlias).getOrElse(t.name)
     new QueryBuilder(env, t,
-      () => env.warehouse.read(t.name).as(alias), _ => alias, None, fieldEnv)
+      () => baseRead.map(_()).getOrElse(env.warehouse.read(t.name)).as(alias),
+      _ => alias, None, fieldEnv)
   }
 }
 

@@ -40,9 +40,16 @@ import graft.view.Json
   */
 final class Warehouse(val spark: SparkSession, val root: String, val registry: Registry) {
 
+  /** One range-cluster of a brin table's snapshot: directory (relative
+    * to the table dir) + encoded min/max of the leading key column
+    * ([[Brin.encode]]; None = the zone holds only null keys). */
+  final case class Zone(dir: String, lo: Option[Any], hi: Option[Any])
+
   /** Bucketed-table manifest: per-bucket pointers + the id high-water
-    * mark (so surrogate-id assignment never scans the full table). */
-  final case class Manifest(snap: String, maxId: Long, buckets: Map[Int, String])
+    * mark (so surrogate-id assignment never scans the full table).
+    * Brin tables instead carry `zones` — the range-cluster zone map. */
+  final case class Manifest(snap: String, maxId: Long, buckets: Map[Int, String],
+      zones: Seq[Zone] = Nil)
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
 
@@ -80,12 +87,27 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       _.asInstanceOf[java.util.Map[String, Object]].asScala.map {
         case (k, v) => k.toInt -> v.toString
       }.toMap).getOrElse(Map[Int, String]())
-    Manifest(m("snap").toString, m("maxId").toString.toLong, buckets)
+    // yaml numbers load as Integer/Long/Double; normalize to the
+    // Brin encoding families (Long | Double | String)
+    def bound(v: Object): Option[Any] = Option(v).map {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case d: java.lang.Double => d.doubleValue()
+      case other => other.toString
+    }
+    val zones = m.get("zones").map(
+      _.asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+        .map { z =>
+          Zone(z.get("dir").toString, bound(z.get("lo")), bound(z.get("hi")))
+        }.toSeq).getOrElse(Nil)
+    Manifest(m("snap").toString, m("maxId").toString.toLong, buckets, zones)
   }
 
   private def manifestJson(m: Manifest): String =
     Json.write(Map("snap" -> m.snap, "maxId" -> m.maxId,
-      "buckets" -> m.buckets.map { case (k, v) => k.toString -> v }))
+      "buckets" -> m.buckets.map { case (k, v) => k.toString -> v }) ++
+      (if (m.zones.isEmpty) Map() else Map("zones" -> m.zones.map(z =>
+        Map("dir" -> z.dir, "lo" -> z.lo.orNull, "hi" -> z.hi.orNull)))))
 
   def exists(t: String): Boolean =
     registry(t).external.isDefined || readPointer(t).isDefined
@@ -101,6 +123,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     td.external match {
       case Some(path) => alignExternal(td, spark.read.parquet(path))
       case None if td.buckets > 0 => readBuckets(t, None)
+      case None if td.useIndex.equalsIgnoreCase("brin") => readZones(t, None)
       case None =>
         currentSnap(t) match {
           case Some(snap) =>
@@ -189,6 +212,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     val td = registry(t)
     require(td.external.isEmpty, s"Table '$t' is external (read-only)")
     if (td.buckets > 0) writeBucketed(t, df, affected = None, knownMaxId = knownMaxId)
+    else if (td.useIndex.equalsIgnoreCase("brin")) writeZoned(t, df, knownMaxId)
     else {
       val next = nextSnapName(t)
       val dir = new Path(tableDir(t), next)
@@ -201,6 +225,114 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       }
       swapPointer(t, manifestJson(Manifest(next, maxIdNow, Map())))
       gc(t, keep = Set(next))
+    }
+  }
+
+  /** Snapshot write of a `use-index: brin` table: the Spark-native
+    * BRIN ([[Brin]]). Rows are range-clustered on the LEADING key
+    * column — `repartitionByRange` (sampling range partitioner, any
+    * orderable type) + in-partition sort — and land in one `__z=<k>`
+    * zone directory per range, so parquet row-group stats are tight
+    * AND the manifest's per-zone min/max lets [[readZones]] prune
+    * whole directories driver-side. Write amplification is unchanged
+    * from a plain snapshot (one extra range shuffle) — BRIN is a
+    * read-side structure, exactly like the reference's
+    * (tanker/context.py:657-676).
+    *
+    * Zone count: `spark.graft.brin.zones` (default 32, matched to
+    * local[32]; a cluster deployment sizes it so a zone ≈ one
+    * executor's worth of scan). */
+  private def writeZoned(t: String, df: DataFrame, knownMaxId: Option[Long]): Unit =
+    writeZonedImpl(t, df, replaced = None, knownMaxId)
+
+  /** Partial rewrite of a brin table: `df` is the new content of every
+    * zone whose stats overlap `replaced` (the batch's key range); zones
+    * outside it carry over by reference — the zoned analogue of
+    * [[writeBuckets]]. An append-mostly table (the BRIN use case)
+    * merges a recent-key batch by rewriting the last zone or two.
+    * The caller MUST have merged against exactly the overlapping-zone
+    * slice (`readZones(t, Some(replaced))`): any stored key that can
+    * collide with a batch key lives in an overlapping zone, so the
+    * disjoint carried zones cannot duplicate a merged key. */
+  def writeZones(t: String, df: DataFrame, replaced: Brin.Bounds, newMaxId: Long): Unit =
+    writeZonedImpl(t, df, Some(replaced), Some(newMaxId))
+
+  private def writeZonedImpl(t: String, df: DataFrame,
+      replaced: Option[Brin.Bounds], knownMaxId: Option[Long]): Unit = {
+    val td = registry(t)
+    val zkey = td.key.head
+    val next = nextSnapName(t)
+    val dir = new Path(tableDir(t), next)
+    val nZones = spark.conf.getOption("spark.graft.brin.zones")
+      .map(_.toInt).getOrElse(32)
+    val zc = col("`" + zkey + "`")
+    aligned(td, df)
+      .repartitionByRange(nZones, zc).sortWithinPartitions(zc)
+      .withColumn("__z", expr("spark_partition_id()"))
+      .write.mode("overwrite").partitionBy("__z").parquet(dir.toString)
+    // zone stats from the WRITTEN files (column-pruned read-back of
+    // the key + id: exact, and immune to any plan re-evaluation)
+    val fsys = fs(dir)
+    val hasZones = fsys.exists(dir) &&
+      fsys.listStatus(dir).exists(_.getPath.getName.startsWith("__z="))
+    val hasId = td.columnMap.contains("id")
+    var zones: Seq[Zone] = Nil
+    var statMaxId = 0L
+    if (hasZones) {
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val back = spark.read.parquet(dir.toString)
+      val aggs = Seq(fmin(zc).as("__lo"), fmax(zc).as("__hi")) ++
+        (if (hasId) Seq(fmax(col("id")).as("__mid")) else Nil)
+      val rows = back.groupBy(col("__z")).agg(aggs.head, aggs.tail: _*).collect()
+      zones = rows.map { r =>
+        Zone(s"$next/__z=${r.get(0)}",
+          Option(r.get(1)).map(Brin.encode), Option(r.get(2)).map(Brin.encode))
+      }.sortBy(_.dir)
+      if (hasId) statMaxId = rows
+        .map(r => Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L))
+        .foldLeft(0L)(_ max _)
+    }
+    val prev = currentManifest(t)
+    // carry-over: zones provably disjoint from the batch key range
+    // (same overlap test the slice read used, so reads and carries
+    // partition the old zone set exactly)
+    val carried = replaced match {
+      case Some(b) => prev.map(_.zones).getOrElse(Nil)
+        .filterNot(z => b.overlaps(z.lo, z.hi))
+      case None => Nil
+    }
+    val allZones = carried ++ zones
+    val maxIdNow = replaced match {
+      case Some(_) => // partial: the id high-water mark never regresses
+        knownMaxId.getOrElse(statMaxId).max(prev.map(_.maxId).getOrElse(0L))
+      case None => knownMaxId.getOrElse(statMaxId)
+    }
+    swapPointer(t, manifestJson(Manifest(next, maxIdNow, Map(), allZones)))
+    gc(t, keep = allZones.map(_.dir.split("/")(0)).toSet + next)
+  }
+
+  /** Zone-pruned read of a brin table: only the zone directories whose
+    * [min,max] overlaps `bounds` (None = all zones — still the
+    * canonical read path for brin tables, since their snapshots are
+    * `__z=`-partitioned). The caller's filter still applies in full;
+    * pruning is pure IO elision, like the reference's BRIN scan. */
+  def readZones(t: String, bounds: Option[Brin.Bounds]): DataFrame = {
+    val td = registry(t)
+    currentManifest(t) match {
+      case None => empty(td)
+      case Some(m) if m.zones.isEmpty =>
+        // empty table (no zones written) or legacy plain snapshot
+        spark.read.schema(td.sparkSchema)
+          .parquet(new Path(tableDir(t), m.snap).toString)
+      case Some(m) =>
+        val selected = bounds match {
+          case Some(b) if b.isEmpty => Nil
+          case Some(b) => m.zones.filter(z => b.overlaps(z.lo, z.hi))
+          case None => m.zones
+        }
+        if (selected.isEmpty) empty(td)
+        else spark.read.schema(td.sparkSchema)
+          .parquet(selected.map(z => new Path(tableDir(t), z.dir).toString): _*)
     }
   }
 
@@ -319,6 +451,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     require(snapshots(t).contains(snap), s"No retained snapshot '$snap' for '$t'")
     spark.read.schema(td.sparkSchema)
       .parquet(new Path(tableDir(t), snap).toString)
+      .drop("__z") // brin snapshots are zone-partitioned
   }
 
   /** Create empty snapshots for every managed table that doesn't exist

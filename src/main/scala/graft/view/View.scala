@@ -110,7 +110,22 @@ final class View(val env: Env, tableName: String, fieldSpecs: Seq[(String, Strin
       distinct: Boolean = false,
       disableAcl: Boolean = false): DataFrame = {
 
-    val qb = QueryBuilder(env, table, fieldEnv)
+    // brin tables: extract conservative key bounds from the filters
+    // (incl. ACL) and zone-prune the base scan — pure IO elision, the
+    // compiled filter below still applies in full. A FRESH Args
+    // instance resolves named params here so the main compile's
+    // positional-{} cursor is untouched.
+    val pruneFilters: Seq[Filter] = filters ++
+      (if (disableAcl) Nil
+       else env.aclRead.getOrElse(table.name, Nil).map(FilterExpr.apply))
+    val zoneBounds =
+      if (table.useIndex.equalsIgnoreCase("brin") && table.buckets == 0 &&
+          table.external.isEmpty)
+        ZonePrune.bounds(table, pruneFilters, Args(env, args, kwargs))
+      else None
+    val qb = QueryBuilder(env, table, fieldEnv,
+      baseRead = zoneBounds.map(b =>
+        () => env.warehouse.readZones(table.name, Some(b))))
     val argv = Args(env, args, kwargs)
 
     // 1. compile select fields (before filters: join-alias order mirrors

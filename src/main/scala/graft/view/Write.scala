@@ -318,6 +318,18 @@ object Write {
     (env.spark.createDataFrame(withIds, schema), maxId + offsets.last, rdd)
   }
 
+  /** Encoded [min, max] of the batch's leading key column, or None for
+    * an empty batch (caller falls back to the full-table path). Key
+    * nulls were already rejected by [[prepare]]. */
+  private def batchKeyBounds(b: DataFrame, zkey: String)
+      : Option[graft.store.Brin.Bounds] = {
+    val r = b.agg(min(c(zkey)), max(c(zkey))).head
+    if (r.isNullAt(0)) None
+    else Some(graft.store.Brin.Bounds(
+      Some(graft.store.Brin.encode(r.get(0))),
+      Some(graft.store.Brin.encode(r.get(1)))))
+  }
+
   // --------------------------------------------------------------- write
 
   def run(v: View, data: Any, purge: Boolean, insert: Boolean, update: Boolean,
@@ -344,9 +356,22 @@ object Write {
         Some(b.select(env.warehouse.bucketExpr(t).as("__bk")).distinct()
           .collect().map(_.getInt(0)).toSet)
       else None
+    // Zone pruning (brin tables): a stored key can only collide with a
+    // batch key if its leading-key value falls inside the batch's key
+    // range, so the merge reads and rewrites just the overlapping
+    // zones; disjoint zones carry over by reference. The append-mostly
+    // table brin targets merges its recent-key batch into 1-2 zones.
+    val zoneBounds: Option[graft.store.Brin.Bounds] =
+      if (affected.isEmpty && t.useIndex.equalsIgnoreCase("brin") &&
+          t.buckets == 0 && !purge && keyCols == t.key)
+        batchKeyBounds(b, t.key.head)
+      else None
     val cur = affected match {
       case Some(bs) => env.warehouse.readBuckets(t.name, Some(bs))
-      case None => env.warehouse.read(t.name)
+      case None => zoneBounds match {
+        case Some(zb) => env.warehouse.readZones(t.name, Some(zb))
+        case None => env.warehouse.read(t.name)
+      }
     }
 
     val allFilters: Seq[Filter] = filters ++
@@ -427,11 +452,14 @@ object Write {
         updated.unionByName(withId.select(insCols: _*))
       }
 
-    affected match {
-      case Some(bs) =>
+    (affected, zoneBounds) match {
+      case (Some(bs), _) =>
         val hwm = if (newMaxId >= 0) newMaxId else env.warehouse.maxId(t.name)
         env.warehouse.writeBuckets(t.name, result, bs, hwm)
-      case None =>
+      case (None, Some(zb)) =>
+        val hwm = if (newMaxId >= 0) newMaxId else env.warehouse.maxId(t.name)
+        env.warehouse.writeZones(t.name, result, zb, hwm)
+      case _ =>
         // maxId is exact (old max + inserts) unless purge may have
         // removed the previous max row — then let the store re-derive
         // it from the written snapshot (id-column-only read).
@@ -480,6 +508,22 @@ object Write {
               env.warehouse.maxId(t.name))
             keptSlice.unpersist(); slice.unpersist()
             return removed
+          }
+          // zone-pruned delete: only zones overlapping the batch's key
+          // range can lose rows (not with swap — that deletes the rest)
+          if (t.useIndex.equalsIgnoreCase("brin") && t.buckets == 0 &&
+              !swap && keyCols == t.key) {
+            batchKeyBounds(bKeys, t.key.head) match {
+              case Some(zb) =>
+                val slice = env.warehouse.readZones(t.name, Some(zb)).persist()
+                val keptSlice = slice.join(bKeys, keyCols, "left_anti").persist()
+                val removed = slice.count() - keptSlice.count()
+                env.warehouse.writeZones(t.name, keptSlice, zb,
+                  env.warehouse.maxId(t.name))
+                keptSlice.unpersist(); slice.unpersist()
+                return removed
+              case None => return 0L // empty batch deletes nothing
+            }
           }
           cur.join(bKeys, keyCols, if (swap) "left_semi" else "left_anti")
         } else {

@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+import graft.schema.Registry
+import graft.store.Brin
+import graft.view.{Filter, FilterEq, FilterExpr, ZonePrune}
+import graft.expr.Args
+
+/** `use-index: brin` — Spark-native BRIN: range-clustered zoned
+  * snapshots + manifest zone maps + driver-side zone pruning on
+  * key-bounded reads (reference: tanker/context.py:657-676,
+  * tests/base_test.py:53). */
+class BrinSpec extends SparkSpec {
+
+  val yaml: String =
+    """- table: reading
+      |  columns:
+      |    seq: bigint
+      |    val: float
+      |  key: [seq]
+      |  use-index: brin
+      |- table: event_log
+      |  columns:
+      |    ts: timestamp
+      |    kind: varchar
+      |  key: [ts]
+      |  use-index: brin
+      |""".stripMargin
+
+  def bEnv(zones: Int = 8): Env = {
+    spark.conf.set("spark.graft.brin.zones", zones.toString)
+    val root = Files.createTempDirectory("graft-brin-").toString
+    val env = Env(spark, Registry.fromYaml(yaml), root)
+    env.createTables()
+    env
+  }
+
+  test("zoned write/read round trip; manifest carries zone stats") {
+    val env = bEnv()
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 80).map(i => Seq(i.toLong, i.toDouble)))
+    assert(rows(v.read()).size == 80)
+    val m = env.warehouse.currentManifest("reading").get
+    assert(m.zones.nonEmpty, "brin manifest must carry zones")
+    assert(m.zones.forall(z => z.lo.isDefined && z.hi.isDefined))
+    // zone stats cover the key range and are internally ordered
+    val los = m.zones.map(_.lo.get.asInstanceOf[Long])
+    val his = m.zones.map(_.hi.get.asInstanceOf[Long])
+    assert(los.min == 1L && his.max == 80L)
+    m.zones.foreach(z => assert(Brin.cmp(z.lo.get, z.hi.get) <= 0))
+    assert(env.warehouse.maxId("reading") == 80)
+  }
+
+  test("key-range read prunes zone directories but keeps results exact") {
+    val env = bEnv(zones = 8)
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 80).map(i => Seq(i.toLong, i.toDouble)))
+    val allFiles = v.read().inputFiles.length
+    assert(allFiles >= 4, s"expected multiple zone files, got $allFiles")
+    val pruned = v.read(Seq("(and (>= seq 10) (<= seq 14))"))
+    assert(rows(pruned).map(_.head.asInstanceOf[Long]).sorted == (10L to 14L))
+    assert(pruned.inputFiles.length < allFiles,
+      s"range read should open fewer zones: ${pruned.inputFiles.length} vs $allFiles")
+    // point read: at most a couple of zones
+    val pt = v.read(Seq("(= seq 42)"))
+    assert(rows(pt) == Seq(Seq(42L, 42.0)))
+    assert(pt.inputFiles.length <= 2)
+    // empty intersection = provably empty: zero files, zero rows
+    val none = v.read(Seq("(and (> seq 50) (< seq 40))"))
+    assert(rows(none).isEmpty && none.inputFiles.isEmpty)
+  }
+
+  test("filters that cannot bound the key do not prune (and stay correct)") {
+    val env = bEnv(zones = 8)
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 80).map(i => Seq(i.toLong, i.toDouble)))
+    val all = v.read().inputFiles.length
+    // non-key column filter: no zone bound
+    assert(v.read(Seq("(< val 5)")).inputFiles.length == all)
+    // disjunction: top-level or is not a conjunct — unprunable
+    val orRead = v.read(Seq("(or (= seq 3) (< val 0))"))
+    assert(orRead.inputFiles.length == all)
+    assert(rows(orRead) == Seq(Seq(3L, 3.0)))
+  }
+
+  test("timestamp-keyed table prunes on time-range filters") {
+    val env = bEnv(zones = 8)
+    val v = env.view("event_log", Seq("ts", "kind"))
+    val rowsIn = (0 until 96).map(h =>
+      Seq(f"2024-03-${1 + h / 24}%02d ${h % 24}%02d:00:00", s"k${h % 3}"))
+    v.write(rowsIn)
+    assert(rows(v.read()).size == 96)
+    val all = v.read().inputFiles.length
+    val day = v.read(
+      Seq("(and (>= ts {lo}) (< ts {hi}))"),
+      kwargs = Map("lo" -> "2024-03-02 00:00:00", "hi" -> "2024-03-03 00:00:00"))
+    assert(rows(day).size == 24)
+    assert(day.inputFiles.length < all,
+      s"day slice should prune: ${day.inputFiles.length} vs $all")
+  }
+
+  test("upsert merge and delete preserve zoned layout and stats") {
+    val env = bEnv(zones = 4)
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 40).map(i => Seq(i.toLong, i.toDouble)))
+    // update a slice + insert past the end: full re-cluster, ids continue
+    v.write(Seq(Seq(7L, 700.0), Seq(41L, 41.0)))
+    assert(rows(v.read(Seq("(= seq 7)"))) == Seq(Seq(7L, 700.0)))
+    assert(env.warehouse.maxId("reading") == 41)
+    val m = env.warehouse.currentManifest("reading").get
+    assert(m.zones.nonEmpty &&
+      m.zones.map(_.hi.get.asInstanceOf[Long]).max == 41L)
+    // delete by filter reclusters the remainder
+    v.delete(Seq("(> seq 30)"))
+    assert(rows(v.read()).size == 30)
+    val m2 = env.warehouse.currentManifest("reading").get
+    assert(m2.zones.map(_.hi.get.asInstanceOf[Long]).max == 30L)
+    // zone-pruned read still exact after the rewrite
+    assert(rows(v.read(Seq("(and (>= seq 29) (<= seq 31))")))
+      .map(_.head.asInstanceOf[Long]).sorted == Seq(29L, 30L))
+  }
+
+  test("narrow-range merge rewrites only overlapping zones (carry-over)") {
+    val env = bEnv(zones = 4)
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 40).map(i => Seq(i.toLong, i.toDouble)))
+    val m1 = env.warehouse.currentManifest("reading").get
+    assert(m1.zones.size >= 3)
+    // update two high keys: only zones overlapping [35,36] rewrite,
+    // the others carry over by reference into the new manifest
+    v.write(Seq(Seq(35L, 3500.0), Seq(36L, 3600.0)))
+    val m2 = env.warehouse.currentManifest("reading").get
+    assert(m2.snap != m1.snap)
+    val carried = m2.zones.filter(_.dir.startsWith(m1.snap + "/"))
+    val fresh = m2.zones.filterNot(_.dir.startsWith(m1.snap + "/"))
+    assert(carried.nonEmpty, s"expected carried zones in ${m2.zones}")
+    assert(fresh.nonEmpty)
+    assert(rows(v.read(Seq("(= seq 35)"))) == Seq(Seq(35L, 3500.0)))
+    assert(rows(v.read(Seq("(= seq 5)"))) == Seq(Seq(5L, 5.0)))
+    assert(rows(v.read()).size == 40)
+    // append past the key range: every old zone carries, ids continue
+    v.write(Seq(Seq(41L, 41.0), Seq(42L, 42.0)))
+    val m3 = env.warehouse.currentManifest("reading").get
+    assert(m3.zones.count(z => !z.dir.startsWith(m3.snap + "/")) >= m2.zones.size)
+    assert(rows(v.read()).size == 42)
+    assert(env.warehouse.maxId("reading") == 42)
+    // zone-pruned delete by data: narrow batch, overlapping zones only
+    assert(env.view("reading", Seq("seq")).delete(
+      data = Seq(Seq(41L), Seq(42L))) == 2)
+    assert(rows(v.read()).size == 40)
+    assert(rows(v.read(Seq("(= seq 36)"))) == Seq(Seq(36L, 3600.0)))
+  }
+
+  test("bound extraction: shapes, params, flipping, lists") {
+    val env = bEnv()
+    val td = env.registry("reading")
+    def b(filters: Seq[Filter], kwargs: Map[String, Any] = Map()): Option[Brin.Bounds] =
+      ZonePrune.bounds(td, filters, Args(env, Nil, kwargs))
+    assert(b(Seq(FilterExpr("(= seq 5)"))) ==
+      Some(Brin.Bounds(Some(5L), Some(5L))))
+    assert(b(Seq(FilterExpr("(and (> seq 3) (<= seq 9))"))) ==
+      Some(Brin.Bounds(Some(3L), Some(9L)))) // strict > widens to closed
+    assert(b(Seq(FilterExpr("(>= 10 seq)"))) == // operand order flips
+      Some(Brin.Bounds(None, Some(10L))))
+    assert(b(Seq(FilterExpr("(in seq 4 8 2)"))) ==
+      Some(Brin.Bounds(Some(2L), Some(8L))))
+    assert(b(Seq(FilterExpr("(= seq {n})")), Map("n" -> 7)) ==
+      Some(Brin.Bounds(Some(7L), Some(7L))))
+    assert(b(Seq(FilterEq(Map("seq" -> 12)))) ==
+      Some(Brin.Bounds(Some(12L), Some(12L))))
+    assert(b(Seq(FilterEq(Map("seq" -> Seq(3, 1, 2))))) ==
+      Some(Brin.Bounds(Some(1L), Some(3L))))
+    // two filters intersect; unrelated conjuncts ignored
+    assert(b(Seq(FilterExpr("(>= seq 5)"),
+        FilterExpr("(and (< seq 20) (> val 0))"))) ==
+      Some(Brin.Bounds(Some(5L), Some(20L))))
+    // unbound shapes
+    assert(b(Seq(FilterExpr("(or (= seq 1) (= seq 2))"))).isEmpty)
+    assert(b(Seq(FilterExpr("(< val 5)"))).isEmpty)
+    assert(b(Seq(FilterExpr("(!= seq 5)"))).isEmpty)
+    // positional {} params are never resolved for pruning
+    assert(b(Seq(FilterExpr("(= seq {})"))).isEmpty)
+  }
+
+  test("string and timestamp encodings order like Spark") {
+    // UTF-8 byte order, not UTF-16: supplementary chars sort above
+    // the BMP max, same as Spark's binary string comparison
+    assert(Brin.cmp("a", "b") < 0)
+    assert(Brin.cmp("￿", new String(Character.toChars(0x10000))) < 0)
+    assert(Brin.cmp(Brin.encode(java.time.LocalDateTime.of(2024, 3, 1, 0, 0)),
+      Brin.encode(java.time.LocalDateTime.of(2024, 3, 1, 0, 1))) < 0)
+    assert(Brin.encode(java.time.LocalDate.of(1970, 1, 2)) == 1L)
+  }
+
+  test("snapshot time travel on a brin table hides the zone column") {
+    val env = bEnv()
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 10).map(i => Seq(i.toLong, i.toDouble)))
+    val snap = env.warehouse.snapshots("reading").last
+    val df = env.warehouse.readSnapshot("reading", snap)
+    assert(!df.columns.contains("__z"))
+    assert(df.count() == 10)
+  }
+}
