@@ -192,6 +192,54 @@ class BrinSpec extends SparkSpec {
     assert(Brin.encode(java.time.LocalDate.of(1970, 1, 2)) == 1L)
   }
 
+  test("streaming micro-batches merge into a brin table via zone carry-over") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    spark.conf.set("spark.graft.brin.zones", "4")
+    val yaml =
+      """- table: stream_archive
+        |  columns:
+        |    event_id: bigint
+        |    event_type: varchar
+        |    value: float
+        |  key: [event_id]
+        |  use-index: brin
+        |""".stripMargin
+    val root = java.nio.file.Files.createTempDirectory("graft-bsink-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bckpt-").toString
+    val env = Env(s, Registry.fromYaml(yaml), root)
+    env.createTables()
+    val fields = Seq("event_id", "event_type", "value")
+    def t(min: Int) = new java.sql.Timestamp((1000 + min) * 60000L)
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStream.Event]
+    val q = graft.streaming.EventStream
+      .mergeInto(mem.toDF(), env, "stream_archive", fields, ckpt).start()
+    try {
+      // initial load: keys 1..40 cluster into zones
+      mem.addData((1 to 40).map(i =>
+        graft.streaming.EventStream.Event(i.toLong, t(i), 10, "click", i.toDouble)))
+      q.processAllAvailable()
+      val m1 = env.warehouse.currentManifest("stream_archive").get
+      assert(m1.zones.size >= 3)
+      // append-mostly micro-batch: recent keys only — every old zone
+      // must carry over by reference (the streaming BRIN sweet spot)
+      mem.addData(Seq(41L, 42L).map(i =>
+        graft.streaming.EventStream.Event(i, t(i.toInt), 10, "click", i.toDouble)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m2 = env.warehouse.currentManifest("stream_archive").get
+    // "carried" = zones still pointing OUTSIDE the live snapshot
+    assert(m2.zones.count(z => !z.dir.startsWith(m2.snap + "/")) >= 3,
+      s"old zones should carry over: ${m2.zones}")
+    val got = rows(env.view("stream_archive", fields).read())
+    assert(got.size == 42)
+    assert(rows(env.view("stream_archive", fields)
+      .read(Seq("(= event_id 41)"))).head.take(2) == Seq(41L, "click"))
+  }
+
   test("snapshot time travel on a brin table hides the zone column") {
     val env = bEnv()
     val v = env.view("reading", Seq("seq", "val"))
