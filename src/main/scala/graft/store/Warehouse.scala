@@ -263,8 +263,24 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     val zkey = td.key.head
     val next = nextSnapName(t)
     val dir = new Path(tableDir(t), next)
-    val nZones = spark.conf.getOption("spark.graft.brin.zones")
+    val fullZones = spark.conf.getOption("spark.graft.brin.zones")
       .map(_.toInt).getOrElse(32)
+    // A partial rewrite reclusters only its slice — into ~as many
+    // zones as it replaces (min 1), NOT the full-table zone count:
+    // otherwise every narrow merge would splinter its small slice
+    // into `fullZones` fragments and the zone list would balloon by
+    // 32× per merge. A pure append (overlapping nothing) adds one
+    // zone per batch — BRIN ranges grow with the data; compact()
+    // consolidates when fragmentation accumulates.
+    val nZones = replaced match {
+      case None => fullZones
+      case Some(b) => currentManifest(t).map(_.zones) match {
+        // legacy/empty zone list: the "slice" was the whole table
+        case None => fullZones
+        case Some(zs) if zs.isEmpty => fullZones
+        case Some(zs) => math.max(1, zs.count(z => b.overlaps(z.lo, z.hi)))
+      }
+    }
     val zc = col("`" + zkey + "`")
     aligned(td, df)
       .repartitionByRange(nZones, zc).sortWithinPartitions(zc)

@@ -151,6 +151,29 @@ class BrinSpec extends SparkSpec {
     assert(rows(v.read(Seq("(= seq 36)"))) == Seq(Seq(36L, 3600.0)))
   }
 
+  test("repeated narrow merges keep the zone count stable") {
+    val env = bEnv(zones = 4)
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 40).map(i => Seq(i.toLong, i.toDouble)))
+    val n0 = env.warehouse.currentManifest("reading").get.zones.size
+    // 5 narrow updates: each replaces its overlapping zone(s) with the
+    // same number of zones — no 32x splinter per merge
+    (1 to 5).foreach { k =>
+      v.write(Seq(Seq((30 + k).toLong, (3000 + k).toDouble)))
+    }
+    val m = env.warehouse.currentManifest("reading").get
+    assert(m.zones.size <= n0 + 1, s"zones ballooned: ${m.zones.size} vs $n0")
+    assert(rows(v.read()).size == 40)
+    assert(rows(v.read(Seq("(= seq 33)"))) == Seq(Seq(33L, 3003.0)))
+    // pure appends: one new zone per batch, all old zones carried
+    (1 to 3).foreach { k =>
+      v.write(Seq(Seq((40 + k).toLong, (40 + k).toDouble)))
+    }
+    val m2 = env.warehouse.currentManifest("reading").get
+    assert(m2.zones.size <= n0 + 4, s"append zones: ${m2.zones.size}")
+    assert(rows(v.read()).size == 43)
+  }
+
   test("bound extraction: shapes, params, flipping, lists") {
     val env = bEnv()
     val td = env.registry("reading")
