@@ -683,6 +683,17 @@ object SparkEntry {
         .orderBy(col("event_id"), col("incident_id"))
     }),
 
+    // LLM-pipeline: corpus profiling — per-column completeness,
+    // exact cardinality and native-ordered value range in two
+    // scale-safe passes (wide agg + melt two-stage distinct; never
+    // Spark's multi-countDistinct Expand replication)
+    "profile_columns" -> ((s, dir) =>
+      graft.ops.Profile.columns(
+        env(s, dir).view("documents",
+          Seq("doc_id", "lang", "source", "n_chars")).read(),
+        Seq("lang", "source", "n_chars"))
+        .orderBy(col("column"))),
+
     // S6'/BRIN: use-index brin round-trip — events archived into a
     // range-clustered zoned table (manifest zone maps), read back with
     // key bounds that prune zone directories driver-side; the filter
@@ -1278,6 +1289,22 @@ object SparkEntry {
     "q36_brin_range" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id BETWEEN 100 AND 400""".stripMargin,
+    "profile_columns" ->
+      """SELECT 'lang' AS "column", count(*) AS n_rows,
+        |  count(*) - count(lang) AS n_nulls,
+        |  count(DISTINCT CAST(lang AS VARCHAR)) AS n_distinct,
+        |  CAST(min(lang) AS VARCHAR) AS min_value,
+        |  CAST(max(lang) AS VARCHAR) AS max_value FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT CAST(source AS VARCHAR)),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT CAST(n_chars AS VARCHAR)),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin,
     "q34_asof_join" ->
       """WITH e AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, ts, max(value) AS click_value

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling: the "know your data" pass a training pipeline
+  * runs before anything else — per-column completeness, cardinality
+  * and value range, in scan shapes that survive 100 TB.
+  *
+  * Why not one `agg(countDistinct(a), countDistinct(b), ...)`: Spark
+  * plans multiple distinct aggregates via an Expand node that
+  * replicates EVERY input row once per distinct aggregate — profiling
+  * 20 columns would scan-equivalent 20x the corpus. Instead:
+  *
+  *  - counts + min/max: ONE wide aggregate (2-3 simple aggs per
+  *    column, all map-side combinable, no row replication);
+  *  - distinct counts: ONE melt pass — each row emits its (column,
+  *    canonical value) pairs, a two-stage groupBy dedupes then counts
+  *    per column. Narrow, combinable, and the shuffle carries only
+  *    the distinct survivors of each partition.
+  *
+  * Values are canonicalized to strings for the melt and the reported
+  * min/max (so mixed-type profiles fit one output schema); distinct
+  * counting is therefore by canonical string form, which coincides
+  * with value distinctness for the scalar types profiled here.
+  */
+object Profile {
+
+  /** One row per profiled column:
+    * (column, n_rows, n_nulls, n_distinct, min_value, max_value).
+    * min/max are computed on the NATIVE type (numeric/time ordering,
+    * not lexicographic) and rendered to string after. */
+  def columns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val d = Par.spread(df)
+    // pass 1: one wide agg — counts and native-ordered min/max
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { cn =>
+      Seq(count(col(cn)).as(s"__c_$cn"),
+        min(col(cn)).cast("string").as(s"__mn_$cn"),
+        max(col(cn)).cast("string").as(s"__mx_$cn"))
+    }
+    val wideRow = d.agg(aggs.head, aggs.tail: _*)
+    val wide = wideRow.select(explode(array(cols.map { cn =>
+      struct(lit(cn).as("column"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__c_$cn")).as("n_nulls"),
+        col(s"__mn_$cn").as("min_value"), col(s"__mx_$cn").as("max_value"))
+    }: _*)).as("__p")).select(col("__p.*"))
+    // pass 2: melt → two-stage distinct per column (null excluded,
+    // matching SQL count(distinct))
+    val melted = d.select(explode(array(cols.map { cn =>
+      struct(lit(cn).as("__col"), col(cn).cast("string").as("__val"))
+    }: _*)).as("__m")).select(col("__m.__col"), col("__m.__val"))
+      .filter(col("__val").isNotNull)
+    val distincts = melted.groupBy(col("__col"), col("__val")).agg(count(lit(1)))
+      .groupBy(col("__col")).agg(count(lit(1)).as("n_distinct"))
+      .withColumnRenamed("__col", "column")
+    wide.join(distincts, Seq("column"), "left")
+      .na.fill(0L, Seq("n_distinct"))
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+}

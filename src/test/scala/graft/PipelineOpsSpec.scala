@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Cluster, Dedup, Sample, Text}
+import graft.ops.{Cluster, Dedup, Profile, Sample, Text}
 
 /** Round-7 pipeline operators: connected-component clustering,
   * deterministic sampling / sharding, PII scrubbing, TF-IDF, and
@@ -336,5 +336,25 @@ class PipelineOpsSpec extends SparkSpec {
       }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root)): Unit
+  }
+
+  test("profile: counts, nulls, native-ordered min/max, exact distincts") {
+    val df = s.createDataFrame(Seq(
+      (9L, "en", Some(1.5)), (10L, "en", Some(2.5)), (100L, "fr", None),
+      (2L, null.asInstanceOf[String], Some(1.5))))
+      .toDF("n", "lang", "score")
+    val p = rows(Profile.columns(df, Seq("n", "lang", "score")))
+      .map(r => r.head -> r.tail).toMap
+    // numeric min/max use native ordering (string min would say "10")
+    assert(p("n") == Seq(4L, 0L, 4L, "2", "100"), p("n").toString)
+    assert(p("lang") == Seq(4L, 1L, 2L, "en", "fr"), p("lang").toString)
+    assert(p("score") == Seq(4L, 1L, 2L, "1.5", "2.5"), p("score").toString)
+  }
+
+  test("profile of an all-null column reports zero distincts, null range") {
+    val df = s.createDataFrame(Seq(Tuple2(1L, null.asInstanceOf[String]),
+      Tuple2(2L, null.asInstanceOf[String]))).toDF("id", "v")
+    val p = rows(Profile.columns(df, Seq("v")))
+    assert(p == Seq(Seq("v", 2L, 2L, 0L, null, null)), p.toString)
   }
 }
