@@ -694,6 +694,20 @@ object SparkEntry {
         Seq("lang", "source", "n_chars"))
         .orderBy(col("column"))),
 
+    // LLM-pipeline: fixed-width histogram (doc length distribution —
+    // the training-data QA staple); outliers clamp into edge bins
+    "profile_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read(),
+        "n_chars", lo = 0.0, hi = 2000.0, bins = 20)
+        .orderBy(col("bin"))),
+
+    // LLM-pipeline: exact top-k frequent values, deterministic ties
+    "profile_topk" -> ((s, dir) =>
+      graft.ops.Profile.topValues(
+        env(s, dir).view("documents", Seq("doc_id", "source")).read(),
+        "source", k = 5)),
+
     // S6'/BRIN: use-index brin round-trip — events archived into a
     // range-clustered zoned table (manifest zone maps), read back with
     // key bounds that prune zone directories driver-side; the filter
@@ -1305,6 +1319,17 @@ object SparkEntry {
         |  count(DISTINCT CAST(n_chars AS VARCHAR)),
         |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |FROM documents""".stripMargin,
+    "profile_histogram" ->
+      """WITH b AS (SELECT LEAST(GREATEST(
+        |    CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS INTEGER), 0), 19)
+        |  AS bin FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT CAST(bin AS INTEGER) AS bin, bin * 100.0 AS bin_lo,
+        |  (bin + 1) * 100.0 AS bin_hi,
+        |  count(*) AS n FROM b GROUP BY bin""".stripMargin,
+    "profile_topk" ->
+      """SELECT CAST(source AS VARCHAR) AS value, count(*) AS n
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
     "q34_asof_join" ->
       """WITH e AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, ts, max(value) AS click_value

@@ -59,4 +59,39 @@ object Profile {
       .select(col("column"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** Fixed-width histogram of a numeric column over [lo, hi): one row
+    * per non-empty bin, (bin, bin_lo, bin_hi, n). Values outside the
+    * range clamp into the edge bins (a data-QA histogram must show
+    * outliers, not drop them); nulls are excluded. One narrow scan +
+    * one combinable count per bin — the shuffle carries at most
+    * `bins` rows per partition. */
+  def histogram(df: DataFrame, column: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "histogram needs bins > 0 and hi > lo")
+    val v = col(column).cast("double")
+    val raw = floor((v - lit(lo)) / lit((hi - lo) / bins)).cast("int")
+    val bin = least(greatest(raw, lit(0)), lit(bins - 1))
+    val w = (hi - lo) / bins
+    Par.spread(df).filter(v.isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"),
+        col("n"))
+  }
+
+  /** Exact top-k most frequent values of a column (nulls excluded),
+    * ties broken by value ascending so the result is deterministic.
+    * Scale shape: groupBy(value) partial-aggregates map-side; the
+    * final top-k is a TakeOrdered over one count per distinct value,
+    * never a full sort of the corpus. */
+  def topValues(df: DataFrame, column: String, k: Int): DataFrame = {
+    require(k > 0, "topValues needs k > 0")
+    Par.spread(df).filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(k)
+  }
 }

@@ -357,4 +357,24 @@ class PipelineOpsSpec extends SparkSpec {
     val p = rows(Profile.columns(df, Seq("v")))
     assert(p == Seq(Seq("v", 2L, 2L, 0L, null, null)), p.toString)
   }
+
+  test("histogram clamps outliers into edge bins and skips empty bins") {
+    val df = s.createDataFrame(
+      Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 150.0).map(Tuple1(_))).toDF("x")
+    val h = rows(Profile.histogram(df, "x", lo = 0.0, hi = 100.0, bins = 10))
+      .map(r => r.head -> (r(1), r(2), r(3))).toMap
+    assert(h(0) == (0.0, 10.0, 3L), h.toString)   // -5 clamped + 0 + 9.9
+    assert(h(1) == (10.0, 20.0, 1L))              // 10.0 lands in [10,20)
+    assert(h(2) == (20.0, 30.0, 1L))
+    assert(h(9) == (90.0, 100.0, 2L), h.toString) // 99 + 150 clamped
+    assert(h.size == 4)                           // empty bins absent
+  }
+
+  test("topValues: exact counts, deterministic value tie-break at the cutoff") {
+    val df = s.createDataFrame(
+      (Seq.fill(3)("b") ++ Seq.fill(3)("a") ++ Seq.fill(2)("c") ++
+        Seq("d") ++ Seq(null.asInstanceOf[String])).map(Tuple1(_))).toDF("v")
+    val t = rows(Profile.topValues(df, "v", 3))
+    assert(t == Seq(Seq("a", 3L), Seq("b", 3L), Seq("c", 2L)), t.toString)
+  }
 }
