@@ -195,4 +195,23 @@ class PlanSpec extends SparkSpec {
       .write(Seq(Seq("Green", "Holland")), purge = false)
     assert(rows(env.view("team").read()).size == 4)
   }
+
+  test("profile plan: no Expand-node row replication, combinable aggs") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents",
+      Seq("doc_id", "lang", "source", "n_chars")).read()
+    val p = plan(graft.ops.Profile.columns(docs,
+      Seq("lang", "source", "n_chars")))
+    // the naive agg(countDistinct(a), countDistinct(b), ...) plans an
+    // Expand that replicates every row once per distinct aggregate —
+    // the profiler's melt + two-stage groupBy must never produce one
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    // histogram: one partial-aggregated count per bin, no sort
+    val h = plan(graft.ops.Profile.histogram(docs, "n_chars", 0, 2000, 20))
+    assert(!h.contains("Expand") && !h.contains("Sort "), h)
+    // top-k: TakeOrdered over per-value counts, not a global sort
+    val t = plan(graft.ops.Profile.topValues(docs, "source", 5))
+    assert(t.contains("TakeOrderedAndProject"), t)
+  }
 }
