@@ -113,32 +113,8 @@ object Main {
         if (s.contains(":")) { val Array(c, d) = s.split(":", 2); Order(c, d) }
         else Order(s)
       }
-      val df = view.read(o.filters.map(FilterExpr.apply),
-        order = order, limit = o.limit, offset = o.offset)
-      val headers = df.columns.toSeq
-      val rows = df.collect().map(_.toSeq.map(v => if (v == null) "" else v)).toSeq
-      val sink: Writer = o.file match {
-        case Some(f) => new BufferedWriter(new FileWriter(f))
-        case None => out
-      }
-      try {
-        if (o.yaml)
-          rows.foreach { r =>
-            sink.write(headers.zip(r).zipWithIndex.map { case ((h, v), i) =>
-              (if (i == 0) "- " else "  ") + h + ": " + String.valueOf(v)
-            }.mkString("", "\n", "\n"))
-          }
-        else if (o.asciiTable)
-          Render.asciiTable(rows.map(_.map(String.valueOf)),
-            if (o.hideHeaders) None else Some(headers)).foreach(sink.write)
-        else if (o.vbar)
-          Render.vbar(rows, tic = o.tic).foreach(sink.write)
-        else {
-          if (!o.hideHeaders) sink.write(Render.csvRow(headers))
-          rows.foreach(r => sink.write(Render.csvRow(r.map(String.valueOf))))
-        }
-        sink.flush()
-      } finally if (o.file.isDefined) sink.close()
+      emit(view.read(o.filters.map(FilterExpr.apply),
+        order = order, limit = o.limit, offset = o.offset), o, out)
 
     case "write" =>
       val (fields, data) = readInput(o)
@@ -157,7 +133,48 @@ object Main {
       out.write(s"serving on http://127.0.0.1:$port\n"); out.flush()
       try Thread.currentThread().join() finally srv.stop()
 
+    // extension: one-shot data card — per-column completeness,
+    // cardinality, range (ops/Profile) through the View/ACL layer
+    case "profile" =>
+      val td = env.registry(o.table)
+      val cols =
+        if (o.fields.nonEmpty) o.fields
+        else td.physical.map(_.name).filterNot(_ == "id")
+      val base = env.view(o.table, cols)
+        .read(o.filters.map(FilterExpr.apply))
+      emit(graft.ops.Profile.columns(base, cols)
+        .orderBy(org.apache.spark.sql.functions.col("column")), o, out)
+
     case other => out.write(s"""Action "$other" not supported\n""")
+  }
+
+  /** Shared result rendering: csv (default), --yaml, --ascii-table or
+    * --vbar, to stdout or --file. */
+  private def emit(df: org.apache.spark.sql.DataFrame, o: Opts, out: Writer): Unit = {
+    val headers = df.columns.toSeq
+    val rows = df.collect().map(_.toSeq.map(v => if (v == null) "" else v)).toSeq
+    val sink: Writer = o.file match {
+      case Some(f) => new BufferedWriter(new FileWriter(f))
+      case None => out
+    }
+    try {
+      if (o.yaml)
+        rows.foreach { r =>
+          sink.write(headers.zip(r).zipWithIndex.map { case ((h, v), i) =>
+            (if (i == 0) "- " else "  ") + h + ": " + String.valueOf(v)
+          }.mkString("", "\n", "\n"))
+        }
+      else if (o.asciiTable)
+        Render.asciiTable(rows.map(_.map(String.valueOf)),
+          if (o.hideHeaders) None else Some(headers)).foreach(sink.write)
+      else if (o.vbar)
+        Render.vbar(rows, tic = o.tic).foreach(sink.write)
+      else {
+        if (!o.hideHeaders) sink.write(Render.csvRow(headers))
+        rows.foreach(r => sink.write(Render.csvRow(r.map(String.valueOf))))
+      }
+      sink.flush()
+    } finally if (o.file.isDefined) sink.close()
   }
 
   /** CSV (or --yaml list-of-maps) input: first csv row is the header

@@ -45,6 +45,26 @@ class CliSpec extends SparkSpec {
     assert(run(conf, "read", "team", "name", "-H") == "Blue\n")
   }
 
+  test("profile action renders a per-column data card") {
+    val (conf, dir) = cfg()
+    run(conf, "init")
+    val csv = java.nio.file.Paths.get(dir, "teams.csv")
+    Files.writeString(csv, "name,country.name\nBlue,Belgium\nRed,France\nAce,France\n")
+    run(conf, "write", "team", "-f", csv.toString)
+    val got = run(conf, "profile", "team", "name")
+    assert(got ==
+      "column,n_rows,n_nulls,n_distinct,min_value,max_value\n" +
+      "name,3,0,3,Ace,Red\n", got)
+    // default columns: every non-id physical column
+    val all = run(conf, "profile", "team")
+    assert(all.contains("name,3,0,3,Ace,Red") && all.contains("country,3,0,2"),
+      all)
+    // filters narrow the profiled slice
+    val be = run(conf, "profile", "team", "name",
+      "-F", """(= country.name "France")""")
+    assert(be.contains("name,2,0,2,Ace,Red"), be)
+  }
+
   test("yaml input and output") {
     val (conf, dir) = cfg()
     run(conf, "init")
