@@ -62,7 +62,8 @@ final class Server(env: Env, port: Int = 0) {
       try {
         val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
         val mutation = path.startsWith("_write/") || path.startsWith("_delete/")
-        val table = if (mutation) path.substring(path.indexOf('/') + 1) else path
+        val prefixed = mutation || path.startsWith("_profile/")
+        val table = if (prefixed) path.substring(path.indexOf('/') + 1) else path
         if (ex.getRequestMethod != (if (mutation) "POST" else "GET"))
           (405, Json.write(Map("error" ->
             (if (mutation) "POST only" else "GET only"))))
@@ -71,6 +72,8 @@ final class Server(env: Env, port: Int = 0) {
         else if (path.startsWith("_write/")) (200, write(table, ex))
         else if (path.startsWith("_delete/"))
           (200, delete(table, params(ex.getRequestURI.getRawQuery)))
+        else if (path.startsWith("_profile/"))
+          (200, profile(table, params(ex.getRequestURI.getRawQuery)))
         else (200, read(table, params(ex.getRequestURI.getRawQuery)))
       } catch {
         case e: Exception =>
@@ -110,6 +113,28 @@ final class Server(env: Env, port: Int = 0) {
     }
     val rows = df.collect().toSeq.map(_.toSeq.map(cell))
     Json.write(Map("columns" -> cols, "rows" -> rows))
+  }
+
+  /** `GET /_profile/<table>?fields=a,b&filter=<s-expr>` — per-column
+    * data card ([[graft.ops.Profile.columns]]) through the View layer
+    * (read filters and ACLs bind exactly like `read`). Defaults to
+    * every non-id physical column. */
+  private def profile(table: String, ps: Seq[(String, String)]): String = {
+    val get = ps.toMap
+    val td = env.registry(table)
+    val cols = get.get("fields").map(_.split(",").toSeq.map(_.trim))
+      .getOrElse(td.physical.map(_.name).filterNot(_ == "id"))
+    val filters = ps.filter(_._1 == "filter").map(_._2)
+    val base = env.view(table, cols)
+      .read(filters = filters.map(graft.view.FilterExpr.apply))
+    val df = graft.ops.Profile.columns(base, cols)
+      .orderBy(org.apache.spark.sql.functions.col("column"))
+    val rows = df.collect().toSeq.map(_.toSeq.map {
+      case null => null
+      case n: Number => n
+      case other => String.valueOf(other)
+    })
+    Json.write(Map("columns" -> df.columns.toSeq, "rows" -> rows))
   }
 
   /** `POST /_write/<table>` — body `{"fields": [...], "rows": [[...]]}`

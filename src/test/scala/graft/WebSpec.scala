@@ -44,6 +44,28 @@ class WebSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("profile endpoint: per-column data card, filter-narrowed") {
+    val env = freshEnv()
+    val srv = new graft.web.Server(env)
+    val port = srv.start()
+    try {
+      val (code, body) = get(port, "/_profile/team?fields=name")
+      assert(code == 200, body)
+      val m = parse(body)
+      assert(m("columns").asInstanceOf[java.util.List[_]].asScala == Seq(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"))
+      val rows = m("rows").asInstanceOf[java.util.List[java.util.List[_]]]
+        .asScala.map(_.asScala.toSeq)
+      assert(rows == Seq(Seq("name", 3, 0, 2, "Blue", "Red")), rows)
+      // filters narrow the profiled slice like the read endpoint
+      val (_, b2) = get(port, "/_profile/team?fields=name&filter=" +
+        java.net.URLEncoder.encode("""(= country.name "France")""", "UTF-8"))
+      val r2 = parse(b2)("rows").asInstanceOf[java.util.List[java.util.List[_]]]
+        .asScala.map(_.asScala.toSeq)
+      assert(r2 == Seq(Seq("name", 1, 0, 1, "Blue", "Blue")), r2)
+    } finally srv.stop()
+  }
+
   test("array columns serialize as JSON lists, not toString") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val srv = new graft.web.Server(env)
