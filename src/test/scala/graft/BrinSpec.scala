@@ -174,6 +174,30 @@ class BrinSpec extends SparkSpec {
     assert(rows(v.read()).size == 43)
   }
 
+  test("compact() collapses fragmented zones into one re-clustered snapshot") {
+    val env = bEnv(zones = 4)
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 40).map(i => Seq(i.toLong, i.toDouble)))
+    // fragment: appends + narrow updates spread zones across snapshots
+    (1 to 4).foreach(k => v.write(Seq(Seq((40 + k).toLong, (40 + k).toDouble))))
+    v.write(Seq(Seq(5L, 500.0)))
+    val frag = env.warehouse.currentManifest("reading").get
+    assert(frag.zones.map(_.dir.split("/")(0)).distinct.size > 1,
+      s"expected zones across several snapshots: ${frag.zones}")
+    env.warehouse.compact("reading")
+    val m = env.warehouse.currentManifest("reading").get
+    assert(m.zones.nonEmpty &&
+      m.zones.forall(_.dir.startsWith(m.snap + "/")),
+      s"compact must collapse zones into one snapshot: ${m.zones}")
+    assert(m.maxId == frag.maxId) // high-water mark preserved
+    assert(rows(v.read()).size == 44)
+    assert(rows(v.read(Seq("(= seq 5)"))) == Seq(Seq(5L, 500.0)))
+    // pruned reads still work over the compacted layout
+    val pr = v.read(Seq("(and (>= seq 41) (<= seq 44))"))
+    assert(rows(pr).size == 4)
+    assert(pr.inputFiles.length < v.read().inputFiles.length)
+  }
+
   test("bound extraction: shapes, params, flipping, lists") {
     val env = bEnv()
     val td = env.registry("reading")
