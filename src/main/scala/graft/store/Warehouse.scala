@@ -42,8 +42,13 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
 
   /** One range-cluster of a brin table's snapshot: directory (relative
     * to the table dir) + encoded min/max of the leading key column
-    * ([[Brin.encode]]; None = the zone holds only null keys). */
-  final case class Zone(dir: String, lo: Option[Any], hi: Option[Any])
+    * ([[Brin.encode]]; None = the zone holds only null keys), plus
+    * `extra` — min/max of the remaining key columns and the surrogate
+    * `id` (postgres BRIN indexes the whole key; in an append-mostly
+    * table id correlates with the leading key, so id-bounded reads
+    * prune too). */
+  final case class Zone(dir: String, lo: Option[Any], hi: Option[Any],
+      extra: Map[String, (Option[Any], Option[Any])] = Map())
 
   /** Bucketed-table manifest: per-bucket pointers + the id high-water
     * mark (so surrogate-id assignment never scans the full table).
@@ -98,7 +103,13 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     val zones = m.get("zones").map(
       _.asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
         .map { z =>
-          Zone(z.get("dir").toString, bound(z.get("lo")), bound(z.get("hi")))
+          val extra = Option(z.get("cols")).map(
+            _.asInstanceOf[java.util.Map[String, java.util.List[Object]]]
+              .asScala.map { case (c, lh) =>
+                c -> (bound(lh.get(0)), bound(lh.get(1)))
+              }.toMap).getOrElse(Map[String, (Option[Any], Option[Any])]())
+          Zone(z.get("dir").toString, bound(z.get("lo")), bound(z.get("hi")),
+            extra)
         }.toSeq).getOrElse(Nil)
     Manifest(m("snap").toString, m("maxId").toString.toLong, buckets, zones)
   }
@@ -107,7 +118,10 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     Json.write(Map("snap" -> m.snap, "maxId" -> m.maxId,
       "buckets" -> m.buckets.map { case (k, v) => k.toString -> v }) ++
       (if (m.zones.isEmpty) Map() else Map("zones" -> m.zones.map(z =>
-        Map("dir" -> z.dir, "lo" -> z.lo.orNull, "hi" -> z.hi.orNull)))))
+        Map("dir" -> z.dir, "lo" -> z.lo.orNull, "hi" -> z.hi.orNull) ++
+          (if (z.extra.isEmpty) Map() else Map("cols" -> z.extra.map {
+            case (c, (lo, hi)) => c -> Seq(lo.orNull, hi.orNull)
+          }))))))
 
   def exists(t: String): Boolean =
     registry(t).external.isDefined || readPointer(t).isDefined
@@ -245,20 +259,44 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   private def writeZoned(t: String, df: DataFrame, knownMaxId: Option[Long]): Unit =
     writeZonedImpl(t, df, replaced = None, knownMaxId)
 
+  /** Columns a brin table's zone map tracks: the FULL key (postgres
+    * BRIN indexes every key column) plus the surrogate `id` (which
+    * correlates with insertion order, hence with the leading key of an
+    * append-mostly table). The first entry is the clustering column. */
+  private def zoneStatCols(td: TableDef): Seq[String] =
+    td.key ++ (if (td.columnMap.contains("id") && !td.key.contains("id"))
+      Seq("id") else Nil)
+
+  /** Multi-column zone overlap: a zone survives pruning iff EVERY
+    * bounded column's zone range overlaps its bound. Columns the zone
+    * has no stats for (older manifests, non-tracked columns) are
+    * unprunable — conservative. */
+  private def zoneOverlaps(z: Zone, zkey: String,
+      bounds: Map[String, Brin.Bounds]): Boolean =
+    bounds.forall { case (c, b) =>
+      if (c == zkey) b.overlaps(z.lo, z.hi)
+      else z.extra.get(c) match {
+        case Some((lo, hi)) => b.overlaps(lo, hi)
+        case None => true
+      }
+    }
+
   /** Partial rewrite of a brin table: `df` is the new content of every
-    * zone whose stats overlap `replaced` (the batch's key range); zones
-    * outside it carry over by reference — the zoned analogue of
-    * [[writeBuckets]]. An append-mostly table (the BRIN use case)
-    * merges a recent-key batch by rewriting the last zone or two.
-    * The caller MUST have merged against exactly the overlapping-zone
-    * slice (`readZones(t, Some(replaced))`): any stored key that can
-    * collide with a batch key lives in an overlapping zone, so the
+    * zone whose stats overlap `replaced` (per-column batch key
+    * ranges); zones outside it carry over by reference — the zoned
+    * analogue of [[writeBuckets]]. An append-mostly table (the BRIN
+    * use case) merges a recent-key batch by rewriting the last zone
+    * or two. The caller MUST have merged against exactly the
+    * overlapping-zone slice (`readZones(t, Some(replaced))`): a
+    * stored key can only collide with a batch key if every key
+    * column falls inside the batch's range for that column, so the
     * disjoint carried zones cannot duplicate a merged key. */
-  def writeZones(t: String, df: DataFrame, replaced: Brin.Bounds, newMaxId: Long): Unit =
+  def writeZones(t: String, df: DataFrame,
+      replaced: Map[String, Brin.Bounds], newMaxId: Long): Unit =
     writeZonedImpl(t, df, Some(replaced), Some(newMaxId))
 
   private def writeZonedImpl(t: String, df: DataFrame,
-      replaced: Option[Brin.Bounds], knownMaxId: Option[Long]): Unit = {
+      replaced: Option[Map[String, Brin.Bounds]], knownMaxId: Option[Long]): Unit = {
     val td = registry(t)
     val zkey = td.key.head
     val next = nextSnapName(t)
@@ -278,7 +316,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
         // legacy/empty zone list: the "slice" was the whole table
         case None => fullZones
         case Some(zs) if zs.isEmpty => fullZones
-        case Some(zs) => math.max(1, zs.count(z => b.overlaps(z.lo, z.hi)))
+        case Some(zs) => math.max(1, zs.count(z => zoneOverlaps(z, zkey, b)))
       }
     }
     val zc = col("`" + zkey + "`")
@@ -291,22 +329,30 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     val fsys = fs(dir)
     val hasZones = fsys.exists(dir) &&
       fsys.listStatus(dir).exists(_.getPath.getName.startsWith("__z="))
-    val hasId = td.columnMap.contains("id")
+    val statCols = zoneStatCols(td)
     var zones: Seq[Zone] = Nil
     var statMaxId = 0L
     if (hasZones) {
       import org.apache.spark.sql.functions.{max => fmax, min => fmin}
       val back = spark.read.parquet(dir.toString)
-      val aggs = Seq(fmin(zc).as("__lo"), fmax(zc).as("__hi")) ++
-        (if (hasId) Seq(fmax(col("id")).as("__mid")) else Nil)
+      val aggs = statCols.flatMap(c => Seq(
+        fmin(col("`" + c + "`")).as(s"__lo_$c"),
+        fmax(col("`" + c + "`")).as(s"__hi_$c")))
       val rows = back.groupBy(col("__z")).agg(aggs.head, aggs.tail: _*).collect()
+      def enc(r: org.apache.spark.sql.Row, i: Int): Option[Any] =
+        Option(r.get(i)).map(Brin.encode)
       zones = rows.map { r =>
-        Zone(s"$next/__z=${r.get(0)}",
-          Option(r.get(1)).map(Brin.encode), Option(r.get(2)).map(Brin.encode))
+        val extra = statCols.tail.zipWithIndex.map { case (c, j) =>
+          c -> (enc(r, 3 + 2 * j), enc(r, 4 + 2 * j))
+        }.toMap
+        Zone(s"$next/__z=${r.get(0)}", enc(r, 1), enc(r, 2), extra)
       }.sortBy(_.dir)
-      if (hasId) statMaxId = rows
-        .map(r => Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L))
-        .foldLeft(0L)(_ max _)
+      if (statCols.contains("id")) {
+        val idHiIdx = 2 + 2 * statCols.indexOf("id")
+        statMaxId = rows
+          .map(r => Option(r.get(idHiIdx)).map(_.asInstanceOf[Long]).getOrElse(0L))
+          .foldLeft(0L)(_ max _)
+      }
     }
     val prev = currentManifest(t)
     // carry-over: zones provably disjoint from the batch key range
@@ -314,7 +360,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     // partition the old zone set exactly)
     val carried = replaced match {
       case Some(b) => prev.map(_.zones).getOrElse(Nil)
-        .filterNot(z => b.overlaps(z.lo, z.hi))
+        .filterNot(z => zoneOverlaps(z, zkey, b))
       case None => Nil
     }
     val allZones = carried ++ zones
@@ -328,12 +374,14 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   }
 
   /** Zone-pruned read of a brin table: only the zone directories whose
-    * [min,max] overlaps `bounds` (None = all zones — still the
-    * canonical read path for brin tables, since their snapshots are
-    * `__z=`-partitioned). The caller's filter still applies in full;
-    * pruning is pure IO elision, like the reference's BRIN scan. */
-  def readZones(t: String, bounds: Option[Brin.Bounds]): DataFrame = {
+    * per-column stats overlap every bound in `bounds` (None = all
+    * zones — still the canonical read path for brin tables, since
+    * their snapshots are `__z=`-partitioned). The caller's filter
+    * still applies in full; pruning is pure IO elision, like the
+    * reference's BRIN scan. */
+  def readZones(t: String, bounds: Option[Map[String, Brin.Bounds]]): DataFrame = {
     val td = registry(t)
+    val zkey = td.key.head
     currentManifest(t) match {
       case None => empty(td)
       case Some(m) if m.zones.isEmpty =>
@@ -342,8 +390,8 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
           .parquet(new Path(tableDir(t), m.snap).toString)
       case Some(m) =>
         val selected = bounds match {
-          case Some(b) if b.isEmpty => Nil
-          case Some(b) => m.zones.filter(z => b.overlaps(z.lo, z.hi))
+          case Some(b) if b.exists(_._2.isEmpty) => Nil // provably empty
+          case Some(b) => m.zones.filter(z => zoneOverlaps(z, zkey, b))
           case None => m.zones
         }
         if (selected.isEmpty) empty(td)

@@ -121,7 +121,8 @@ final class View(val env: Env, tableName: String, fieldSpecs: Seq[(String, Strin
     val zoneBounds =
       if (table.useIndex.equalsIgnoreCase("brin") && table.buckets == 0 &&
           table.external.isEmpty)
-        ZonePrune.bounds(table, pruneFilters, Args(env, args, kwargs))
+        Some(ZonePrune.bounds(table, pruneFilters, Args(env, args, kwargs)))
+          .filter(_.nonEmpty)
       else None
     val qb = QueryBuilder(env, table, fieldEnv,
       baseRead = zoneBounds.map(b =>

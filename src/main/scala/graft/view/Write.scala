@@ -318,16 +318,22 @@ object Write {
     (env.spark.createDataFrame(withIds, schema), maxId + offsets.last, rdd)
   }
 
-  /** Encoded [min, max] of the batch's leading key column, or None for
-    * an empty batch (caller falls back to the full-table path). Key
-    * nulls were already rejected by [[prepare]]. */
-  private def batchKeyBounds(b: DataFrame, zkey: String)
-      : Option[graft.store.Brin.Bounds] = {
-    val r = b.agg(min(c(zkey)), max(c(zkey))).head
+  /** Encoded [min, max] of every batch key column, or None for an
+    * empty batch (caller falls back to the full-table path). A stored
+    * key can only collide with a batch key when EVERY key column
+    * falls inside the batch's range for that column, so each bound
+    * prunes independently. Key nulls were already rejected by
+    * [[prepare]]. */
+  private def batchKeyBounds(b: DataFrame, keyCols: Seq[String])
+      : Option[Map[String, graft.store.Brin.Bounds]] = {
+    val aggs = keyCols.flatMap(k => Seq(min(c(k)), max(c(k))))
+    val r = b.agg(aggs.head, aggs.tail: _*).head
     if (r.isNullAt(0)) None
-    else Some(graft.store.Brin.Bounds(
-      Some(graft.store.Brin.encode(r.get(0))),
-      Some(graft.store.Brin.encode(r.get(1)))))
+    else Some(keyCols.zipWithIndex.map { case (k, i) =>
+      k -> graft.store.Brin.Bounds(
+        Some(graft.store.Brin.encode(r.get(2 * i))),
+        Some(graft.store.Brin.encode(r.get(2 * i + 1))))
+    }.toMap)
   }
 
   // --------------------------------------------------------------- write
@@ -361,10 +367,10 @@ object Write {
     // range, so the merge reads and rewrites just the overlapping
     // zones; disjoint zones carry over by reference. The append-mostly
     // table brin targets merges its recent-key batch into 1-2 zones.
-    val zoneBounds: Option[graft.store.Brin.Bounds] =
+    val zoneBounds: Option[Map[String, graft.store.Brin.Bounds]] =
       if (affected.isEmpty && t.useIndex.equalsIgnoreCase("brin") &&
           t.buckets == 0 && !purge && keyCols == t.key)
-        batchKeyBounds(b, t.key.head)
+        batchKeyBounds(b, t.key)
       else None
     val cur = affected match {
       case Some(bs) => env.warehouse.readBuckets(t.name, Some(bs))
@@ -513,7 +519,7 @@ object Write {
           // range can lose rows (not with swap — that deletes the rest)
           if (t.useIndex.equalsIgnoreCase("brin") && t.buckets == 0 &&
               !swap && keyCols == t.key) {
-            batchKeyBounds(bKeys, t.key.head) match {
+            batchKeyBounds(bKeys, t.key) match {
               case Some(zb) =>
                 val slice = env.warehouse.readZones(t.name, Some(zb)).persist()
                 val keptSlice = slice.join(bKeys, keyCols, "left_anti").persist()

@@ -4,44 +4,52 @@ import graft.expr.{Args, Ast, Parser}
 import graft.schema.TableDef
 import graft.store.Brin
 
-/** Extracts conservative key bounds from read filters so brin-table
-  * reads can prune zone directories ([[graft.store.Warehouse.readZones]]).
+/** Extracts conservative per-column key bounds from read filters so
+  * brin-table reads can prune zone directories
+  * ([[graft.store.Warehouse.readZones]]). Bounds are collected for
+  * every zone-tracked column — the full table key plus the surrogate
+  * `id` — and a zone must overlap ALL of them to be read.
   *
-  * Only shapes that PROVABLY bound the leading key column contribute:
-  * top-level conjuncts of the form `(op key literal)` (either operand
-  * order) for op in `= != < <= > >=` — `!=` contributes nothing but is
-  * recognized — plus `(in key v1 v2 ...)`, equality-map filters, and
-  * NAMED `{param}` values (positional `{}` params are skipped: their
-  * cursor position depends on the whole query's compile order, and a
-  * mis-resolved bound would prune wrong). Everything else is ignored,
-  * which only widens the read — pruning is an IO optimization, the
-  * compiled filter still applies in full.
+  * Only shapes that PROVABLY bound a tracked column contribute:
+  * top-level conjuncts of the form `(op col literal)` (either operand
+  * order) for op in `= < <= > >=`, plus `(in col v1 v2 ...)`,
+  * equality-map filters, and NAMED `{param}` values (positional `{}`
+  * params are skipped: their cursor position depends on the whole
+  * query's compile order, and a mis-resolved bound would prune
+  * wrong). Everything else is ignored, which only widens the read —
+  * pruning is an IO optimization, the compiled filter still applies
+  * in full.
   */
 object ZonePrune {
 
-  /** Closed encoded bounds for `td.key.head`, or None when no usable
-    * conjunct exists (read everything). */
-  def bounds(td: TableDef, filters: Seq[Filter], argv: Args): Option[Brin.Bounds] = {
-    val zkey = td.key.head
-    val dt = td.columnMap.get(zkey).flatMap(_.ctype.spark).getOrElse(return None)
-    var acc = Brin.Bounds.all
-    var any = false
+  /** Encoded closed bounds per tracked column; empty map = no usable
+    * conjunct (read everything). */
+  def bounds(td: TableDef, filters: Seq[Filter], argv: Args)
+      : Map[String, Brin.Bounds] = {
+    val tracked: Map[String, org.apache.spark.sql.types.DataType] =
+      (td.key ++ (if (td.columnMap.contains("id") && !td.key.contains("id"))
+        Seq("id") else Nil))
+        .flatMap(c => td.columnMap.get(c).flatMap(_.ctype.spark).map(c -> _))
+        .toMap
+    if (tracked.isEmpty) return Map()
+    var acc = Map[String, Brin.Bounds]()
 
-    def enc(v: Any): Option[Any] =
-      try Option(Coerce.to(v, dt)).map(Brin.encode)
+    def tighten(c: String, lo: Option[Any], hi: Option[Any]): Unit =
+      acc = acc.updated(c, acc.getOrElse(c, Brin.Bounds.all).tighten(lo, hi))
+
+    def enc(c: String, v: Any): Option[Any] =
+      try Option(Coerce.to(v, tracked(c))).map(Brin.encode)
       catch { case _: Exception => None }
 
-    def eq(v: Any): Unit = v match {
+    def eq(c: String, v: Any): Unit = v match {
       case null => () // isNull: outside any value range, but not provably empty
       case vs: Iterable[_] =>
-        val es = vs.toSeq.map(enc)
+        val es = vs.toSeq.map(enc(c, _))
         if (es.nonEmpty && es.forall(_.isDefined)) {
           val sorted = es.flatten.sortWith(Brin.cmp(_, _) < 0)
-          acc = acc.tighten(Some(sorted.head), Some(sorted.last)); any = true
+          tighten(c, Some(sorted.head), Some(sorted.last))
         }
-      case other => enc(other).foreach { e =>
-        acc = acc.tighten(Some(e), Some(e)); any = true
-      }
+      case other => enc(c, other).foreach(e => tighten(c, Some(e), Some(e)))
     }
 
     // literal or NAMED param value of an AST operand
@@ -53,7 +61,10 @@ object ZonePrune {
         try Some(argv.resolve(p)) catch { case _: Exception => None }
       case _ => None
     }
-    def isKey(a: Ast): Boolean = a == Ast.Word(zkey)
+    def trackedCol(a: Ast): Option[String] = a match {
+      case Ast.Word(w) if tracked.contains(w) => Some(w)
+      case _ => None
+    }
 
     def conjuncts(a: Ast): Seq[Ast] = a match {
       case Ast.Node(Ast.Word("and") +: cs) => cs.flatMap(conjuncts)
@@ -63,43 +74,46 @@ object ZonePrune {
     def visit(a: Ast): Unit = a match {
       case Ast.Node(Seq(Ast.Word(op), l, r))
           if Set("=", "<", "<=", ">", ">=").contains(op) =>
-        val (key, v, effOp) =
-          if (isKey(l)) (true, valueOf(r), op)
-          else if (isKey(r)) (true, valueOf(l), flip(op))
-          else (false, None, op)
-        if (key) v.foreach { raw =>
-          raw match {
-            case vs: Iterable[_] => () // list in a comparison: not a bound
-            case _ => enc(raw).foreach { e =>
-              effOp match {
-                case "=" => acc = acc.tighten(Some(e), Some(e)); any = true
-                // strict ops widen to closed bounds: conservative
-                case ">" | ">=" => acc = acc.tighten(Some(e), None); any = true
-                case "<" | "<=" => acc = acc.tighten(None, Some(e)); any = true
+        val hit = trackedCol(l).map(c => (c, valueOf(r), op))
+          .orElse(trackedCol(r).map(c => (c, valueOf(l), flip(op))))
+        hit.foreach { case (c, v, effOp) =>
+          v match {
+            case Some(raw) if !raw.isInstanceOf[Iterable[_]] =>
+              enc(c, raw).foreach { e =>
+                effOp match {
+                  case "=" => tighten(c, Some(e), Some(e))
+                  // strict ops widen to closed bounds: conservative
+                  case ">" | ">=" => tighten(c, Some(e), None)
+                  case "<" | "<=" => tighten(c, None, Some(e))
+                }
               }
-            }
+            case _ => ()
           }
         }
-      case Ast.Node(Ast.Word("in") +: k +: vs) if isKey(k) && vs.nonEmpty =>
-        // (in key v1 v2 ...) — a named list param expands driver-side
-        val raws = vs.map(valueOf)
-        if (raws.forall(_.isDefined)) {
-          val flat = raws.flatten.flatMap {
-            case it: Iterable[_] => it.toSeq
-            case one => Seq(one)
+      case Ast.Node(Ast.Word("in") +: k +: vs) if vs.nonEmpty =>
+        trackedCol(k).foreach { c =>
+          // (in col v1 v2 ...) — a named list param expands driver-side
+          val raws = vs.map(valueOf)
+          if (raws.forall(_.isDefined)) {
+            val flat = raws.flatten.flatMap {
+              case it: Iterable[_] => it.toSeq
+              case one => Seq(one)
+            }
+            eq(c, flat)
           }
-          eq(flat)
         }
       case _ => ()
     }
 
     filters.foreach {
-      case FilterEq(m) => m.get(zkey).foreach(eq)
+      case FilterEq(m) => m.foreach { case (k, v) =>
+        if (tracked.contains(k)) eq(k, v)
+      }
       case FilterExpr(s) =>
-        val ast = try Parser.parse(s) catch { case _: Exception => return None }
+        val ast = try Parser.parse(s) catch { case _: Exception => return Map() }
         conjuncts(ast).foreach(visit)
     }
-    if (any) Some(acc) else None
+    acc
   }
 
   private def flip(op: String): String = op match {

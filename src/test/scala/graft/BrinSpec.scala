@@ -201,32 +201,80 @@ class BrinSpec extends SparkSpec {
   test("bound extraction: shapes, params, flipping, lists") {
     val env = bEnv()
     val td = env.registry("reading")
-    def b(filters: Seq[Filter], kwargs: Map[String, Any] = Map()): Option[Brin.Bounds] =
+    def b(filters: Seq[Filter], kwargs: Map[String, Any] = Map())
+        : Map[String, Brin.Bounds] =
       ZonePrune.bounds(td, filters, Args(env, Nil, kwargs))
     assert(b(Seq(FilterExpr("(= seq 5)"))) ==
-      Some(Brin.Bounds(Some(5L), Some(5L))))
+      Map("seq" -> Brin.Bounds(Some(5L), Some(5L))))
     assert(b(Seq(FilterExpr("(and (> seq 3) (<= seq 9))"))) ==
-      Some(Brin.Bounds(Some(3L), Some(9L)))) // strict > widens to closed
+      Map("seq" -> Brin.Bounds(Some(3L), Some(9L)))) // strict > widens
     assert(b(Seq(FilterExpr("(>= 10 seq)"))) == // operand order flips
-      Some(Brin.Bounds(None, Some(10L))))
+      Map("seq" -> Brin.Bounds(None, Some(10L))))
     assert(b(Seq(FilterExpr("(in seq 4 8 2)"))) ==
-      Some(Brin.Bounds(Some(2L), Some(8L))))
+      Map("seq" -> Brin.Bounds(Some(2L), Some(8L))))
     assert(b(Seq(FilterExpr("(= seq {n})")), Map("n" -> 7)) ==
-      Some(Brin.Bounds(Some(7L), Some(7L))))
+      Map("seq" -> Brin.Bounds(Some(7L), Some(7L))))
     assert(b(Seq(FilterEq(Map("seq" -> 12)))) ==
-      Some(Brin.Bounds(Some(12L), Some(12L))))
+      Map("seq" -> Brin.Bounds(Some(12L), Some(12L))))
     assert(b(Seq(FilterEq(Map("seq" -> Seq(3, 1, 2))))) ==
-      Some(Brin.Bounds(Some(1L), Some(3L))))
+      Map("seq" -> Brin.Bounds(Some(1L), Some(3L))))
     // two filters intersect; unrelated conjuncts ignored
     assert(b(Seq(FilterExpr("(>= seq 5)"),
         FilterExpr("(and (< seq 20) (> val 0))"))) ==
-      Some(Brin.Bounds(Some(5L), Some(20L))))
+      Map("seq" -> Brin.Bounds(Some(5L), Some(20L))))
+    // the surrogate id is tracked alongside the key
+    assert(b(Seq(FilterExpr("(and (>= seq 5) (<= id 100))"))) ==
+      Map("seq" -> Brin.Bounds(Some(5L), None),
+        "id" -> Brin.Bounds(None, Some(100L))))
     // unbound shapes
     assert(b(Seq(FilterExpr("(or (= seq 1) (= seq 2))"))).isEmpty)
     assert(b(Seq(FilterExpr("(< val 5)"))).isEmpty)
     assert(b(Seq(FilterExpr("(!= seq 5)"))).isEmpty)
     // positional {} params are never resolved for pruning
     assert(b(Seq(FilterExpr("(= seq {})"))).isEmpty)
+  }
+
+  test("composite key + id: every key column and id prune independently") {
+    spark.conf.set("spark.graft.brin.zones", "8")
+    val root = java.nio.file.Files.createTempDirectory("graft-brin2-").toString
+    val env = Env(spark, Registry.fromYaml(
+      """- table: span
+        |  columns:
+        |    day: bigint
+        |    slot: bigint
+        |    v: float
+        |  key: [day, slot]
+        |  use-index: brin
+        |""".stripMargin), root)
+    env.createTables()
+    val v = env.view("span", Seq("day", "slot", "v"))
+    v.write((0 until 80).map(i => Seq((i / 10).toLong, (i % 10).toLong, i.toDouble)))
+    val m = env.warehouse.currentManifest("span").get
+    // zones carry stats for the second key column and the id
+    assert(m.zones.forall(z => z.extra.contains("slot") && z.extra.contains("id")),
+      m.zones.toString)
+    val all = v.read().inputFiles.length
+    // leading-key range prunes
+    val lead = v.read(Seq("(= day 3)"))
+    assert(rows(lead).size == 10 && lead.inputFiles.length < all)
+    // id bound prunes too: ids were assigned in key order, so they
+    // correlate with the clustering — the BRIN sweet spot
+    val byId = env.view("span", Seq("id", "day", "slot"))
+      .read(Seq("(<= id 5)"))
+    assert(rows(byId).size == 5 && byId.inputFiles.length < all,
+      s"${byId.inputFiles.length} vs $all")
+    // second-key-only bound: zones cluster by day, slot spans every
+    // zone — no pruning possible, result still exact
+    val bySlot = v.read(Seq("(= slot 7)"))
+    assert(rows(bySlot).size == 8 && bySlot.inputFiles.length == all)
+    // narrow merge keyed on both columns still carries disjoint zones
+    v.write(Seq(Seq(7L, 3L, 999.0)))
+    val m2 = env.warehouse.currentManifest("span").get
+    assert(m2.zones.count(z => !z.dir.startsWith(m2.snap + "/")) > 0,
+      m2.zones.toString)
+    assert(rows(v.read(Seq("(and (= day 7) (= slot 3))"))) ==
+      Seq(Seq(7L, 3L, 999.0)))
+    assert(rows(v.read()).size == 80)
   }
 
   test("string and timestamp encodings order like Spark") {
