@@ -96,7 +96,8 @@ object Main {
 
     case "info" =>
       if (o.table.nonEmpty) {
-        env.registry(o.table).columns.sortBy(_.name).foreach { c =>
+        val td = env.registry(o.table)
+        td.columns.sortBy(_.name).foreach { c =>
           val details = c.ctype match {
             case ColType.M2O(t, cc, _) => s"M2O -> $t.$cc"
             case ColType.O2M(t, cc) => s"O2M -> $t.$cc"
@@ -104,6 +105,13 @@ object Main {
           }
           out.write(s"${c.name} ($details)\n")
         }
+        // brin observability: how clustered is the table right now?
+        if (td.useIndex.equalsIgnoreCase("brin") && td.external.isEmpty)
+          env.warehouse.currentManifest(o.table).foreach { m =>
+            val snaps = m.zones.map(_.dir.split("/")(0)).distinct.size
+            out.write(s"zones: ${m.zones.size} on ${td.key.head} " +
+              s"across $snaps snapshot(s)\n")
+          }
       } else env.registry.names.sorted.foreach(n => out.write(n + "\n"))
 
     case "read" =>

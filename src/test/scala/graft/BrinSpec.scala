@@ -335,6 +335,18 @@ class BrinSpec extends SparkSpec {
       .read(Seq("(= event_id 41)"))).head.take(2) == Seq(41L, "click"))
   }
 
+  test("pruned reads still push filters into the parquet scan") {
+    val env = bEnv(zones = 8)
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 80).map(i => Seq(i.toLong, i.toDouble)))
+    val df = v.read(Seq("(and (>= seq 10) (<= seq 14))"))
+    val p = df.queryExecution.executedPlan.toString
+    // zone pruning selects directories; WITHIN them Catalyst pushdown
+    // + parquet row-group stats must still apply (two pruning layers)
+    assert(p.contains("PushedFilters: [IsNotNull(seq), GreaterThanOrEqual(seq,10)"),
+      p)
+  }
+
   test("snapshot time travel on a brin table hides the zone column") {
     val env = bEnv()
     val v = env.view("reading", Seq("seq", "val"))
