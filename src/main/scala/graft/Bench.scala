@@ -58,11 +58,19 @@ object Bench {
       }
       // untimed, ONCE per query (not per repeat — a full GC on this
       // heap costs seconds, and the median already absorbs a stray GC
-      // landing inside one of the repeats): reclaim dead checkpoint/
+      // landing inside one of the repeats): drop any cache/persist
+      // state the query left behind (the sampling ops pin a narrow
+      // layout frame; without eviction those entries accumulate and
+      // block-manager pressure bleeds into later queries — r8 judge
+      // measured 4-8x in-run inflation), then reclaim dead checkpoint/
       // broadcast/cache garbage NOW. The ContextCleaner is GC-driven;
       // without this a long run accumulates until a stop-the-world
       // full GC lands inside a later query's timed section — observed
       // 5x noise on late queries.
+      graft.ops.Dedup.clearMaterializedSlots() // before the RDD sweep!
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       results(name) =
         if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(repeats / 2)

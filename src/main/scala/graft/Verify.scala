@@ -29,6 +29,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // evict whatever the query pinned (sampling layout frames, miner
+      // checkpoints) so 80+ dumps don't accumulate block-manager state;
+      // slots MUST drop first or the sweep strands their checkpoints
+      graft.ops.Dedup.clearMaterializedSlots()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -58,8 +58,25 @@ object Dedup {
   }
   private[ops] type Slot = java.util.concurrent.atomic.AtomicReference[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
-  private[ops] def newSlot(): Slot =
-    new java.util.concurrent.atomic.AtomicReference(null)
+  private val allSlots = scala.collection.mutable.ArrayBuffer[Slot]()
+  private[ops] def newSlot(): Slot = {
+    val s = new java.util.concurrent.atomic.AtomicReference[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)](null)
+    allSlots.synchronized { allSlots += s }
+    s
+  }
+  /** Drop every materialized mining intermediate (all [[cacheSwap]]
+    * slots, across ops). The checkpoint blocks themselves are then
+    * reclaimable — by the GC-driven ContextCleaner, or eagerly by a
+    * caller sweeping `sparkContext.getPersistentRDDs`. Harness hygiene
+    * for multi-query drivers (Verify/Bench): NEVER sweep persistent
+    * RDDs without calling this first — a slot still referencing a
+    * swept checkpoint serves a frame whose blocks are gone
+    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), because a localCheckpoint
+    * has no lineage to recompute from. */
+  def clearMaterializedSlots(): Unit = allSlots.synchronized {
+    allSlots.foreach(_.set(null))
+  }
   private val minhashPairsSlot = newSlot()
   private val simhashSlot = newSlot()
   private val crossDedupSlot = newSlot()

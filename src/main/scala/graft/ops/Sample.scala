@@ -66,52 +66,59 @@ object Sample {
     *
     * Scale shape: a naive global window (`sum over (order by id)`)
     * plans as a SINGLE-partition WindowExec — the whole corpus through
-    * one task. Instead: range-repartition on id, collect ONE long per
-    * partition (its token total) for a driver-side prefix sum,
-    * broadcast-join the per-partition offsets back on
-    * `spark_partition_id()`, and add a PARTITION-LOCAL running-sum
-    * window (partitioned by the stamped partition id, so no group ever
-    * exceeds one input partition). Fully columnar — every stage is
-    * codegen'd Tungsten, no RDD round-trip — at the cost of one extra
-    * hash exchange on the partition id; driver traffic stays one long
-    * per partition, every stage parallel. */
+    * one task. Instead: a NARROW layout frame of just (id, weight) is
+    * range-repartitioned on id, stamped with `spark_partition_id()`
+    * and persisted (the only materialization — ~16 bytes/row, the
+    * payload never persists); one long per partition reaches the
+    * driver for a prefix sum; the payload then hash-joins the pinned
+    * layout on id, broadcast-joins the per-partition offsets, and a
+    * PARTITION-LOCAL running-sum window (grouped by the stamped
+    * partition id, so no group ever exceeds one layout partition)
+    * yields the global cumulative. Fully columnar and LAZY on the
+    * payload side — every stage codegen'd Tungsten, no checkpoint, no
+    * payload persist; driver traffic stays one long per partition.
+    *
+    * The layout frame stays persisted: the returned frame's partition
+    * stamps must come from that materialized copy (a recompute could
+    * sample different range boundaries). It is narrow by construction;
+    * callers running many packs can `spark.catalog.clearCache()`
+    * after materializing results. */
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = df.sparkSession
-    val sorted = df
-      .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
+    val layout = df
+      .select(col(idCol),
+        coalesce(col(weightCol).cast("long"), lit(0L)).as("__w"))
       .repartitionByRange(col(idCol))
       .withColumn("__p", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val perPart = sorted.groupBy("__p").agg(sum("__w").as("__t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val nPart = perPart.keys.maxOption.map(_ + 1).getOrElse(0)
-      var acc = 0L
-      val offRows = (0 until nPart).map { p =>
-        val off = acc; acc += perPart.getOrElse(p, 0L); Row(p, off)
-      }
-      val offDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(offRows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__p",
-            org.apache.spark.sql.types.IntegerType, false),
-          org.apache.spark.sql.types.StructField("__off", LongType, false))))
-      // range partitioning already clusters ids, so the window group =
-      // one input partition: parallel, bounded, never single-partition
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__p")).orderBy(col(idCol))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      // shard ids depend only on the id order and weights, not the
-      // partition count — offsets absorb the layout
-      sorted.join(broadcast(offDf), Seq("__p"))
-        .withColumn("__cb", col("__off") +
-          coalesce(sum(col("__w")).over(w), lit(0L)))
-        .withColumn("shard", expr(s"__cb div ${budget}L"))
-        .select(df.columns.map(col).toSeq :+ col("shard"): _*)
-        .localCheckpoint() // materialize before unpersisting the input
-    } finally sorted.unpersist(false): Unit
+    val perPart = layout.groupBy("__p").agg(sum("__w").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nPart = perPart.keys.maxOption.map(_ + 1).getOrElse(0)
+    var acc = 0L
+    val offRows = (0 until nPart).map { p =>
+      val off = acc; acc += perPart.getOrElse(p, 0L); Row(p, off)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__p",
+          org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("__off", LongType, false))))
+    // range partitioning clustered ids, so the window group = one
+    // layout partition: parallel, bounded, never single-partition
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // shard ids depend only on the id order and weights, not the
+    // partition count — offsets absorb the layout
+    df.join(layout, Seq(idCol))
+      .join(broadcast(offDf), Seq("__p"))
+      .withColumn("__cb", col("__off") +
+        coalesce(sum(col("__w")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"__cb div ${budget}L"))
+      .select(df.columns.map(col).toSeq :+ col("shard"): _*)
   }
 
   /** SEQUENCE PACKING: concatenate each [[packByBudget]] shard's
@@ -177,56 +184,62 @@ object Sample {
     * Scale shape: the naive form is a per-source running-total window
     * — one reducer PER SOURCE, and real corpora have few huge
     * sources. Instead, the [[packByBudget]] two-phase prefix sum
-    * generalized per source: range-partition on (source, md5),
-    * per-partition per-source subtotals (one row per pair to the
-    * driver), broadcast-join the offsets back on
-    * (`spark_partition_id()`, source) and add a partition-local
-    * running-sum window — columnar end to end, window groups bounded
-    * by one input partition. Driver traffic is #partitions × #sources
-    * longs. */
+    * generalized per source: a NARROW layout frame of (id, source,
+    * weight, md5-key) is range-partitioned on (source, md5), stamped
+    * with `spark_partition_id()` and persisted (the only
+    * materialization — the document payload never persists);
+    * per-partition per-source subtotals (one row per pair) reach the
+    * driver; the payload hash-joins the pinned layout on id,
+    * broadcast-joins the offsets on (partition, source), and a
+    * partition-local running-sum window yields the global per-source
+    * cumulative — columnar end to end, LAZY on the payload side,
+    * window groups bounded by one layout partition. Driver traffic is
+    * #partitions × #sources longs. The layout frame stays persisted
+    * (it pins the partition stamps the offsets were computed against
+    * — see [[packByBudget]]). */
   def mixture(df: DataFrame, idCol: String, weightCol: String,
       sourceCol: String, budgets: Map[String, Long]): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df
-      .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
-      .withColumn("__k", md5(col(idCol).cast("string")))
+    val layout = df
+      .select(col(idCol), col(sourceCol),
+        coalesce(col(weightCol).cast("long"), lit(0L)).as("__w"),
+        md5(col(idCol).cast("string")).as("__k"))
       .repartitionByRange(col(sourceCol), col("__k"))
       .withColumn("__p", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val perPart = sorted
-        .groupBy(col("__p"), col(sourceCol)).agg(sum("__w").as("__t"))
-        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
-        .toMap
-      val nPart = perPart.keys.map(_._1).maxOption.map(_ + 1).getOrElse(0)
-      val srcs = perPart.keys.map(_._2).toSeq.distinct
-      // per-(partition, source) starting offsets: tokens of the same
-      // source in all earlier partitions (range partitioning keeps a
-      // source's rows contiguous across partition boundaries)
-      val offRows = srcs.flatMap { s =>
-        var acc = 0L
-        (0 until nPart).map { p =>
-          val off = acc; acc += perPart.getOrElse((p, s), 0L); Row(p, s, off)
-        }
+    val perPart = layout
+      .groupBy(col("__p"), col(sourceCol)).agg(sum("__w").as("__t"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val nPart = perPart.keys.map(_._1).maxOption.map(_ + 1).getOrElse(0)
+    val srcs = perPart.keys.map(_._2).toSeq.distinct
+    // per-(partition, source) starting offsets: tokens of the same
+    // source in all earlier partitions (range partitioning keeps a
+    // source's rows contiguous across partition boundaries)
+    val offRows = srcs.flatMap { s =>
+      var acc = 0L
+      (0 until nPart).map { p =>
+        val off = acc; acc += perPart.getOrElse((p, s), 0L); Row(p, s, off)
       }
-      val offDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(offRows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__p",
-            org.apache.spark.sql.types.IntegerType, false),
-          org.apache.spark.sql.types.StructField(sourceCol,
-            org.apache.spark.sql.types.StringType, false),
-          org.apache.spark.sql.types.StructField("__off", LongType, false))))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__p"), col(sourceCol)).orderBy(col("__k"))
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      sorted.join(broadcast(offDf), Seq("__p", sourceCol))
-        .withColumn("__cum", col("__off") + sum(col("__w")).over(w))
-        .filter(col("__cum") <=
-          coalesce(element_at(typedLit(budgets), col(sourceCol)), lit(0L)))
-        .select(df.columns.map(col).toSeq: _*)
-        .localCheckpoint()
-    } finally sorted.unpersist(false): Unit
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__p",
+          org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField(sourceCol,
+          org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("__off", LongType, false))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p"), col(sourceCol)).orderBy(col("__k"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.join(layout.select(col(idCol), col("__w"), col("__k"), col("__p")),
+        Seq(idCol))
+      .join(broadcast(offDf), Seq("__p", sourceCol))
+      .withColumn("__cum", col("__off") + sum(col("__w")).over(w))
+      .filter(col("__cum") <=
+        coalesce(element_at(typedLit(budgets), col(sourceCol)), lit(0L)))
+      .select(df.columns.map(col).toSeq: _*)
   }
 }
