@@ -687,11 +687,14 @@ object SparkEntry {
     // exact cardinality and native-ordered value range in two
     // scale-safe passes (wide agg + melt two-stage distinct; never
     // Spark's multi-countDistinct Expand replication)
+    // `text` rides along to prove profiling a document-payload column
+    // is payload-free: the distinct pass shuffles 64-bit hashes, never
+    // the documents themselves
     "profile_columns" -> ((s, dir) =>
       graft.ops.Profile.columns(
         env(s, dir).view("documents",
-          Seq("doc_id", "lang", "source", "n_chars")).read(),
-        Seq("lang", "source", "n_chars"))
+          Seq("doc_id", "lang", "source", "n_chars", "text")).read(),
+        Seq("lang", "source", "n_chars", "text"))
         .orderBy(col("column"))),
 
     // LLM-pipeline: fixed-width histogram (doc length distribution —
@@ -1318,6 +1321,11 @@ object SparkEntry {
         |SELECT 'n_chars', count(*), count(*) - count(n_chars),
         |  count(DISTINCT CAST(n_chars AS VARCHAR)),
         |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*), count(*) - count(text),
+        |  count(DISTINCT CAST(text AS VARCHAR)),
+        |  CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
         |FROM documents""".stripMargin,
     "profile_histogram" ->
       """WITH b AS (SELECT LEAST(GREATEST(

@@ -295,11 +295,11 @@ object Similarity {
     * candidates; queries dedupe on id, so recall is unaffected but
     * bytes are wasted). */
   def appendToIndex(df: DataFrame, vecCol: String, idCol: String,
-      path: String): Unit = {
+      path: String, retrainAt: Double = 0.5): Unit = {
     val spark = df.sparkSession
     val kind = readMetaRaw(spark, path).get("kind").map(_.toString)
     kind match {
-      case Some("ivf") => appendToIvfIndex(df, vecCol, idCol, path)
+      case Some("ivf") => appendToIvfIndex(df, vecCol, idCol, path, retrainAt)
       case Some("lsh") | None => appendToLshIndex(df, vecCol, idCol, path)
       case Some(other) => throw new IllegalArgumentException(
         s"$path is a $other index; appendToIndex supports lsh and ivf")
@@ -334,12 +334,18 @@ object Similarity {
     * vector is assigned to its nearest STORED centroid (squared
     * Euclidean argmin, first-index tie-break — the same rule Spark
     * ML's k-means prediction applies) and appended into the matching
-    * `__c=` partition. Centroids are never retrained — an append-heavy
-    * corpus that drifts from its training distribution should rebuild;
-    * until then queries stay correct because probe ranking and row
-    * assignment use the same frozen centroid set. */
+    * `__c=` partition. Queries stay correct across appends because
+    * probe ranking and row assignment use the same frozen centroid
+    * set — but recall decays if appended data drifts from the
+    * training distribution (a centroid that attracts most of the new
+    * mass turns into one huge probe list). So appends are COUNTED:
+    * per-centroid append tallies persist in the index meta, and once
+    * total appended mass exceeds `retrainAt` × the trained mass the
+    * index reclusters itself ([[retrainIvfIndex]] — a full seed-fixed
+    * k-means rebuild over the index's own rows). Pass
+    * `retrainAt = Double.MaxValue` to keep centroids frozen forever. */
   def appendToIvfIndex(df: DataFrame, vecCol: String, idCol: String,
-      path: String): Unit = {
+      path: String, retrainAt: Double = 0.5): Unit = {
     val spark = df.sparkSession
     val meta = readMetaRaw(spark, path)
     require(meta.get("kind").map(_.toString).contains("ivf"),
@@ -351,12 +357,80 @@ object Similarity {
       if (meta.get("quantized").exists(_.toString.toBoolean))
         (quantizeInt8(col(vecCol)).as("__qv"), "__qv")
       else (col(vecCol), vecCol)
-    assignToCentroids(df, vecCol, idCol, cents)
-      .join(df.select(col(idCol), payload), col("__id") === col(idCol))
-      .select(col(idCol), col(payloadName), col("__c"))
-      .repartition(col("__c"))
-      .write.mode("append").partitionBy("__c").parquet(path)
+    // narrow (id, centroid) frame, referenced by the write join AND
+    // the per-centroid tally below — persist so the 64-aggregate
+    // assignment pipeline runs once
+    val asg = assignToCentroids(df, vecCol, idCol, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      asg.join(df.select(col(idCol), payload), col("__id") === col(idCol))
+        .select(col(idCol), col(payloadName), col("__c"))
+        .repartition(col("__c"))
+        .write.mode("append").partitionBy("__c").parquet(path)
+      val batch = asg.groupBy("__c").agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val prev = appendedCountsOf(meta, cents.size)
+      val appended = cents.indices.map(c => prev(c) + batch.getOrElse(c, 0L))
+      val trained = meta.get("trainedCount").map(_.toString.toLong).getOrElse(0L)
+      writeMeta(spark, path, cleanIvfMeta(meta) +
+        ("appendedCounts" -> appended))
+      // retrain on DRIFT, not on every big append: pre-trainedCount
+      // indexes (no baseline) never auto-retrain
+      if (trained > 0 && appended.sum > retrainAt * trained)
+        retrainIvfIndex(spark, path, vecCol, idCol)
+    } finally { asg.unpersist(false): Unit }
   }
+
+  /** Recluster a drifted IVF index in place: read the index's own
+    * rows (dequantizing if stored int8), re-run the seed-fixed
+    * k-means build into a sibling scratch directory, then swap it
+    * over the old one. The scratch build reads the old directory
+    * lazily but every read completes before the delete+rename (the
+    * k-means fit and the partitioned write are both eager), so no
+    * materialization of the corpus is needed. Append tallies reset —
+    * the new meta's `trainedCount` is the full reclustered mass. */
+  def retrainIvfIndex(spark: SparkSession, path: String,
+      vecCol: String, idCol: String): Unit = {
+    val meta = readMetaRaw(spark, path)
+    require(meta.get("kind").map(_.toString).contains("ivf"),
+      s"$path is not an IVF index")
+    val dims = meta("dims").toString.toInt
+    val nlist = meta("nlist").toString.toInt
+    val seed = meta("seed").toString.toLong
+    val quantized = meta.get("quantized").exists(_.toString.toBoolean)
+    val idx = spark.read.parquet(path)
+    val vecs =
+      if (quantized) idx.select(col(idCol), dequantizeInt8(col("__qv")).as(vecCol))
+      else idx.select(col(idCol), col(vecCol))
+    val scratch = path.stripSuffix("/") + "__retrain"
+    buildIvfIndex(vecs, vecCol, idCol, scratch, dims, nlist = nlist,
+      seed = seed, quantized = quantized)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(scratch), new Path(path))
+  }
+
+  /** Stored per-centroid append tallies, zero-filled for fresh or
+    * pre-tally indexes. */
+  private def appendedCountsOf(meta: Map[String, Any], nlist: Int): Seq[Long] =
+    meta.get("appendedCounts") match {
+      case Some(l: java.util.List[_]) =>
+        import scala.jdk.CollectionConverters._
+        val s = l.asScala.toSeq.map(_.toString.toLong)
+        if (s.size == nlist) s else Seq.fill(nlist)(0L)
+      case _ => Seq.fill(nlist)(0L)
+    }
+
+  /** Meta map with scala-typed values only (snakeyaml round-trips
+    * lists as java.util.List, which the JSON writer doesn't take). */
+  private def cleanIvfMeta(meta: Map[String, Any]): Map[String, Any] =
+    Map("kind" -> "ivf",
+      "dims" -> meta("dims").toString.toInt,
+      "nlist" -> meta("nlist").toString.toInt,
+      "seed" -> meta("seed").toString.toLong,
+      "quantized" -> meta.get("quantized").exists(_.toString.toBoolean),
+      "trainedCount" -> meta.get("trainedCount").map(_.toString.toLong).getOrElse(0L),
+      "centroids" -> centroidsOf(meta).map(_.toSeq))
 
   /** Nearest-centroid assignment `(__id, __c)` via the codegen-safe
     * bulk shape: posexplode the vector, then `nlist` plain
@@ -454,7 +528,12 @@ object Similarity {
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     writeMeta(df.sparkSession, path,
       Map("kind" -> "ivf", "dims" -> dims, "nlist" -> nlist, "seed" -> seed,
-        "quantized" -> quantized, "centroids" -> centroids))
+        "quantized" -> quantized,
+        // trained mass + per-centroid append tallies: the drift
+        // baseline appendToIvfIndex's retrain trigger compares against
+        "trainedCount" -> model.summary.clusterSizes.map(_.toLong).sum,
+        "appendedCounts" -> Seq.fill(nlist)(0L),
+        "centroids" -> centroids))
   }
 
   /** Centroids from an IVF index's metadata map.

@@ -393,8 +393,10 @@ class OpsSpec extends SparkSpec {
       Similarity.buildIvfIndex(pool, "embedding", "vec_id", dir, q.size, nlist = 16)
       val extra = emb.filter(col("vec_id") >= 400).select(
         (col("vec_id") + 2000L).as("vec_id"), col("embedding"))
+      // retrainAt=MaxValue: this test proves the FROZEN-centroid path
+      // (the retrain trigger has its own recall-proof test below)
       Similarity.appendToIndex(planted.unionByName(extra), "embedding",
-        "vec_id", dir)
+        "vec_id", dir, retrainAt = Double.MaxValue)
       // the appended near-copy of q lands in q's nearest centroid, so
       // even an nprobe=1 query recalls it — proof the append assigned
       // with the index's frozen centroids, not arbitrarily
@@ -431,6 +433,73 @@ class OpsSpec extends SparkSpec {
         Similarity.appendToIndex(bad, "embedding", "vec_id", dir)
       }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("IVF retrain trigger: skewed append reclusters, recall recovers") {
+    // trained data: two tight clusters on axes e0 / e1; appended data:
+    // a THIRD cluster on e2 whose points tilt alternately toward e0 or
+    // e1 — under frozen centroids that cluster splits across two probe
+    // lists, so an nprobe=1 query recalls only half of it. The append
+    // exceeds retrainAt x trained mass, so the index reclusters and
+    // the new cluster gets its own centroid.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def vdf(rows: Seq[(Long, Seq[Float])]) = s.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    val trained = vdf(
+      (0 until 100).map(i => (i.toLong, Seq(1f, 0.001f * i, 0f, 0f))) ++
+      (0 until 100).map(i => (1000L + i, Seq(0.001f * i, 1f, 0f, 0f))))
+    val batch = vdf((0 until 150).map { i =>
+      val tilt = 0.35f
+      (3000L + i, if (i % 2 == 0) Seq(tilt, 0f, 1f, 0f)
+                  else Seq(0f, tilt, 1f, 0f))
+    })
+    val qc = Seq(0f, 0f, 1f, 0f)
+    val all = trained.unionByName(batch)
+    val brute = rows(Similarity.bruteForceTopK(all, "embedding", "vec_id",
+      qc, 10)).map(_.head.asInstanceOf[Long]).toSet
+    def recall(dir: String): Double = {
+      val got = rows(Similarity.ivfTopK(s, dir, "embedding", "vec_id",
+        qc, 10, nprobe = 1)).map(_.head.asInstanceOf[Long]).toSet
+      got.intersect(brute).size / 10.0
+    }
+    val frozen = java.nio.file.Files.createTempDirectory("ivffroz").toString
+    val auto = java.nio.file.Files.createTempDirectory("ivfauto").toString
+    try {
+      for (d <- Seq(frozen, auto))
+        Similarity.buildIvfIndex(trained, "embedding", "vec_id", d,
+          dims = 4, nlist = 3)
+      Similarity.appendToIvfIndex(batch, "embedding", "vec_id", frozen,
+        retrainAt = Double.MaxValue)
+      // 150 appended > 0.5 x 200 trained -> auto-retrains inside append
+      Similarity.appendToIvfIndex(batch, "embedding", "vec_id", auto)
+      val (rFrozen, rAuto) = (recall(frozen), recall(auto))
+      assert(rAuto > rFrozen,
+        s"retrain did not improve recall: frozen=$rFrozen auto=$rAuto")
+      assert(rAuto == 1.0, s"retrained nprobe=1 recall $rAuto != 1.0")
+      // retrain resets the drift baseline: full mass trained, no appends
+      val meta = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(auto, "_graft_index_meta.json")), "UTF-8"))
+      assert(meta.get("trainedCount").toString.toLong == 350L)
+      assert(meta.get("appendedCounts")
+        .asInstanceOf[java.util.List[Object]].asScala
+        .forall(_.toString.toLong == 0L))
+      // the frozen twin records its un-retrained tallies instead
+      val fm = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(frozen, "_graft_index_meta.json")), "UTF-8"))
+      assert(fm.get("appendedCounts")
+        .asInstanceOf[java.util.List[Object]].asScala
+        .map(_.toString.toLong).sum == 150L)
+    } finally for (d <- Seq(frozen, auto))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
   test("IVF ANN: probes read only nprobe centroid partitions, recall holds") {

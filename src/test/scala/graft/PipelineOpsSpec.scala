@@ -351,6 +351,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p("score") == Seq(4L, 1L, 2L, "1.5", "2.5"), p("score").toString)
   }
 
+  test("profile of a document-text column: exact distincts, payload-free melt") {
+    val docs = Testbed.env(s, "/root/testdata/sf0.001")
+      .view("documents", Seq("doc_id", "text")).read()
+    val p = rows(Profile.columns(docs, Seq("text")))
+      .map(r => r.head -> r.tail).toMap
+    val exact = docs.filter(col("text").isNotNull)
+      .select(col("text")).distinct().count()
+    val nulls = docs.filter(col("text").isNull).count()
+    assert(p("text").take(3) == Seq(nulls + exact, nulls, exact),
+      s"${p("text")} vs exact=$exact nulls=$nulls")
+    // the distinct melt must shuffle hashes, not documents: no shuffle
+    // exchange in the profile plan may carry a string-typed __val
+    val exec = Profile.columns(docs, Seq("text")).queryExecution.executedPlan
+    val leaky = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.filter(a => a.name.startsWith("__val") &&
+          a.dataType == org.apache.spark.sql.types.StringType)
+    }.flatten
+    assert(leaky.isEmpty, s"distinct pass shuffles payload strings: $leaky")
+  }
+
   test("profile of an all-null column reports zero distincts, null range") {
     val df = s.createDataFrame(Seq(Tuple2(1L, null.asInstanceOf[String]),
       Tuple2(2L, null.asInstanceOf[String]))).toDF("id", "v")
