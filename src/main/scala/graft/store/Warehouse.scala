@@ -371,6 +371,18 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     }
     swapPointer(t, manifestJson(Manifest(next, maxIdNow, Map(), allZones)))
     gc(t, keep = allZones.map(_.dir.split("/")(0)).toSet + next)
+    // auto-compaction: every narrow merge adds ~1 zone (and pins its
+    // snap dir against gc), so a long-lived append-mostly table would
+    // otherwise fragment without bound and rely on a MANUAL compact().
+    // Once the zone list exceeds `compactFactor` x the configured
+    // count, recluster the live state into one fresh snapshot — the
+    // swap happens after the full rebuild, so readers never block, and
+    // the rebuild dispatches back through writeZoned with
+    // replaced=None (no recursion: a full write never triggers this).
+    val factor = spark.conf.getOption("spark.graft.brin.compactFactor")
+      .map(_.toDouble).getOrElse(2.0)
+    if (replaced.isDefined && factor > 0 && allZones.size > factor * fullZones)
+      compact(t)
   }
 
   /** Zone-pruned read of a brin table: only the zone directories whose

@@ -113,17 +113,31 @@ final class View(val env: Env, tableName: String, fieldSpecs: Seq[(String, Strin
     // brin tables: extract conservative key bounds from the filters
     // (incl. ACL) and zone-prune the base scan — pure IO elision, the
     // compiled filter below still applies in full. A FRESH Args
-    // instance resolves named params here so the main compile's
-    // positional-{} cursor is untouched.
+    // instance resolves params here so the main compile's
+    // positional-{} cursor is untouched; bare {} filters resolve
+    // because the select fields' pop count is threaded through
+    // (ZonePrune.countPops) and filters compile after fields in
+    // exactly the pruneFilters order below.
     val pruneFilters: Seq[Filter] = filters ++
       (if (disableAcl) Nil
        else env.aclRead.getOrElse(table.name, Nil).map(FilterExpr.apply))
     val zoneBounds =
       if (table.useIndex.equalsIgnoreCase("brin") && table.buckets == 0 &&
-          table.external.isEmpty)
-        Some(ZonePrune.bounds(table, pruneFilters, Args(env, args, kwargs)))
+          table.external.isEmpty) {
+        val fieldPops =
+          try ZonePrune.countPops(table, fieldEnv, fields.flatMap { f =>
+            f.kind match {
+              case ViewField.Expr => Seq(Parser.parse(f.desc))
+              case ViewField.AliasRef =>
+                Seq(Ast.param(f.desc.substring(1, f.desc.length - 1)))
+              case _ => Nil
+            }
+          })
+          catch { case _: Exception => None }
+        Some(ZonePrune.bounds(table, pruneFilters, Args(env, args, kwargs),
+          fieldEnv, fieldPops))
           .filter(_.nonEmpty)
-      else None
+      } else None
     val qb = QueryBuilder(env, table, fieldEnv,
       baseRead = zoneBounds.map(b =>
         () => env.warehouse.readZones(table.name, Some(b))))

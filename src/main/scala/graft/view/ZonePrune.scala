@@ -13,18 +13,78 @@ import graft.store.Brin
   * Only shapes that PROVABLY bound a tracked column contribute:
   * top-level conjuncts of the form `(op col literal)` (either operand
   * order) for op in `= < <= > >=`, plus `(in col v1 v2 ...)`,
-  * equality-map filters, and NAMED `{param}` values (positional `{}`
-  * params are skipped: their cursor position depends on the whole
-  * query's compile order, and a mis-resolved bound would prune
-  * wrong). Everything else is ignored, which only widens the read —
-  * pruning is an IO optimization, the compiled filter still applies
-  * in full.
+  * equality-map filters, and `{param}` values — named, indexed
+  * `{0}` (stateless `argv.at`), or bare `{}`. Bare params consume the
+  * positional list in COMPILE order, so they resolve here only when
+  * that order is provable: the caller passes the number of `{}`
+  * params the select fields consume first ([[countPops]]), filters
+  * are walked in the compiler's own order, and within a filter the
+  * left-to-right pop order holds for every plain form (every
+  * [[graft.expr.Compiler]] form compiles operands in list order) —
+  * but NOT provably across subquery forms (exists/from), whose
+  * compilation may re-traverse subtrees; a filter containing one
+  * makes the cursor position unknowable for it and everything after
+  * it, so those bare params stay unresolved. Everything else is
+  * ignored, which only widens the read — pruning is an IO
+  * optimization, the compiled filter still applies in full.
   */
 object ZonePrune {
 
+  /** Subquery heads whose operand compilation order (and pop
+    * multiplicity) this walker does not model. */
+  private val unsafeHeads = Set("exists", "from", "select", "where")
+
+  /** Number of bare `{}` pops a compile of `asts` performs, expanding
+    * field-env macros exactly like `Compiler.symbol`; None when a
+    * subtree makes the count unprovable (subquery form, unparsable
+    * macro). Indexed `{0}` and named params never move the cursor. */
+  def countPops(td: TableDef, fieldEnv: Map[String, String],
+      asts: Seq[Ast]): Option[Int] = {
+    def walk(a: Ast): Option[Int] = a match {
+      case p: Ast.Param => Some(if (p.key.isEmpty) 1 else 0)
+      case Ast.Str(_) | Ast.Num(_) => Some(0)
+      case Ast.Word(w) => expandMacro(td, fieldEnv, w) match {
+        case MacroAst(sub) => walk(sub)
+        case MacroFailed => None
+        case MacroNone => Some(0)
+      }
+      case Ast.Node(Ast.Word(h) +: _) if unsafeHeads(h.toLowerCase) => None
+      case Ast.Node(items) =>
+        items.foldLeft(Option(0)) { (acc, it) =>
+          for (n <- acc; m <- walk(it)) yield n + m
+        }
+    }
+    asts.foldLeft(Option(0)) { (acc, a) =>
+      for (n <- acc; m <- walk(a)) yield n + m
+    }
+  }
+
+  private sealed trait MacroResult
+  private final case class MacroAst(ast: Ast) extends MacroResult
+  private case object MacroFailed extends MacroResult
+  private case object MacroNone extends MacroResult
+
+  /** Field-env macro expansion, mirroring `Compiler.symbol`: a word
+    * that is NOT a table column and maps to `(expr)` or `{param}`
+    * compiles that content (and may pop). */
+  private def expandMacro(td: TableDef, fieldEnv: Map[String, String],
+      w: String): MacroResult =
+    fieldEnv.get(w).filterNot(_ => td.has(w)) match {
+      case Some(desc) if desc.startsWith("(") =>
+        try MacroAst(Parser.parse(desc))
+        catch { case _: Exception => MacroFailed }
+      case Some(desc) if desc.startsWith("{") =>
+        MacroAst(Ast.param(desc.substring(1, desc.length - 1)))
+      case _ => MacroNone
+    }
+
   /** Encoded closed bounds per tracked column; empty map = no usable
-    * conjunct (read everything). */
-  def bounds(td: TableDef, filters: Seq[Filter], argv: Args)
+    * conjunct (read everything). `posOffset` = Some(n): the compile
+    * consumes n bare `{}` params before the first filter (the select
+    * fields' share — [[countPops]]); None: bare params unresolvable. */
+  def bounds(td: TableDef, filters: Seq[Filter], argv: Args,
+      fieldEnv: Map[String, String] = Map.empty,
+      posOffset: Option[Int] = None)
       : Map[String, Brin.Bounds] = {
     val tracked: Map[String, org.apache.spark.sql.types.DataType] =
       (td.key ++ (if (td.columnMap.contains("id") && !td.key.contains("id"))
@@ -52,13 +112,46 @@ object ZonePrune {
       case other => enc(c, other).foreach(e => tighten(c, Some(e), Some(e)))
     }
 
-    // literal or NAMED param value of an AST operand
+    // bare-`{}` → positional index, assigned per filter in the
+    // compiler's pop order (identity map: two textually-equal `{}`
+    // params are equal case classes but distinct AST nodes)
+    val bareIdx = new java.util.IdentityHashMap[Ast.Param, Integer]()
+
+    // assign pop indices to this filter's bare params in the
+    // compiler's DFS-left-to-right order; None = unprovable from here
+    // on (already-assigned entries keep valid earlier positions)
+    def assignBare(a: Ast, from: Int): Option[Int] = a match {
+      case p: Ast.Param =>
+        if (p.key.isEmpty) { bareIdx.put(p, from); Some(from + 1) }
+        else Some(from)
+      case Ast.Str(_) | Ast.Num(_) => Some(from)
+      case Ast.Word(w) => expandMacro(td, fieldEnv, w) match {
+        // macro params pop (they compile) but never surface bounds
+        case MacroAst(sub) => assignBare(sub, from)
+        case MacroFailed => None
+        case MacroNone => Some(from)
+      }
+      case Ast.Node(Ast.Word(h) +: _) if unsafeHeads(h.toLowerCase) => None
+      case Ast.Node(items) =>
+        items.foldLeft(Option(from))((acc, it) => acc.flatMap(assignBare(it, _)))
+    }
+
+    // literal or param value of an AST operand (named, indexed {0},
+    // or an order-assigned bare {})
     def valueOf(a: Ast): Option[Any] = a match {
       case Ast.Str(s) => Some(s)
       case Ast.Num(n) => Some(n)
-      case p: Ast.Param if p.key.nonEmpty && p.key.toIntOption.isEmpty &&
-          p.conversion.isEmpty && p.fmtSpec.isEmpty =>
-        try Some(argv.resolve(p)) catch { case _: Exception => None }
+      case p: Ast.Param if p.conversion.isEmpty && p.fmtSpec.isEmpty =>
+        if (p.key.isEmpty)
+          Option(bareIdx.get(p)).flatMap(i =>
+            try Some(argv.at(i.intValue())) catch { case _: Exception => None })
+        else p.key.toIntOption match {
+          case Some(i) if p.tail.isEmpty =>
+            try Some(argv.at(i)) catch { case _: Exception => None }
+          case Some(_) => None
+          case None =>
+            try Some(argv.resolve(p)) catch { case _: Exception => None }
+        }
       case _ => None
     }
     def trackedCol(a: Ast): Option[String] = a match {
@@ -105,12 +198,14 @@ object ZonePrune {
       case _ => ()
     }
 
+    var cursor: Option[Int] = posOffset
     filters.foreach {
       case FilterEq(m) => m.foreach { case (k, v) =>
         if (tracked.contains(k)) eq(k, v)
       }
       case FilterExpr(s) =>
         val ast = try Parser.parse(s) catch { case _: Exception => return Map() }
+        cursor = cursor.flatMap(assignBare(ast, _))
         conjuncts(ast).foreach(visit)
     }
     acc

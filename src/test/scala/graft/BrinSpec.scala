@@ -174,6 +174,26 @@ class BrinSpec extends SparkSpec {
     assert(rows(v.read()).size == 43)
   }
 
+  test("zone list self-compacts after many narrow merges") {
+    val env = bEnv(zones = 4)
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 40).map(i => Seq(i.toLong, i.toDouble)))
+    // 50 single-row appends: each merge adds ~1 zone; without the
+    // auto-trigger the list would reach 54 — the compactFactor (2x)
+    // ceiling must hold after EVERY merge, not just at the end
+    (1 to 50).foreach { k =>
+      v.write(Seq(Seq((40 + k).toLong, (40 + k).toDouble)))
+      val zs = env.warehouse.currentManifest("reading").get.zones.size
+      assert(zs <= 8, s"zone list ballooned to $zs after merge $k")
+    }
+    assert(rows(v.read()).size == 90)
+    assert(rows(v.read(Seq("(= seq 67)"))) == Seq(Seq(67L, 67.0)))
+    // pruning still effective over the auto-compacted layout
+    val pr = v.read(Seq("(and (>= seq 10) (<= seq 20))"))
+    assert(rows(pr).size == 11)
+    assert(pr.inputFiles.length < v.read().inputFiles.length)
+  }
+
   test("compact() collapses fragmented zones into one re-clustered snapshot") {
     val env = bEnv(zones = 4)
     val v = env.view("reading", Seq("seq", "val"))
@@ -230,8 +250,56 @@ class BrinSpec extends SparkSpec {
     assert(b(Seq(FilterExpr("(or (= seq 1) (= seq 2))"))).isEmpty)
     assert(b(Seq(FilterExpr("(< val 5)"))).isEmpty)
     assert(b(Seq(FilterExpr("(!= seq 5)"))).isEmpty)
-    // positional {} params are never resolved for pruning
-    assert(b(Seq(FilterExpr("(= seq {})"))).isEmpty)
+    // positional params: bare {} needs a provable pop offset
+    def bp(filters: Seq[Filter], args: Seq[Any],
+        off: Option[Int]): Map[String, Brin.Bounds] =
+      ZonePrune.bounds(td, filters, Args(env, args, Map()),
+        Map.empty, off)
+    assert(bp(Seq(FilterExpr("(= seq {})")), Seq(7), None).isEmpty)
+    assert(bp(Seq(FilterExpr("(= seq {})")), Seq(7), Some(0)) ==
+      Map("seq" -> Brin.Bounds(Some(7L), Some(7L))))
+    // offset skips the select fields' pops
+    assert(bp(Seq(FilterExpr("(= seq {})")), Seq(99, 7), Some(1)) ==
+      Map("seq" -> Brin.Bounds(Some(7L), Some(7L))))
+    // multiple bare params pop left-to-right, non-bounding ones count
+    assert(bp(Seq(FilterExpr("(and (> val {}) (>= seq {}) (<= seq {}))")),
+        Seq(0.5, 3, 9), Some(0)) ==
+      Map("seq" -> Brin.Bounds(Some(3L), Some(9L))))
+    // a second filter continues the cursor where the first stopped
+    assert(bp(Seq(FilterExpr("(>= seq {})"), FilterExpr("(<= seq {})")),
+        Seq(3, 9), Some(0)) ==
+      Map("seq" -> Brin.Bounds(Some(3L), Some(9L))))
+    // indexed {0} params are stateless — no offset needed
+    assert(bp(Seq(FilterExpr("(and (>= seq {0}) (<= seq {1}))")),
+        Seq(3, 9), None) ==
+      Map("seq" -> Brin.Bounds(Some(3L), Some(9L))))
+    // a subquery form makes the cursor unknowable from there on
+    assert(bp(Seq(
+        FilterExpr("(exists (from reading (select seq) (where (= val {}))))"),
+        FilterExpr("(= seq {})")), Seq(1.0, 7), Some(0)).isEmpty)
+    // ...but bare params BEFORE it already resolved
+    assert(bp(Seq(FilterExpr("(>= seq {})"),
+        FilterExpr("(exists (from reading (select seq) (where (= val {}))))")),
+        Seq(3, 1.0), Some(0)) ==
+      Map("seq" -> Brin.Bounds(Some(3L), None)))
+  }
+
+  test("end-to-end: bare-positional range read prunes zone directories") {
+    val env = bEnv(zones = 8)
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 80).map(i => Seq(i.toLong, i.toDouble)))
+    val full = v.read()
+    val pruned = v.read(
+      Seq("(and (>= seq {}) (<= seq {}))"), args = Seq(10, 20))
+    assert(rows(pruned).map(_.head) == (10L to 20L))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"positional bounds did not prune: ${pruned.inputFiles.length} vs " +
+        s"${full.inputFiles.length}")
+    // indexed form prunes identically
+    val prunedIdx = v.read(
+      Seq("(and (>= seq {0}) (<= seq {1}))"), args = Seq(10, 20))
+    assert(prunedIdx.inputFiles.length == pruned.inputFiles.length)
+    assert(rows(prunedIdx).map(_.head) == (10L to 20L))
   }
 
   test("composite key + id: every key column and id prune independently") {
