@@ -411,19 +411,30 @@ object SparkEntry {
 
     // LLM-pipeline: video frame sampling — the explode shape over a
     // synthetic per-doc duration (100ms per 100 chars, min 1 frame)
+    // LLM-pipeline: REAL video container probe (pure-JVM ISO BMFF box
+    // parse, no codec, no external binary) over synthesized MP4
+    // headers whose mvhd/tkhd facts are pure arithmetic of n_chars —
+    // frame sampling then uses the PROBED duration, so the whole
+    // probe → sample chain is oracle-gated
     "multimodal_frames" -> ((s, dir) => {
       val docs = graft.ops.Par.spread(
-        env(s, dir).view("documents", Seq("doc_id", "text")).read())
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
+      val mp4 = udf((n: Long) => graft.ops.Multimodal.synthMp4(
+        (500 + (n % 2000)).toInt, (160 + (n % 8) * 16).toInt,
+        (120 + ((n / 3) % 6) * 16).toInt))
       val media = docs.select(col("doc_id"),
-        graft.ops.Multimodal.asMedia(encode(col("text"), "UTF-8"),
-          "video/fake", concat(lit("doc://"), col("doc_id"))).as("m0"))
+        graft.ops.Multimodal.asMedia(mp4(col("n_chars")), "video/mp4",
+          concat(lit("doc://"), col("doc_id"))).as("media"))
+      val probed = graft.ops.Multimodal.videoFeatures(media, "media")
+        .filter(col("video.probed")) // a parse regression empties rows
         .withColumn("media", struct(
-          col("m0.bytes").as("bytes"), col("m0.mime").as("mime"),
-          col("m0.width").as("width"), col("m0.height").as("height"),
-          (length(col("m0.bytes")).cast("double")).as("duration_ms"),
-          col("m0.source_uri").as("source_uri")))
-      graft.ops.Multimodal.frameSample(media, "media", everyMs = 250.0)
-        .select(col("doc_id"), col("frame_ts_ms"))
+          col("media.bytes").as("bytes"), col("media.mime").as("mime"),
+          col("video.width").as("width"), col("video.height").as("height"),
+          col("video.duration_ms").as("duration_ms"),
+          col("media.source_uri").as("source_uri")))
+      graft.ops.Multimodal.frameSample(probed, "media", everyMs = 250.0)
+        .select(col("doc_id"), col("media.width").as("width"),
+          col("media.height").as("height"), col("frame_ts_ms"))
     }),
 
     // LLM-pipeline: per-doc text statistics (punctuation density,
@@ -1374,11 +1385,16 @@ object SparkEntry {
         |       * ((((k * 37) % 1001) - 500) * 60))) / n) / 32768.0, 6) AS rms
         |FROM d""".stripMargin,
     "multimodal_frames" ->
-      """SELECT doc_id,
-        |  unnest(list_transform(range(0, n), i -> i * 250.0)) AS frame_ts_ms
-        |FROM (SELECT doc_id,
-        |        greatest(1, CAST(ceil(octet_length(encode(text)) / 250.0) AS BIGINT)) AS n
-        |      FROM documents)""".stripMargin,
+      """WITH d AS (SELECT doc_id,
+        |    500.0 + (n_chars % 2000) AS dur,
+        |    CAST(160 + (n_chars % 8) * 16 AS INTEGER) AS width,
+        |    CAST(120 + ((n_chars // 3) % 6) * 16 AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  unnest(list_transform(
+        |    range(0, greatest(1, CAST(ceil(dur / 250.0) AS BIGINT))),
+        |    i -> i * 250.0)) AS frame_ts_ms
+        |FROM d""".stripMargin,
     // subwords: the lookbehind-split count equals (# alphanumeric
     // runs) + (# non-alnum non-space chars) — lookbehind-free algebra
     "text_stats" ->

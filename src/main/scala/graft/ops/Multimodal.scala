@@ -347,6 +347,40 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic minimal MP4 (ISO BMFF) container: ftyp('isom') +
+    * moov(mvhd: timescale 1000 so duration == `durationMs` exactly;
+    * one trak(tkhd: 16.16 fixed-point w×h; stsd: single 'avc1'
+    * sample entry)). No mdat — container metadata only, which is all
+    * [[Mp4Probe]] (or any prober) reads; every derived stat is exact
+    * integer arithmetic any SQL engine reproduces. */
+  private[graft] def synthMp4(durationMs: Int, w: Int, h: Int): Array[Byte] = {
+    def be(ints: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(ints.size * 4)
+      ints.foreach(bb.putInt)
+      bb.array()
+    }
+    def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(tpe.getBytes("US-ASCII"))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    val unity = be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be(0),
+      "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", be(0, 0, 0, 1000, durationMs, 0x10000),
+      Array[Byte](0x01, 0x00, 0, 0), be(0, 0), unity,
+      be(0, 0, 0, 0, 0, 0), be(2)) // volume+rsvd, rsvd, matrix, predef, next
+    val tkhd = box("tkhd", be(7, 0, 0, 1, 0, durationMs, 0, 0),
+      be(0, 0), unity, be(w << 16, h << 16)) // layer/group/volume/rsvd = 0
+    val stsd = box("stsd", be(0, 1),
+      box("avc1", Array.fill[Byte](6)(0), Array[Byte](0, 1)))
+    val moov = box("moov", mvhd,
+      box("trak", tkhd, box("mdia", box("minf", box("stbl", stsd)))))
+    ftyp ++ moov
+  }
+
   /** Partition-wise audio decode: appends an `audio` struct column
     * ([[audioType]]) extracted from the media payload by
     * [[WavDecoder]]. Same batched `mapPartitions` plumbing as
@@ -376,21 +410,123 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", DoubleType),
     StructField("n_streams", IntegerType),
-    StructField("probed", BooleanType))) // true = external binary ran
+    StructField("probed", BooleanType))) // true = real container facts
+                                         // (JVM MP4 parse or binary)
 
-  /** Video metadata prober backed by an OPTIONAL external binary
-    * (ffprobe by default — the one tool every production video
-    * pipeline already ships). No JVM video codec exists, so this is
-    * the honest scale path: the payload is piped to the binary's
-    * stdin, its flat key=value report parsed driver-free on the
-    * executor. When the binary is absent (bare JVMs, this container),
-    * [[probe]] degrades to a deterministic [[FakeDecoder]]-derived
-    * struct with `probed = false`, keeping every downstream operator
-    * testable end-to-end.
+  /** Pure-JVM ISO BMFF (MP4/MOV/M4A) container probe: walks the box
+    * tree directly — `ftyp` (container brand), `moov/mvhd`
+    * (timescale + duration), `trak/tkhd` (16.16 fixed-point display
+    * width/height), `trak/.../stsd` (first sample-entry 4CC as the
+    * codec), trak count as the stream count. No codec, no external
+    * binary — container METADATA only, which is what a corpus QA scan
+    * needs (the box layout is the published ISO/IEC 14496-12
+    * structure). Unversioned-box edge cases handled: 64-bit
+    * `largesize`, size==0 (to end of enclosing box), v1 full boxes
+    * with 64-bit times. Returns None for anything that isn't a
+    * parseable BMFF file. */
+  private[graft] object Mp4Probe {
+    def looksLikeMp4(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 &&
+        b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+        ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+    private def u64(b: Array[Byte], off: Int): Long =
+      (u32(b, off) << 32) | u32(b, off + 4)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** Visit the child boxes of `[start, end)` as (4cc, payloadStart,
+      * payloadEnd) tuples. Malformed sizes stop the walk (parse
+      * what's valid, never read out of bounds). */
+    private def boxes(b: Array[Byte], start: Int, end: Int)(
+        f: ((String, Int, Int)) => Unit): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        var size = u32(b, off)
+        var hdr = 8
+        if (size == 1 && off + 16 <= end) { size = u64(b, off + 8); hdr = 16 }
+        else if (size == 0) size = (end - off).toLong
+        if (size < hdr || size > end - off) ok = false
+        else {
+          f((fourcc(b, off + 4), off + hdr, off + size.toInt))
+          off += size.toInt
+        }
+      }
+    }
+
+    def parse(b: Array[Byte]): Option[Row] = try {
+      if (!looksLikeMp4(b)) return None
+      var container: String = null
+      var timescale = 0L
+      var duration = -1L
+      var width: Integer = null
+      var height: Integer = null
+      var codec: String = null
+      var nTraks = 0
+      boxes(b, 0, b.length) {
+        case ("ftyp", s, e) if e - s >= 4 => container = fourcc(b, s).trim
+        case ("moov", s, e) => boxes(b, s, e) {
+          case ("mvhd", s2, e2) if e2 - s2 >= 20 =>
+            if ((b(s2) & 0xFF) == 1 && e2 - s2 >= 32) {
+              timescale = u32(b, s2 + 20); duration = u64(b, s2 + 24)
+            } else {
+              timescale = u32(b, s2 + 12); duration = u32(b, s2 + 16)
+            }
+          case ("trak", s2, e2) =>
+            nTraks += 1
+            boxes(b, s2, e2) {
+              case ("tkhd", s3, e3) =>
+                val (wo, ho) = if ((b(s3) & 0xFF) == 1) (88, 92) else (76, 80)
+                if (e3 - s3 >= ho + 4 && width == null) {
+                  val wv = (u32(b, s3 + wo) >> 16).toInt
+                  val hv = (u32(b, s3 + ho) >> 16).toInt
+                  if (wv > 0 && hv > 0) { width = wv; height = hv }
+                }
+              case ("mdia", s3, e3) => boxes(b, s3, e3) {
+                case ("minf", s4, e4) => boxes(b, s4, e4) {
+                  case ("stbl", s5, e5) => boxes(b, s5, e5) {
+                    case ("stsd", s6, e6) if e6 - s6 >= 16 && codec == null =>
+                      // ver/flags(4) + entry_count(4), then the first
+                      // sample entry's own box header: its 4CC = codec
+                      codec = fourcc(b, s6 + 12)
+                    case _ => ()
+                  }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        case _ => ()
+      }
+      if (container == null) None
+      else Some(Row(container, codec, width, height,
+        if (timescale > 0 && duration >= 0)
+          Double.box(duration * 1000.0 / timescale) else null,
+        if (nTraks > 0) Int.box(nTraks) else null,
+        Boolean.box(true)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Video metadata prober: MP4-family payloads parse IN-JVM
+    * ([[Mp4Probe]] — no external process, the scale path for the
+    * dominant container); other formats fall to an OPTIONAL external
+    * binary (ffprobe by default — the one tool every production video
+    * pipeline already ships), the payload piped to its stdin and the
+    * flat key=value report parsed on the executor. When neither
+    * applies (bare JVMs, this container), [[probe]] degrades to a
+    * deterministic [[FakeDecoder]]-derived struct with
+    * `probed = false`, keeping every downstream operator testable
+    * end-to-end.
     *
-    * The parse step ([[parseProbeOutput]]) is a pure function tested
-    * without the binary; the process plumbing is exercised by an
-    * OpsSpec case gated on availability. */
+    * The parse steps ([[Mp4Probe.parse]], [[parseProbeOutput]]) are
+    * pure functions tested without any binary; the process plumbing
+    * is exercised by an OpsSpec case gated on availability. */
   class ExternalVideoProber(val binary: String = "ffprobe")
       extends Serializable {
     /** Checked once per executor JVM (PATH scan, no process spawn). */
@@ -407,6 +543,10 @@ object Multimodal {
     def probe(bytes: Array[Byte]): Row = {
       if (bytes == null) return Row(null, null, null, null, null, null,
         Boolean.box(false))
+      Mp4Probe.parse(bytes) match {
+        case Some(r) => return r
+        case None => ()
+      }
       if (!available) return fake(bytes)
       try {
         val pb = new ProcessBuilder(binary, "-v", "error",

@@ -715,6 +715,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("MP4 probe: pure-JVM box parse, binary-less end-to-end, graceful truncation") {
+    val b = Multimodal.synthMp4(12345, 640, 360)
+    val r = Multimodal.Mp4Probe.parse(b).get
+    assert(r.getString(0) == "isom" && r.getString(1) == "avc1", r)
+    assert(r.getInt(2) == 640 && r.getInt(3) == 360, r)
+    assert(r.getDouble(4) == 12345.0 && r.getInt(5) == 1 && r.getBoolean(6), r)
+    // not BMFF at all -> None; null-safe
+    assert(Multimodal.Mp4Probe.parse("not a video file".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.Mp4Probe.parse(null).isEmpty)
+    // truncated after ftyp: container identified, every other fact
+    // null — the walk stops at the first malformed size, never throws
+    val trunc = Multimodal.Mp4Probe.parse(b.take(20)).get
+    assert(trunc.getString(0) == "isom" && trunc.isNullAt(4), trunc)
+    // end-to-end WITHOUT any external binary: MP4 payloads probe REAL
+    // container facts (probed=true); non-BMFF falls to the fake path
+    val missing = new Multimodal.ExternalVideoProber("graft-no-such-binary")
+    assert(!missing.available)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val df = s.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, Multimodal.synthMp4(1000, 320, 240)),
+      org.apache.spark.sql.Row(2L, "plain bytes".getBytes("UTF-8"))).asJava,
+      schema)
+    val media = df.select(col("doc_id"),
+      Multimodal.asMedia(col("payload"), "video/mp4", lit("mem://v")).as("media"))
+    val got = rows(Multimodal.videoFeatures(media, "media", missing)
+      .select(col("doc_id"), col("video.container"), col("video.codec"),
+        col("video.width"), col("video.height"), col("video.duration_ms"),
+        col("video.n_streams"), col("video.probed")).orderBy("doc_id"))
+    assert(got(0) == Seq(1L, "isom", "avc1", 320, 240, 1000.0, 1, true), got(0))
+    assert(got(1)(1) == null && got(1)(7) == false, got(1))
+  }
+
   test("asofJoin rejects reserved names, payload collisions, numeric ts tolerance") {
     val s2 = s
     import s2.implicits._
