@@ -95,6 +95,11 @@ object Testbed {
       TableDef.normalized("bench_bucketed", Seq(
         cd("code", VarcharT), cd("x", FloatT)),
         key = Seq("code"), buckets = 64),
+      // Bench probe at synthesized sf1 scale (10x row count through
+      // the full merge); bucketed like a real big table would be.
+      TableDef.normalized("bench_sf1", Seq(
+        cd("code", VarcharT), cd("x", FloatT)),
+        key = Seq("code"), buckets = 64),
       // BRIN round-trip target: range-clustered zoned snapshots, reads
       // with event_id bounds prune zone dirs driver-side (q36).
       TableDef.normalized("event_archive", Seq(
