@@ -360,11 +360,11 @@ final class QueryBuilder(
       val l = one(compile(rawArgs.head, args))
       val r = compile(rawArgs(1), args)
       val isNull = r match { case CLit(_, null) => true; case _ => false }
-      CCol((op, isNull) match {
-        case ("is", true) => l.isNull
-        case ("isnot", true) => l.isNotNull
-        case ("is", false) => l <=> one(r)
-        case ("isnot", false) => !(l <=> one(r))
+      CCol((op == "is", isNull) match {
+        case (true, true) => l.isNull
+        case (false, true) => l.isNotNull
+        case (true, false) => l <=> one(r)
+        case (false, false) => !(l <=> one(r))
       })
     case "like" | "ilike" =>
       val Seq(l, r) = rawArgs.map(a => one(compile(a, args)))

@@ -178,7 +178,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       case Some(_) => // legacy plain pointer: derive once by scan
         if (!td.columnMap.contains("id")) 0L
         else Option(read(t).agg(org.apache.spark.sql.functions.max(col("id")))
-          .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+          .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     }
   }
 
@@ -234,7 +234,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       val maxIdNow = knownMaxId.getOrElse {
         if (!td.columnMap.contains("id")) 0L
         else Option(spark.read.schema(td.sparkSchema).parquet(dir.toString)
-          .agg(org.apache.spark.sql.functions.max(col("id"))).head.get(0))
+          .agg(org.apache.spark.sql.functions.max(col("id"))).head().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
       }
       swapPointer(t, manifestJson(Manifest(next, maxIdNow, Map())))
@@ -346,7 +346,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
           c -> (enc(r, 3 + 2 * j), enc(r, 4 + 2 * j))
         }.toMap
         Zone(s"$next/__z=${r.get(0)}", enc(r, 1), enc(r, 2), extra)
-      }.sortBy(_.dir)
+      }.toSeq.sortBy(_.dir)
       if (statCols.contains("id")) {
         val idHiIdx = 2 + 2 * statCols.indexOf("id")
         statMaxId = rows
@@ -442,7 +442,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     val maxIdNow = knownMaxId.getOrElse {
       if (!td.columnMap.contains("id")) 0L
       else Option(out.agg(org.apache.spark.sql.functions.max(col("id")))
-        .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     }.max(prev.map(_.maxId).getOrElse(0L))
     swapPointer(t, manifestJson(Manifest(next, maxIdNow, buckets)))
     gc(t, keep = buckets.values.map(_.split("/")(0)).toSet + next)

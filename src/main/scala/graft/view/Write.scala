@@ -127,7 +127,7 @@ object Write {
     }
 
     data match {
-      case df: DataFrame =>
+      case ds: org.apache.spark.sql.Dataset[_] =>
         // `__seq` decides which occurrence wins when a batch holds
         // duplicate keys ("last wins", view.py:306-318). A DataFrame
         // has no inherent row order, so dup-key priority for DataFrame
@@ -138,7 +138,7 @@ object Write {
         val cols = fields.zipWithIndex.map { case (f, i) =>
           c(f.name).cast(types(i)).as(s"__f$i")
         }
-        df.select(cols :+ monotonically_increasing_id().as("__seq"): _*)
+        ds.toDF().select(cols :+ monotonically_increasing_id().as("__seq"): _*)
       case null => fromRows(Nil)
       case m: Map[_, _] =>
         val mm = m.asInstanceOf[Map[String, Any]]
@@ -327,7 +327,7 @@ object Write {
   private def batchKeyBounds(b: DataFrame, keyCols: Seq[String])
       : Option[Map[String, graft.store.Brin.Bounds]] = {
     val aggs = keyCols.flatMap(k => Seq(min(c(k)), max(c(k))))
-    val r = b.agg(aggs.head, aggs.tail: _*).head
+    val r = b.agg(aggs.head, aggs.tail: _*).head()
     if (r.isNullAt(0)) None
     else Some(keyCols.zipWithIndex.map { case (k, i) =>
       k -> graft.store.Brin.Bounds(
