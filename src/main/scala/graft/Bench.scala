@@ -155,11 +155,24 @@ object Bench {
     results("sf1_write_roundtrip") = time(sv.write(li10))
     li10.unpersist()
     val docs1 = e.view("documents", Seq("doc_id", "text")).read()
+    val abc = "abcdefghijklmnopqrstuvwxyz"
     val docs10 = (0 until 10).map(k =>
         docs1.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
-          // distinct tails keep the 10 copies from forming 10-cliques
-          concat(col("text"), lit(s" copytag$k")).as("text")))
+          // per-copy substitution cipher: rotating the alphabet makes
+          // every token differ between copies (Jaccard ~0), like a
+          // real 10x corpus — a mere suffix tag left the copies ~0.95
+          // similar and the candidate pairs exploded 45x per doc
+          // (measured: 103s vs the ~4s a linear scale-up costs)
+          translate(col("text"), abc, abc.drop(k) + abc.take(k)).as("text")))
       .reduce(_ unionByName _)
+    // cold single-shot baseline at 1x: the median-of-3
+    // dedup_minhash_pairs entry reuses the miner's slot cache on
+    // repeats 2-3, which would overstate the sf1 ratio ~3x
+    graft.ops.Dedup.clearMaterializedSlots()
+    results("dedup_minhash_pairs_cold") = time(
+      graft.ops.Dedup.minhashPairs(docs1, "doc_id", "text", threshold = 0.2)
+        .write.format("noop").mode("overwrite").save())
+    graft.ops.Dedup.clearMaterializedSlots()
     results("sf1_dedup_minhash_pairs") = time(
       graft.ops.Dedup.minhashPairs(docs10, "doc_id", "text", threshold = 0.2)
         .write.format("noop").mode("overwrite").save())

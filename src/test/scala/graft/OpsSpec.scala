@@ -749,6 +749,46 @@ class OpsSpec extends SparkSpec {
         col("video.n_streams"), col("video.probed")).orderBy("doc_id"))
     assert(got(0) == Seq(1L, "isom", "avc1", 320, 240, 1000.0, 1, true), got(0))
     assert(got(1)(1) == null && got(1)(7) == false, got(1))
+
+    // version-1 full boxes (64-bit times) and a largesize moov header
+    // parse identically — hand-built since synthMp4 emits v0
+    def be(ints: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(ints.size * 4)
+      ints.foreach(bb.putInt); bb.array()
+    }
+    def bx(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(tpe.getBytes("US-ASCII"))
+      payload.foreach(bb.put); bb.array()
+    }
+    val unity = be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val ftyp = bx("ftyp", "mp42".getBytes("US-ASCII"), be(0))
+    // mvhd v1: ver=1, 8-byte creation/modification, timescale at +20,
+    // 8-byte duration at +24 (ISO 14496-12 layout)
+    val mvhdV1 = bx("mvhd", Array[Byte](1, 0, 0, 0), be(0, 0, 0, 0),
+      be(600), be(0, 3000), be(0x10000), Array[Byte](0x01, 0x00, 0, 0),
+      be(0, 0), unity, be(0, 0, 0, 0, 0, 0), be(2))
+    // tkhd v1: 8-byte times, width/height at +88/+92
+    // payload: times(16) trackid+rsvd(8) duration(8) rsvd(8)
+    // layer/group/volume/rsvd(8) matrix(36) width/height at +88/+92
+    val tkhdV1 = bx("tkhd", Array[Byte](1, 0, 0, 7), be(0, 0, 0, 0),
+      be(1, 0), be(0, 3000), be(0, 0), be(0, 0), unity,
+      be(1280 << 16, 720 << 16))
+    val moovPayload = mvhdV1 ++ bx("trak", tkhdV1)
+    // largesize header: size==1 + 64-bit size in the next 8 bytes
+    val moovLarge = {
+      val bb = java.nio.ByteBuffer.allocate(16 + moovPayload.length)
+      bb.putInt(1).put("moov".getBytes("US-ASCII"))
+        .putLong(16L + moovPayload.length).put(moovPayload)
+      bb.array()
+    }
+    val v1 = Multimodal.Mp4Probe.parse(ftyp ++ moovLarge).get
+    assert(v1.getString(0) == "mp42", v1)
+    // duration 3000 at timescale 600 = 5000 ms
+    assert(v1.getDouble(4) == 5000.0, v1)
+    assert(v1.getInt(2) == 1280 && v1.getInt(3) == 720, v1)
+    assert(v1.getInt(5) == 1 && v1.getBoolean(6), v1)
   }
 
   test("asofJoin rejects reserved names, payload collisions, numeric ts tolerance") {
