@@ -875,6 +875,26 @@ object SparkEntry {
       graft.ops.Sample.byHash(docs, "doc_id", 0.25).select(col("doc_id"))
     }),
 
+    // LLM-pipeline: deterministic corpus shuffle — a stateless
+    // pseudo-random permutation (shard by one hash, within-shard
+    // position by an independent one); the "global shuffle before
+    // training" step with zero Spark shuffle until the writer's
+    // partitionBy
+    "sample_shuffle" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id")).read()
+      graft.ops.Sample.shuffleShards(docs, "doc_id", 16)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // LLM-pipeline: leakage-free split — band of the GROUP key's hash
+    // space, so all docs of a source land on the same side (the
+    // train/test separation that stops near-dup leakage across splits)
+    "sample_group_split" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "source")).read()
+      graft.ops.Sample.splitByGroup(docs, "source", 0.0, 0.5)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // LLM-pipeline: per-source cap (stratified head) — the mixing
     // recipe's per-domain budget
     "sample_stratified" -> ((s, dir) => {
@@ -1609,6 +1629,21 @@ object SparkEntry {
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10""".stripMargin,
+    // shard: second multiplicative constant (2246822519); pos: the
+    // Sample.idHash constant — both folded to 2^31 first (no overflow)
+    "sample_shuffle" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 2147483648) * 2246822519 % 4294967296 % 16
+        |    AS INTEGER) AS shard,
+        |  (doc_id % 2147483648) * 2654435761 % 4294967296 AS pos
+        |FROM documents""".stripMargin,
+    // group band by the first 8 hex chars of md5(source): fixed-width
+    // lowercase hex compares lexicographically = numerically in both
+    // engines
+    "sample_group_split" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(source AS VARCHAR)), 1, 8) >= '00000000'
+        |  AND substr(md5(CAST(source AS VARCHAR)), 1, 8) < '80000000'""".stripMargin,
     "sample_pack" ->
       """SELECT doc_id, n_tokens,
         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id

@@ -44,6 +44,45 @@ object Sample {
       h < lit((hi * 4294967296.0).toLong))
   }
 
+  /** Second independent 32-bit multiplicative hash (different odd
+    * constant than [[idHash]]) so shard assignment and within-shard
+    * position decorrelate — same signed-64-safe fold. */
+  private def idHash2(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2246822519L),
+      lit(4294967296L))
+
+  /** Deterministic corpus shuffle: `shard = hash2(id) mod nShards`,
+    * `pos = hash(id)` — reading shards in shard order, each sorted by
+    * `pos`, yields a fixed pseudo-random permutation of the corpus
+    * (the "global shuffle before training" step). Stateless narrow
+    * projection: no Spark shuffle here at all — the exchange happens
+    * once, in the writer's `partitionBy("shard")`, and the permutation
+    * is identical on any cluster size or engine (pure 32-bit integer
+    * arithmetic). Appends `shard` and `pos` columns. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn("shard",
+        pmod(idHash2(col(idCol)), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", idHash(col(idCol)))
+  }
+
+  /** Leakage-free split: band `[lo, hi)` of the GROUP key's hash
+    * space, so every row of a group (all docs of one source/site/
+    * author) lands on the same side — the train/test separation rule
+    * that stops near-duplicate leakage across splits. Membership is
+    * decided by the first 8 hex chars of `md5(group)` compared as
+    * strings against the band's hex bounds — engine-independent (md5's
+    * lowercase-hex form is identical everywhere, and fixed-width hex
+    * compares lexicographically = numerically), stateless, narrow. */
+  def splitByGroup(df: DataFrame, groupCol: String, lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"bad band [$lo, $hi)")
+    val h = substring(md5(col(groupCol).cast("string")), 1, 8)
+    def bound(f: Double): String =
+      "%08x".format(math.min((f * 4294967296.0).toLong, 0xFFFFFFFFL))
+    val upper = if (hi >= 1.0) lit(true) else h < lit(bound(hi))
+    df.filter(h >= lit(bound(lo)) && upper)
+  }
+
   /** Per-stratum cap: the first `n` rows of each stratum in
     * `orderCols` order (ties broken by the full order list — pass a
     * unique id last for determinism). One shuffle on the stratum key;

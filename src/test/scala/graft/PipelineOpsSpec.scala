@@ -76,6 +76,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert((lo & hi).isEmpty && lo.size + hi.size == 2000) // disjoint cover
   }
 
+  test("shuffleShards: deterministic permutation, covered shards, no Spark shuffle") {
+    val df = s.range(0, 2000).toDF("doc_id")
+    val out = Sample.shuffleShards(df, "doc_id", 16)
+    val a = rows(out).map(r => (r.head, r(1), r(2)))
+    assert(a.toSet == rows(out).map(r => (r.head, r(1), r(2))).toSet) // stable
+    val byShard = a.groupBy(_._2.asInstanceOf[Int])
+    assert(byShard.keySet == (0 until 16).toSet, s"shards ${byShard.keySet}")
+    // roughly uniform occupancy (2000/16 = 125 expected)
+    assert(byShard.values.forall(v => v.size > 60 && v.size < 250),
+      byShard.view.mapValues(_.size).toMap.toString)
+    // within-shard positions are distinct -> (shard, pos-order) is a
+    // total order, i.e. a permutation of the corpus
+    byShard.values.foreach(v =>
+      assert(v.map(_._3).distinct.size == v.size, "pos collision"))
+    // stateless: the plan is a narrow projection, no exchange
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("splitByGroup: disjoint cover, group atomicity") {
+    val df = s.createDataFrame(
+      (1 to 300).map(i => (i.toLong, s"site${i % 17}"))).toDF("doc_id", "src")
+    val lo = rows(Sample.splitByGroup(df, "src", 0.0, 0.5))
+    val hi = rows(Sample.splitByGroup(df, "src", 0.5, 1.0))
+    assert(lo.size + hi.size == 300, s"${lo.size}+${hi.size}")
+    assert(lo.map(_.head).toSet.intersect(hi.map(_.head).toSet).isEmpty)
+    // every group lands entirely on one side (no cross-split leakage)
+    val loSrc = lo.map(_(1)).toSet
+    val hiSrc = hi.map(_(1)).toSet
+    assert(loSrc.intersect(hiSrc).isEmpty, s"split groups: ${loSrc & hiSrc}")
+    assert(loSrc.nonEmpty && hiSrc.nonEmpty) // 17 groups do straddle 0.5
+  }
+
   test("capPerStratum keeps the first n per stratum in order") {
     val df = s.createDataFrame(
       (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd")))
