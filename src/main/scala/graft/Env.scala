@@ -59,6 +59,15 @@ final class Env(
     }
   }
 
+  /** Cross-write transaction (tanker/context.py:238-248 commit/
+    * rollback): all writes/deletes inside `body` become visible
+    * together on success; on exception none do. See
+    * [[graft.store.Warehouse.transaction]] for the isolation
+    * contract (all-or-nothing durability via a roll-forward journal;
+    * concurrent readers may observe a prefix during the commit
+    * instant itself). */
+  def transaction[A](body: => A): A = warehouse.transaction(body)
+
   /** One-record fetch by filter, as a name->value map
     * (tanker/view.py:714-721). */
   def fetch(table: String, filterBy: String, args: Seq[Any] = Nil): Option[Map[String, Any]] = {

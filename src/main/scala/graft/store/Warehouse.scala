@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, hash, lit, pmod}
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import graft.schema.{ColType, ColumnDef, Registry, TableDef}
 import graft.view.Json
@@ -31,9 +32,10 @@ import graft.view.Json
   * Writers build the next `snap-<n+1>` in full, then replace
   * `_CURRENT` — a single-file swap, so readers see either the old or
   * the new state, never a mix (object-store friendly: no directory
-  * rename). Matches the reference's per-write transaction boundary
-  * (tanker/context.py:238-248); cross-write transactions are out of
-  * scope (documented divergence).
+  * rename). Matches the reference's per-write transaction boundary,
+  * and [[transaction]] gives the cross-write commit/rollback analogue
+  * (tanker/context.py:238-248): buffered pointer swaps applied
+  * together behind a roll-forward journal.
   *
   * Tables declared `external` read a driver-provided parquet path
   * directly and are never written.
@@ -63,6 +65,10 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   private def currentFile(t: String) = new Path(tableDir(t), "_CURRENT")
 
   private def readPointer(t: String): Option[String] = {
+    // in-txn reads see the buffered (uncommitted) pointer first —
+    // read-your-writes inside graft.store.Warehouse.transaction
+    val txn = txnLocal.get()
+    if ((txn ne null) && txn.contains(t)) return Some(txn(t))
     val f = currentFile(t)
     val fsys = fs(f)
     if (!fsys.exists(f)) None
@@ -448,7 +454,82 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     gc(t, keep = buckets.values.map(_.split("/")(0)).toSet + next)
   }
 
+  // ------------------------------------------------- cross-write txn
+
+  /** Thread-local buffer of pending pointer swaps: table -> manifest
+    * content. Non-null only inside [[transaction]]. */
+  private val txnLocal = new ThreadLocal[mutable.LinkedHashMap[String, String]]()
+
+  /** Cross-write transaction: every write/delete inside `body` builds
+    * its snapshot normally but BUFFERS its pointer swap; on success
+    * all pointers apply together behind a crash-safe journal, on
+    * exception none apply (built snapshot dirs are orphaned and
+    * reclaimed by later gc). This is the Spark-native analogue of the
+    * reference's connection commit/rollback
+    * (tanker/context.py:238-248) with the isolation a pointer-file
+    * store can give: DURABILITY is all-or-nothing (a crash between
+    * journal write and the last swap rolls FORWARD on the next
+    * [[recoverTransactions]]), but a concurrent reader during the
+    * apply loop can observe a prefix of the swaps — there is no
+    * multi-file compare-and-swap without a central catalog. In-txn
+    * reads see the buffered state (read-your-writes), other threads
+    * see the pre-txn state until commit. Nested transactions raise. */
+  def transaction[A](body: => A): A = {
+    require(txnLocal.get() == null, "Nested transactions are not supported")
+    val buf = mutable.LinkedHashMap[String, String]()
+    txnLocal.set(buf)
+    val res =
+      try body
+      catch { case e: Throwable => txnLocal.remove(); throw e }
+    txnLocal.remove() // before applying: the swaps below must be real
+    if (buf.nonEmpty) {
+      val j = new Path(root, s"_TXN-${System.nanoTime()}")
+      val fsys = fs(j)
+      val out = fsys.create(j, true)
+      try out.write(Json.write(buf.toMap).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      buf.foreach { case (t, content) => swapPointer(t, content) }
+      fsys.delete(j, false)
+      buf.keys.foreach(gcCurrent)
+    }
+    res
+  }
+
+  /** Roll forward transactions that journaled but crashed before all
+    * pointer swaps applied. Idempotent (re-applying a swap writes the
+    * same content); called from [[createTables]] so any session that
+    * opens the warehouse heals it, and callable directly. */
+  def recoverTransactions(): Unit = {
+    val rootPath = new Path(root)
+    val fsys = fs(rootPath)
+    if (!fsys.exists(rootPath)) return
+    fsys.listStatus(rootPath).map(_.getPath)
+      .filter(_.getName.startsWith("_TXN-"))
+      .sortBy(_.getName).foreach { j =>
+        val in = fsys.open(j)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+        val entries = new org.yaml.snakeyaml.Yaml()
+          .load[java.util.Map[String, Object]](text).asScala
+        entries.foreach { case (t, content) =>
+          swapPointer(t, content.toString) }
+        fsys.delete(j, false)
+        entries.keys.foreach(gcCurrent)
+      }
+  }
+
+  /** gc a table against its CURRENT manifest's references (used after
+    * a transactional commit, where per-write gc was suppressed). */
+  private def gcCurrent(t: String): Unit = currentManifest(t).foreach { m =>
+    gc(t, keep = Set(m.snap) ++
+      m.buckets.values.map(_.split("/")(0)) ++
+      m.zones.map(_.dir.split("/")(0)))
+  }
+
   private def swapPointer(t: String, content: String): Unit = {
+    val txn = txnLocal.get()
+    if (txn ne null) { txn(t) = content; return }
     val f = currentFile(t)
     val fsys = fs(f)
     val tmp = new Path(tableDir(t), s"_CURRENT.tmp-${System.nanoTime()}")
@@ -462,8 +543,12 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   }
 
   /** Drop snapshots that are neither referenced by the manifest nor
-    * among the 2 most recent (in-flight reader grace). */
+    * among the 2 most recent (in-flight reader grace). Suppressed
+    * inside a transaction: the VISIBLE manifest still references the
+    * old snapshots, and deleting them would break rollback; the commit
+    * path gc's every touched table afterwards ([[gcCurrent]]). */
   private def gc(t: String, keep: Set[String]): Unit = {
+    if (txnLocal.get() ne null) return
     val dir = tableDir(t)
     val fsys = fs(dir)
     if (fsys.exists(dir)) {
@@ -535,6 +620,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * (tanker/context.py:688-710). Seed `values` are written by
     * [[graft.Env.createTables]] (they may use dotted FK fields). */
   def createTables(): Unit = {
+    recoverTransactions() // heal a crash mid-commit before any reads
     registry.names.foreach { t =>
       if (registry(t).external.isEmpty && readPointer(t).isEmpty)
         write(t, empty(registry(t)))

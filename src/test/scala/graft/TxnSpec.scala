@@ -1,0 +1,108 @@
+package graft
+
+/** Cross-write transactions (reference commit/rollback per context,
+  * tanker/context.py:238-248): buffered pointer swaps, all-or-nothing
+  * visibility, read-your-writes inside the body, journaled
+  * roll-forward recovery. */
+class TxnSpec extends SparkSpec {
+
+  test("commit makes writes to several tables visible together") {
+    val env = freshEnv()
+    val before = rows(env.view("country", Seq("name")).read()).size
+    env.transaction {
+      env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+      env.view("member", Seq("registration_code", "name"))
+        .write(Seq(Seq("077", "Zoe")))
+    }
+    assert(rows(env.view("country", Seq("name")).read()).size == before + 1)
+    assert(env.fetch("member", """(= registration_code "077")""").isDefined)
+  }
+
+  test("rollback on exception leaves every table untouched") {
+    val env = freshEnv()
+    val countries = rows(env.view("country", Seq("name")).read()).map(_.head).toSet
+    val members = rows(env.view("member", Seq("name")).read()).size
+    intercept[IllegalArgumentException] {
+      env.transaction {
+        env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+        env.view("member", Seq("name")).write(Seq(Seq("NoKey"))) // missing key -> raises
+      }
+    }
+    assert(rows(env.view("country", Seq("name")).read())
+      .map(_.head).toSet == countries, "first write leaked out of the txn")
+    assert(rows(env.view("member", Seq("name")).read()).size == members)
+  }
+
+  test("in-txn reads see buffered writes (read-your-writes)") {
+    val env = freshEnv()
+    env.transaction {
+      env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+      // the buffered state is visible to reads on this thread...
+      assert(rows(env.view("country", Seq("name")).read())
+        .map(_.head).contains("Italy"))
+      // ...and to a dependent FK write in the same txn
+      env.view("team", Seq("name", "country.name"))
+        .write(Seq(Seq("Verdi", "Italy")))
+    }
+    assert(env.fetch("team", """(= name "Verdi")""").isDefined)
+  }
+
+  test("sequential writes to ONE table inside a txn stack correctly") {
+    val env = freshEnv()
+    env.transaction {
+      env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+      env.view("country", Seq("name")).write(Seq(Seq("Spain")))
+    }
+    val got = rows(env.view("country", Seq("name")).read()).map(_.head).toSet
+    assert(got.contains("Italy") && got.contains("Spain"), got.toString)
+  }
+
+  test("nested transactions raise") {
+    val env = freshEnv(seedTeams = false)
+    intercept[IllegalArgumentException] {
+      env.transaction { env.transaction { () } }
+    }
+  }
+
+  test("journal roll-forward applies a crashed commit") {
+    val env = freshEnv()
+    val root = env.warehouse.root
+    // capture the pointer a committed write WOULD install, then undo
+    // it manually to simulate a crash after journaling, before swap
+    env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+    val cur = java.nio.file.Paths.get(root, "country", "_CURRENT")
+    val committed = new String(java.nio.file.Files.readAllBytes(cur), "UTF-8")
+    // journal claiming the commit, pointer rolled back to an older snap
+    val stale = committed.replaceAll(
+      "\"snap\":\\s*\"snap-(\\d+)\"", "\"snap\": \"snap-0\"")
+    java.nio.file.Files.write(cur, stale.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_TXN-1"),
+      graft.view.Json.write(Map("country" -> committed)).getBytes("UTF-8"))
+    env.warehouse.recoverTransactions()
+    val healed = new String(java.nio.file.Files.readAllBytes(cur), "UTF-8")
+    assert(healed == committed, s"roll-forward did not apply: $healed")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_TXN-1")), "journal not cleared")
+    assert(rows(env.view("country", Seq("name")).read())
+      .map(_.head).contains("Italy"))
+  }
+
+  test("rolled-back snapshots are reclaimed by later writes' gc") {
+    val env = freshEnv(seedTeams = false)
+    intercept[RuntimeException] {
+      env.transaction {
+        env.view("country", Seq("name")).write(Seq(Seq("Ghost")))
+        throw new RuntimeException("boom")
+      }
+    }
+    // the orphaned snapshot exists on disk but is invisible
+    assert(!rows(env.view("country", Seq("name")).read())
+      .map(_.head).contains("Ghost"))
+    // later writes proceed normally over the orphan
+    env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+    env.view("country", Seq("name")).write(Seq(Seq("Spain")))
+    env.view("country", Seq("name")).write(Seq(Seq("Malta")))
+    val got = rows(env.view("country", Seq("name")).read()).map(_.head).toSet
+    assert(Set[Any]("Italy", "Spain", "Malta").subsetOf(got), got.toString)
+  }
+}
