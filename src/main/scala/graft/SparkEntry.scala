@@ -737,6 +737,34 @@ object SparkEntry {
         .read(Seq("(and (>= event_id 100) (<= event_id 400))"))
     }),
 
+    // S2: cross-write transaction — two tables commit together
+    // (all-or-nothing pointer swaps behind a journal) and a failed
+    // second txn leaves no trace; the result reads the committed
+    // state of BOTH tables
+    "q37_txn_roundtrip" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      e.transaction {
+        val totals = e.viewNamed("nation", Seq(
+          "name" -> "n_name", "total" -> "(cast n_regionkey (float))",
+          "regionkey" -> "n_regionkey")).read()
+        e.view("nation_total", Seq("name", "total", "regionkey")).write(totals)
+        val batch = e.view("customer", Seq("c_name"))
+          .read(Seq("(< c_custkey 21)"))
+          .select(col("c_name").as("custkey.c_name"), lit("txn").as("note"))
+        e.view("cust_note", Seq("custkey.c_name", "note")).write(batch)
+      }
+      try e.transaction {
+        e.view("nation_total", Seq("name", "total"))
+          .write(Seq(Seq("GHOST", 9.9)))
+        throw new RuntimeException("rollback")
+      } catch { case e: RuntimeException if e.getMessage == "rollback" => () }
+      val notes = e.view("cust_note", Seq("note")).read()
+        .filter(col("note") === "txn").count()
+      e.view("nation_total", Seq("name", "total", "regionkey")).read()
+        .withColumn("notes", lit(notes))
+    }),
+
     // LLM-pipeline: embedding L2 normalization — HOF Column math, no
     // UDF; oracle recomputes norm and first normalized component in
     // double arithmetic
@@ -1337,6 +1365,11 @@ object SparkEntry {
     "q36_brin_range" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id BETWEEN 100 AND 400""".stripMargin,
+    "q37_txn_roundtrip" ->
+      """SELECT n_name AS name, CAST(n_regionkey AS DOUBLE) AS total,
+        |  n_regionkey AS regionkey,
+        |  (SELECT count(*) FROM customer WHERE c_custkey < 21) AS notes
+        |FROM nation""".stripMargin,
     "profile_columns" ->
       """SELECT 'lang' AS "column", count(*) AS n_rows,
         |  count(*) - count(lang) AS n_nulls,

@@ -57,6 +57,26 @@ class TxnSpec extends SparkSpec {
     assert(got.contains("Italy") && got.contains("Spain"), got.toString)
   }
 
+  test("other threads see the pre-txn state until commit") {
+    val env = freshEnv()
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      env.transaction {
+        env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+        // the buffer is thread-local: a concurrent reader stays on the
+        // committed (pre-txn) pointer
+        val seen = pool.submit(new java.util.concurrent.Callable[Set[Any]] {
+          def call(): Set[Any] =
+            rows(env.view("country", Seq("name")).read()).map(_.head).toSet
+        }).get()
+        assert(!seen.contains("Italy"),
+          s"uncommitted write visible cross-thread: $seen")
+      }
+      assert(rows(env.view("country", Seq("name")).read())
+        .map(_.head).contains("Italy"))
+    } finally { pool.shutdown(): Unit }
+  }
+
   test("nested transactions raise") {
     val env = freshEnv(seedTeams = false)
     intercept[IllegalArgumentException] {
