@@ -66,6 +66,21 @@ object Sample {
       .withColumn("pos", idHash(col(idCol)))
   }
 
+  /** Materialized global shuffle: assign [[shuffleShards]] shards,
+    * cluster so each `shard=<k>` directory receives exactly ONE file
+    * (the training-shard layout dataloaders stream), rows inside it
+    * ordered by the within-shard position. One exchange (the
+    * repartition on the shard id) regardless of corpus size; without
+    * the clustering every map task would open a writer per shard it
+    * touches — tasks × shards small files, the object-store killer
+    * (same fix as the LSH index writer). */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    shuffleShards(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Leakage-free split: band `[lo, hi)` of the GROUP key's hash
     * space, so every row of a group (all docs of one source/site/
     * author) lands on the same side — the train/test separation rule

@@ -94,6 +94,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("writeShards: one file per shard dir, position-ordered rows") {
+    val df = s.range(0, 2000).toDF("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-").toString
+    try {
+      Sample.writeShards(df, "doc_id", 8, dir)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      assert(shardDirs.length == 8, s"${shardDirs.length} shard dirs")
+      // exactly ONE data file per shard (no small-file spray)
+      shardDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"${d.getName} has ${files.length} files")
+      }
+      // a shard file reads back in position order and the full corpus
+      // round-trips
+      val back = s.read.parquet(dir)
+      assert(back.count() == 2000)
+      val one = back.filter(col("shard") === 3).select("pos")
+        .collect().map(_.getLong(0))
+      assert(one.sameElements(one.sorted), "shard rows not position-ordered")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir)): Unit
+  }
+
   test("splitByGroup: disjoint cover, group atomicity") {
     val df = s.createDataFrame(
       (1 to 300).map(i => (i.toLong, s"site${i % 17}"))).toDF("doc_id", "src")
