@@ -84,6 +84,50 @@ class TxnSpec extends SparkSpec {
     }
   }
 
+  test("transaction spans plain, bucketed and zoned pointer formats") {
+    spark.conf.set("spark.graft.brin.zones", "4")
+    val root = java.nio.file.Files.createTempDirectory("graft-txn3-").toString
+    val env = Env(spark, graft.schema.Registry.fromYaml(
+      """- table: t_plain
+        |  columns: {name: varchar, v: bigint}
+        |  key: [name]
+        |- table: t_bucket
+        |  columns: {code: varchar, v: bigint}
+        |  key: [code]
+        |  buckets: 8
+        |- table: t_zone
+        |  columns: {seq: bigint, v: bigint}
+        |  key: [seq]
+        |  use-index: brin
+        |""".stripMargin), root)
+    env.createTables()
+    env.transaction {
+      env.view("t_plain", Seq("name", "v")).write(Seq(Seq("a", 1L)))
+      env.view("t_bucket", Seq("code", "v")).write(Seq(Seq("x", 2L)))
+      env.view("t_zone", Seq("seq", "v")).write(
+        (1 to 20).map(i => Seq(i.toLong, i.toLong)))
+      // a MERGE against the buffered zoned state inside the same txn
+      env.view("t_zone", Seq("seq", "v")).write(Seq(Seq(5L, 500L)))
+    }
+    assert(rows(env.view("t_plain", Seq("v")).read()) == Seq(Seq(1L)))
+    assert(rows(env.view("t_bucket", Seq("v")).read()) == Seq(Seq(2L)))
+    assert(rows(env.view("t_zone", Seq("seq", "v"))
+      .read(Seq("(= seq 5)"))) == Seq(Seq(5L, 500L)))
+    assert(rows(env.view("t_zone", Seq("seq")).read()).size == 20)
+    // a failing txn touching all three leaves each untouched
+    intercept[RuntimeException] {
+      env.transaction {
+        env.view("t_plain", Seq("name", "v")).write(Seq(Seq("b", 9L)))
+        env.view("t_bucket", Seq("code", "v")).write(Seq(Seq("y", 9L)))
+        env.view("t_zone", Seq("seq", "v")).write(Seq(Seq(99L, 9L)))
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(rows(env.view("t_plain", Seq("name")).read()).size == 1)
+    assert(rows(env.view("t_bucket", Seq("code")).read()).size == 1)
+    assert(rows(env.view("t_zone", Seq("seq")).read()).size == 20)
+  }
+
   test("journal roll-forward applies a crashed commit") {
     val env = freshEnv()
     val root = env.warehouse.root
