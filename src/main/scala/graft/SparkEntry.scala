@@ -437,6 +437,17 @@ object SparkEntry {
           col("media.height").as("height"), col("frame_ts_ms"))
     }),
 
+    // LLM-pipeline: C4-style line cleaning — the boilerplate scrub
+    // (short/fragment lines dropped) every web-corpus pipeline runs
+    // before dedup; lines come from sentence-splitting the docs
+    "text_clean" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
+      docs.select(col("doc_id"),
+        Text.cleanLines(regexp_replace(col("text"), "\\. ", "\n"),
+          minWords = 5, requireTerminal = false).as("cleaned"))
+    }),
+
     // LLM-pipeline: per-doc text statistics (punctuation density,
     // mean token length, subword estimate is lookbehind-regex so not
     // SQL-expressible — kept out of the oracle-gated columns)
@@ -1448,6 +1459,13 @@ object SparkEntry {
         |    range(0, greatest(1, CAST(ceil(dur / 250.0) AS BIGINT))),
         |    i -> i * 250.0)) AS frame_ts_ms
         |FROM d""".stripMargin,
+    "text_clean" ->
+      """SELECT doc_id, array_to_string(list_filter(
+        |    string_split(regexp_replace(text, '\. ', chr(10), 'g'), chr(10)),
+        |    l -> len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |         AND trim(l) <> ''),
+        |  chr(10)) AS cleaned
+        |FROM documents""".stripMargin,
     // subwords: the lookbehind-split count equals (# alphanumeric
     // runs) + (# non-alnum non-space chars) — lookbehind-free algebra
     "text_stats" ->

@@ -344,4 +344,21 @@ object Text {
       .select(col(idCol), topFrac(1, "top_unigram_frac"),
         topFrac(2, "top_bigram_frac"), topFrac(3, "top_trigram_frac"))
   }
+
+  /** C4-style line cleaning (Raffel et al. 2020 §2.2 heuristics —
+    * published, widely replicated): keep only lines with at least
+    * `minWords` whitespace tokens and, when `requireTerminal`, a
+    * terminal punctuation mark; drop the rest and rejoin with
+    * newlines. The boilerplate scrubber (nav menus, cookie banners,
+    * footer fragments) every web-corpus pipeline runs before dedup.
+    * Pure higher-order-function Column — per-row, no shuffle, no UDF. */
+  def cleanLines(text: org.apache.spark.sql.Column, minWords: Int = 3,
+      requireTerminal: Boolean = true): org.apache.spark.sql.Column = {
+    val kept = filter(split(text, "\n"), l =>
+      Hof.bind(trim(l), t => {
+        val enough = size(split(t, "\\s+")) >= minWords && t =!= ""
+        if (requireTerminal) enough && t.rlike("[.!?\"']$") else enough
+      }))
+    array_join(kept, "\n")
+  }
 }

@@ -715,6 +715,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cleanLines: C4 heuristics — min words, terminal punctuation") {
+    val text = "Short line.\nThis is a proper sentence with words.\n" +
+      "no terminal punctuation here at all\nBuy now!\n\n" +
+      "Another good sentence is here."
+    val df = docsDf(Seq((1L, text)))
+    val strict = rows(df.select(
+      Text.cleanLines(col("text"), 3, requireTerminal = true).as("c")))
+      .head.head
+    assert(strict == "This is a proper sentence with words.\n" +
+      "Another good sentence is here.", strict.toString)
+    val loose = rows(df.select(
+      Text.cleanLines(col("text"), 3, requireTerminal = false).as("c")))
+      .head.head
+    assert(loose == "This is a proper sentence with words.\n" +
+      "no terminal punctuation here at all\n" +
+      "Another good sentence is here.", loose.toString)
+    // single-line doc, empty doc: no crashes, deterministic output
+    val edge = rows(docsDf(Seq((2L, "One tiny."), (3L, "")))
+      .select(Text.cleanLines(col("text"), 3).as("c"))).map(_.head)
+    assert(edge == Seq("", ""), edge.toString)
+  }
+
   test("MP4 probe: pure-JVM box parse, binary-less end-to-end, graceful truncation") {
     val b = Multimodal.synthMp4(12345, 640, 360)
     val r = Multimodal.Mp4Probe.parse(b).get
