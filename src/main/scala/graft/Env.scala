@@ -64,8 +64,8 @@ final class Env(
     * together on success; on exception none do. See
     * [[graft.store.Warehouse.transaction]] for the isolation
     * contract (all-or-nothing durability via a roll-forward journal;
-    * concurrent readers may observe a prefix during the commit
-    * instant itself). */
+    * visibility is atomic — one `_ROOT` catalog swap — so concurrent
+    * readers never observe a partial multi-table commit). */
   def transaction[A](body: => A): A = warehouse.transaction(body)
 
   /** One-record fetch by filter, as a name->value map

@@ -153,6 +153,44 @@ object Main {
       emit(graft.ops.Profile.columns(base, cols)
         .orderBy(org.apache.spark.sql.functions.col("column")), o, out)
 
+    // extension: atomic multi-action batch — the CLI face of the web
+    // /_txn endpoint (the reference bottle plugin's per-request commit,
+    // contrib/bottle.py:12-28). Input (--file or stdin) is the same
+    // JSON/YAML body: {"actions": [{"op": "write"|"delete", ...}]};
+    // all actions become visible together, or none on any failure.
+    case "txn" =>
+      val text = o.file match {
+        case Some(f) => Files.readString(Paths.get(f))
+        case None => scala.io.Source.stdin.mkString
+      }
+      val body = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](text).asScala
+      val actions = body("actions")
+        .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.toSeq.map(_.asScala)
+      env.transaction {
+        actions.foreach { m =>
+          val table = String.valueOf(m("table"))
+          String.valueOf(m("op")) match {
+            case "write" =>
+              val fields = m("fields").asInstanceOf[java.util.List[_]]
+                .asScala.toSeq.map(String.valueOf(_))
+              val data = m("rows").asInstanceOf[java.util.List[java.util.List[_]]]
+                .asScala.toSeq.map(_.asScala.toSeq: Seq[Any])
+              env.view(table, fields).write(data): Unit
+            case "delete" =>
+              val filters = m.get("filters")
+                .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
+                  .map(String.valueOf(_))).getOrElse(Nil)
+              env.view(table)
+                .delete(filters = filters.map(FilterExpr.apply): Seq[Filter]): Unit
+            case other =>
+              throw new IllegalArgumentException(s"unknown op '$other'")
+          }
+        }
+      }
+      out.write(s"applied ${actions.size} action(s) atomically\n")
+
     case other => out.write(s"""Action "$other" not supported\n""")
   }
 

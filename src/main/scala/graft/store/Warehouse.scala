@@ -16,9 +16,10 @@ import graft.view.Json
   * Layout per managed table:
   *
   * {{{
+  *   <root>/_ROOT                       root catalog: table -> pointer
   *   <root>/<table>/snap-<n>/           parquet (immutable once current)
   *   <root>/<table>/snap-<n>/__b=<k>/   key-hash bucket dirs (bucketed)
-  *   <root>/<table>/_CURRENT            pointer / manifest (see below)
+  *   <root>/<table>/_CURRENT            per-table mirror (see below)
   * }}}
   *
   * Unbucketed `_CURRENT` holds the live snap name. Bucketed tables
@@ -29,13 +30,14 @@ import graft.view.Json
   * the other 1022 by reference. That is the 100-TB merge path: write
   * cost scales with the batch's key footprint, not the table size.
   *
-  * Writers build the next `snap-<n+1>` in full, then replace
-  * `_CURRENT` — a single-file swap, so readers see either the old or
-  * the new state, never a mix (object-store friendly: no directory
-  * rename). Matches the reference's per-write transaction boundary,
-  * and [[transaction]] gives the cross-write commit/rollback analogue
-  * (tanker/context.py:238-248): buffered pointer swaps applied
-  * together behind a roll-forward journal.
+  * Writers build the next `snap-<n+1>` in full, then install its
+  * pointer into `_ROOT` — a single-file swap, so readers see either
+  * the old or the new state, never a mix (object-store friendly: no
+  * directory rename). Matches the reference's per-write transaction
+  * boundary, and [[transaction]] gives the cross-write
+  * commit/rollback analogue (tanker/context.py:238-248): buffered
+  * pointers applied as ONE root swap behind a roll-forward journal —
+  * atomic multi-table visibility.
   *
   * Tables declared `external` read a driver-provided parquet path
   * directly and are never written.
@@ -64,19 +66,89 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   private def tableDir(t: String) = new Path(root, t)
   private def currentFile(t: String) = new Path(tableDir(t), "_CURRENT")
 
+  /** Root catalog: ONE file mapping table -> pointer content, swapped
+    * atomically on every commit — so a multi-table transaction becomes
+    * visible in a single swap and a concurrent reader can never
+    * observe a partial commit (the prefix-visibility window the
+    * per-table-pointer design had). Per-table `_CURRENT` files remain
+    * as MIRRORS: written after each root swap for legacy layouts and
+    * catalog-less introspection, never authoritative once `_ROOT`
+    * exists. Root read-modify-write is serialized by a JVM-wide
+    * per-root lock — correct for any single-driver deployment (all
+    * Warehouse writes are driver-coordinated); concurrent writers from
+    * SEPARATE driver processes on one root need external coordination,
+    * exactly as object-store table formats without a compare-and-swap
+    * service do. */
+  private def rootFile = new Path(root, "_ROOT")
+  private def rootLock: Object = Warehouse.lockFor(root)
+
+  /** table -> pointer content from the root catalog; empty when the
+    * warehouse predates the catalog (readers then fall back to the
+    * per-table mirrors, which ARE authoritative for a legacy layout). */
+  private def readRoot(): Map[String, String] = {
+    val f = rootFile
+    val fsys = fs(f)
+    if (!fsys.exists(f)) Map()
+    else try {
+      val in = fsys.open(f)
+      val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8) finally in.close()
+      val m = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](text)
+      if (m == null) Map()
+      else m.asScala.map { case (k, v) => k -> v.toString }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map() }
+  }
+
+  /** Install `entries` into the root catalog as ONE atomic swap, then
+    * refresh the touched `_CURRENT` mirrors. The root swap is the
+    * commit point; a crash mid-mirror is healed by the transaction
+    * journal replay ([[recoverTransactions]]) or simply ignored
+    * (readers resolve through the root first). */
+  private def commitPointers(entries: collection.Seq[(String, String)]): Unit =
+    rootLock.synchronized {
+      val merged = readRoot() ++ entries
+      val f = rootFile
+      val fsys = fs(f)
+      val tmp = new Path(root, s"_ROOT.tmp-${System.nanoTime()}")
+      val out = fsys.create(tmp, true)
+      try out.write(Json.write(merged).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (fsys.exists(f)) fsys.delete(f, false)
+      if (!fsys.rename(tmp, f))
+        throw new java.io.IOException(s"Failed to swap $f")
+      entries.foreach { case (t, content) => writeMirror(t, content) }
+    }
+
+  private def writeMirror(t: String, content: String): Unit = {
+    val f = currentFile(t)
+    val fsys = fs(f)
+    val tmp = new Path(tableDir(t), s"_CURRENT.tmp-${System.nanoTime()}")
+    val out = fsys.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // HDFS/local rename onto an existing file: delete-then-rename is the
+    // portable swap; the tiny race window only exposes old-or-new.
+    if (fsys.exists(f)) fsys.delete(f, false)
+    if (!fsys.rename(tmp, f))
+      throw new java.io.IOException(s"Failed to swap $f")
+  }
+
   private def readPointer(t: String): Option[String] = {
     // in-txn reads see the buffered (uncommitted) pointer first —
     // read-your-writes inside graft.store.Warehouse.transaction
     val txn = txnLocal.get()
     if ((txn ne null) && txn.contains(t)) return Some(txn(t))
-    val f = currentFile(t)
-    val fsys = fs(f)
-    if (!fsys.exists(f)) None
-    else {
-      val in = fsys.open(f)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8).trim)
-      finally in.close()
+    readRoot().get(t).orElse {
+      // legacy layout or table not yet written through the catalog
+      val f = currentFile(t)
+      val fsys = fs(f)
+      if (!fsys.exists(f)) None
+      else {
+        val in = fsys.open(f)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
     }
   }
 
@@ -460,20 +532,26 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * content. Non-null only inside [[transaction]]. */
   private val txnLocal = new ThreadLocal[mutable.LinkedHashMap[String, String]]()
 
+  /** Is the CURRENT thread inside [[transaction]]? Sinks that commit
+    * on other threads (streaming foreachBatch) guard on this: a write
+    * buffered into a transaction that thread never closes would swap
+    * no pointers and silently commit nothing. */
+  def inTransaction: Boolean = txnLocal.get() != null
+
   /** Cross-write transaction: every write/delete inside `body` builds
     * its snapshot normally but BUFFERS its pointer swap; on success
-    * all pointers apply together behind a crash-safe journal, on
-    * exception none apply (built snapshot dirs are orphaned and
-    * reclaimed by later gc). This is the Spark-native analogue of the
-    * reference's connection commit/rollback
-    * (tanker/context.py:238-248) with the isolation a pointer-file
-    * store can give: DURABILITY is all-or-nothing (a crash between
-    * journal write and the last swap rolls FORWARD on the next
-    * [[recoverTransactions]]), but a concurrent reader during the
-    * apply loop can observe a prefix of the swaps — there is no
-    * multi-file compare-and-swap without a central catalog. In-txn
-    * reads see the buffered state (read-your-writes), other threads
-    * see the pre-txn state until commit. Nested transactions raise. */
+    * all pointers apply together as ONE root-catalog swap behind a
+    * crash-safe journal, on exception none apply (built snapshot dirs
+    * are orphaned and reclaimed by later gc). This is the Spark-native
+    * analogue of the reference's connection commit/rollback
+    * (tanker/context.py:238-248): DURABILITY is all-or-nothing (a
+    * crash between journal write and the root swap rolls FORWARD on
+    * the next [[recoverTransactions]]) and VISIBILITY is atomic —
+    * the `_ROOT` catalog swap is a single file replace, so a
+    * concurrent reader sees either every table pre-txn or every table
+    * post-txn, never a mix. In-txn reads see the buffered state
+    * (read-your-writes), other threads see the pre-txn state until
+    * commit. Nested transactions raise. */
   def transaction[A](body: => A): A = {
     require(txnLocal.get() == null, "Nested transactions are not supported")
     val buf = mutable.LinkedHashMap[String, String]()
@@ -488,17 +566,21 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       val out = fsys.create(j, true)
       try out.write(Json.write(buf.toMap).getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      buf.foreach { case (t, content) => swapPointer(t, content) }
+      commitPointers(buf.toSeq) // ONE atomic root swap for all tables
       fsys.delete(j, false)
       buf.keys.foreach(gcCurrent)
     }
     res
   }
 
-  /** Roll forward transactions that journaled but crashed before all
-    * pointer swaps applied. Idempotent (re-applying a swap writes the
-    * same content); called from [[createTables]] so any session that
-    * opens the warehouse heals it, and callable directly. */
+  /** Roll forward transactions that journaled but crashed before the
+    * root swap (or mirror refresh) applied. Idempotent (re-applying a
+    * commit writes the same content); called from [[createTables]] so
+    * any session that opens the warehouse heals it, and callable
+    * directly. A torn or empty journal — a crash DURING the journal
+    * write itself — provably corresponds to an uncommitted
+    * transaction (the journal is fully written and closed before any
+    * pointer applies), so it is discarded, not an error. */
   def recoverTransactions(): Unit = {
     val rootPath = new Path(root)
     val fsys = fs(rootPath)
@@ -510,12 +592,19 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
         val text = try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
         finally in.close()
-        val entries = new org.yaml.snakeyaml.Yaml()
-          .load[java.util.Map[String, Object]](text).asScala
-        entries.foreach { case (t, content) =>
-          swapPointer(t, content.toString) }
-        fsys.delete(j, false)
-        entries.keys.foreach(gcCurrent)
+        val parsed =
+          try Option(new org.yaml.snakeyaml.Yaml()
+            .load[java.util.Map[String, Object]](text))
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case None => // torn/empty journal = uncommitted txn: discard
+            fsys.delete(j, false)
+          case Some(m) =>
+            val entries = m.asScala.toSeq.map { case (t, c) => t -> c.toString }
+            commitPointers(entries)
+            fsys.delete(j, false)
+            entries.foreach { case (t, _) => gcCurrent(t) }
+        }
       }
   }
 
@@ -530,16 +619,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   private def swapPointer(t: String, content: String): Unit = {
     val txn = txnLocal.get()
     if (txn ne null) { txn(t) = content; return }
-    val f = currentFile(t)
-    val fsys = fs(f)
-    val tmp = new Path(tableDir(t), s"_CURRENT.tmp-${System.nanoTime()}")
-    val out = fsys.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // HDFS/local rename onto an existing file: delete-then-rename is the
-    // portable swap; the tiny race window only exposes old-or-new.
-    if (fsys.exists(f)) fsys.delete(f, false)
-    if (!fsys.rename(tmp, f))
-      throw new java.io.IOException(s"Failed to swap $f")
+    commitPointers(Seq(t -> content))
   }
 
   /** Drop snapshots that are neither referenced by the manifest nor
@@ -642,6 +722,14 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
 }
 
 object Warehouse {
+  /** Per-root lock serializing root-catalog read-modify-write within
+    * this JVM — the single-driver commit coordinator. Keyed by the
+    * root string (all Warehouse instances over one root share it). */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[store] def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
+
   /** Rebuild a Registry from a warehouse directory: the persisted
     * `_SCHEMA.yaml` when present (full fidelity), else best-effort
     * from parquet footers (types only; key falls back to `id` —

@@ -118,14 +118,27 @@ object EventStream {
     * table size). */
   def mergeInto(df: DataFrame, env: graft.Env, table: String,
       fields: Seq[String], checkpointDir: String) = {
-    val sink = (batch: DataFrame, _: Long) => {
-      env.view(table, fields).write(batch): Unit
-    }
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(sink)
+      .foreachBatch(mergeSink(env, table, fields))
   }
+
+  /** The [[mergeInto]] batch sink, exposed for direct testing. Refuses
+    * to run on a thread holding an open [[graft.Env.transaction]]: the
+    * write would buffer its pointer swap into a transaction this sink
+    * never commits, so the batch would silently vanish. (Structured
+    * Streaming runs sinks on its own micro-batch thread, which never
+    * inherits the caller's transaction — this guards the refactor that
+    * would change that, e.g. calling the sink inline.) */
+  private[graft] def mergeSink(env: graft.Env, table: String,
+      fields: Seq[String]): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      require(!env.warehouse.inTransaction,
+        "streaming merge sink invoked inside a transaction: its write " +
+          "would buffer into a transaction the sink never commits")
+      env.view(table, fields).write(batch): Unit
+    }
 
   /** Streaming NEAR-DUP-FILTERED ingest: every micro-batch is deduped
     * against the persisted minhash corpus index
@@ -148,7 +161,26 @@ object EventStream {
       fields: Seq[String], idCol: String, textCol: String,
       indexPath: String, checkpointDir: String,
       threshold: Double = 0.8) = {
-    val sink = (batch: DataFrame, _: Long) => {
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(dedupedMergeSink(env, table, fields, idCol, textCol,
+        indexPath, threshold))
+  }
+
+  /** The [[dedupedMergeInto]] batch sink; same ambient-transaction
+    * guard as [[mergeSink]] — here a buffered (never-committed) table
+    * write would be WORSE than a lost batch, because the index append
+    * below still lands, so the replayed batch would be dropped as a
+    * near-dup of itself and the documents lost forever. */
+  private[graft] def dedupedMergeSink(env: graft.Env, table: String,
+      fields: Seq[String], idCol: String, textCol: String,
+      indexPath: String, threshold: Double): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      require(!env.warehouse.inTransaction,
+        "streaming deduped-merge sink invoked inside a transaction: its " +
+          "table write would buffer into a transaction the sink never " +
+          "commits, while the index append still lands")
       val fresh = graft.ops.Dedup.dedupAgainstIndex(
         batch, idCol, textCol, indexPath, threshold)
       val kept = graft.ops.Dedup.minhashDedup(fresh, idCol, textCol, threshold)
@@ -158,9 +190,4 @@ object EventStream {
         graft.ops.Dedup.appendToMinhashIndex(kept, idCol, textCol, indexPath)
       }
     }
-    df.writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(sink)
-  }
 }

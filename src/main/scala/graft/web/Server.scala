@@ -33,6 +33,7 @@ import graft.view.{Json, Order}
   *   → {"filtered": n, "deleted": n}          // View rowcounts
   *   POST /_delete/<table>?filter=<s-expr>&<k>=v
   *   → {"deleted": n}
+  *   POST /_txn             {"actions": [...]}   // atomic batch, see txn
   * }}}
   *
   * ACL read/write filters configured on the env bind HTTP clients
@@ -61,6 +62,22 @@ final class Server(env: Env, port: Int = 0) {
     val (code, body) =
       try {
         val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+        if (path == "_txn") {
+          if (ex.getRequestMethod != "POST")
+            (405, Json.write(Map("error" -> "POST only")))
+          else (200, txn(ex))
+        } else handleTable(ex, path)
+      } catch {
+        case e: Exception =>
+          (400, Json.write(Map("error" -> String.valueOf(e.getMessage))))
+      }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  private def handleTable(ex: HttpExchange, path: String): (Int, String) = {
         val mutation = path.startsWith("_write/") || path.startsWith("_delete/")
         val prefixed = mutation || path.startsWith("_profile/")
         val table = if (prefixed) path.substring(path.indexOf('/') + 1) else path
@@ -75,14 +92,6 @@ final class Server(env: Env, port: Int = 0) {
         else if (path.startsWith("_profile/"))
           (200, profile(table, params(ex.getRequestURI.getRawQuery)))
         else (200, read(table, params(ex.getRequestURI.getRawQuery)))
-      } catch {
-        case e: Exception =>
-          (400, Json.write(Map("error" -> String.valueOf(e.getMessage))))
-      }
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length)
-    try ex.getResponseBody.write(bytes) finally ex.close()
   }
 
   private def read(table: String, ps: Seq[(String, String)]): String = {
@@ -141,19 +150,76 @@ final class Server(env: Env, port: Int = 0) {
     * through the full upsert path (key merge, FK resolution, ACL write
     * filters). snakeyaml parses the JSON body (JSON ⊂ YAML). */
   private def write(table: String, ex: HttpExchange): String = {
-    val text = new String(org.apache.commons.io.IOUtils
-      .toByteArray(ex.getRequestBody), StandardCharsets.UTF_8)
-    import scala.jdk.CollectionConverters._
-    val body = new org.yaml.snakeyaml.Yaml()
-      .load[java.util.Map[String, Object]](text).asScala
-    def arr(v: Any): Seq[Any] = v match {
-      case l: java.util.List[_] => l.toArray.toSeq
-      case other => throw new IllegalArgumentException(s"expected array, got $other")
-    }
+    val body = jsonBody(ex)
     val fields = arr(body("fields")).map(String.valueOf(_))
     val rows = arr(body("rows")).map(arr)
     val res = env.view(table, fields).write(rows)
     Json.write(Map("filtered" -> res.filtered, "deleted" -> res.deleted))
+  }
+
+  private def arr(v: Any): Seq[Any] = v match {
+    case l: java.util.List[_] => l.toArray.toSeq
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  private def jsonBody(ex: HttpExchange): scala.collection.Map[String, Object] = {
+    val text = new String(org.apache.commons.io.IOUtils
+      .toByteArray(ex.getRequestBody), StandardCharsets.UTF_8)
+    import scala.jdk.CollectionConverters._
+    new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](text).asScala
+  }
+
+  /** `POST /_txn` — a list of write/delete actions applied ATOMICALLY
+    * (all visible together, or none on any failure): the per-request
+    * commit the reference's bottle plugin gives every route
+    * (contrib/bottle.py:12-28), surfaced as one explicit endpoint.
+    *
+    * {{{
+    *   POST /_txn  {"actions": [
+    *     {"op": "write",  "table": t, "fields": [...], "rows": [[...]]},
+    *     {"op": "delete", "table": t, "filters": ["(= a {x})"],
+    *      "params": {"x": 1}}]}
+    *   → {"actions": [{"op": "write", "table": t, "filtered": n,
+    *                   "deleted": n}, {"op": "delete", ...}]}
+    * }}} */
+  private def txn(ex: HttpExchange): String = {
+    import scala.jdk.CollectionConverters._
+    val actions = arr(jsonBody(ex)("actions"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+    // validate shape BEFORE opening the transaction: a malformed later
+    // action should not even start applying earlier ones
+    actions.foreach { m =>
+      val table = String.valueOf(m.getOrElse("table", null))
+      require(env.registry.names.contains(table), s"unknown table '$table'")
+      val op = String.valueOf(m.getOrElse("op", null))
+      require(op == "write" || op == "delete", s"unknown op '$op'")
+    }
+    val results = env.transaction {
+      actions.map { m =>
+        val table = String.valueOf(m("table"))
+        String.valueOf(m("op")) match {
+          case "write" =>
+            val fields = arr(m("fields")).map(String.valueOf(_))
+            val rows = arr(m("rows")).map(arr)
+            val res = env.view(table, fields).write(rows)
+            Map("op" -> "write", "table" -> table,
+              "filtered" -> res.filtered, "deleted" -> res.deleted)
+          case "delete" =>
+            val filters = m.get("filters").map(arr(_).map(String.valueOf(_)))
+              .getOrElse(Nil)
+            val kwargs: Map[String, Any] =
+              m.get("params").map(_.asInstanceOf[java.util.Map[String, Object]]
+                .asScala.toMap.map { case (k, v) => k -> (v: Any) })
+                .getOrElse(Map())
+            val n = env.view(table).delete(
+              filters = filters.map(graft.view.FilterExpr.apply),
+              kwargs = kwargs)
+            Map("op" -> "delete", "table" -> table, "deleted" -> n)
+        }
+      }
+    }
+    Json.write(Map("actions" -> results))
   }
 
   /** `POST /_delete/<table>?filter=<s-expr>&<k>=v` — delete by filter

@@ -65,6 +65,43 @@ class CliSpec extends SparkSpec {
     assert(be.contains("name,2,0,2,Ace,Red"), be)
   }
 
+  test("txn action applies a batch atomically; failure voids all") {
+    val (conf, dir) = cfg()
+    run(conf, "init")
+    // write + delete together
+    val batch = java.nio.file.Paths.get(dir, "txn.yaml")
+    Files.writeString(batch,
+      """actions:
+        |  - op: write
+        |    table: country
+        |    fields: [name]
+        |    rows: [[Italy]]
+        |  - op: delete
+        |    table: country
+        |    filters: ["(= name \"Holland\")"]
+        |""".stripMargin)
+    val out = run(conf, "txn", "-f", batch.toString)
+    assert(out.contains("applied 2 action(s)"), out)
+    val got = run(conf, "read", "country", "name", "-H")
+    assert(got.contains("Italy") && !got.contains("Holland"), got)
+    // failing second action (missing key) leaves the first invisible
+    val bad = java.nio.file.Paths.get(dir, "bad.yaml")
+    Files.writeString(bad,
+      """actions:
+        |  - op: write
+        |    table: country
+        |    fields: [name]
+        |    rows: [[Spain]]
+        |  - op: write
+        |    table: member
+        |    fields: [name]
+        |    rows: [[NoKey]]
+        |""".stripMargin)
+    intercept[Exception] { run(conf, "txn", "-f", bad.toString) }
+    val after = run(conf, "read", "country", "name", "-H")
+    assert(!after.contains("Spain"), s"first action leaked: $after")
+  }
+
   test("yaml input and output") {
     val (conf, dir) = cfg()
     run(conf, "init")

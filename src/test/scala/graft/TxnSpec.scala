@@ -151,6 +151,122 @@ class TxnSpec extends SparkSpec {
       .map(_.head).contains("Italy"))
   }
 
+  test("concurrent reader never observes a partial multi-table commit") {
+    // The old per-table-pointer apply loop could expose table A's new
+    // pointer with table B's old one mid-commit; the _ROOT catalog
+    // swap makes that impossible. The reader polls pointer state (no
+    // Spark jobs) so it samples INSIDE the commit window thousands of
+    // times. Each txn advances both tables' snap numbers in lockstep,
+    // so observing t_a ahead of t_b (read in that order) = a torn
+    // commit.
+    val root = java.nio.file.Files.createTempDirectory("graft-txnatomic-").toString
+    val env = Env(spark, graft.schema.Registry.fromYaml(
+      """- table: t_a
+        |  columns: {name: varchar, v: bigint}
+        |  key: [name]
+        |- table: t_b
+        |  columns: {name: varchar, v: bigint}
+        |  key: [name]
+        |""".stripMargin), root)
+    env.createTables()
+    def snapNum(t: String): Long = env.warehouse.currentManifest(t)
+      .map(_.snap.stripPrefix("snap-").toLong).getOrElse(-1L)
+    @volatile var done = false
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!done && torn.get == null) {
+        val a = snapNum("t_a") // t_a is committed first in the buffer order
+        val b = snapNum("t_b")
+        if (b < a) torn.set(s"t_a at snap-$a but t_b at snap-$b")
+      }
+    })
+    reader.start()
+    try (1 to 4).foreach { k =>
+      env.transaction {
+        env.view("t_a", Seq("name", "v")).write(Seq(Seq("x", k.toLong)))
+        env.view("t_b", Seq("name", "v")).write(Seq(Seq("x", k.toLong)))
+      }
+    } finally { done = true; reader.join() }
+    assert(torn.get == null, s"partial commit observed: ${torn.get}")
+    assert(snapNum("t_a") == snapNum("t_b"))
+  }
+
+  test("torn or empty journal is discarded, not fatal") {
+    // A crash DURING the journal write leaves an unparsable file; the
+    // journal is fully written before any pointer applies, so that
+    // provably corresponds to an uncommitted txn — recover must heal,
+    // not throw (and createTables, which recovers first, must open).
+    val env = freshEnv(seedTeams = false)
+    val root = env.warehouse.root
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_TXN-111"), Array.emptyByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_TXN-222"),
+      "{\"country\": \"{unterminated".getBytes("UTF-8"))
+    env.warehouse.recoverTransactions()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_TXN-111")), "empty journal kept")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_TXN-222")), "torn journal kept")
+    // warehouse still opens and reads normally
+    env.createTables()
+    assert(rows(env.view("country", Seq("name")).read()).size == 3)
+  }
+
+  test("journal roll-forward heals a stale root catalog") {
+    // Crash simulated at the root level: the journal claims a commit
+    // the _ROOT catalog never received. Recovery must re-install the
+    // journaled pointers into the root (and the mirrors).
+    val env = freshEnv(seedTeams = false)
+    val root = env.warehouse.root
+    env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+    val cur = java.nio.file.Paths.get(root, "country", "_CURRENT")
+    val committed = new String(java.nio.file.Files.readAllBytes(cur), "UTF-8")
+    // snap-1 is the retained seed snapshot (snap-0 is gc'd)
+    val stale = committed.replaceAll(
+      "\"snap\":\\s*\"snap-(\\d+)\"", "\"snap\": \"snap-1\"")
+    // roll the ROOT back to the stale pointer (other tables drop to
+    // their mirror fallback — also part of the contract). The local
+    // filesystem is checksummed: drop the crc so the hand-written
+    // root is readable, like a real crash artifact would be.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, "._ROOT.crc"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_ROOT"),
+      graft.view.Json.write(Map("country" -> stale)).getBytes("UTF-8"))
+    assert(!rows(env.view("country", Seq("name")).read())
+      .map(_.head).contains("Italy"), "stale root not authoritative")
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_TXN-7"),
+      graft.view.Json.write(Map("country" -> committed)).getBytes("UTF-8"))
+    env.warehouse.recoverTransactions()
+    assert(rows(env.view("country", Seq("name")).read())
+      .map(_.head).contains("Italy"), "root not rolled forward")
+    val healedMirror = new String(java.nio.file.Files.readAllBytes(cur), "UTF-8")
+    assert(healedMirror == committed, "mirror not refreshed")
+  }
+
+  test("streaming merge sinks refuse to run inside an ambient transaction") {
+    // foreachBatch sinks run on Structured Streaming's own thread and
+    // never inherit the caller's transaction — but invoking the sink
+    // on a txn-holding thread (the one-refactor-away hazard) would
+    // buffer the table write into a transaction the sink never
+    // commits. Pin the guard.
+    val env = freshEnv(seedTeams = false)
+    val sink = graft.streaming.EventStream.mergeSink(
+      env, "country", Seq("name"))
+    val batch = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("Italy")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType))))
+    env.transaction {
+      val e = intercept[IllegalArgumentException] { sink(batch, 0L) }
+      assert(e.getMessage.contains("transaction"), e.getMessage)
+    }
+    // outside a transaction the same sink merges normally
+    sink(batch, 1L)
+    assert(rows(env.view("country", Seq("name")).read())
+      .map(_.head).contains("Italy"))
+  }
+
   test("rolled-back snapshots are reclaimed by later writes' gc") {
     val env = freshEnv(seedTeams = false)
     intercept[RuntimeException] {

@@ -124,6 +124,48 @@ class WebSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /_txn applies a batch atomically; a failing action voids all") {
+    val env = freshEnv()
+    val srv = new graft.web.Server(env)
+    val port = srv.start()
+    try {
+      // happy path: write + delete visible together
+      val (c1, body1) = post(port, "/_txn",
+        """{"actions": [
+          | {"op": "write", "table": "country", "fields": ["name"],
+          |  "rows": [["Italy"]]},
+          | {"op": "delete", "table": "member",
+          |  "filters": ["(= registration_code {rc})"], "params": {"rc": "003"}}
+          |]}""".stripMargin)
+      assert(c1 == 200, s"$c1 $body1")
+      assert(body1.contains("\"deleted\": 1"), body1)
+      val (_, countries) = get(port, "/country?fields=name")
+      assert(countries.contains("Italy"), countries)
+      val (_, members) = get(port, "/member?fields=name")
+      assert(!members.contains("Trudy"), members)
+
+      // failing SECOND action (missing key column) leaves the first
+      // invisible — the bottle-plugin per-request rollback contract
+      val (c2, body2) = post(port, "/_txn",
+        """{"actions": [
+          | {"op": "write", "table": "country", "fields": ["name"],
+          |  "rows": [["Spain"]]},
+          | {"op": "write", "table": "member", "fields": ["name"],
+          |  "rows": [["NoKey"]]}
+          |]}""".stripMargin)
+      assert(c2 == 400, s"$c2 $body2")
+      val (_, after) = get(port, "/country?fields=name")
+      assert(!after.contains("Spain"), s"first action leaked: $after")
+
+      // malformed batches never start applying
+      assert(post(port, "/_txn",
+        """{"actions": [{"op": "nope", "table": "country"}]}""")._1 == 400)
+      assert(post(port, "/_txn",
+        """{"actions": [{"op": "write", "table": "ghost"}]}""")._1 == 400)
+      assert(get(port, "/_txn")._1 == 405)
+    } finally srv.stop()
+  }
+
   test("ACL read filters bind HTTP clients like library callers") {
     val env = freshEnv()
     env.aclRead = Map("member" -> Seq("(!= name 'Trudy')"))
