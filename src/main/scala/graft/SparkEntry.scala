@@ -733,6 +733,15 @@ object SparkEntry {
         env(s, dir).view("documents", Seq("doc_id", "source")).read(),
         "source", k = 5)),
 
+    // LLM-pipeline: exact quantiles (R-7 linear interpolation — the
+    // same definition DuckDB's quantile_cont uses), the percentile
+    // block of a data card; approx_percentile is the documented
+    // 100-TB swap-in
+    "profile_quantiles" -> ((s, dir) =>
+      graft.ops.Profile.quantiles(
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read(),
+        "n_chars", Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))),
+
     // S6'/BRIN: use-index brin round-trip — events archived into a
     // range-clustered zoned table (manifest zone maps), read back with
     // key bounds that prune zone directories driver-side; the filter
@@ -1413,6 +1422,11 @@ object SparkEntry {
       """SELECT CAST(source AS VARCHAR) AS value, count(*) AS n
         |FROM documents WHERE source IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
+    "profile_quantiles" ->
+      """SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS q,
+        |  unnest(quantile_cont(CAST(n_chars AS DOUBLE),
+        |    [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])) AS value
+        |FROM documents""".stripMargin,
     "q34_asof_join" ->
       """WITH e AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, ts, max(value) AS click_value

@@ -35,11 +35,20 @@ object Dedup {
     * driver session.
     *
     * INVARIANT: slot plans must read IMMUTABLE paths. Reuse keys on
-    * plan `sameResult`, and a localCheckpoint can never refresh — if
+    * plan `sameResult`, and a materialized slot can never refresh — if
     * the files under a canonically-equal plan mutated, the slot would
     * serve stale data. Current call sites honor this: snapshot paths
     * change on every write, and index probes construct a fresh
-    * FileIndex (distinct plan) per `spark.read`. */
+    * FileIndex (distinct plan) per `spark.read`.
+    *
+    * CLUSTER MODE — `spark.graft.scratchDir`: when set, slots
+    * materialize as parquet under that directory (write + read-back)
+    * instead of `localCheckpoint`. A localCheckpoint lives in
+    * executor-local block storage with NO lineage to recompute from —
+    * one lost executor kills the whole mining job; the scratch table
+    * survives executor loss, spills to durable storage, and is exactly
+    * the "land intermediates in a real table" shape a 100-TB pipeline
+    * wants. Scratch dirs are reclaimed by [[clearMaterializedSlots]]. */
   private[ops] def cacheSwap(
       slot: java.util.concurrent.atomic.AtomicReference[
         (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)],
@@ -48,14 +57,30 @@ object Dedup {
     val prev = slot.get()
     if ((prev ne null) && prev._1.sameResult(plan)) prev._2
     else {
-      val cp = df.localCheckpoint()
+      val spark = df.sparkSession
+      val cp = spark.conf.getOption("spark.graft.scratchDir") match {
+        case Some(dir) =>
+          val path = dir.stripSuffix("/") +
+            s"/slot-${java.util.UUID.randomUUID().toString.take(12)}"
+          df.write.mode("overwrite").parquet(path)
+          scratchPaths.synchronized { scratchPaths += path }
+          // explicit schema: a zero-row intermediate writes no part
+          // files, and downstream still needs the columns
+          spark.read.schema(df.schema).parquet(path)
+        case None => df.localCheckpoint()
+      }
       // CAS so concurrent callers can't interleave get-then-set; if
-      // another thread won the race, its entry stays (both checkpoints
-      // are valid — ours is still returned for this caller's use)
+      // another thread won the race, its entry stays (both
+      // materializations are valid — ours is still returned for this
+      // caller's use)
       slot.compareAndSet(prev, (plan, cp))
       cp
     }
   }
+
+  /** Scratch dirs written by [[cacheSwap]] in scratchDir mode, pending
+    * reclamation. */
+  private val scratchPaths = scala.collection.mutable.ArrayBuffer[String]()
   private[ops] type Slot = java.util.concurrent.atomic.AtomicReference[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
   private val allSlots = scala.collection.mutable.ArrayBuffer[Slot]()
@@ -74,8 +99,26 @@ object Dedup {
     * swept checkpoint serves a frame whose blocks are gone
     * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), because a localCheckpoint
     * has no lineage to recompute from. */
-  def clearMaterializedSlots(): Unit = allSlots.synchronized {
-    allSlots.foreach(_.set(null))
+  def clearMaterializedSlots(): Unit = {
+    allSlots.synchronized { allSlots.foreach(_.set(null)) }
+    // reclaim scratch-mode spill dirs (same safe-point contract as the
+    // checkpoint sweep: no un-materialized frame may still reference
+    // them). Needs an active session for the Hadoop conf; without one
+    // the dirs stay until the next call from a live session.
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    scratchPaths.synchronized {
+      session.foreach { s =>
+        val conf = s.sparkContext.hadoopConfiguration
+        scratchPaths.foreach { p =>
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(conf).delete(hp, true): Unit
+          } catch { case _: Exception => () }
+        }
+        scratchPaths.clear()
+      }
+    }
   }
   private val minhashPairsSlot = newSlot()
   private val simhashSlot = newSlot()

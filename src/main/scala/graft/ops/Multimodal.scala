@@ -543,11 +543,20 @@ object Multimodal {
     def probe(bytes: Array[Byte]): Row = {
       if (bytes == null) return Row(null, null, null, null, null, null,
         Boolean.box(false))
-      Mp4Probe.parse(bytes) match {
-        case Some(r) => return r
-        case None => ()
-      }
-      if (!available) return fake(bytes)
+      val jvm = Mp4Probe.parse(bytes)
+      // the JVM fast path answers only when the walk found real moov
+      // facts (duration or dimensions). An ftyp-bearing payload with
+      // NO facts — truncated after ftyp, or moov past the sampled
+      // bytes — falls through to the external binary, which reads the
+      // stream properly; the fact-less JVM row is still better than
+      // the fake when no binary exists or the binary fails.
+      val complete = jvm.exists(r => r.get(4) != null || r.get(2) != null)
+      if (complete) return jvm.get
+      if (!available) return jvm.getOrElse(fake(bytes))
+      external(bytes).orElse(jvm).getOrElse(fake(bytes))
+    }
+
+    private def external(bytes: Array[Byte]): Option[Row] = {
       try {
         val pb = new ProcessBuilder(binary, "-v", "error",
           "-show_entries",
@@ -565,9 +574,9 @@ object Multimodal {
           java.nio.charset.StandardCharsets.UTF_8)
         val ok = p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) &&
           p.exitValue() == 0
-        if (!ok) { p.destroyForcibly(); fake(bytes) }
-        else parseProbeOutput(out).getOrElse(fake(bytes))
-      } catch { case _: Exception => fake(bytes) }
+        if (!ok) { p.destroyForcibly(); None }
+        else parseProbeOutput(out)
+      } catch { case _: Exception => None }
     }
   }
 

@@ -92,6 +92,34 @@ object Profile {
         col("n"))
   }
 
+  /** Exact quantiles of a numeric column with linear interpolation —
+    * one row (q, value) per requested fraction, the percentile block
+    * of a data card. Nulls are ignored (both here and in every SQL
+    * engine's `quantile_cont`/`percentile_cont`); an empty or all-null
+    * column yields zero rows. Spark's exact `percentile` aggregate and
+    * DuckDB's `quantile_cont` share the same definition (R-7 linear
+    * interpolation), so results oracle-match bit-for-bit.
+    *
+    * Scale shape: one narrow scan (`column` only) into a single
+    * aggregate whose partial state is a value→count map, map-side
+    * combinable; the shuffle carries one map per partition, bounded by
+    * the column's DISTINCT count — fine for the id/metric/score
+    * columns data cards profile. For a 100-TB column with ~unbounded
+    * distinct values swap `percentile` for `approx_percentile(col,
+    * qs, accuracy)` (fixed-size KLL-style sketch state, same output
+    * schema, bounded error) — a one-line change kept out of the
+    * default because the oracle gate and small-scale cards want exact
+    * values. */
+  def quantiles(df: DataFrame, column: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "quantiles needs at least one fraction")
+    require(qs.forall(q => q >= 0 && q <= 1), s"fractions outside [0,1]: $qs")
+    val v = col(column).cast("double")
+    Par.spread(df)
+      .agg(percentile(v, typedlit(qs)).as("__qv"))
+      .select(posexplode(col("__qv")).as(Seq("__i", "value")))
+      .select(element_at(typedlit(qs), col("__i") + 1).as("q"), col("value"))
+  }
+
   /** Exact top-k most frequent values of a column (nulls excluded),
     * ties broken by value ascending so the result is deterministic.
     * Scale shape: groupBy(value) partial-aggregates map-side; the

@@ -13,6 +13,29 @@ import org.apache.spark.sql.types.LongType
   */
 object Sample {
 
+  /** Layout frames pinned by [[packByBudget]] / [[mixture]]: their
+    * `spark_partition_id()` stamps must come from the one materialized
+    * copy the driver computed offsets against, so they stay persisted
+    * until the caller is done. Call [[releaseLayouts]] AFTER
+    * materializing the returned frames — each layout is narrow (~16
+    * bytes/row) but a long-lived driver running many packs would
+    * otherwise accumulate cache entries without bound. (The bench
+    * harness's per-query `spark.catalog.clearCache()` is the blunt
+    * equivalent.) */
+  private val pinnedLayouts = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def pin(df: DataFrame): Unit =
+    pinnedLayouts.synchronized { pinnedLayouts += df }
+
+  /** Unpersist every pinned layout frame. Only call once frames
+    * returned by [[packByBudget]] / [[mixture]] have been materialized
+    * (written, collected, or checkpointed): a recompute after release
+    * could sample different range boundaries. */
+  def releaseLayouts(): Unit = pinnedLayouts.synchronized {
+    pinnedLayouts.foreach(_.unpersist(false))
+    pinnedLayouts.clear()
+  }
+
   /** 32-bit Knuth multiplicative hash of a non-negative id, as a
     * Column: `((id mod 2³¹) * 2654435761) mod 2³²`. Folded to 2³¹
     * first so the product stays inside signed-64 range (DuckDB and
@@ -135,8 +158,10 @@ object Sample {
     * The layout frame stays persisted: the returned frame's partition
     * stamps must come from that materialized copy (a recompute could
     * sample different range boundaries). It is narrow by construction;
-    * callers running many packs can `spark.catalog.clearCache()`
-    * after materializing results. */
+    * callers running many packs call [[releaseLayouts]] after
+    * materializing results. Duplicate ids are rejected (checked inside
+    * the subtotal job): they would fan out the payload join and
+    * silently mis-assign shards. */
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -147,8 +172,18 @@ object Sample {
       .repartitionByRange(col(idCol))
       .withColumn("__p", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perPart = layout.groupBy("__p").agg(sum("__w").as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    pin(layout)
+    // duplicate ids would fan out the payload hash-join below and
+    // silently inflate the cumulative sums — reject them. Piggybacked
+    // on the subtotal job (no extra pass); exact, because the range
+    // partitioner sends equal ids to one partition.
+    val stats = layout.groupBy("__p").agg(sum("__w").as("__t"),
+      count(lit(1)).as("__n"), count_distinct(col(idCol)).as("__d"))
+      .collect()
+    val dupes = stats.map(r => r.getLong(2) - r.getLong(3)).sum
+    require(dupes == 0L,
+      s"packByBudget requires unique '$idCol' values ($dupes duplicate rows)")
+    val perPart = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nPart = perPart.keys.maxOption.map(_ + 1).getOrElse(0)
     var acc = 0L
     val offRows = (0 until nPart).map { p =>
@@ -261,9 +296,20 @@ object Sample {
       .repartitionByRange(col(sourceCol), col("__k"))
       .withColumn("__p", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perPart = layout
-      .groupBy(col("__p"), col(sourceCol)).agg(sum("__w").as("__t"))
-      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+    pin(layout)
+    // duplicate (id, source) pairs would fan out the payload join —
+    // reject them (piggybacked on the subtotal job; exact, because the
+    // range partitioner keeps one (source, md5(id)) in one partition).
+    // The join below keys on (id, source), so a duplicate id across
+    // DIFFERENT sources is legitimate and joins uniquely.
+    val stats = layout
+      .groupBy(col("__p"), col(sourceCol)).agg(sum("__w").as("__t"),
+        count(lit(1)).as("__n"), count_distinct(col(idCol)).as("__d"))
+      .collect()
+    val dupes = stats.map(r => r.getLong(3) - r.getLong(4)).sum
+    require(dupes == 0L,
+      s"mixture requires unique ('$idCol', '$sourceCol') pairs ($dupes duplicate rows)")
+    val perPart = stats.map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
       .toMap
     val nPart = perPart.keys.map(_._1).maxOption.map(_ + 1).getOrElse(0)
     val srcs = perPart.keys.map(_._2).toSeq.distinct
@@ -288,8 +334,8 @@ object Sample {
       .partitionBy(col("__p"), col(sourceCol)).orderBy(col("__k"))
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.join(layout.select(col(idCol), col("__w"), col("__k"), col("__p")),
-        Seq(idCol))
+    df.join(layout.select(col(idCol), col(sourceCol), col("__w"), col("__k"),
+        col("__p")), Seq(idCol, sourceCol))
       .join(broadcast(offDf), Seq("__p", sourceCol))
       .withColumn("__cum", col("__off") + sum(col("__w")).over(w))
       .filter(col("__cum") <=

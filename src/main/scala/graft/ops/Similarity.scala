@@ -266,9 +266,23 @@ object Similarity {
     try out.write(graft.view.Json.write(m).getBytes("UTF-8")) finally out.close()
   }
 
+  /** Heal a crashed [[retrainIvfIndex]] swap: the swap renames the
+    * live index aside (`path__old`) before renaming the rebuilt
+    * scratch into place, so a crash between the two renames leaves
+    * `path` missing with the COMPLETE old index at `path__old` —
+    * unambiguous (a healthy index always exists at `path`), so any
+    * entry point that opens the index rolls the rename back first. */
+  private def healSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val live = new Path(path)
+    val old = new Path(path.stripSuffix("/") + "__old")
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(s"Failed to restore $old to $live")
+  }
+
   private def readMetaRaw(spark: SparkSession, path: String): Map[String, Any] = {
     val f = new Path(path, "_graft_index_meta.json")
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healSwap(fs, path)
     require(fs.exists(f), s"No index metadata at $f — was this directory " +
       "written by Similarity.buildIndex/buildIvfIndex?")
     val in = fs.open(f)
@@ -343,7 +357,12 @@ object Similarity {
     * total appended mass exceeds `retrainAt` × the trained mass the
     * index reclusters itself ([[retrainIvfIndex]] — a full seed-fixed
     * k-means rebuild over the index's own rows). Pass
-    * `retrainAt = Double.MaxValue` to keep centroids frozen forever. */
+    * `retrainAt = Double.MaxValue` to keep centroids frozen forever.
+    * The default (0.5) keeps recall-healing ON — a deliberate choice
+    * now that the retrain swap is crash-safe: an IVF index that
+    * silently degrades to 50% recall is a worse surprise than a
+    * background recluster; callers needing frozen centroids (e.g.
+    * reproducible probe sets) opt out explicitly. */
   def appendToIvfIndex(df: DataFrame, vecCol: String, idCol: String,
       path: String, retrainAt: Double = 0.5): Unit = {
     val spark = df.sparkSession
@@ -385,10 +404,17 @@ object Similarity {
     * rows (dequantizing if stored int8), re-run the seed-fixed
     * k-means build into a sibling scratch directory, then swap it
     * over the old one. The scratch build reads the old directory
-    * lazily but every read completes before the delete+rename (the
-    * k-means fit and the partitioned write are both eager), so no
-    * materialization of the corpus is needed. Append tallies reset —
-    * the new meta's `trainedCount` is the full reclustered mass. */
+    * lazily but every read completes before the swap (the k-means fit
+    * and the partitioned write are both eager), so no materialization
+    * of the corpus is needed. Append tallies reset — the new meta's
+    * `trainedCount` is the full reclustered mass.
+    *
+    * The swap is crash-safe: the live index is renamed ASIDE
+    * (`path__old`), the scratch renamed into place, then the old copy
+    * deleted — at every instant a complete index exists at `path` or
+    * at `path__old`, and every entry point rolls a half-finished swap
+    * back ([[healSwap]]). A crash mid-rebuild leaves the live index
+    * untouched (the scratch is simply overwritten next time). */
   def retrainIvfIndex(spark: SparkSession, path: String,
       vecCol: String, idCol: String): Unit = {
     val meta = readMetaRaw(spark, path)
@@ -406,8 +432,19 @@ object Similarity {
     buildIvfIndex(vecs, vecCol, idCol, scratch, dims, nlist = nlist,
       seed = seed, quantized = quantized)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(scratch), new Path(path))
+    val live = new Path(path)
+    val old = new Path(path.stripSuffix("/") + "__old")
+    // leftover from a crash AFTER a completed swap: live is healthy,
+    // the old copy is garbage
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"Failed to move $live aside for retrain")
+    if (!fs.rename(new Path(scratch), live)) {
+      // restore rather than leave the index headless
+      fs.rename(old, live)
+      throw new java.io.IOException(s"Failed to install retrained index at $live")
+    }
+    fs.delete(old, true)
   }
 
   /** Stored per-centroid append tallies, zero-filled for fresh or

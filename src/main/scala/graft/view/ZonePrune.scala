@@ -143,7 +143,14 @@ object ZonePrune {
       case Ast.Num(n) => Some(n)
       case p: Ast.Param if p.conversion.isEmpty && p.fmtSpec.isEmpty =>
         if (p.key.isEmpty)
-          Option(bareIdx.get(p)).flatMap(i =>
+          // `{.attr}` (empty key, dotted tail) pops like a bare param
+          // but the compiler resolves the ATTRIBUTE after the pop —
+          // binding the raw positional here would encode the wrong
+          // value and silently drop matching zones. Leave it
+          // unresolved; assignBare/countPops still count its pop so
+          // the cursor stays correct for later bare params.
+          if (p.tail.nonEmpty) None
+          else Option(bareIdx.get(p)).flatMap(i =>
             try Some(argv.at(i.intValue())) catch { case _: Exception => None })
         else p.key.toIntOption match {
           case Some(i) if p.tail.isEmpty =>

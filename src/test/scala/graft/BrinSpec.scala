@@ -273,6 +273,16 @@ class BrinSpec extends SparkSpec {
     assert(bp(Seq(FilterExpr("(and (>= seq {0}) (<= seq {1}))")),
         Seq(3, 9), None) ==
       Map("seq" -> Brin.Bounds(Some(3L), Some(9L))))
+    // `{.attr}` pops like a bare param but resolves an attribute the
+    // walker does not model: it must stay UNBOUND (binding the raw
+    // positional could encode a wrong value and silently prune
+    // matching zones)...
+    assert(bp(Seq(FilterExpr("(= seq {.v})")),
+      Seq(Map("v" -> 7)), Some(0)).isEmpty)
+    // ...while its pop still advances the cursor for later bare params
+    assert(bp(Seq(FilterExpr("(and (> val {.v}) (= seq {}))")),
+        Seq(Map("v" -> 0.5), 7), Some(0)) ==
+      Map("seq" -> Brin.Bounds(Some(7L), Some(7L))))
     // a subquery form makes the cursor unknowable from there on
     assert(bp(Seq(
         FilterExpr("(exists (from reading (select seq) (where (= val {}))))"),

@@ -44,6 +44,37 @@ class OpsSpec extends SparkSpec {
     assert(rows(deduped).map(_.head).toSet == Set(1L, 3L))
   }
 
+  test("scratchDir spill mode: identical miner output, dirs reclaimed") {
+    // spark.graft.scratchDir swaps slot materialization from
+    // localCheckpoint (executor-local, dies with an executor) to a
+    // parquet scratch write + read-back — the fault-tolerant
+    // intermediate a cluster-scale pipeline lands in a real table
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val df = docsDf(Seq((1L, base), (2L, base.replace("lazy", "sleepy")),
+      (3L, "completely different content about spark query engines " * 5)))
+    Dedup.clearMaterializedSlots()
+    val viaCheckpoint = rows(Dedup.minhashPairs(df, "doc_id", "text", 0.5))
+    Dedup.clearMaterializedSlots()
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-").toString
+    s.conf.set("spark.graft.scratchDir", dir)
+    try {
+      val viaScratch = rows(Dedup.minhashPairs(df, "doc_id", "text", 0.5))
+      assert(viaScratch.toSet == viaCheckpoint.toSet,
+        s"scratch-mode pairs differ: $viaScratch vs $viaCheckpoint")
+      val spilled = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("slot-"))
+      assert(spilled.nonEmpty, "scratch mode wrote no slot directories")
+      Dedup.clearMaterializedSlots()
+      val after = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("slot-"))
+      assert(after.isEmpty, s"scratch dirs not reclaimed: ${after.toSeq}")
+    } finally {
+      s.conf.unset("spark.graft.scratchDir")
+      Dedup.clearMaterializedSlots()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("jaccardPairs: exact pair set matches brute force, df cap bounds noise") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
     val nearDup = base.replace("lazy", "sleepy")
@@ -502,6 +533,34 @@ class OpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("crashed retrain swap (index at __old) heals on next open") {
+    // the retrain swap renames live -> __old, scratch -> live; a crash
+    // between the renames leaves only __old — any entry point that
+    // opens the index must roll the rename back before proceeding
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfheal").toString
+    try {
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, q.size, nlist = 4)
+      val before = rows(Similarity.ivfTopK(spark, dir, "embedding", "vec_id",
+        q, 5, nprobe = 2)).map(_.head)
+      // simulate the crash window
+      val live = java.nio.file.Paths.get(dir)
+      val aside = java.nio.file.Paths.get(dir + "__old")
+      java.nio.file.Files.move(live, aside)
+      assert(!java.nio.file.Files.exists(live))
+      val after = rows(Similarity.ivfTopK(spark, dir, "embedding", "vec_id",
+        q, 5, nprobe = 2)).map(_.head)
+      assert(after == before, s"healed index differs: $after vs $before")
+      assert(java.nio.file.Files.exists(live) &&
+        !java.nio.file.Files.exists(aside), "swap not rolled back")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir + "__old")): Unit
+    }
+  }
+
   test("IVF ANN: probes read only nprobe centroid partitions, recall holds") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
@@ -811,6 +870,20 @@ class OpsSpec extends SparkSpec {
     assert(v1.getDouble(4) == 5000.0, v1)
     assert(v1.getInt(2) == 1280 && v1.getInt(3) == 720, v1)
     assert(v1.getInt(5) == 1 && v1.getBoolean(6), v1)
+
+    // an ftyp-bearing payload with NO moov facts must fall through to
+    // the external binary instead of short-circuiting on the fact-less
+    // JVM row; "sh" IS on PATH but rejects the ffprobe arguments, so
+    // the binary path fails and the partial JVM row comes back — the
+    // same row a binary-less prober returns
+    val shProber = new Multimodal.ExternalVideoProber("sh")
+    assert(shProber.available)
+    val factless = shProber.probe(ftyp)
+    assert(factless.getString(0) == "mp42" && factless.isNullAt(4) &&
+      factless.isNullAt(2), factless)
+    // a fully-parsed payload never needs the binary: identical row to
+    // the pure parse even with a broken "binary" configured
+    assert(shProber.probe(b) == Multimodal.Mp4Probe.parse(b).get)
   }
 
   test("asofJoin rejects reserved names, payload collisions, numeric ts tolerance") {

@@ -162,6 +162,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("quantiles: R-7 interpolation golden, nulls ignored, degenerate shapes") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    def xdf(vals: Seq[java.lang.Long]) = s.createDataFrame(
+      vals.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i.toLong, v) }.asJava, schema)
+    // values 10,20,30,40 (+ a null, which both Spark percentile and
+    // DuckDB quantile_cont ignore): R-7 index h=(n-1)q
+    val df = xdf(Seq(10L, 20L, 30L, 40L, null))
+    val got = rows(Profile.quantiles(df, "x", Seq(0.0, 0.25, 0.5, 1.0)))
+      .map(r => r.head -> r(1)).toMap
+    assert(got == Map(0.0 -> 10.0, 0.25 -> 17.5, 0.5 -> 25.0, 1.0 -> 40.0), got)
+    // a single-value column answers every fraction with that value
+    val one = rows(Profile.quantiles(xdf(Seq(7L)), "x", Seq(0.1, 0.9)))
+      .map(r => r.head -> r(1)).toMap
+    assert(one == Map(0.1 -> 7.0, 0.9 -> 7.0), one)
+    // all-null column: zero rows, like unnest(NULL) on the oracle side
+    assert(rows(Profile.quantiles(xdf(Seq(null, null)), "x", Seq(0.5))).isEmpty)
+    intercept[IllegalArgumentException] {
+      Profile.quantiles(df, "x", Seq(1.5))
+    }
+  }
+
+  test("packByBudget and mixture reject duplicate ids loudly") {
+    // duplicate ids would fan out the payload join and silently
+    // mis-assign shards / inflate per-source totals — must raise
+    val dup = s.createDataFrame(
+      Seq((1L, 10L), (2L, 20L), (2L, 30L))).toDF("doc_id", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Sample.packByBudget(dup, "doc_id", "w", 60L).collect()
+    }
+    assert(e1.getMessage.contains("unique"), e1.getMessage)
+    val dupSrc = s.createDataFrame(
+      Seq((1L, 10L, "web"), (1L, 10L, "web"), (2L, 10L, "web")))
+      .toDF("doc_id", "ntok", "source")
+    val e2 = intercept[IllegalArgumentException] {
+      Sample.mixture(dupSrc, "doc_id", "ntok", "source",
+        Map("web" -> 100L)).collect()
+    }
+    assert(e2.getMessage.contains("unique"), e2.getMessage)
+    // the same id under DIFFERENT sources is legitimate in mixture
+    // (the payload join keys on (id, source))
+    val crossSrc = s.createDataFrame(
+      Seq((1L, 10L, "web"), (1L, 10L, "code"), (2L, 10L, "web")))
+      .toDF("doc_id", "ntok", "source")
+    val got = rows(Sample.mixture(crossSrc, "doc_id", "ntok", "source",
+      Map("web" -> 100L, "code" -> 100L)))
+    assert(got.size == 3, got.toString)
+    Sample.releaseLayouts()
+  }
+
   // --------------------------------------------------------------- PII
 
   test("piiCounts and redactPii hit emails, IPv4, phone-ish numbers") {
