@@ -68,6 +68,7 @@ object Bench {
       // full GC lands inside a later query's timed section — observed
       // 5x noise on late queries.
       graft.ops.Dedup.clearMaterializedSlots() // before the RDD sweep!
+      graft.ops.Sample.releaseLayouts()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -177,15 +178,122 @@ object Bench {
       graft.ops.Dedup.minhashPairs(docs10, "doc_id", "text", threshold = 0.2)
         .write.format("noop").mode("overwrite").save())
     graft.ops.Dedup.clearMaterializedSlots()
+
+    // sf1 probes for the OTHER shuffle-heavy miners (r9 verdict #4):
+    // span mining, simhash banding, and the profiling melt — so the
+    // next scale cliff surfaces here, not in a judge re-run. The 10x
+    // corpus plants the sf0.1 footer BEFORE the per-copy substitution
+    // cipher, so each copy reproduces the 1x span structure exactly
+    // (footer grams shared within a copy, never across copies) —
+    // healthy = ~10-12x the 1x cold counterparts below.
+    val footer = " this shared boilerplate footer" +
+      " sentence repeats across many documents verbatim"
+    val planted1 = docs1.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(footer))).otherwise(col("text")).as("text"))
+    def shifted(src: org.apache.spark.sql.DataFrame) = (0 until 10).map(k =>
+        src.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          translate(col("text"), abc, abc.drop(k) + abc.take(k)).as("text")))
+      .reduce(_ unionByName _)
+    results("dedup_spans_cold") = time(
+      graft.ops.Dedup.duplicateSpans(planted1, "doc_id", "text", n = 8)
+        .write.format("noop").mode("overwrite").save())
+    results("sf1_dedup_spans") = time(
+      graft.ops.Dedup.duplicateSpans(shifted(planted1), "doc_id", "text", n = 8)
+        .write.format("noop").mode("overwrite").save())
+    val mdHash = (t: org.apache.spark.sql.Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    graft.ops.Dedup.clearMaterializedSlots()
+    results("dedup_simhash_cold") = time(
+      graft.ops.Dedup.simhashPairs(docs1, "doc_id", "text", maxHamming = 3,
+        numBits = 60, tokenHash = mdHash)
+        .write.format("noop").mode("overwrite").save())
+    graft.ops.Dedup.clearMaterializedSlots()
+    results("sf1_dedup_simhash") = time(
+      graft.ops.Dedup.simhashPairs(shifted(docs1), "doc_id", "text",
+        maxHamming = 3, numBits = 60, tokenHash = mdHash)
+        .write.format("noop").mode("overwrite").save())
+    graft.ops.Dedup.clearMaterializedSlots()
+    val prof1 = e.view("documents",
+      Seq("doc_id", "lang", "source", "n_chars", "text")).read()
+    val prof10 = (0 until 10).map(k =>
+        prof1.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          col("lang"), col("source"), col("n_chars"),
+          translate(col("text"), abc, abc.drop(k) + abc.take(k)).as("text")))
+      .reduce(_ unionByName _)
+    results("sf1_profile_columns") = time(
+      graft.ops.Profile.columns(prof10, Seq("lang", "source", "n_chars", "text"))
+        .write.format("noop").mode("overwrite").save())
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // ---- output. The driver's capture records only the LAST ~2000
+    // chars of stdout (BENCH_r{N}.json "tail"), and sbt appends a
+    // ~70-char success banner after main returns — so the artifact of
+    // record is whatever fits in the final ~1900 bytes (rounds 8-9
+    // lost the ann_*..profile_* families to exactly this). Three
+    // layers, most complete first:
+    //  1. BENCH_FULL_LATEST.json (cwd = repo root under the driver):
+    //     every query, full precision — the complete record, picked up
+    //     by the round commit.
+    //  2. per-family full-precision lines: survive in full stdout
+    //     captures and local runs.
+    //  3. ONE final compact line in the required
+    //     {"metric","value","unit","queries","sf"} format, kept under
+    //     the tail budget: every ops/pipeline/probe query per-query,
+    //     plus relational q* per-query when the median is >= 0.5s (the
+    //     write/txn roundtrips tracked round-over-round; at sf0.1 the
+    //     relational families split cleanly — writes 1.9-2.8s, reads
+    //     0.04-0.4s). The remaining fast relational reads roll into
+    //     "q_fast_sum" (per-query detail lives in layers 1-2). If
+    //     future growth overflows the budget anyway, the threshold
+    //     doubles until the line fits.
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else if (v >= 100) f"$v%.0f"
+      else if (v >= 10) f"$v%.1f"
+      else if (v >= 1) f"$v%.2f"
+      else f"$v%.3f"
+    def mapJson(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    val fullQs = mapJson(results.map { case (k, v) => k -> v.toString })
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LATEST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      fullLine.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+
+    def family(name: String): String =
+      if (name.matches("^q\\d.*")) "relational" else name.split("_")(0)
+    for ((fam, entries) <- results.toSeq.groupBy { case (k, _) => family(k) }
+         .toSeq.sortBy(_._1))
+      println(s"""{"metric":"family:$fam","unit":"sec","queries":${
+        mapJson(entries.map { case (k, v) => k -> v.toString })}}""")
+
+    val sfShort = sfDir.split("/").last
+    def compactLine(relThreshold: Double): String = {
+      val (rel, ops) = results.partition { case (k, _) => family(k) == "relational" }
+      // failed queries (-1) always stay per-query — a failure hidden
+      // inside a rollup would read as a speedup
+      val kept = ops.map { case (k, v) => k -> fmt(v) } ++
+        rel.filter { case (_, v) => v >= relThreshold || v < 0 }
+          .map { case (k, v) => k -> fmt(v) } ++
+        Seq("q_fast_sum" -> fmt(rel.values.filter(v => v >= 0 && v < relThreshold).sum))
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
+        mapJson(kept)},"sf":"$sfShort"}"""
+    }
+    var thresh = 0.5
+    var line = compactLine(thresh)
+    while (line.length > 1850 && thresh < 1e6) {
+      thresh *= 2; line = compactLine(thresh)
+    }
+    println(line)
     spark.stop()
   }
 }
