@@ -992,6 +992,31 @@ object SparkEntry {
         .orderBy(col("seq_id"))
     }),
 
+    // LLM-pipeline: JSONL interchange round-trip — export the corpus
+    // as gzipped JSONL shards + schema sidecar, import it back with
+    // ZERO inference (the sidecar supplies the schema, so the read is
+    // one pass like parquet); the oracle is the untouched source
+    // table, so every byte of text must survive the trip
+    "corpus_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents",
+        Seq("doc_id", "text", "lang", "source", "n_chars")).read()
+      val out = scratchDir("corpus_jsonl")
+      graft.sources.Corpus.exportJsonl(docs, out, shards = 8)
+      graft.sources.Corpus.importJsonl(s, out).orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline: CSV interchange round-trip on the events table —
+    // microsecond timestamps, doubles, and a JSON-bearing string
+    // column survive exactly (pinned timestampFormat, shortest-repr
+    // doubles, standard quoting); sidecar restores the real types
+    "corpus_csv_roundtrip" -> ((s, dir) => {
+      val ev = env(s, dir).view("events",
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")).read()
+      val out = scratchDir("corpus_csv")
+      graft.sources.Corpus.exportCsv(ev, out, shards = 4)
+      graft.sources.Corpus.importCsv(s, out).orderBy(col("event_id"))
+    }),
+
     // LLM-pipeline: PII triage + redaction (emails / IPv4 / phones) —
     // plant deterministic PII on every 7th doc so the patterns have
     // real positives; RE2-safe regexes run identically in the oracle
@@ -1035,6 +1060,37 @@ object SparkEntry {
       val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
       val bench = docs.filter(col("doc_id") < 10).select(col("text"))
       Text.decontaminate(docs, "doc_id", "text", bench, "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline: the SAME decontamination through the bloom-
+    // prefilter + exact-verify-join path (sized for benchmark /
+    // blocklist sides too big to broadcast as an exact gram set) —
+    // result is exact, so it shares text_decontaminate's oracle
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val bench = docs.filter(col("doc_id") < 10).select(col("text"))
+      Text.decontaminateBloom(docs, "doc_id", "text", bench, "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline: URL canonicalization for crawl-level dedup —
+    // tracking params dropped, params sorted, case/port/www/fragment
+    // scrubbed; URLs synthesized deterministically from (source,
+    // doc_id) in three variants so the oracle can state the expected
+    // canonical form in closed form (variants 0 and 1 collapse)
+    "text_url_normalize" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "source")).read()
+      val grp = ((col("doc_id") - col("doc_id") % 3) / 3).cast("long").cast("string")
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTPS://WWW."), upper(col("source")), lit(".com:443/p/"),
+            grp, lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://"), col("source"), lit(".com/p/"), grp,
+            lit("?a=1&b=2&gclid=z")))
+        .otherwise(concat(col("source"), lit(".com/p/"), grp)) // scheme-less
+      docs.select(col("doc_id"), raw.as("url_raw"),
+          Text.normalizeUrl(raw).as("url_norm"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1800,6 +1856,35 @@ object SparkEntry {
         |  ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END)) AS gram FROM tok),
         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
         |SELECT g.doc_id, count(*) AS n_hits FROM g JOIN bg USING (gram) GROUP BY 1""".stripMargin,
+    // exact by construction (bloom false positives die in the verify
+    // join), so the oracle is decontaminate's, verbatim
+    "text_decontaminate_bloom" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |  ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END)) AS gram FROM tok),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, count(*) AS n_hits FROM g JOIN bg USING (gram) GROUP BY 1""".stripMargin,
+    // the oracle states the EXPECTED canonical form in closed form
+    // per variant — it never runs a normalizer, so the two sides are
+    // independent derivations of the same rules
+    "text_url_normalize" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST((doc_id - doc_id % 3) / 3 AS BIGINT) AS grp, doc_id % 3 AS v
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE v WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.com:443/p/' || grp || '/?utm_source=x&b=2&a=1#frag'
+        |         WHEN 1 THEN 'https://' || source || '.com/p/' || grp || '?a=1&b=2&gclid=z'
+        |         ELSE source || '.com/p/' || grp END AS url_raw,
+        |  CASE v WHEN 0 THEN 'https://' || source || '.com/p/' || grp || '?a=1&b=2'
+        |         WHEN 1 THEN 'https://' || source || '.com/p/' || grp || '?a=1&b=2'
+        |         ELSE 'http://' || source || '.com/p/' || grp END AS url_norm
+        |FROM d""".stripMargin,
+    // round-trips: the oracle is the untouched source table — any
+    // byte lost or type bent in transit hash-mismatches
+    "corpus_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "corpus_csv_roundtrip" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events",
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
         |gn AS (SELECT n, doc_id, unnest(CASE WHEN len(t) < n THEN [array_to_string(t, ' ')]

@@ -513,9 +513,210 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Pure-JVM EBML (Matroska/WebM) container probe: walks the element
+    * tree of the published EBML/Matroska structure (RFC 8794 + the
+    * matroska.org element registry) — `EBML/DocType` (container
+    * brand), `Segment/Info` (TimecodeScale + Duration),
+    * `Segment/Tracks/TrackEntry` (TrackType, CodecID,
+    * Video/PixelWidth+PixelHeight), TrackEntry count as the stream
+    * count. Element IDs and sizes are variable-length integers; an
+    * all-ones size VINT means "unknown size — extends to the end of
+    * the enclosing element" (streamed files write Segment and Cluster
+    * that way). No codec work, no external binary — container
+    * METADATA only, same contract as [[Mp4Probe]]. Returns None for
+    * anything that doesn't start with the EBML magic. */
+  private[graft] object EbmlProbe {
+    def looksLikeEbml(b: Array[Byte]): Boolean =
+      b != null && b.length >= 4 && (b(0) & 0xFF) == 0x1A &&
+        (b(1) & 0xFF) == 0x45 && (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3
+
+    // element IDs (marker bits kept, per RFC 8794 §5)
+    private final val EBML = 0x1A45DFA3L
+    private final val DocType = 0x4282L
+    private final val Segment = 0x18538067L
+    private final val Info = 0x1549A966L
+    private final val TimecodeScale = 0x2AD7B1L
+    private final val DurationId = 0x4489L
+    private final val Tracks = 0x1654AE6BL
+    private final val TrackEntry = 0xAEL
+    private final val TrackType = 0x83L
+    private final val CodecID = 0x86L
+    private final val VideoEl = 0xE0L
+    private final val PixelWidth = 0xB0L
+    private final val PixelHeight = 0xBAL
+
+    /** Read an element ID at `off` (marker bits KEPT — IDs are
+      * compared with their length prefix, max 4 bytes). */
+    private def readId(b: Array[Byte], off: Int, end: Int): Option[(Long, Int)] = {
+      if (off >= end) return None
+      val first = b(off) & 0xFF
+      if (first == 0) return None
+      val n = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (n > 4 || off + n > end) return None
+      var v = first.toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(off + i) & 0xFFL); i += 1 }
+      Some((v, n))
+    }
+
+    /** Read a size VINT at `off` (marker bit STRIPPED, max 8 bytes).
+      * Returns (value, width, unknown) — `unknown` = all data bits
+      * set, the "extends to end of parent" encoding. */
+    private def readSize(b: Array[Byte], off: Int, end: Int): Option[(Long, Int, Boolean)] = {
+      if (off >= end) return None
+      val first = b(off) & 0xFF
+      if (first == 0) return None
+      val n = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (off + n > end) return None
+      var v = (first & (0xFF >>> n)).toLong
+      var allOnes = (first | (~(0xFF >>> n) & 0xFF)) == 0xFF
+      var i = 1
+      while (i < n) {
+        val byte = b(off + i) & 0xFF
+        v = (v << 8) | byte.toLong
+        allOnes &&= byte == 0xFF
+        i += 1
+      }
+      Some((v, n, allOnes))
+    }
+
+    /** Master (container) elements — the only ones whose torn payload
+      * prefix is still parseable (their children are elements); a
+      * torn LEAF (string/number) is dropped, never surfaced as
+      * garbage prefix bytes. */
+    private val Masters = Set(EBML, Segment, Info, Tracks, TrackEntry, VideoEl)
+
+    /** Visit child elements of `[start, end)` as (id, payloadStart,
+      * payloadEnd). Malformed VINTs stop the walk (parse what's
+      * valid, never read out of bounds); unknown-size elements claim
+      * the rest of the parent. */
+    private def elements(b: Array[Byte], start: Int, end: Int)(
+        f: ((Long, Int, Int)) => Unit): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off < end) {
+        (for {
+          (id, idW) <- readId(b, off, end)
+          (sz, szW, unknown) <- readSize(b, off + idW, end)
+        } yield (id, idW, sz, szW, unknown)) match {
+          case Some((id, idW, sz, szW, unknown)) =>
+            val ps = off + idW + szW
+            val pe = if (unknown) end.toLong else ps + sz
+            if (pe > end || pe < ps) { // truncated payload: surface the
+              if (Masters(id)) f((id, ps, end)) // readable prefix of a
+              ok = false                        // master, then stop
+            } else { f((id, ps, pe.toInt)); off = pe.toInt }
+          case None => ok = false
+        }
+      }
+    }
+
+    private def uint(b: Array[Byte], s: Int, e: Int): Long = {
+      var v = 0L; var i = s
+      while (i < e && i - s < 8) { v = (v << 8) | (b(i) & 0xFFL); i += 1 }
+      v
+    }
+    private def float(b: Array[Byte], s: Int, e: Int): Option[Double] =
+      (e - s) match {
+        case 4 => Some(java.lang.Float.intBitsToFloat(uint(b, s, e).toInt).toDouble)
+        case 8 => Some(java.lang.Double.longBitsToDouble(uint(b, s, e)))
+        case _ => None
+      }
+
+    def parse(b: Array[Byte]): Option[Row] = try {
+      if (!looksLikeEbml(b)) return None
+      var container: String = null
+      var scaleNs = 1000000L // Matroska default: 1 ms ticks
+      var durationTicks: Option[Double] = None
+      var codec: String = null
+      var videoCodec: String = null
+      var width: Integer = null
+      var height: Integer = null
+      var nTracks = 0
+      elements(b, 0, b.length) {
+        case (EBML, s, e) => elements(b, s, e) {
+          case (DocType, s2, e2) =>
+            container = new String(b, s2, e2 - s2, "US-ASCII").trim
+          case _ => ()
+        }
+        case (Segment, s, e) => elements(b, s, e) {
+          case (Info, s2, e2) => elements(b, s2, e2) {
+            case (TimecodeScale, s3, e3) => scaleNs = uint(b, s3, e3)
+            case (DurationId, s3, e3) => durationTicks = float(b, s3, e3)
+            case _ => ()
+          }
+          case (Tracks, s2, e2) => elements(b, s2, e2) {
+            case (TrackEntry, s3, e3) =>
+              nTracks += 1
+              var isVideo = false
+              var entryCodec: String = null
+              elements(b, s3, e3) {
+                case (TrackType, s4, e4) => isVideo = uint(b, s4, e4) == 1L
+                case (CodecID, s4, e4) =>
+                  entryCodec = new String(b, s4, e4 - s4, "US-ASCII").trim
+                case (VideoEl, s4, e4) => elements(b, s4, e4) {
+                  case (PixelWidth, s5, e5) if width == null =>
+                    width = uint(b, s5, e5).toInt
+                  case (PixelHeight, s5, e5) if height == null =>
+                    height = uint(b, s5, e5).toInt
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              if (entryCodec != null) {
+                if (codec == null) codec = entryCodec
+                if (isVideo && videoCodec == null) videoCodec = entryCodec
+              }
+            case _ => ()
+          }
+          case _ => ()
+        }
+        case _ => ()
+      }
+      if (container == null) None
+      else Some(Row(container,
+        if (videoCodec != null) videoCodec else codec,
+        width, height,
+        durationTicks.filter(_ >= 0).filter(_ => scaleNs > 0)
+          .map(d => Double.box(d * scaleNs / 1e6)).orNull,
+        if (nTracks > 0) Int.box(nTracks) else null,
+        Boolean.box(true)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal WebM (EBML/Matroska) container:
+    * EBML(DocType 'webm') + Segment(Info(TimecodeScale 1e6 ns = 1 ms
+    * ticks, Duration float == `durationMs` exactly), Tracks(one video
+    * TrackEntry: 'V_VP9', w×h)). Sizes are written as 2-byte VINTs;
+    * every derived stat is exact arithmetic any SQL engine
+    * reproduces. */
+  private[graft] def synthWebm(durationMs: Int, w: Int, h: Int): Array[Byte] = {
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (1 to n).map(i => ((id >>> ((n - i) * 8)) & 0xFF).toByte).toArray
+    }
+    def el(id: Long, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      require(body.length < (1 << 14) - 1, "2-byte VINT size overflow")
+      idBytes(id) ++ Array((0x40 | (body.length >> 8)).toByte,
+        (body.length & 0xFF).toByte) ++ body
+    }
+    def u(v: Long, n: Int): Array[Byte] =
+      (1 to n).map(i => ((v >>> ((n - i) * 8)) & 0xFF).toByte).toArray
+    val header = el(0x1A45DFA3L, el(0x4282L, "webm".getBytes("US-ASCII")))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, u(1000000L, 3)), // 1 ms ticks
+      el(0x4489L, u(java.lang.Double.doubleToLongBits(durationMs.toDouble), 8)))
+    val video = el(0xE0L, el(0xB0L, u(w, 2)), el(0xBAL, u(h, 2)))
+    val track = el(0xAEL, el(0x83L, u(1, 1)),
+      el(0x86L, "V_VP9".getBytes("US-ASCII")), video)
+    header ++ el(0x18538067L, info, el(0x1654AE6BL, track))
+  }
+
   /** Video metadata prober: MP4-family payloads parse IN-JVM
-    * ([[Mp4Probe]] — no external process, the scale path for the
-    * dominant container); other formats fall to an OPTIONAL external
+    * ([[Mp4Probe]]) and Matroska/WebM payloads parse IN-JVM
+    * ([[EbmlProbe]]) — no external process, the scale path for the
+    * dominant containers; other formats fall to an OPTIONAL external
     * binary (ffprobe by default — the one tool every production video
     * pipeline already ships), the payload piped to its stdin and the
     * flat key=value report parsed on the executor. When neither
@@ -543,13 +744,14 @@ object Multimodal {
     def probe(bytes: Array[Byte]): Row = {
       if (bytes == null) return Row(null, null, null, null, null, null,
         Boolean.box(false))
-      val jvm = Mp4Probe.parse(bytes)
-      // the JVM fast path answers only when the walk found real moov
-      // facts (duration or dimensions). An ftyp-bearing payload with
-      // NO facts — truncated after ftyp, or moov past the sampled
-      // bytes — falls through to the external binary, which reads the
-      // stream properly; the fact-less JVM row is still better than
-      // the fake when no binary exists or the binary fails.
+      val jvm = Mp4Probe.parse(bytes).orElse(EbmlProbe.parse(bytes))
+      // the JVM fast path answers only when the walk found real facts
+      // (duration or dimensions). A magic-bearing payload with NO
+      // facts — truncated after ftyp/the EBML header, or metadata
+      // past the sampled bytes — falls through to the external
+      // binary, which reads the stream properly; the fact-less JVM
+      // row is still better than the fake when no binary exists or
+      // the binary fails.
       val complete = jvm.exists(r => r.get(4) != null || r.get(2) != null)
       if (complete) return jvm.get
       if (!available) return jvm.getOrElse(fake(bytes))

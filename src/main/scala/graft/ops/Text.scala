@@ -293,6 +293,42 @@ object Text {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[decontaminate]] for benchmark/blocklist sides TOO BIG to
+    * broadcast as an exact gram set: a Bloom-filter prefilter plus an
+    * exact verify join — same EXACT result (the bloom's false
+    * positives are killed by the verify join; it has no false
+    * negatives), different memory envelope. An exact distinct-hash
+    * set of 1B grams costs ~8 GB+ broadcast; the bloom at 1% fpp
+    * costs ~1.2 GB — and the verify join only shuffles the
+    * candidates that pass the bloom (true hits + ~fpp of the corpus
+    * grams), never the corpus itself.
+    *
+    * The membership probe is a `mightContainLong` over the broadcast
+    * sketch — one of the few places a UDF is the right call: Spark's
+    * BloomFilter probe isn't exposed as a SQL function (the
+    * `bloom_filter_agg`/`might_contain` expressions are internal,
+    * reserved for runtime row-level filtering), and the probe is a
+    * couple of hash ops on a long, not a codegen-hostile hot loop. */
+  def decontaminateBloom(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bench: org.apache.spark.sql.DataFrame,
+      benchTextCol: String, n: Int = 13,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val bg = bench
+      .select(explode(Dedup.shingleHashes(col(benchTextCol), n)).as("__h"))
+      .distinct()
+    // expected-item count sizes the sketch; one extra job over the
+    // (small) bench side, amortized by not broadcasting it exactly
+    val bloom = bg.stat.bloomFilter("__h", math.max(bg.count(), 1L), fpp)
+    val bloomBc = df.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    Par.spread(df)
+      .select(col(idCol), explode(Dedup.shingleHashes(col(textCol), n)).as("__h"))
+      .filter(might(col("__h")))
+      .join(bg.hint("shuffle_hash"), Seq("__h")) // exact verify: only
+      .groupBy(col(idCol))                       // bloom survivors
+      .agg(count(lit(1)).as("n_hits"))           // shuffle
+  }
+
   /** Gopher-style REPETITION statistics: per doc, the fraction of
     * content captured by the single most frequent unigram / bigram /
     * trigram (`top_ngram_frac` = occurrences of the modal n-gram over
@@ -360,5 +396,42 @@ object Text {
         if (requireTerminal) enough && t.rlike("[.!?\"']$") else enough
       }))
     array_join(kept, "\n")
+  }
+
+  /** Canonical URL form for web-corpus dedup: the same page crawled
+    * as `HTTPS://WWW.Site.com:443/p/1/?utm_source=x&b=2&a=1#top` and
+    * `https://site.com/p/1?a=1&b=2` must collapse to ONE key before
+    * URL-level dedup, or the corpus keeps every tracking-link
+    * variant. Rules (the standard crawl-pipeline set):
+    * scheme + host lowercased, `www.` and the scheme's default port
+    * stripped, fragment dropped, tracking parameters removed
+    * (`utm_*`, `fbclid`, `gclid`, `msclkid`, `mc_cid`, `mc_eid`),
+    * remaining query params sorted, empty path normalized to `/` and
+    * a trailing slash on a non-root path dropped. Scheme-less input
+    * is assumed `http`. Pure regexp/HOF Column — per-row, codegen,
+    * no shuffle, no UDF; NULL in, NULL out. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    Hof.bind(lower(regexp_extract(noFrag, schemeRe, 1)), rawScheme =>
+    Hof.bind(when(rawScheme === "", lit("http")).otherwise(rawScheme), scheme =>
+    Hof.bind(regexp_replace(noFrag, schemeRe, ""), rest => {
+      val authority = lower(regexp_extract(rest, "^([^/?]*)", 1))
+      val defPort = when(scheme === "http", lit(":80$"))
+        .when(scheme === "https", lit(":443$"))
+        .otherwise(lit(":(?!)$")) // unknown scheme: match-nothing regex
+      val host = regexp_replace(
+        regexp_replace(authority, lit("^www\\."), lit("")), defPort, lit(""))
+      val tail = regexp_replace(rest, "^[^/?]*", "")
+      val path0 = regexp_extract(tail, "^([^?]*)", 1)
+      val path = when(path0 === "", lit("/"))
+        .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+      val tracking = "^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=|$)"
+      val params = filter(split(regexp_extract(tail, "\\?(.*)$", 1), "&"),
+        p => p =!= "" && !p.rlike(tracking))
+      val q = array_join(array_sort(params), "&")
+      concat(scheme, lit("://"), host, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+    })))
   }
 }

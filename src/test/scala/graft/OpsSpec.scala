@@ -886,6 +886,103 @@ class OpsSpec extends SparkSpec {
     assert(shProber.probe(b) == Multimodal.Mp4Probe.parse(b).get)
   }
 
+  test("normalizeUrl: case/port/www/fragment/tracking/param-order canonicalization") {
+    def norm(u: String): String =
+      rows(docsDf(Seq((1L, u))).select(Text.normalizeUrl(col("text")).as("n")))
+        .head.head.asInstanceOf[String]
+    // the full gauntlet collapses to one canonical form
+    assert(norm("HTTPS://WWW.Site.com:443/p/1/?utm_source=x&b=2&a=1#top")
+      == "https://site.com/p/1?a=1&b=2")
+    assert(norm("https://site.com/p/1?a=1&b=2") == "https://site.com/p/1?a=1&b=2")
+    // scheme-less input assumes http; http default port strips
+    assert(norm("site.com/p/1") == "http://site.com/p/1")
+    assert(norm("http://site.com:80/") == "http://site.com/")
+    // non-default port survives; unknown scheme's port survives
+    assert(norm("http://site.com:8080/x") == "http://site.com:8080/x")
+    assert(norm("ftp://site.com:443/x") == "ftp://site.com:443/x")
+    // empty path -> /; root path keeps its slash; deep trailing drops
+    assert(norm("https://site.com") == "https://site.com/")
+    assert(norm("https://site.com/a/b/") == "https://site.com/a/b")
+    // every tracking param family drops; non-tracking 'ref'-like keys
+    // that merely PREFIX a tracking name survive
+    assert(norm("http://s.co/?fbclid=1&gclid=2&msclkid=3&mc_cid=4&mc_eid=5&utm_x=6")
+      == "http://s.co/")
+    assert(norm("http://s.co/?fbclid2=keep") == "http://s.co/?fbclid2=keep")
+    // param sort is deterministic; duplicate keys both survive, sorted
+    assert(norm("http://s.co/?z=1&a=2&z=0") == "http://s.co/?a=2&z=0&z=1")
+    // NULL in, NULL out
+    val n = rows(docsDf(Seq((1L, null))).select(Text.normalizeUrl(col("text")).as("n")))
+    assert(n.head.head == null, n)
+  }
+
+  test("decontaminateBloom matches exact decontaminate (fp killed by verify join)") {
+    val bench = docsDf(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "completely unrelated benchmark prompt about chess endgames")))
+      .select(col("text"))
+    val corpus = docsDf(Seq(
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog today and more"),
+      (2L, "no overlap with anything in the eval suite at all here"),
+      (3L, "completely unrelated benchmark prompt about chess endgames repeated twice")))
+    val exact = rows(Text.decontaminate(corpus, "doc_id", "text", bench, "text", n = 5)
+      .orderBy("doc_id"))
+    // a tiny bloom at high fpp maximizes false positives — the verify
+    // join must still reduce to the exact answer
+    val bloom = rows(Text.decontaminateBloom(corpus, "doc_id", "text", bench, "text",
+      n = 5, fpp = 0.5).orderBy("doc_id"))
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    assert(exact.map(_.head).toSet == Set(1L, 3L), exact)
+  }
+
+  test("EBML probe: pure-JVM WebM/MKV parse, unknown-size segments, truncation") {
+    val b = Multimodal.synthWebm(12345, 640, 360)
+    val r = Multimodal.EbmlProbe.parse(b).get
+    assert(r.getString(0) == "webm" && r.getString(1) == "V_VP9", r)
+    assert(r.getInt(2) == 640 && r.getInt(3) == 360, r)
+    assert(r.getDouble(4) == 12345.0 && r.getInt(5) == 1 && r.getBoolean(6), r)
+    // not EBML at all -> None; null-safe
+    assert(Multimodal.EbmlProbe.parse("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.EbmlProbe.parse(null).isEmpty)
+    assert(Multimodal.Mp4Probe.parse(b).isEmpty) // families don't cross-match
+    assert(Multimodal.EbmlProbe.parse(Multimodal.synthMp4(1000, 320, 240)).isEmpty)
+
+    // unknown-size Segment (all-ones size VINT — the streamed-file
+    // layout): payload extends to the end of the buffer and parses
+    // identically. Find the Segment's 2-byte size VINT and patch it.
+    val segIdx = {
+      var i = 0
+      while (!(b(i) == 0x18.toByte && b(i + 1) == 0x53.toByte &&
+        b(i + 2) == 0x80.toByte && b(i + 3) == 0x67.toByte)) i += 1
+      i
+    }
+    val streamed = b.clone()
+    streamed(segIdx + 4) = 0x7F.toByte // 2-byte VINT, all data bits set
+    streamed(segIdx + 5) = 0xFF.toByte
+    val sr = Multimodal.EbmlProbe.parse(streamed).get
+    assert(sr == r, sr)
+
+    // truncated mid-Tracks: container + duration survive (the walk
+    // surfaces the readable prefix of a torn element, never throws)
+    val trunc = Multimodal.EbmlProbe.parse(b.take(b.length - 12)).get
+    assert(trunc.getString(0) == "webm" && trunc.getDouble(4) == 12345.0, trunc)
+    // truncated right after the EBML header: container only, every
+    // fact null -> the prober treats it as fact-less. A cut INSIDE
+    // the DocType string (take(12)) must not surface a garbage
+    // prefix ("we"): torn leaves are dropped, so no container -> None
+    assert(Multimodal.EbmlProbe.parse(b.take(12)).isEmpty)
+    val headOnly = Multimodal.EbmlProbe.parse(b.take(14)).get
+    assert(headOnly.getString(0) == "webm" && headOnly.isNullAt(4) &&
+      headOnly.isNullAt(2), headOnly)
+
+    // end-to-end through the prober WITHOUT any external binary:
+    // WebM payloads probe REAL container facts (probed=true)
+    val missing = new Multimodal.ExternalVideoProber("graft-no-such-binary")
+    assert(missing.probe(b) == r)
+    // fact-less EBML head falls through to the binary like fact-less
+    // ftyp does; with none available the partial JVM row comes back
+    assert(missing.probe(b.take(14)) == headOnly)
+  }
+
   test("asofJoin rejects reserved names, payload collisions, numeric ts tolerance") {
     val s2 = s
     import s2.implicits._
