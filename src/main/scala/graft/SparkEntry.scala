@@ -546,6 +546,25 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // LLM-pipeline: SemDeDup — semantic dedup comparing only WITHIN
+    // clusters (n²/k work). The oracle-gated entry clusters by the
+    // deterministic `label` column so both engines agree exactly;
+    // the k-means path (semanticDedupAuto) is spec- and bench-
+    // covered. Planted scaled copies share their original's label
+    // and must vanish; originals survive (natural same-label cosine
+    // maxes ~0.47, far under the 0.95 threshold).
+    "dedup_semantic" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding", "label")).read()
+      val planted = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+        col("label"))
+      Similarity.semanticDedup(emb.unionByName(planted), "embedding",
+        "vec_id", "label", threshold = 0.95, maxCluster = 100000)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // LLM-pipeline: embedding near-dedup applied — planted scaled
     // copies must vanish, originals survive
     "dedup_embedding_apply" -> ((s, dir) => {
@@ -1581,6 +1600,23 @@ object SparkEntry {
         |  FROM embeddings WHERE vec_id < 20),
         |doomed AS (
         |  SELECT b.vec_id FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) >= 0.95)
+        |SELECT vec_id FROM pool
+        |WHERE vec_id NOT IN (SELECT vec_id FROM doomed)""".stripMargin,
+    // within-cluster pairing only: the doomed join carries the
+    // a.label = b.label restriction SemDeDup is defined by
+    "dedup_semantic" ->
+      """WITH pool AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)),
+        |    label
+        |  FROM embeddings WHERE vec_id < 20),
+        |doomed AS (
+        |  SELECT b.vec_id FROM pool a JOIN pool b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |          CAST(b.embedding AS DOUBLE[])) >= 0.95)
         |SELECT vec_id FROM pool

@@ -709,4 +709,74 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), col("cosine"))
   }
+
+  // ------------------------------------------------------ semantic dedup
+
+  private val semanticPairsSlot = Dedup.newSlot()
+
+  /** SemDeDup-style near-duplicate pairs WITHIN caller-assigned
+    * clusters (Abbas et al. 2023, arXiv:2303.09540: cluster the
+    * embedding space, then only compare inside a cluster — n²/k
+    * comparisons instead of n², the trick that makes semantic dedup
+    * tractable at corpus scale). The cluster column is an input:
+    * a trained k-means assignment ([[semanticDedupAuto]]), a topic /
+    * source label, or any partitioning the pipeline trusts to
+    * separate non-duplicates. Candidate generation reuses
+    * [[Dedup.bucketPairs]] keyed on the cluster — all-pairs inside
+    * normal clusters, star-pairs against the cluster's min id for
+    * clusters above `maxCluster` (a pathological mega-cluster must
+    * degrade, not OOM) — so only (id, cluster) longs shuffle; the
+    * vectors join in for the exact cosine verify on candidates
+    * only. */
+  def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
+      clusterCol: String, threshold: Double,
+      maxCluster: Int = 1000): DataFrame = {
+    val keyed = df.select(col(idCol).as("__id"), col(clusterCol).as("__k"))
+    val pairs = Dedup.cacheSwap(semanticPairsSlot,
+      Dedup.bucketPairs(keyed, Seq("__k"), maxCluster))
+    val vecs = df.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    pairs
+      .join(vecs.withColumnRenamed("__vid", "idA")
+        .withColumnRenamed("__v", "__va"), Seq("idA"))
+      .join(vecs.withColumnRenamed("__vid", "idB")
+        .withColumnRenamed("__v", "__vb"), Seq("idB"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), col("cosine"))
+  }
+
+  /** [[semanticPairs]] applied: drop the larger id of every verified
+    * within-cluster near-duplicate pair (greedy canonical-smallest,
+    * the same policy as [[cosineDedup]] / [[Dedup.minhashDedup]]). */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      clusterCol: String, threshold: Double,
+      maxCluster: Int = 1000): DataFrame = {
+    val doomed = semanticPairs(df, vecCol, idCol, clusterCol, threshold,
+        maxCluster)
+      .select(col("idB").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  /** One-call SemDeDup: train seed-fixed k-means over the L2-NORMALIZED
+    * embeddings (normalization first, so Euclidean k-means clusters by
+    * direction — the cosine geometry the dedup threshold lives in),
+    * assign every row, then within-cluster dedup. The clustering is an
+    * approximation by design: a near-duplicate pair split across two
+    * clusters is missed (the paper's trade-off) — raise `k` for
+    * cheaper clusters, lower it for better recall. */
+  def semanticDedupAuto(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, k: Int = 64, maxIter: Int = 10, seed: Long = 42L,
+      maxCluster: Int = 1000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = Par.spread(df).withColumn("__feat",
+      array_to_vector(l2Normalize(col(vecCol))))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__feat").setPredictionCol("__semcluster")
+      .fit(feat)
+    semanticDedup(model.transform(feat), vecCol, idCol, "__semcluster",
+      threshold, maxCluster)
+      .drop("__feat", "__semcluster")
+  }
 }

@@ -886,6 +886,40 @@ class OpsSpec extends SparkSpec {
     assert(shProber.probe(b) == Multimodal.Mp4Probe.parse(b).get)
   }
 
+  test("semanticDedup: within-cluster pairs only; k-means auto path recovers dups") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.IntegerType)))
+    def df(rows: Seq[(Long, Seq[Float], Int)]) = s.createDataFrame(rows.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+    // two orthogonal directions; a near-copy in each; one planted
+    // IDENTICAL pair deliberately SPLIT across clusters (5 vs 6)
+    val pool = df(Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0), (2L, Seq(0.999f, 0.02f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1), (4L, Seq(0.02f, 0.999f, 0f, 0f), 1),
+      (5L, Seq(0f, 0f, 1f, 0f), 0), (6L, Seq(0f, 0f, 1f, 0f), 1)))
+    val pairs = rows(Similarity.semanticPairs(pool, "embedding", "vec_id",
+      "grp", threshold = 0.9).select(col("idA"), col("idB")).orderBy("idA"))
+    // near-copies pair within their cluster; the split identical pair
+    // (5,6) is MISSED — the documented SemDeDup trade-off
+    assert(pairs.map(p => (p(0), p(1))) == Seq((1L, 2L), (3L, 4L)), pairs)
+    val kept = rows(Similarity.semanticDedup(pool, "embedding", "vec_id",
+      "grp", threshold = 0.9).select(col("vec_id"))).map(_.head).toSet
+    assert(kept == Set(1L, 3L, 5L, 6L), kept)
+    // auto path: seed-fixed k-means (k=3, normalized) puts identical
+    // vectors in ONE cluster, so the split pair now dedupes too
+    val auto = Similarity.semanticDedupAuto(pool.drop("grp"), "embedding",
+      "vec_id", threshold = 0.9, k = 3, seed = 7L)
+    assert(auto.columns.toSeq == Seq("vec_id", "embedding"), auto.columns.toSeq)
+    val autoKept = rows(auto.select(col("vec_id"))).map(_.head).toSet
+    assert(autoKept == Set(1L, 3L, 5L), autoKept)
+  }
+
   test("normalizeUrl: case/port/www/fragment/tracking/param-order canonicalization") {
     def norm(u: String): String =
       rows(docsDf(Seq((1L, u))).select(Text.normalizeUrl(col("text")).as("n")))
