@@ -895,6 +895,28 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // LLM-pipeline: IVF-PQ persisted index (Jégou et al. 2011) — each
+    // 64-dim float32 vector stores as m=8 one-byte residual codes
+    // (32× memory reduction, the in-RAM index story at 100 TB);
+    // queries read only the probed coarse cells and score by
+    // driver-precomputed ADC tables folded into the plan as literals.
+    // Planted exact-direction copies of the query must head the
+    // approximate ranking, matching the brute-force cosine oracle.
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      val planted = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        typedLit(q.map(_ * 1.001f)).as("embedding"))
+      val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+      val idxDir = scratchDir("pqidx-" + Integer.toHexString(dir.hashCode))
+      Similarity.buildIvfPqIndex(pool, "embedding", "vec_id", idxDir,
+        dims = q.size, nlist = 16, m = 8)
+      Similarity.ivfPqTopK(s, idxDir, "vec_id", q, 10, nprobe = 4)
+        .select(col("vec_id"))
+    }),
+
     // LLM-pipeline: persisted-index ANN — the 100-TB repeated-query
     // path: buildIndex writes a band-partitioned signature+vector
     // table once, the probe reads only probed partition dirs (no
@@ -1034,6 +1056,23 @@ object SparkEntry {
       val out = scratchDir("corpus_csv")
       graft.sources.Corpus.exportCsv(ev, out, shards = 4)
       graft.sources.Corpus.importCsv(s, out).orderBy(col("event_id"))
+    }),
+
+    // LLM-pipeline: corpus snapshot diff — the release-QA audit
+    // between two versions of the documents table (planted: docs 0-4
+    // removed, 5-9 edited, five new ids added); both sides reduce to
+    // (key, payload-hash) longs before the full-outer join
+    "corpus_diff" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents",
+        Seq("doc_id", "text", "lang", "source", "n_chars")).read()
+      val after = docs.filter(col("doc_id") >= 5)
+        .withColumn("text", when(col("doc_id") < 10,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 5).select(
+          (col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+      graft.ops.Diff.diff(docs, after, Seq("doc_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // LLM-pipeline: PII triage + redaction (emails / IPv4 / phones) —
@@ -1657,6 +1696,20 @@ object SparkEntry {
         |SELECT p.vec_id FROM pool p, q
         |ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, p.vec_id
         |LIMIT 10""".stripMargin,
+    // the 10 planted copies dominate both the exact cosine ranking
+    // and the PQ-distorted ADC ranking (natural cosines max ~0.47),
+    // so the approximate index must return exactly the oracle's set
+    "ann_pq_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        |  UNION ALL
+        |  SELECT 1000000 + t.i,
+        |    list_transform(q.qe, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM range(0, 10) t(i), q)
+        |SELECT p.vec_id FROM pool p, q
+        |ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, p.vec_id
+        |LIMIT 10""".stripMargin,
     "ann_quantized_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pool AS (
@@ -1921,6 +1974,13 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "corpus_csv_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    // the planted edits make the expected verdict closed-form
+    "corpus_diff" ->
+      """SELECT doc_id, 'removed' AS change FROM documents WHERE doc_id < 5
+        |UNION ALL
+        |SELECT doc_id, 'changed' AS change FROM documents WHERE doc_id >= 5 AND doc_id < 10
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, 'added' AS change FROM documents WHERE doc_id < 5""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
         |gn AS (SELECT n, doc_id, unnest(CASE WHEN len(t) < n THEN [array_to_string(t, ' ')]

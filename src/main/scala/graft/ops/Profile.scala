@@ -120,6 +120,25 @@ object Profile {
       .select(element_at(typedlit(qs), col("__i") + 1).as("q"), col("value"))
   }
 
+  /** The 100-TB quantile path [[quantiles]]'s doc promises: same
+    * output schema, `approx_percentile` instead of `percentile` — the
+    * aggregate's state is a fixed-size sketch instead of a value→count
+    * map, so the shuffle is O(accuracy) per partition no matter how
+    * many distinct values the column has. `accuracy` is Spark's
+    * inverse-error knob (10000 ⇒ rank error ≤ 1/10000 of the rows).
+    * Not oracle-gated (sketch internals differ across engines); the
+    * spec pins it to within-tolerance of the exact path. */
+  def quantilesApprox(df: DataFrame, column: String, qs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty, "quantilesApprox needs at least one fraction")
+    require(qs.forall(q => q >= 0 && q <= 1), s"fractions outside [0,1]: $qs")
+    val v = col(column).cast("double")
+    Par.spread(df)
+      .agg(approx_percentile(v, typedlit(qs), lit(accuracy)).as("__qv"))
+      .select(posexplode(col("__qv")).as(Seq("__i", "value")))
+      .select(element_at(typedlit(qs), col("__i") + 1).as("q"), col("value"))
+  }
+
   /** Exact top-k most frequent values of a column (nulls excluded),
     * ties broken by value ascending so the result is deterministic.
     * Scale shape: groupBy(value) partial-aggregates map-side; the

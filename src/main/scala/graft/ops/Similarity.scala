@@ -710,9 +710,163 @@ object Similarity {
       .select(col("idA"), col("idB"), col("cosine"))
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ index (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): coarse k-means cells like
+    * [[buildIvfIndex]], but inside each cell the RESIDUAL
+    * (vector − cell centroid) is product-quantized — split into `m`
+    * subspaces, each encoded as the id of its nearest code in a
+    * 256-entry per-subspace codebook — so a d-dim float32 vector
+    * stores as `m` BYTES (d=512, m=8: 2 KB → 8 B, 256×). That is the
+    * memory story that lets a 100-TB corpus's index live in RAM:
+    * int8 quantization ([[buildIvfIndex]] `quantized`) buys 4×, PQ
+    * buys 10-100×, at the cost of approximate distances (re-rank the
+    * top candidates against the source table when exactness
+    * matters).
+    *
+    * Training: one coarse k-means + `m` independent 1-subspace
+    * k-means fits (on `trainFraction` of the residuals — at corpus
+    * scale codebooks converge on a small sample; the full pass is
+    * encode-only). Encoding runs as `m` model predictions inside ONE
+    * projection — no per-row driver work, no UDF loops of ours.
+    * Codes store as tinyint (shifted −128), one byte each in
+    * Tungsten rows. */
+  def buildIvfPqIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String, dims: Int, nlist: Int = 64, m: Int = 8,
+      codeK: Int = 256, maxIter: Int = 10, seed: Long = 42L,
+      trainFraction: Double = 1.0): Unit = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    require(codeK >= 2 && codeK <= 256, s"codeK=$codeK must fit one byte")
+    val dsub = dims / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // persisted through coarse fit → m codebook fits → encode → write
+    // (m+3 passes that would each recompute the scan otherwise)
+    val feat = Par.spread(df).select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__feat"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val coarse = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__feat").setPredictionCol("__c")
+      .fit(feat)
+    val centroids = coarse.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centLit = typedlit(centroids)
+    val residuals = coarse.transform(feat).drop("__feat")
+      .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
+        element_at(centLit, col("__c") + 1), (x, c) => x - c))
+    // m per-subspace codebooks, trained on (a fraction of) residuals
+    val trainBase =
+      if (trainFraction >= 1.0) residuals
+      else residuals.sample(withReplacement = false, trainFraction, seed)
+    val subModels = (0 until m).map { j =>
+      val sub = trainBase.select(array_to_vector(
+        slice(col("__res"), j * dsub + 1, dsub)).as("__sub"))
+      new KMeans().setK(codeK).setSeed(seed + j).setMaxIter(maxIter)
+        .setFeaturesCol("__sub").setPredictionCol("__code")
+        .fit(sub)
+    }
+    // encode: every subspace's prediction in one pass
+    val encoded = (0 until m).foldLeft(residuals) { (acc, j) =>
+      subModels(j)
+        .setFeaturesCol(s"__sub$j").setPredictionCol(s"__pq$j")
+        .transform(acc.withColumn(s"__sub$j",
+          array_to_vector(slice(col("__res"), j * dsub + 1, dsub))))
+        .drop(s"__sub$j")
+    }
+    val codeArr = array((0 until m).map(j =>
+      (col(s"__pq$j") - 128).cast("tinyint")): _*)
+    encoded.select(col(idCol), codeArr.as("__code"), col("__c"))
+      .repartition(col("__c"))
+      .write.mode("overwrite").partitionBy("__c").parquet(path)
+    val codebooks = subModels.map(_.clusterCenters.map(_.toArray.toSeq).toSeq)
+    writeMeta(df.sparkSession, path,
+      Map("kind" -> "ivfpq", "dims" -> dims, "nlist" -> nlist, "m" -> m,
+        "codeK" -> codeK, "seed" -> seed,
+        "centroids" -> centroids, "codebooks" -> codebooks))
+    } finally feat.unpersist(false)
+  }
+
+  private def codebooksOf(meta: Map[String, Any]): Seq[Seq[Array[Double]]] = {
+    import scala.jdk.CollectionConverters._
+    meta("codebooks").asInstanceOf[java.util.List[Any]].asScala.toSeq
+      .map(_.asInstanceOf[java.util.List[Any]].asScala.toSeq
+        .map(_.asInstanceOf[java.util.List[Any]].asScala
+          .map(_.toString.toDouble).toArray))
+  }
+
+  /** ANN top-k against a [[buildIvfPqIndex]] index: probe the
+    * `nprobe` nearest coarse cells (driver-side centroid scan, reads
+    * ONLY those partition directories), then score every member by
+    * Asymmetric Distance Computation — per probed cell, the
+    * per-subspace table `‖q_res[j] − codebook[j][code]‖²` is
+    * precomputed ON THE DRIVER (nprobe × m × codeK doubles) and
+    * folded into the plan as literals, so a row's approximate
+    * distance is `m` array lookups + adds inside codegen; top-k is
+    * TakeOrdered. Returns (id, __adc) — approximate distances, rank
+    * candidates then re-rank exactly if the use case needs it. */
+  def ivfPqTopK(spark: SparkSession, path: String, idCol: String,
+      query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val meta = readMetaRaw(spark, path)
+    require(meta.get("kind").map(_.toString).contains("ivfpq"),
+      s"$path is not an IVF-PQ index")
+    val dims = meta("dims").toString.toInt
+    val m = meta("m").toString.toInt
+    require(query.size == dims,
+      s"Query vector has ${query.size} dims; index was built with $dims")
+    val dsub = dims / m
+    val centroids = centroidsOf(meta)
+    val codebooks = codebooksOf(meta)
+    val qd = query.map(_.toDouble).toArray
+    val probed = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val x = c(j) - qd(j); d += x * x; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(math.max(1, nprobe)).map(_._1)
+    // ADC tables per probed cell: residual of q w.r.t. THAT cell
+    val tables: Seq[Seq[Seq[Double]]] = probed.map { c =>
+      val cent = centroids(c)
+      (0 until m).map { j =>
+        codebooks(j).map { code =>
+          var d = 0.0; var t = 0
+          while (t < dsub) {
+            val x = (qd(j * dsub + t) - cent(j * dsub + t)) - code(t)
+            d += x * x; t += 1
+          }
+          d
+        }.toSeq
+      }
+    }
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = probed.map(c => new Path(root, s"__c=$c"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty)
+      return spark.emptyDataFrame.select(lit(0L).as(idCol),
+        lit(0.0).as("__adc")).limit(0)
+    // basePath keeps the __c partition column alive when reading
+    // specific cell directories (each row needs it to pick its cell's
+    // ADC table)
+    val idx = spark.read.option("basePath", path).parquet(dirs.toSeq: _*)
+    // row's probe position (cells are few: a literal when-chain)
+    val probePos = probed.zipWithIndex.tail.foldLeft(
+        when(col("__c") === probed.head, lit(0))) { case (acc, (c, i)) =>
+      acc.when(col("__c") === c, lit(i))
+    }
+    val tLit = typedlit(tables)
+    val adc = Hof.bind(element_at(tLit, probePos + 1), cellTable =>
+      (0 until m).map(j =>
+        element_at(element_at(cellTable, j + 1),
+          element_at(col("__code"), j + 1).cast("int") + 128 + 1))
+        .reduce(_ + _))
+    idx.select(col(idCol), adc.as("__adc"))
+      .orderBy(col("__adc"), col(idCol)).limit(k)
+  }
+
   // ------------------------------------------------------ semantic dedup
 
   private val semanticPairsSlot = Dedup.newSlot()
+  private val semanticAssignSlot = Dedup.newSlot()
 
   /** SemDeDup-style near-duplicate pairs WITHIN caller-assigned
     * clusters (Abbas et al. 2023, arXiv:2303.09540: cluster the
@@ -775,8 +929,13 @@ object Similarity {
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__feat").setPredictionCol("__semcluster")
       .fit(feat)
-    semanticDedup(model.transform(feat), vecCol, idCol, "__semcluster",
+    // slot-cached (see Dedup.cacheSwap): the assigned frame feeds the
+    // pair keying AND both vector lookups in semanticPairs — without
+    // it each reference replays the k-means transform over the scan
+    val assigned = Dedup.cacheSwap(semanticAssignSlot,
+      model.transform(feat).drop("__feat"))
+    semanticDedup(assigned, vecCol, idCol, "__semcluster",
       threshold, maxCluster)
-      .drop("__feat", "__semcluster")
+      .drop("__semcluster")
   }
 }

@@ -159,6 +159,29 @@ object Corpus {
           .option("timestampNTZFormat", TsNtzFormat).json(dir)
     }
 
+  /** STREAMING JSONL source over an export directory: shards dropped
+    * into `dir` arrive as micro-batches (the hand-off pattern between
+    * a crawler that appends .jsonl.gz shards and a Spark ingest that
+    * merges them into the warehouse — compose with the streaming merge
+    * sinks in [[graft.streaming.EventStream]]). The sidecar is
+    * REQUIRED: a stream cannot run an inference pass, and a guessed
+    * schema that hardened on the first shard would silently null out
+    * columns later shards introduce. */
+  def streamJsonl(spark: SparkSession, dir: String): DataFrame =
+    sidecarSchema(spark, dir) match {
+      case Some(schema) =>
+        val wire = spark.readStream
+          .schema(jsonWireType(schema).asInstanceOf[StructType])
+          .option("timestampFormat", TsFormat)
+          .option("timestampNTZFormat", TsNtzFormat)
+          .json(dir)
+        wire.select(schema.fields.map(f =>
+          decodeBinary(col(f.name), f.dataType).as(f.name)): _*)
+      case None => throw new IllegalArgumentException(
+        s"$dir has no $SchemaFile — streaming JSONL import requires the " +
+        "schema sidecar (a stream cannot infer)")
+    }
+
   // --------------------------------------------------------------- CSV
 
   /** Wire form of a field in CSV: binary → base64, nested → embedded

@@ -114,6 +114,31 @@ class CorpusSpec extends SparkSpec {
     assert(rows(df.orderBy("a")) == Seq(Seq(1L, "x"), Seq(2L, "y")))
   }
 
+  test("streaming JSONL source: new shards arrive as micro-batches, sidecar-typed") {
+    val dir = tmp("stream")
+    Corpus.exportJsonl(mixedDf.select("id", "text"), dir)
+    val stream = Corpus.streamJsonl(s, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema.map(_.name) == Seq("id", "text"))
+    val q = stream.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("corpus_stream").count() == 3)
+      // a NEW shard dropped into the directory lands in the next batch
+      val w = new java.io.PrintWriter(new java.io.File(dir, "part-late.json"))
+      try w.println("""{"id":99,"text":"late shard"}""") finally w.close()
+      q.processAllAvailable()
+      val late = rows(s.table("corpus_stream").filter(col("id") === 99))
+      assert(late == Seq(Seq(99L, "late shard")), late)
+    } finally q.stop()
+    // no sidecar -> loud error, not silent inference
+    val bare = tmp("stream-bare")
+    new java.io.File(bare).mkdirs()
+    val e = intercept[IllegalArgumentException](Corpus.streamJsonl(s, bare))
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+  }
+
   test("import plans as a single pass: sidecar schema reaches the scan") {
     val dir = tmp("plan")
     Corpus.exportJsonl(mixedDf.select("id", "text"), dir)

@@ -886,6 +886,75 @@ class OpsSpec extends SparkSpec {
     assert(shProber.probe(b) == Multimodal.Mp4Probe.parse(b).get)
   }
 
+  test("IVF-PQ: byte codes on disk, probed-cell ADC recall, guards") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    // two tight clusters far apart in an 8-dim space + per-vector jitter
+    val rows8 = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)
+      base(i % 8) += (i % 5) * 0.01f
+      (i.toLong, base.toSeq)
+    }
+    val df = s.createDataFrame(rows8.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-").toString + "/idx"
+    graft.ops.Similarity.buildIvfPqIndex(df, "embedding", "vec_id", dir,
+      dims = 8, nlist = 2, m = 4, codeK = 8, seed = 5L)
+    // stored codes are one tinyint per subspace — the 32x story
+    val stored = s.read.parquet(dir)
+    val codeType = stored.schema("__code").dataType
+    assert(codeType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType), codeType)
+    assert(rows(stored.select(org.apache.spark.sql.functions.size(
+      col("__code")).as("n")).distinct()) == Seq(Seq(4)))
+    // query at the positive cluster's heart: every hit is a positive-
+    // cluster member even at nprobe=1 (the negative cell never reads)
+    val hits = rows(graft.ops.Similarity.ivfPqTopK(s, dir, "vec_id",
+      Seq.fill(8)(1.0f), k = 5, nprobe = 1)).map(_.head.asInstanceOf[Long])
+    assert(hits.size == 5 && hits.forall(_ % 2 == 0), hits)
+    // guards: wrong dims, not-a-pq-index, indivisible subspaces
+    intercept[IllegalArgumentException](
+      graft.ops.Similarity.ivfPqTopK(s, dir, "vec_id", Seq(1f, 2f), 3))
+    intercept[IllegalArgumentException](
+      graft.ops.Similarity.buildIvfPqIndex(df, "embedding", "vec_id",
+        dir + "2", dims = 8, m = 3))
+  }
+
+  test("Diff: added/removed/changed verdicts; null-shape changes detected") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType)))
+    def df(rows: Seq[(Long, String, String)]) = s.createDataFrame(rows.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+    val before = df(Seq((1L, "x", "y"), (2L, "keep", "keep"),
+      (3L, "gone", "gone"), (4L, null, "v"), (5L, "n", null)))
+    val after = df(Seq((1L, "x", "CHANGED"), (2L, "keep", "keep"),
+      (6L, "new", "row"),
+      // the null slides from a to b — same multiset of values, and a
+      // naive multi-arg hash (which skips nulls) would call it equal
+      (4L, "v", null), (5L, "n", null)))
+    val got = rows(graft.ops.Diff.diff(before, after, Seq("id")).orderBy("id"))
+      .map(r => (r(0), r(1)))
+    assert(got == Seq((1L, "changed"), (3L, "removed"), (4L, "changed"),
+      (6L, "added")), got)
+    val sum = rows(graft.ops.Diff.diffSummary(before, after, Seq("id"))
+      .orderBy("change")).map(r => (r(0), r(1)))
+    assert(sum == Seq(("added", 1L), ("changed", 2L), ("removed", 1L)), sum)
+    // column order must not matter: permuted after-frame, same verdict
+    val permuted = after.select(col("b"), col("id"), col("a"))
+    val got2 = rows(graft.ops.Diff.diff(before, permuted, Seq("id"))
+      .orderBy("id")).map(r => (r(0), r(1)))
+    assert(got2 == got, got2)
+  }
+
   test("semanticDedup: within-cluster pairs only; k-means auto path recovers dups") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",

@@ -186,6 +186,21 @@ class PipelineOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profile.quantiles(df, "x", Seq(1.5))
     }
+
+    // the sketch path (100-TB variant): same schema, values within
+    // rank tolerance of exact — on 1000 distinct values at accuracy
+    // 10000 the sketch is effectively exact at the checked fractions
+    val big = s.range(1000).selectExpr("id", "id AS x")
+    val exact = rows(Profile.quantiles(big.toDF(), "x", Seq(0.1, 0.5, 0.99)))
+      .map(r => r.head -> r(1).asInstanceOf[Double]).toMap
+    val approx = rows(Profile.quantilesApprox(big.toDF(), "x",
+      Seq(0.1, 0.5, 0.99))).map(r => r.head -> r(1).asInstanceOf[Double]).toMap
+    assert(approx.keySet == exact.keySet, approx)
+    approx.foreach { case (q, v) =>
+      assert(math.abs(v - exact(q)) <= 2.0, s"q=$q approx=$v exact=${exact(q)}")
+    }
+    assert(rows(Profile.quantilesApprox(xdf(Seq(null, null)), "x",
+      Seq(0.5))).isEmpty)
   }
 
   test("packByBudget and mixture reject duplicate ids loudly") {

@@ -214,4 +214,46 @@ class PlanSpec extends SparkSpec {
     val t = plan(graft.ops.Profile.topValues(docs, "source", 5))
     assert(t.contains("TakeOrderedAndProject"), t)
   }
+
+  test("corpus diff plan: payloads melt to hashes before the join, no text shuffle") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents",
+      Seq("doc_id", "text", "lang", "source", "n_chars")).read()
+    val after = docs.filter(col("doc_id") >= 5)
+    val p = plan(graft.ops.Diff.diff(docs, after, Seq("doc_id")))
+    // every exchange carries (doc_id, xxhash64) — never document text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("semanticPairs plan: cluster stage shuffles (id, cluster) longs, not vectors") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding", "label")).read()
+    // the candidate-generation stage (what the slot cache
+    // materializes) shuffles on the cluster key and must not carry
+    // embeddings; vectors only join in for the exact verify of
+    // candidate ids
+    val keyed = emb.select(col("vec_id").as("__id"), col("label").as("__k"))
+    val pc = plan(graft.ops.Dedup.bucketPairs(keyed, Seq("__k"), 100000))
+    val clusterExchanges = pc.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("__k")).toSeq
+    assert(clusterExchanges.nonEmpty, pc)
+    assert(!pc.contains("embedding#"), pc)
+    val p = plan(graft.ops.Similarity.semanticPairs(emb, "embedding", "vec_id",
+      "label", threshold = 0.95, maxCluster = 100000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("decontaminateBloom plan: hinted shuffle-hash verify, no nested loops") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "text")).read()
+    val bench = docs.filter(col("doc_id") < 10).select(col("text"))
+    val p = plan(graft.ops.Text.decontaminateBloom(
+      docs, "doc_id", "text", bench, "text", n = 8))
+    // the verify join is the hinted shuffle-hash (the bench gram side
+    // is by-assumption too big to broadcast — the hint must stick)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
