@@ -224,6 +224,40 @@ object Bench {
     results("sf1_profile_columns") = time(
       graft.ops.Profile.columns(prof10, Seq("lang", "source", "n_chars", "text"))
         .write.format("noop").mode("overwrite").save())
+
+    // sf1 probes for the round-10 vector ops. The 10x embedding corpus
+    // ROTATES each copy's vectors by k positions — norms and within-
+    // copy geometry survive (every copy reproduces the 1x cluster
+    // structure) but cross-copy cosines drop to background, so pair
+    // work scales linearly like a real 10x corpus instead of
+    // exploding on inter-copy duplicates (same lesson as the text
+    // substitution cipher above).
+    val emb1 = e.view("embeddings", Seq("vec_id", "embedding", "label")).read()
+    val emb10 = (0 until 10).map { k =>
+        val rolled =
+          if (k == 0) col("embedding")
+          else concat(expr(s"slice(embedding, ${k + 1}, size(embedding) - $k)"),
+            expr(s"slice(embedding, 1, $k)"))
+        emb1.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          rolled.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+    graft.ops.Dedup.clearMaterializedSlots()
+    results("sf1_dedup_semantic") = time(
+      graft.ops.Similarity.semanticDedup(emb10, "embedding", "vec_id",
+        "label", threshold = 0.95)
+        .write.format("noop").mode("overwrite").save())
+    graft.ops.Dedup.clearMaterializedSlots()
+    val q10 = emb1.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val pqDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-bench-sf1pq-${ProcessHandle.current().pid()}").getAbsolutePath
+    results("sf1_ann_pq_build_query") = time {
+      graft.ops.Similarity.buildIvfPqIndex(emb10, "embedding", "vec_id",
+        pqDir, dims = q10.size, nlist = 64, m = 8)
+      graft.ops.Similarity.ivfPqTopK(spark, pqDir, "vec_id", q10, 10,
+        nprobe = 4).write.format("noop").mode("overwrite").save()
+    }
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pqDir))
+    catch { case _: Exception => }
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))

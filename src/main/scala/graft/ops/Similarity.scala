@@ -710,6 +710,53 @@ object Similarity {
       .select(col("idA"), col("idB"), col("cosine"))
   }
 
+  /** Index health check: mean recall@k of a persisted ANN index
+    * (LSH / IVF / IVF-PQ, dispatched on the index's own metadata)
+    * against the exact brute-force answer, over `nQueries`
+    * deterministically-sampled corpus vectors. The QA gate a pipeline
+    * runs after building or appending to an index — recall decaying
+    * across appends is how index drift (the thing
+    * [[retrainIvfIndex]] heals) first shows up in production.
+    * Returns one row per sampled query: (query_id, recall).
+    *
+    * Shape note: this is a driver LOOP over 2·nQueries small jobs —
+    * deliberate, not an anti-pattern. Each index probe is itself
+    * partition-pruned (that's the property under test), so a
+    * vectorized all-queries join would read the whole index and
+    * measure nothing; nQueries is a bounded QA sample, not corpus
+    * scale. */
+  def recallAtK(spark: SparkSession, path: String, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int, nQueries: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    require(k > 0 && nQueries > 0, "recallAtK needs k > 0 and nQueries > 0")
+    val kind = readMetaRaw(spark, path).get("kind").map(_.toString)
+      .getOrElse("lsh")
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(nQueries).collect()
+    val scores = sample.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      val approx = (kind match {
+        case "ivf" => ivfTopK(spark, path, vecCol, idCol, qv, k, nprobe)
+        case "ivfpq" => ivfPqTopK(spark, path, idCol, qv, k, nprobe)
+        case _ => annTopKIndexed(spark, path, vecCol, idCol, qv, k)
+      }).select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+      val exact = bruteForceTopK(corpus, vecCol, idCol, qv, k)
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+      (qid, if (exact.isEmpty) 1.0
+            else approx.intersect(exact).size.toDouble / exact.size)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      scores.map { case (q, rec) => org.apache.spark.sql.Row(q, rec) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("recall",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   // ------------------------------------------------------------- IVF-PQ
 
   /** IVF-PQ index (Jégou et al. 2011, "Product Quantization for
@@ -901,7 +948,12 @@ object Similarity {
   def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
       clusterCol: String, threshold: Double,
       maxCluster: Int = 1000): DataFrame = {
-    val keyed = df.select(col(idCol).as("__id"), col(clusterCol).as("__k"))
+    // null cluster = unknown assignment: excluded from pairing (the
+    // SQL-join semantics of `a.cluster = b.cluster` — nulls never
+    // match each other; a null-cluster mega-group would also defeat
+    // the whole within-cluster bound)
+    val keyed = df.filter(col(clusterCol).isNotNull)
+      .select(col(idCol).as("__id"), col(clusterCol).as("__k"))
     val pairs = Dedup.cacheSwap(semanticPairsSlot,
       Dedup.bucketPairs(keyed, Seq("__k"), maxCluster))
     val vecs = df.select(col(idCol).as("__vid"),

@@ -924,6 +924,43 @@ class OpsSpec extends SparkSpec {
         dir + "2", dims = 8, m = 3))
   }
 
+  test("recallAtK: full probe = 1.0, starved probe = exact deficit, kind dispatch") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    // two tight 20-member clusters at opposite corners of an 8-dim
+    // space (tiny deterministic jitter keeps vectors distinct)
+    val rows8 = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)
+      base(i % 8) += (i % 5) * 0.01f
+      (i.toLong, base.toSeq)
+    }
+    val corpus = s.createDataFrame(rows8.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    val base = java.nio.file.Files.createTempDirectory("graft-recall-").toString
+    graft.ops.Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+      base + "/ivf", dims = 8, nlist = 2)
+    // probing every cell reproduces brute force exactly
+    val full = rows(graft.ops.Similarity.recallAtK(s, base + "/ivf", corpus,
+      "embedding", "vec_id", k = 10, nQueries = 6, nprobe = 2))
+    assert(full.size == 6 && full.forall(_(1) == 1.0), full)
+    // k larger than the query's own cell + nprobe=1: the missing 5
+    // cross-cluster neighbors are an exact, deterministic deficit
+    val starved = rows(graft.ops.Similarity.recallAtK(s, base + "/ivf", corpus,
+      "embedding", "vec_id", k = 25, nQueries = 6, nprobe = 1))
+    assert(starved.size == 6 && starved.forall(_(1) == 20.0 / 25.0), starved)
+    // IVF-PQ dispatch: whole-own-cluster k at full probe is exact even
+    // through quantized distances (cross-cluster ADC gaps are huge)
+    graft.ops.Similarity.buildIvfPqIndex(corpus, "embedding", "vec_id",
+      base + "/pq", dims = 8, nlist = 2, m = 4, codeK = 8)
+    val pq = rows(graft.ops.Similarity.recallAtK(s, base + "/pq", corpus,
+      "embedding", "vec_id", k = 20, nQueries = 4, nprobe = 2))
+    assert(pq.size == 4 && pq.forall(_(1) == 1.0), pq)
+  }
+
   test("Diff: added/removed/changed verdicts; null-shape changes detected") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
@@ -977,6 +1014,13 @@ class OpsSpec extends SparkSpec {
     // near-copies pair within their cluster; the split identical pair
     // (5,6) is MISSED — the documented SemDeDup trade-off
     assert(pairs.map(p => (p(0), p(1))) == Seq((1L, 2L), (3L, 4L)), pairs)
+    // null clusters never pair (SQL-join semantics), even identical
+    // vectors
+    val withNulls = pool.withColumn("grp",
+      when(col("vec_id") >= 5, lit(null)).otherwise(col("grp")))
+    val np = rows(Similarity.semanticPairs(withNulls, "embedding", "vec_id",
+      "grp", threshold = 0.9).select(col("idA"), col("idB")).orderBy("idA"))
+    assert(np.map(p => (p(0), p(1))) == Seq((1L, 2L), (3L, 4L)), np)
     val kept = rows(Similarity.semanticDedup(pool, "embedding", "vec_id",
       "grp", threshold = 0.9).select(col("vec_id"))).map(_.head).toSet
     assert(kept == Set(1L, 3L, 5L, 6L), kept)
