@@ -984,6 +984,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // LLM-pipeline: temperature-flattened language sampling (the
+    // mT5/XLM-R rebalancing rule p_s ∝ n_s^alpha) — half the corpus,
+    // low-resource languages over-represented relative to natural
+    // frequency; rates are closed-form over the count table so the
+    // oracle reproduces the exact row set through the idHash rule
+    "sample_temperature" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "lang")).read()
+      graft.ops.Sample.temperatureSample(docs, "doc_id", "lang",
+          alpha = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: per-source cap (stratified head) — the mixing
     // recipe's per-domain budget
     "sample_stratified" -> ((s, dir) => {
@@ -1839,6 +1851,16 @@ object SparkEntry {
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10""".stripMargin,
+    // floor() before the BIGINT cast: DuckDB's double→bigint cast
+    // rounds to nearest, Spark's truncates — rates are positive so
+    // floor == truncate
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS wsum FROM c),
+        |r AS (SELECT lang, least(1.0, 0.5 * tot * pow(n, 0.5) / wsum / n) AS rate FROM c, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE (d.doc_id % 2147483648) * 2654435761 % 4294967296
+        |      < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin,
     // shard: second multiplicative constant (2246822519); pos: the
     // Sample.idHash constant — both folded to 2^31 first (no overflow)
     "sample_shuffle" ->

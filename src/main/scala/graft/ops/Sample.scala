@@ -67,6 +67,42 @@ object Sample {
       h < lit((hi * 4294967296.0).toLong))
   }
 
+  /** Temperature-flattened source sampling — the multilingual
+    * rebalancing rule of the mT5 / XLM-R training recipes: sources
+    * are sampled with probability `p_s ∝ n_s^alpha` (`alpha = 1/T`,
+    * in (0, 1]; 1 keeps the natural distribution, smaller values
+    * flatten toward uniform so low-resource sources stop being
+    * drowned out). Given a total budget of `targetFraction` × corpus
+    * rows, each source gets the closed-form keep rate
+    * `min(1, targetFraction · N · n_s^alpha / (Σ n^alpha · n_s))` —
+    * mass a capped (fully-kept) source cannot absorb is NOT
+    * redistributed, keeping every rate a pure function of the count
+    * table that any engine reproduces. Membership then follows the
+    * [[idHash]] rule, so the selection is deterministic, stateless,
+    * and partitioning-independent like every sampler here.
+    *
+    * Scale shape: one map-side-combinable count aggregate over the
+    * corpus (the only shuffle, carrying (source, long) pairs), a
+    * per-source rate frame of #sources rows broadcast back, and a
+    * narrow filter. */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha not in (0,1]")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction $targetFraction not in (0,1]")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val tots = counts.agg(sum(col("__n")).as("__tot"),
+      sum(pow(col("__n"), lit(alpha))).as("__wsum"))
+    val rates = counts.crossJoin(broadcast(tots)).select(col(groupCol),
+      least(lit(1.0), lit(targetFraction) * col("__tot") *
+        pow(col("__n"), lit(alpha)) / col("__wsum") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(idHash(col(idCol)) <
+        (col("__rate") * lit(4294967296.0)).cast("long"))
+      .drop("__rate")
+  }
+
   /** Second independent 32-bit multiplicative hash (different odd
     * constant than [[idHash]]) so shard assignment and within-shard
     * position decorrelate — same signed-64-safe fold. */

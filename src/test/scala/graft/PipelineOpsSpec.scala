@@ -162,6 +162,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("temperatureSample: flattens skew toward uniform, caps at full source") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType)))
+    // heavy source: 900 docs; light source: 100
+    val df = s.createDataFrame((0 until 1000).map(i =>
+      org.apache.spark.sql.Row(i.toLong,
+        if (i < 900) "big" else "small")).asJava, schema)
+    def kept(alpha: Double, frac: Double) =
+      rows(Sample.temperatureSample(df, "doc_id", "src", alpha, frac)
+        .groupBy("src").agg(count(lit(1)).as("n")))
+        .map(r => r.head -> r(1).asInstanceOf[Long]).toMap
+    // alpha=1: natural distribution — keep rate uniform across sources
+    val nat = kept(1.0, 0.5)
+    assert(math.abs(nat("big") - 450.0) < 60 &&
+      math.abs(nat("small") - 50.0) < 25, nat)
+    // alpha=0.25 flattens hard: the light source's share rises well
+    // above its natural 10%
+    val flat = kept(0.25, 0.5)
+    val share = flat("small").toDouble / (flat("small") + flat("big"))
+    assert(share > 0.2, s"flattened small-source share $share, $flat")
+    // a rate that overflows a source caps at keeping ALL of it
+    val tiny = kept(0.1, 0.9)
+    assert(tiny("small") == 100L, tiny)
+    // deterministic: same call, same rows
+    val a = rows(Sample.temperatureSample(df, "doc_id", "src", 0.5, 0.3)
+      .select("doc_id")).map(_.head)
+    val b = rows(Sample.temperatureSample(df.repartition(7), "doc_id", "src",
+      0.5, 0.3).select("doc_id")).map(_.head)
+    assert(a.toSet == b.toSet && a.nonEmpty, a.size)
+    intercept[IllegalArgumentException](
+      Sample.temperatureSample(df, "doc_id", "src", 1.5, 0.5))
+  }
+
   test("quantiles: R-7 interpolation golden, nulls ignored, degenerate shapes") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
