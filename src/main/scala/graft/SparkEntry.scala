@@ -1144,6 +1144,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: SPAN-LEVEL decontamination — contaminated n-grams
+    // surgically removed instead of dropping whole documents (docs
+    // 0-9 double as the "eval set", so they trim to empty; longer
+    // docs quoting them lose only the quoted spans)
+    "text_decontaminate_trim" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val bench = docs.filter(col("doc_id") < 10).select(col("text"))
+      Text.decontaminateTrim(docs, "doc_id", "text", bench, "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: URL canonicalization for crawl-level dedup —
     // tracking params dropped, params sorted, case/port/www/fragment
     // scrubbed; URLs synthesized deterministically from (source,
@@ -1975,6 +1986,23 @@ object SparkEntry {
         |  ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END)) AS gram FROM tok),
         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
         |SELECT g.doc_id, count(*) AS n_hits FROM g JOIN bg USING (gram) GROUP BY 1""".stripMargin,
+    "text_decontaminate_trim" ->
+      """WITH tok AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |g0 AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8
+        |    THEN [{'p': 0, 's': len(t), 'g': array_to_string(t, ' ')}]
+        |    ELSE list_transform(range(0, len(t) - 7), i ->
+        |      {'p': i, 's': 8, 'g': array_to_string(t[i+1:i+8], ' ')}) END) AS u
+        |  FROM tok),
+        |g AS (SELECT doc_id, u.p AS pos, u.s AS span, u.g AS gram FROM g0),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+        |rm0 AS (SELECT g.doc_id, unnest(range(g.pos, g.pos + g.span)) AS ti
+        |  FROM g JOIN bg USING (gram)),
+        |rm AS (SELECT doc_id, list(DISTINCT ti) AS rml FROM rm0 GROUP BY 1)
+        |SELECT tok.doc_id,
+        |  CASE WHEN rm.doc_id IS NULL THEN tok.text
+        |  ELSE coalesce(array_to_string(list_filter(regexp_split_to_array(trim(tok.text), '\s+'),
+        |    (x, i) -> NOT list_contains(rml, i - 1)), ' '), '') END AS text
+        |FROM tok LEFT JOIN rm USING (doc_id)""".stripMargin,
     // the oracle states the EXPECTED canonical form in closed form
     // per variant — it never runs a normalizer, so the two sides are
     // independent derivations of the same rules

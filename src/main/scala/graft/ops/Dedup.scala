@@ -179,7 +179,7 @@ object Dedup {
     * __pos 0-based start, __span covered tokens, __h gram hash); short
     * docs collapse to one whole-doc gram. Shared by the duplicate-span
     * miner and its apply step. */
-  private def spanGrams(df: DataFrame, idCol: String, textCol: String,
+  private[ops] def spanGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val grams = Hof.bind(toks, t =>

@@ -329,6 +329,46 @@ object Text {
       .agg(count(lit(1)).as("n_hits"))           // shuffle
   }
 
+  /** SPAN-LEVEL decontamination: rewrite each corpus document with
+    * every word n-gram that appears anywhere in `bench` REMOVED,
+    * instead of flagging/dropping the whole document
+    * ([[decontaminate]]). The surgical variant for long documents
+    * that merely QUOTE an eval item — dropping them wholesale wastes
+    * the clean 99%; published decontamination pipelines ship both
+    * modes. Overlapping contaminated spans merge via the distinct
+    * token-position set; untouched documents keep their text
+    * verbatim, trimmed ones come back whitespace-normalized (same
+    * output contract as [[Dedup.trimDuplicateSpans]], whose positional
+    * machinery this reuses — the bench set simply replaces the
+    * cross-document ownership rule: benchmark grams always lose).
+    *
+    * Scale shape: the benchmark collapses to a broadcast distinct
+    * gram-hash set; the corpus side is one positional-gram explode
+    * (longs) + broadcast semi-join + per-doc interval collect, then
+    * ONE join of removed-position arrays back to the corpus — text
+    * shuffles exactly once, in that final join. */
+  def decontaminateTrim(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bench: org.apache.spark.sql.DataFrame,
+      benchTextCol: String, n: Int = 13): org.apache.spark.sql.DataFrame = {
+    val bg = bench
+      .select(explode(Dedup.shingleHashes(col(benchTextCol), n)).as("__h"))
+      .distinct()
+    val g = Dedup.spanGrams(df, idCol, textCol, n)
+    val removed = g.join(broadcast(bg), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__pos").as("p"), col("__span").as("s")))
+        .as("__iv"))
+      .select(col(idCol), array_distinct(flatten(transform(col("__iv"),
+        iv => sequence(iv.getField("p"),
+          iv.getField("p") + iv.getField("s") - 1)))).as("__rm"))
+    val keep = filter(split(trim(col(textCol)), "\\s+"),
+      (_, i) => !array_contains(col("__rm"), i))
+    df.join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__rm").isNull, col(textCol))
+          .otherwise(concat_ws(" ", keep)).as(textCol))
+  }
+
   /** Gopher-style REPETITION statistics: per doc, the fraction of
     * content captured by the single most frequent unigram / bigram /
     * trigram (`top_ngram_frac` = occurrences of the modal n-gram over

@@ -1062,6 +1062,25 @@ class OpsSpec extends SparkSpec {
     assert(n.head.head == null, n)
   }
 
+  test("decontaminateTrim removes only quoted spans; eval subset trims to empty") {
+    val bench = docsDf(Seq(
+      (100L, "the secret eval answer is forty two exactly"))).select(col("text"))
+    val corpus = docsDf(Seq(
+      // quotes the eval item in the middle of clean text
+      (1L, "clean prefix words here the secret eval answer is forty two exactly and a clean suffix tail"),
+      (2L, "totally unrelated document with no overlap whatsoever in it"),
+      // IS the eval item (plus nothing else): trims to empty
+      (3L, "the secret eval answer is forty two exactly")))
+    val got = rows(Text.decontaminateTrim(corpus, "doc_id", "text",
+      bench, "text", n = 5).orderBy("doc_id")).map(r => (r(0), r(1)))
+    // doc 1: every token inside any matching 5-gram goes; the clean
+    // prefix/suffix outside all matching grams survives
+    assert(got(0)._1 == 1L &&
+      got(0)._2 == "clean prefix words here and a clean suffix tail", got(0))
+    assert(got(1) == (2L, "totally unrelated document with no overlap whatsoever in it"))
+    assert(got(2) == (3L, ""), got(2))
+  }
+
   test("decontaminateBloom matches exact decontaminate (fp killed by verify join)") {
     val bench = docsDf(Seq(
       (100L, "the quick brown fox jumps over the lazy dog today"),
