@@ -33,20 +33,31 @@ object Diff {
     * `(keyCols…, change ∈ added | removed | changed)`. Unchanged keys
     * are dropped. Both frames must share the key columns; payload
     * columns are compared by name (columns only one side has count as
-    * a change for every row, which is what a schema migration is). */
+    * a change for every row, which is what a schema migration is).
+    *
+    * Keys need not be unique: each side reduces to the key's payload
+    * MULTISET — (row count, order-independent sum of row hashes) —
+    * so a key whose duplicate count changed, or whose duplicates'
+    * contents changed, reads `changed` instead of fanning out the
+    * join. The aggregate and the full-outer join share one key
+    * partitioning (no extra exchange). */
   def diff(before: DataFrame, after: DataFrame,
       keyCols: Seq[String]): DataFrame = {
-    val b = before.select(keyCols.map(col) :+
-      payloadHash(before, keyCols).as("__hb"): _*)
-    val a = after.select(keyCols.map(col) :+
-      payloadHash(after, keyCols).as("__ha"): _*)
+    val keys = keyCols.map(col)
+    def melt(df: DataFrame, cnt: String, hsh: String) =
+      df.select(keys :+ payloadHash(df, keyCols).as("__h"): _*)
+        .groupBy(keys: _*)
+        .agg(count(lit(1)).as(cnt), sum(col("__h")).as(hsh))
+    val b = melt(before, "__cb", "__hb")
+    val a = melt(after, "__ca", "__ha")
     b.join(a, keyCols, "full_outer")
       .withColumn("change",
-        when(col("__hb").isNull, lit("added"))
-          .when(col("__ha").isNull, lit("removed"))
-          .when(col("__hb") =!= col("__ha"), lit("changed")))
+        when(col("__cb").isNull, lit("added"))
+          .when(col("__ca").isNull, lit("removed"))
+          .when(col("__cb") =!= col("__ca") || col("__hb") =!= col("__ha"),
+            lit("changed")))
       .filter(col("change").isNotNull)
-      .select(keyCols.map(col) :+ col("change"): _*)
+      .select(keys :+ col("change"): _*)
   }
 
   /** [[diff]] rolled up to the release-gate summary: one row per

@@ -990,6 +990,15 @@ class OpsSpec extends SparkSpec {
     val got2 = rows(graft.ops.Diff.diff(before, permuted, Seq("id"))
       .orderBy("id")).map(r => (r(0), r(1)))
     assert(got2 == got, got2)
+    // duplicate keys compare as multisets — no join fan-out: a key
+    // whose duplicate COUNT changed reads changed exactly once, equal
+    // multisets (any row order) read unchanged
+    val dupB = df(Seq((7L, "x", "y"), (7L, "x", "y"), (8L, "p", "q"),
+      (8L, "r", "s")))
+    val dupA = df(Seq((7L, "x", "y"), (8L, "r", "s"), (8L, "p", "q")))
+    val dup = rows(graft.ops.Diff.diff(dupB, dupA, Seq("id")).orderBy("id"))
+      .map(r => (r(0), r(1)))
+    assert(dup == Seq((7L, "changed")), dup)
   }
 
   test("semanticDedup: within-cluster pairs only; k-means auto path recovers dups") {
