@@ -152,6 +152,58 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
   }
 
+  test("JSONL shard hand-off: sidecar-typed stream feeds the deduped ingest") {
+    // the crawler→trainer hand-off: a process appends .jsonl shards
+    // to a directory, the warehouse ingests them as micro-batches
+    // through the same near-dup filter as any other stream source
+    val s = spark
+    import s.implicits._
+    val yaml =
+      """- table: doc_sink
+        |  columns:
+        |    doc_id: bigint
+        |    text: varchar
+        |  key: [doc_id]
+        |""".stripMargin
+    val root = java.nio.file.Files.createTempDirectory("graft-jsink-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jckpt-").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-jidx-").toString
+    val shards = java.nio.file.Files.createTempDirectory("graft-jshards-")
+      .resolve("data").toString
+    try {
+      val env = Env(s, graft.schema.Registry.fromYaml(yaml), root)
+      env.createTables()
+      val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+      val other = "completely different content about spark streaming engines " * 5
+      val third = "yet another topic entirely about warehouse compaction cycles " * 5
+      val seed = Seq((100L, base)).toDF("doc_id", "text")
+      graft.ops.Dedup.buildMinhashIndex(seed, "doc_id", "text", idx, buckets = 8)
+      // shard set 1: written by the exporter (gzipped + sidecar)
+      graft.sources.Corpus.exportJsonl(
+        Seq((1L, base.replace("lazy", "sleepy")), (2L, other))
+          .toDF("doc_id", "text"), shards)
+      val stream = graft.sources.Corpus.streamJsonl(s, shards)
+      val q = EventStream.dedupedMergeInto(stream, env, "doc_sink",
+        Seq("doc_id", "text"), "doc_id", "text", idx, ckpt,
+        threshold = 0.5).start()
+      try {
+        q.processAllAvailable()
+        // a LATE shard dropped in by hand (plain .json, same schema):
+        // near-dup of doc 2 plus a novel doc
+        val w = new java.io.PrintWriter(new java.io.File(shards, "part-late.json"))
+        try {
+          w.println(s"""{"doc_id":3,"text":"${other} extra"}""")
+          w.println(s"""{"doc_id":4,"text":"${third}"}""")
+        } finally w.close()
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = rows(env.view("doc_sink", Seq("doc_id")).read())
+        .map(_.head).toSet
+      assert(got == Set(2L, 4L), got.toString)
+    } finally Seq(root, ckpt, idx, shards).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
   test("gap-based sessionization with flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
