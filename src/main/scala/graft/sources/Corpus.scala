@@ -105,6 +105,9 @@ object Corpus {
     case BinaryType => base64(c)
     case ArrayType(e, _) if containsBinary(e) =>
       transform(c, x => encodeBinary(x, e))
+    case MapType(k, v, _) if containsBinary(dt) =>
+      map_from_arrays(transform(map_keys(c), x => encodeBinary(x, k)),
+        transform(map_values(c), x => encodeBinary(x, v)))
     case StructType(fields) if containsBinary(dt) =>
       struct(fields.map(f =>
         encodeBinary(c.getField(f.name), f.dataType).as(f.name)): _*)
@@ -117,6 +120,9 @@ object Corpus {
     case BinaryType => unbase64(c)
     case ArrayType(e, _) if containsBinary(e) =>
       transform(c, x => decodeBinary(x, e))
+    case MapType(k, v, _) if containsBinary(dt) =>
+      map_from_arrays(transform(map_keys(c), x => decodeBinary(x, k)),
+        transform(map_values(c), x => decodeBinary(x, v)))
     case StructType(fields) if containsBinary(dt) =>
       struct(fields.map(f =>
         decodeBinary(c.getField(f.name), f.dataType).as(f.name)): _*)

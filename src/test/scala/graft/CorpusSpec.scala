@@ -80,6 +80,22 @@ class CorpusSpec extends SparkSpec {
     assert(b(2)(5) == java.sql.Timestamp.valueOf("2026-03-01 12:34:56.123456"))
   }
 
+  test("binary nested inside a map round-trips (base64 through map values)") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("blobs", MapType(StringType, BinaryType))))
+    val df = s.createDataFrame(Seq(
+      Row(1L, Map("a" -> Array[Byte](1, 2, -3), "b" -> Array[Byte]())),
+      Row(2L, null)).asJava, schema)
+    val dir = tmp("mapbin")
+    Corpus.exportJsonl(df, dir)
+    val back = Corpus.importJsonl(s, dir)
+    assert(back.schema == schema, back.schema.treeString)
+    val b = rows(back.orderBy("id"))
+    val m = b(0)(1).asInstanceOf[Map[String, Array[Byte]]]
+    assert(m("a").toSeq == Seq[Byte](1, 2, -3) && m("b").isEmpty, b(0))
+    assert(b(1)(1) == null, b(1))
+  }
+
   test("TIMESTAMP_NTZ keeps microseconds in both formats (separate format option)") {
     // parquet written without the UTC flag (pyarrow default) reads as
     // NTZ; its formatter is timestampNTZFormat, NOT timestampFormat —
