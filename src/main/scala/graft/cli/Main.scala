@@ -13,6 +13,7 @@ import graft.view.{Filter, FilterExpr, Order}
   * {{{
   *   graft.cli.Main <action> [table [fields...]] [options]
   *     action: info | read | write | delete | init | serve | version
+  *             | export | import  (JSONL/CSV shard dirs, --format/--shards)
   *     --config <file>     .tk.yaml-style config: {schema: path, warehouse: path}
   *     -F/--filter <expr>  repeatable s-expression filter
   *     -s/--sort  <col[:DESC]> repeatable sort
@@ -35,7 +36,7 @@ object Main {
       purge: Boolean = false, asciiTable: Boolean = false,
       vbar: Boolean = false, tic: String = "•",
       hideHeaders: Boolean = false, yaml: Boolean = false,
-      port: Int = 0)
+      port: Int = 0, format: String = "jsonl", shards: Int = 0)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -56,6 +57,8 @@ object Main {
         case "-H" | "--hide-headers" => o = o.copy(hideHeaders = true); i += 1
         case "--yaml" => o = o.copy(yaml = true); i += 1
         case "--port" => o = o.copy(port = argv(i + 1).toInt); i += 2
+        case "--format" => o = o.copy(format = argv(i + 1)); i += 2
+        case "--shards" => o = o.copy(shards = argv(i + 1).toInt); i += 2
         case a if o.action.isEmpty => o = o.copy(action = a); i += 1
         case a => pos = pos :+ a; i += 1
       }
@@ -134,6 +137,27 @@ object Main {
         else (Option(o.fields).filter(_.nonEmpty), null)
       env.view(o.table, fields.orNull)
         .delete(filters = o.filters.map(FilterExpr.apply): Seq[Filter], data = data)
+
+    // extension: corpus interchange — dump a (filtered) table as
+    // JSONL/CSV shards + schema sidecar (sources/Corpus), or merge
+    // such a directory back in through the full upsert path
+    case "export" =>
+      val dir = o.file.getOrElse(throw new IllegalArgumentException(
+        "export needs -f/--file <dir>"))
+      val fields = if (o.fields.nonEmpty) o.fields else null
+      val df = env.view(o.table, fields).read(o.filters.map(FilterExpr.apply))
+      if (o.format == "csv") graft.sources.Corpus.exportCsv(df, dir, o.shards)
+      else graft.sources.Corpus.exportJsonl(df, dir, o.shards)
+      out.write(s"exported ${o.table} to $dir (${o.format})\n")
+
+    case "import" =>
+      val dir = o.file.getOrElse(throw new IllegalArgumentException(
+        "import needs -f/--file <dir>"))
+      val df =
+        if (o.format == "csv") graft.sources.Corpus.importCsv(env.spark, dir)
+        else graft.sources.Corpus.importJsonl(env.spark, dir)
+      val res = env.view(o.table, df.columns.toSeq).write(df, purge = o.purge)
+      out.write(s"imported $dir into ${o.table}\n")
 
     case "serve" => // blocks; contrib/bottle.py analogue over HTTP
       val srv = new graft.web.Server(env, o.port)

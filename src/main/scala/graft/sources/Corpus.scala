@@ -58,6 +58,11 @@ object Corpus {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Literal (backquoted) column reference: a field name containing a
+    * dot — legal in corpus schemas, e.g. the CLI's `country.name`
+    * projection — must not parse as a struct path. */
+  private def colq(name: String): Column = col(s"`$name`")
+
   private def writeSidecar(spark: SparkSession, dir: String, schema: StructType): Unit = {
     val p = new Path(dir, SchemaFile)
     val out = fs(spark, p).create(p, true)
@@ -136,7 +141,7 @@ object Corpus {
       compression: String = "gzip"): Unit = {
     val out = if (shards > 0) df.repartition(shards) else df
     val encoded = out.select(out.schema.fields.map(f =>
-      encodeBinary(col(f.name), f.dataType).as(f.name)): _*)
+      encodeBinary(colq(f.name), f.dataType).as(f.name)): _*)
     encoded.write.mode("overwrite")
       .option("compression", compression)
       .option("timestampFormat", TsFormat)
@@ -159,7 +164,7 @@ object Corpus {
       .option("timestampNTZFormat", TsNtzFormat)
           .json(dir)
         wire.select(schema.fields.map(f =>
-          decodeBinary(col(f.name), f.dataType).as(f.name)): _*)
+          decodeBinary(colq(f.name), f.dataType).as(f.name)): _*)
       case None =>
         spark.read.option("timestampFormat", TsFormat)
           .option("timestampNTZFormat", TsNtzFormat).json(dir)
@@ -182,7 +187,7 @@ object Corpus {
           .option("timestampNTZFormat", TsNtzFormat)
           .json(dir)
         wire.select(schema.fields.map(f =>
-          decodeBinary(col(f.name), f.dataType).as(f.name)): _*)
+          decodeBinary(colq(f.name), f.dataType).as(f.name)): _*)
       case None => throw new IllegalArgumentException(
         s"$dir has no $SchemaFile — streaming JSONL import requires the " +
         "schema sidecar (a stream cannot infer)")
@@ -215,7 +220,7 @@ object Corpus {
       compression: String = "gzip"): Unit = {
     val out = if (shards > 0) df.repartition(shards) else df
     val encoded = out.select(out.schema.fields.map(f =>
-      csvEncode(col(f.name), f.dataType).as(f.name)): _*)
+      csvEncode(colq(f.name), f.dataType).as(f.name)): _*)
     encoded.write.mode("overwrite")
       .option("header", "true")
       .option("compression", compression)
@@ -250,7 +255,7 @@ object Corpus {
       .option("timestampNTZFormat", TsNtzFormat)
           .csv(dir)
         wire.select(schema.fields.map(f =>
-          csvDecode(col(f.name), f.dataType).as(f.name)): _*)
+          csvDecode(colq(f.name), f.dataType).as(f.name)): _*)
       case None =>
         spark.read.option("header", "true").option("inferSchema", "true")
           .csv(dir)

@@ -45,6 +45,35 @@ class CliSpec extends SparkSpec {
     assert(run(conf, "read", "team", "name", "-H") == "Blue\n")
   }
 
+  test("export/import round-trip a table through a JSONL shard dir") {
+    val (conf, dir) = cfg()
+    run(conf, "init")
+    val csv = java.nio.file.Paths.get(dir, "teams.csv")
+    Files.writeString(csv, "name,country.name\nBlue,Belgium\nRed,France\n")
+    run(conf, "write", "team", "-f", csv.toString)
+    // export (filtered) to a sidecar-typed shard dir
+    val shard = java.nio.file.Paths.get(dir, "shards").toString
+    val msg = run(conf, "export", "team", "name", "country.name",
+      "-f", shard, "--shards", "1")
+    assert(msg.contains("exported team"), msg)
+    assert(new java.io.File(shard, "_graft_schema.json").exists())
+    // wipe and import back through the upsert path
+    run(conf, "delete", "team")
+    assert(run(conf, "read", "team", "name", "-H") == "", "expected empty")
+    val back = run(conf, "import", "team", "-f", shard)
+    assert(back.contains("imported"), back)
+    val got = run(conf, "read", "team", "name", "country.name", "-s", "name")
+    assert(got == "name,country.name\nBlue,Belgium\nRed,France\n", got)
+    // csv format variant round-trips too
+    val shard2 = java.nio.file.Paths.get(dir, "shards2").toString
+    run(conf, "export", "team", "name", "country.name",
+      "-f", shard2, "--format", "csv")
+    run(conf, "delete", "team", "-F", """(= name "Red")""")
+    run(conf, "import", "team", "-f", shard2, "--format", "csv")
+    assert(run(conf, "read", "team", "name", "-H", "-s", "name")
+      == "Blue\nRed\n")
+  }
+
   test("profile action renders a per-column data card") {
     val (conf, dir) = cfg()
     run(conf, "init")
