@@ -44,10 +44,16 @@ object Diff {
   def diff(before: DataFrame, after: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
+    // decimal accumulator: a plain long sum of 64-bit hashes overflows
+    // almost immediately — silent (deterministic) wrap with ANSI off,
+    // but a runtime ARITHMETIC_OVERFLOW under ANSI mode; the decimal
+    // sum's 30-digit accumulator holds ~1e11 duplicate rows per key,
+    // far past any real multiset
     def melt(df: DataFrame, cnt: String, hsh: String) =
       df.select(keys :+ payloadHash(df, keyCols).as("__h"): _*)
         .groupBy(keys: _*)
-        .agg(count(lit(1)).as(cnt), sum(col("__h")).as(hsh))
+        .agg(count(lit(1)).as(cnt),
+          sum(col("__h").cast("decimal(20,0)")).as(hsh))
     val b = melt(before, "__cb", "__hb")
     val a = melt(after, "__ca", "__ha")
     b.join(a, keyCols, "full_outer")
