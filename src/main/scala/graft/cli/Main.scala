@@ -142,6 +142,7 @@ object Main {
     // JSONL/CSV shards + schema sidecar (sources/Corpus), or merge
     // such a directory back in through the full upsert path
     case "export" =>
+      requireFormat(o)
       val dir = o.file.getOrElse(throw new IllegalArgumentException(
         "export needs -f/--file <dir>"))
       val fields = if (o.fields.nonEmpty) o.fields else null
@@ -151,6 +152,7 @@ object Main {
       out.write(s"exported ${o.table} to $dir (${o.format})\n")
 
     case "import" =>
+      requireFormat(o)
       val dir = o.file.getOrElse(throw new IllegalArgumentException(
         "import needs -f/--file <dir>"))
       val df =
@@ -217,6 +219,14 @@ object Main {
 
     case other => out.write(s"""Action "$other" not supported\n""")
   }
+
+  /** An unknown --format must fail loudly, not silently fall back to
+    * JSONL (a typo'd `--format josnl` would otherwise produce a shard
+    * dir in a different format than the operator asked for). */
+  private def requireFormat(o: Opts): Unit =
+    if (!Set("jsonl", "csv").contains(o.format))
+      throw new IllegalArgumentException(
+        s"unknown --format '${o.format}' (expected jsonl or csv)")
 
   /** Shared result rendering: csv (default), --yaml, --ascii-table or
     * --vbar, to stdout or --file. */

@@ -22,11 +22,57 @@ object Diff {
     * struct as JSON. JSON (not a bare multi-arg hash) because Spark's
     * hash functions skip null children — `hash(null, x)` equals
     * `hash(x, null)` — which would read a value sliding from one
-    * column to its neighbour as "unchanged". */
+    * column to its neighbour as "unchanged".
+    *
+    * Two canonicalizations on top of the name sort: map-typed values
+    * melt to KEY-SORTED entry arrays (map JSON would otherwise compare
+    * by insertion order, reading logically-equal maps built in
+    * different orders as "changed"), and `ignoreNullFields` is pinned
+    * to false (null columns serialize explicitly) rather than
+    * inheriting the session conf — which also keeps the documented
+    * side-only-column semantics exact: a row that is all-null in the
+    * columns only one side has still differs (the null fields are
+    * present in one JSON and absent from the other). */
   private def payloadHash(df: DataFrame, keyCols: Seq[String]): Column = {
     val payload = df.columns.toSeq.diff(keyCols).sorted
     require(payload.nonEmpty, "diff needs at least one non-key column")
-    xxhash64(to_json(struct(payload.map(col): _*)))
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    xxhash64(to_json(struct(payload.map(n =>
+        canonical(col(s"`$n`"), fields(n)).as(n)): _*),
+      Map("ignoreNullFields" -> "false")))
+  }
+
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(e, _) => hasMap(e)
+      case StructType(fs) => fs.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+  }
+
+  /** Order-independent form of a value: every map (at any nesting
+    * depth) becomes its entry array sorted by key. Inner maps
+    * canonicalize first, so the sort never compares raw map values
+    * (maps are not orderable; their entry arrays are). */
+  private def canonical(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case MapType(k, v, _) =>
+        array_sort(transform(map_entries(c), e =>
+          struct(canonical(e.getField("key"), k).as("key"),
+            canonical(e.getField("value"), v).as("value"))))
+      case ArrayType(e, _) if hasMap(e) =>
+        transform(c, x => canonical(x, e))
+      case StructType(fs) if fs.exists(f => hasMap(f.dataType)) =>
+        // null-guarded: rebuilding an all-null struct from a NULL
+        // struct must stay NULL, not become a struct of nulls
+        when(c.isNotNull, struct(fs.map(f =>
+          canonical(c.getField(f.name), f.dataType).as(f.name)).toSeq: _*))
+      case _ => c
+    }
   }
 
   /** One row per DIFFERING key between `before` and `after`:

@@ -719,6 +719,11 @@ object Similarity {
     * [[retrainIvfIndex]] heals) first shows up in production.
     * Returns one row per sampled query: (query_id, recall).
     *
+    * Probe knobs per index kind: `nprobe` = coarse cells probed for
+    * ivf/ivfpq; `probeLevel` = multi-probe bit-flip level for lsh.
+    * Each applies only to its own kind (their semantics — cell count
+    * vs hamming radius — don't translate into each other).
+    *
     * Shape note: this is a driver LOOP over 2·nQueries small jobs —
     * deliberate, not an anti-pattern. Each index probe is itself
     * partition-pruned (that's the property under test), so a
@@ -727,7 +732,7 @@ object Similarity {
     * scale. */
   def recallAtK(spark: SparkSession, path: String, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int, nQueries: Int = 10,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, probeLevel: Int = 1): DataFrame = {
     require(k > 0 && nQueries > 0, "recallAtK needs k > 0 and nQueries > 0")
     val kind = readMetaRaw(spark, path).get("kind").map(_.toString)
       .getOrElse("lsh")
@@ -740,7 +745,8 @@ object Similarity {
       val approx = (kind match {
         case "ivf" => ivfTopK(spark, path, vecCol, idCol, qv, k, nprobe)
         case "ivfpq" => ivfPqTopK(spark, path, idCol, qv, k, nprobe)
-        case _ => annTopKIndexed(spark, path, vecCol, idCol, qv, k)
+        case _ => annTopKIndexed(spark, path, vecCol, idCol, qv, k,
+          probeLevel)
       }).select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
       val exact = bruteForceTopK(corpus, vecCol, idCol, qv, k)
         .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet

@@ -86,11 +86,23 @@ object Corpus {
   // ------------------------------------------------------------- JSONL
 
   /** Wire type a field travels as in JSONL: binary → base64 string
-    * (recursively inside containers), everything else native. */
+    * (recursively inside containers), everything else native — except
+    * map KEYS, which are always strings on the wire: JSON object keys
+    * are strings, so Spark's JSON writer stringifies every key and the
+    * reader only materializes string keys. Declaring the original key
+    * type here would silently null the column on import; instead the
+    * wire schema says string and [[decodeBinary]] casts keys back.
+    * Container-typed keys (array/map/struct) have no castable string
+    * form and are rejected loudly at export. */
   private def jsonWireType(dt: DataType): DataType = dt match {
     case BinaryType => StringType
     case ArrayType(e, n) => ArrayType(jsonWireType(e), n)
-    case MapType(k, v, n) => MapType(jsonWireType(k), jsonWireType(v), n)
+    case MapType(k, v, n) =>
+      require(!(k.isInstanceOf[ArrayType] || k.isInstanceOf[MapType] ||
+          k.isInstanceOf[StructType]),
+        s"map keys of type ${k.simpleString} cannot round-trip through " +
+          "JSON (keys travel as strings; only atomic keys cast back)")
+      MapType(StringType, jsonWireType(v), n)
     case StructType(fields) =>
       StructType(fields.map(f => f.copy(dataType = jsonWireType(f.dataType))))
     case other => other
@@ -101,6 +113,17 @@ object Corpus {
     case ArrayType(e, _) => containsBinary(e)
     case MapType(k, v, _) => containsBinary(k) || containsBinary(v)
     case StructType(fields) => fields.exists(f => containsBinary(f.dataType))
+    case _ => false
+  }
+
+  /** Does decoding the wire form of `dt` require any work — a binary
+    * leaf to un-base64, or a map whose keys travel as strings and
+    * must cast back? */
+  private def needsDecode(dt: DataType): Boolean = dt match {
+    case BinaryType => true
+    case ArrayType(e, _) => needsDecode(e)
+    case MapType(k, v, _) => k != StringType || needsDecode(v)
+    case StructType(fields) => fields.exists(f => needsDecode(f.dataType))
     case _ => false
   }
 
@@ -120,15 +143,21 @@ object Corpus {
   }
 
   /** Inverse of [[encodeBinary]]: wire column (per [[jsonWireType]])
-    * back to the declared type. */
+    * back to the declared type — un-base64 binary leaves AND cast map
+    * keys from their string wire form back to the declared key type. */
   private def decodeBinary(c: Column, dt: DataType): Column = dt match {
     case BinaryType => unbase64(c)
-    case ArrayType(e, _) if containsBinary(e) =>
+    case ArrayType(e, _) if needsDecode(e) =>
       transform(c, x => decodeBinary(x, e))
-    case MapType(k, v, _) if containsBinary(dt) =>
-      map_from_arrays(transform(map_keys(c), x => decodeBinary(x, k)),
+    case MapType(k, v, _) if needsDecode(dt) =>
+      map_from_arrays(
+        transform(map_keys(c), x => k match {
+          case BinaryType => unbase64(x)
+          case StringType => x
+          case other => x.cast(other)
+        }),
         transform(map_values(c), x => decodeBinary(x, v)))
-    case StructType(fields) if containsBinary(dt) =>
+    case StructType(fields) if needsDecode(dt) =>
       struct(fields.map(f =>
         decodeBinary(c.getField(f.name), f.dataType).as(f.name)): _*)
     case _ => c
@@ -139,6 +168,7 @@ object Corpus {
     * partitioning (no exchange at all). */
   def exportJsonl(df: DataFrame, dir: String, shards: Int = 0,
       compression: String = "gzip"): Unit = {
+    jsonWireType(df.schema): Unit // validate (container map keys) BEFORE writing
     val out = if (shards > 0) df.repartition(shards) else df
     val encoded = out.select(out.schema.fields.map(f =>
       encodeBinary(colq(f.name), f.dataType).as(f.name)): _*)
@@ -218,6 +248,7 @@ object Corpus {
     * embedded JSON. */
   def exportCsv(df: DataFrame, dir: String, shards: Int = 0,
       compression: String = "gzip"): Unit = {
+    jsonWireType(df.schema): Unit // validate (container map keys) BEFORE writing
     val out = if (shards > 0) df.repartition(shards) else df
     val encoded = out.select(out.schema.fields.map(f =>
       csvEncode(colq(f.name), f.dataType).as(f.name)): _*)

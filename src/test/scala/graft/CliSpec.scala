@@ -72,6 +72,17 @@ class CliSpec extends SparkSpec {
     run(conf, "import", "team", "-f", shard2, "--format", "csv")
     assert(run(conf, "read", "team", "name", "-H", "-s", "name")
       == "Blue\nRed\n")
+    // an unknown/typo'd format fails loudly instead of silently
+    // producing a JSONL shard dir
+    val err = intercept[IllegalArgumentException] {
+      run(conf, "export", "team", "name",
+        "-f", java.nio.file.Paths.get(dir, "shards3").toString,
+        "--format", "parquet")
+    }
+    assert(err.getMessage.contains("parquet"), err.getMessage)
+    intercept[IllegalArgumentException] {
+      run(conf, "import", "team", "-f", shard, "--format", "josnl")
+    }
   }
 
   test("profile action renders a per-column data card") {

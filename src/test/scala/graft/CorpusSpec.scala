@@ -96,6 +96,47 @@ class CorpusSpec extends SparkSpec {
     assert(b(1)(1) == null, b(1))
   }
 
+  test("non-string map keys round-trip (string on the wire, cast back)") {
+    // JSON object keys are strings: Spark's writer stringifies every
+    // map key and its reader only materializes string keys, so the
+    // wire schema must say string and the decode must cast back —
+    // declaring Map<long,_> in the read schema silently nulls the
+    // column (the pre-fix behavior)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("counts", MapType(LongType, LongType)),
+      StructField("tagged", MapType(IntegerType, BinaryType))))
+    val df = s.createDataFrame(Seq(
+      Row(1L, Map(7L -> 70L, -2L -> 3L), Map(5 -> Array[Byte](9, -9))),
+      Row(2L, Map.empty[Long, Long], null),
+      Row(3L, null, Map.empty[Int, Array[Byte]])).asJava, schema)
+    val jd = tmp("mapkeyjson")
+    Corpus.exportJsonl(df, jd)
+    val jBack = Corpus.importJsonl(s, jd)
+    assert(jBack.schema == schema, jBack.schema.treeString)
+    val jb = rows(jBack.orderBy("id"))
+    assert(jb(0)(1) == Map(7L -> 70L, -2L -> 3L), jb(0))
+    assert(jb(0)(2).asInstanceOf[Map[Int, Array[Byte]]]
+      .apply(5).toSeq == Seq[Byte](9, -9), jb(0))
+    assert(jb(1)(1) == Map.empty[Long, Long] && jb(1)(2) == null, jb(1))
+    assert(jb(2)(1) == null && jb(2)(2) == Map.empty[Int, Array[Byte]], jb(2))
+    val cd = tmp("mapkeycsv")
+    Corpus.exportCsv(df, cd)
+    val cBack = Corpus.importCsv(s, cd)
+    assert(cBack.schema == schema, cBack.schema.treeString)
+    val cb = rows(cBack.orderBy("id"))
+    assert(cb(0)(1) == Map(7L -> 70L, -2L -> 3L), cb(0))
+    assert(cb(0)(2).asInstanceOf[Map[Int, Array[Byte]]]
+      .apply(5).toSeq == Seq[Byte](9, -9), cb(0))
+    // container-typed keys have no castable string form: loud error
+    val badSchema = StructType(Seq(StructField("id", LongType),
+      StructField("bad", MapType(ArrayType(LongType), LongType))))
+    val bad = s.createDataFrame(Seq(
+      Row(1L, Map(Seq(1L) -> 2L))).asJava, badSchema)
+    intercept[IllegalArgumentException] {
+      Corpus.exportJsonl(bad, tmp("mapkeybad"))
+    }
+  }
+
   test("TIMESTAMP_NTZ keeps microseconds in both formats (separate format option)") {
     // parquet written without the UTC flag (pyarrow default) reads as
     // NTZ; its formatter is timestampNTZFormat, NOT timestampFormat —

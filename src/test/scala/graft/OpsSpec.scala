@@ -1001,6 +1001,38 @@ class OpsSpec extends SparkSpec {
     assert(dup == Seq((7L, "changed")), dup)
   }
 
+  test("Diff: maps compare order-independently; side-only columns always differ") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("m", MapType(StringType, LongType))))
+    def mdf(rows: Seq[(Long, Map[String, Long])]) = s.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    // same logical maps built in opposite entry orders: must read equal
+    val before = mdf(Seq((1L, Map("a" -> 1L, "b" -> 2L)),
+      (2L, Map("x" -> 9L)), (3L, null)))
+    val after = mdf(Seq((1L, Map("b" -> 2L, "a" -> 1L)),
+      (2L, Map("x" -> 8L)), (3L, null)))
+    val got = rows(graft.ops.Diff.diff(before, after, Seq("id")))
+      .map(r => (r(0), r(1)))
+    assert(got == Seq((2L, "changed")), got)
+    // the JSON canonicalization must pin ignoreNullFields itself, not
+    // inherit the session conf (under the ignoring default, all-null
+    // rows in side-only columns would hash equal)
+    val conf = "spark.sql.jsonGenerator.ignoreNullFields"
+    val old = s.conf.get(conf)
+    s.conf.set(conf, "true")
+    try {
+      // after gains column `extra`, all-null: a schema migration — the
+      // documented semantics count it as a change for EVERY row
+      val wide = after.withColumn("extra",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+      val mig = rows(graft.ops.Diff.diff(before, wide, Seq("id"))
+        .orderBy("id")).map(r => (r(0), r(1)))
+      assert(mig == Seq((1L, "changed"), (2L, "changed"), (3L, "changed")),
+        mig)
+    } finally s.conf.set(conf, old)
+  }
+
   test("semanticDedup: within-cluster pairs only; k-means auto path recovers dups") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
