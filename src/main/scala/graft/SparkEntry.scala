@@ -603,6 +603,29 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // LLM-pipeline: CROSS-CORPUS SemDeDup — the corpus's k-means
+    // clustering persists as an index (members partitioned by cluster,
+    // centroids in the meta), and a new batch dedupes against it
+    // reading only its assigned cluster partitions. Oracle: brute-force
+    // batch-vs-corpus cosine (identical-direction near-copies always
+    // share their original's cluster, so the within-cluster bound
+    // loses nothing on them; reversed vectors max out near 0.4).
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val idxDir = scratchDir("semidx-" + Integer.toHexString(dir.hashCode))
+      Similarity.buildSemanticIndex(emb, "embedding", "vec_id", idxDir, k = 16)
+      val near = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 5000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val fresh = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10).select(
+        (col("vec_id") + 6000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Similarity.semanticDedupAgainstIndex(near.unionByName(fresh),
+        "embedding", "vec_id", idxDir, threshold = 0.95)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // LLM-pipeline: embedding pipeline END-TO-END — normalize →
     // int8 quantize → dequantize (the storage round-trip) → persisted
     // index build → batch dedup-against-index, proving the ops
@@ -915,6 +938,46 @@ object SparkEntry {
         dims = q.size, nlist = 16, m = 8)
       Similarity.ivfPqTopK(s, idxDir, "vec_id", q, 10, nprobe = 4)
         .select(col("vec_id"))
+    }),
+
+    // LLM-pipeline: IVF-PQ incremental append — the planted copies
+    // enter through appendToIndex (assignment via STORED centroids,
+    // residual encoding via STORED codebooks, no rebuild) and must
+    // dominate the ADC ranking exactly like build-encoded rows do.
+    // Same brute-force oracle as ann_pq_topk.
+    "ann_pq_append" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      val planted = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        typedLit(q.map(_ * 1.001f)).as("embedding"))
+      val idxDir = scratchDir("pqappidx-" + Integer.toHexString(dir.hashCode))
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", idxDir, dims = q.size, nlist = 16, m = 8)
+      Similarity.appendToIndex(planted, "embedding", "vec_id", idxDir,
+        retrainAt = Double.MaxValue)
+      Similarity.ivfPqTopK(s, idxDir, "vec_id", q, 10, nprobe = 4)
+        .select(col("vec_id"))
+    }),
+
+    // LLM-pipeline: two-stage ANN serving — PQ index prunes to kCoarse
+    // candidates by ADC, exact cosine re-ranks them from the index's
+    // columnar __v vectors (probes never read __v; only the surviving
+    // candidates materialize floats). Exact top-k = brute-force oracle.
+    "ann_pq_rerank" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      val planted = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        typedLit(q.map(_ * 1.001f)).as("embedding"))
+      val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+      val idxDir = scratchDir("pqrridx-" + Integer.toHexString(dir.hashCode))
+      Similarity.buildIvfPqIndex(pool, "embedding", "vec_id", idxDir,
+        dims = q.size, nlist = 16, m = 8)
+      Similarity.ivfPqRerank(s, idxDir, "embedding", "vec_id", q, 10,
+        kCoarse = 50, nprobe = 4).select(col("vec_id"))
     }),
 
     // LLM-pipeline: persisted-index ANN — the 100-TB repeated-query
@@ -1733,6 +1796,32 @@ object SparkEntry {
         |SELECT p.vec_id FROM pool p, q
         |ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, p.vec_id
         |LIMIT 10""".stripMargin,
+    // append-encoded planted copies must dominate the ADC ranking just
+    // like build-encoded ones: same brute-force oracle
+    "ann_pq_append" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        |  UNION ALL
+        |  SELECT 1000000 + t.i,
+        |    list_transform(q.qe, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM range(0, 10) t(i), q)
+        |SELECT p.vec_id FROM pool p, q
+        |ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, p.vec_id
+        |LIMIT 10""".stripMargin,
+    // the exact-rerank stage restores the true cosine ranking over the
+    // PQ candidate set: identical brute-force oracle
+    "ann_pq_rerank" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        |  UNION ALL
+        |  SELECT 1000000 + t.i,
+        |    list_transform(q.qe, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM range(0, 10) t(i), q)
+        |SELECT p.vec_id FROM pool p, q
+        |ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, p.vec_id
+        |LIMIT 10""".stripMargin,
     "ann_quantized_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pool AS (
@@ -1767,6 +1856,23 @@ object SparkEntry {
     // brute-force batch-vs-corpus cosine; keep = no corpus vector
     // within 0.95 (planted copies sit at 1.0, reversed fresh ~0.4)
     "dedup_embedding_incremental" ->
+      """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |batch AS (
+        |  SELECT vec_id + 5000 AS vec_id,
+        |    CAST(list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 5
+        |  UNION ALL
+        |  SELECT vec_id + 6000, CAST(list_reverse(embedding) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10)
+        |SELECT b.vec_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c
+        |  WHERE list_cosine_similarity(b.v, c.v) >= 0.95)
+        |ORDER BY vec_id""".stripMargin,
+    // same brute-force batch-vs-corpus decision: the k-means cluster
+    // bound loses nothing on identical-direction copies (same argmin
+    // centroid as their originals) and reversed vectors survive in
+    // any cluster
+    "dedup_semantic_incremental" ->
       """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |batch AS (
         |  SELECT vec_id + 5000 AS vec_id,

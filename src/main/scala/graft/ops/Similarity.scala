@@ -314,9 +314,11 @@ object Similarity {
     val kind = readMetaRaw(spark, path).get("kind").map(_.toString)
     kind match {
       case Some("ivf") => appendToIvfIndex(df, vecCol, idCol, path, retrainAt)
+      case Some("ivfpq") =>
+        appendToIvfPqIndex(df, vecCol, idCol, path, retrainAt)
       case Some("lsh") | None => appendToLshIndex(df, vecCol, idCol, path)
       case Some(other) => throw new IllegalArgumentException(
-        s"$path is a $other index; appendToIndex supports lsh and ivf")
+        s"$path is a $other index; appendToIndex supports lsh, ivf and ivfpq")
     }
   }
 
@@ -431,6 +433,14 @@ object Similarity {
     val scratch = path.stripSuffix("/") + "__retrain"
     buildIvfIndex(vecs, vecCol, idCol, scratch, dims, nlist = nlist,
       seed = seed, quantized = quantized)
+    installRebuilt(spark, path, scratch)
+  }
+
+  /** Crash-safe install of a rebuilt index over the live one: live →
+    * `path__old`, scratch → live, delete old. At every instant a
+    * complete index exists at `path` or `path__old` ([[healSwap]]). */
+  private def installRebuilt(spark: SparkSession, path: String,
+      scratch: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
     val old = new Path(path.stripSuffix("/") + "__old")
@@ -771,12 +781,16 @@ object Similarity {
     * (vector − cell centroid) is product-quantized — split into `m`
     * subspaces, each encoded as the id of its nearest code in a
     * 256-entry per-subspace codebook — so a d-dim float32 vector
-    * stores as `m` BYTES (d=512, m=8: 2 KB → 8 B, 256×). That is the
-    * memory story that lets a 100-TB corpus's index live in RAM:
+    * SCORES from `m` BYTES (d=512, m=8: 2 KB → 8 B, 256×). That is
+    * the memory story that lets a 100-TB corpus's index live in RAM:
     * int8 quantization ([[buildIvfIndex]] `quantized`) buys 4×, PQ
-    * buys 10-100×, at the cost of approximate distances (re-rank the
-    * top candidates against the source table when exactness
-    * matters).
+    * buys 10-100×, at the cost of approximate distances
+    * ([[ivfPqRerank]] re-ranks the top candidates exactly when
+    * exactness matters). The index DIRECTORY also keeps the source
+    * vectors in a separate parquet column (`__v`): probes project
+    * only id/codes/cell — columnar pruning means they never read it —
+    * while retrain and re-rank get true vectors without a corpus
+    * join; disk is the cheap tier, the code column is the hot one.
     *
     * Training: one coarse k-means + `m` independent 1-subspace
     * k-means fits (on `trainFraction` of the residuals — at corpus
@@ -845,13 +859,25 @@ object Similarity {
     }
     val codeArr = array((0 until m).map(j =>
       (col(s"__pq$j") - 128).cast("tinyint")): _*)
-    encoded.select(col(idCol), codeArr.as("__code"), col("__c"))
+    // `__v` carries the source vector NEXT TO the codes: parquet is
+    // columnar, so probes (which select only id/__code/__c) never read
+    // it — the in-RAM/ADC story stays m bytes per vector — while
+    // drift retrain ([[retrainIvfPqIndex]]) and exact re-rank get the
+    // true vectors without a corpus join. Same store-the-vector trade
+    // the LSH and IVF indexes already make.
+    encoded.select(col(idCol), codeArr.as("__code"),
+        col(vecCol).as("__v"), col("__c"))
       .repartition(col("__c"))
       .write.mode("overwrite").partitionBy("__c").parquet(path)
     val codebooks = subModels.map(_.clusterCenters.map(_.toArray.toSeq).toSeq)
     writeMeta(df.sparkSession, path,
       Map("kind" -> "ivfpq", "dims" -> dims, "nlist" -> nlist, "m" -> m,
         "codeK" -> codeK, "seed" -> seed,
+        "trainFraction" -> trainFraction,
+        // drift baseline, same contract as buildIvfIndex: trained mass
+        // + per-coarse-cell append tallies for the retrain trigger
+        "trainedCount" -> coarse.summary.clusterSizes.map(_.toLong).sum,
+        "appendedCounts" -> Seq.fill(nlist)(0L),
         "centroids" -> centroids, "codebooks" -> codebooks))
     } finally feat.unpersist(false)
   }
@@ -875,7 +901,21 @@ object Similarity {
     * TakeOrdered. Returns (id, __adc) — approximate distances, rank
     * candidates then re-rank exactly if the use case needs it. */
   def ivfPqTopK(spark: SparkSession, path: String, idCol: String,
-      query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+      query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame =
+    pqProbedWithAdc(spark, path, query, nprobe) match {
+      case None =>
+        spark.emptyDataFrame.select(lit(0L).as(idCol),
+          lit(0.0).as("__adc")).limit(0)
+      case Some((idx, adc)) =>
+        idx.select(col(idCol), adc.as("__adc"))
+          .orderBy(col("__adc"), col(idCol)).limit(k)
+    }
+
+  /** Shared probe machinery for [[ivfPqTopK]] / [[ivfPqRerank]]: the
+    * probed-cells frame plus the ADC distance column over it; None
+    * when no probed cell directory exists. */
+  private def pqProbedWithAdc(spark: SparkSession, path: String,
+      query: Seq[Float], nprobe: Int): Option[(DataFrame, Column)] = {
     val meta = readMetaRaw(spark, path)
     require(meta.get("kind").map(_.toString).contains("ivfpq"),
       s"$path is not an IVF-PQ index")
@@ -910,9 +950,7 @@ object Similarity {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = probed.map(c => new Path(root, s"__c=$c"))
       .filter(fs.exists(_)).map(_.toString)
-    if (dirs.isEmpty)
-      return spark.emptyDataFrame.select(lit(0L).as(idCol),
-        lit(0.0).as("__adc")).limit(0)
+    if (dirs.isEmpty) return None
     // basePath keeps the __c partition column alive when reading
     // specific cell directories (each row needs it to pick its cell's
     // ADC table)
@@ -928,8 +966,146 @@ object Similarity {
         element_at(element_at(cellTable, j + 1),
           element_at(col("__code"), j + 1).cast("int") + 128 + 1))
         .reduce(_ + _))
-    idx.select(col(idCol), adc.as("__adc"))
-      .orderBy(col("__adc"), col(idCol)).limit(k)
+    Some((idx, adc))
+  }
+
+  /** Meta map with scala-typed values only (the ivfpq twin of
+    * [[cleanIvfMeta]]). */
+  private def cleanPqMeta(meta: Map[String, Any]): Map[String, Any] =
+    Map("kind" -> "ivfpq",
+      "dims" -> meta("dims").toString.toInt,
+      "nlist" -> meta("nlist").toString.toInt,
+      "m" -> meta("m").toString.toInt,
+      "codeK" -> meta("codeK").toString.toInt,
+      "seed" -> meta("seed").toString.toLong,
+      "trainFraction" -> meta.get("trainFraction")
+        .map(_.toString.toDouble).getOrElse(1.0),
+      "trainedCount" -> meta.get("trainedCount")
+        .map(_.toString.toLong).getOrElse(0L),
+      "centroids" -> centroidsOf(meta).map(_.toSeq),
+      "codebooks" -> codebooksOf(meta).map(_.map(_.toSeq)))
+
+  /** Residual → PQ code array through STORED codebooks: per subspace
+    * j, the argmin (first-index tie-break, like `array_position` of
+    * the min — the same strict-< scan Spark ML's prediction applies)
+    * over `codeK` codes of the exact squared distance, as per-row
+    * higher-order folds over the codebook literal. The per-row HOF
+    * shape is deliberate here: appends are batch-proportional (the
+    * full-corpus build path encodes through ml-KMeans transforms
+    * instead), and the codebook literal (m × codeK × dsub doubles)
+    * rides in the plan exactly like the query side's ADC tables. Each
+    * O(dsub) slice is [[Hof.bind]]-bound so interpreted HOF evaluation
+    * reads it as a lambda variable instead of re-slicing per code. */
+  private def pqEncode(res: Column,
+      codebooks: Seq[Seq[Array[Double]]]): Column = {
+    val m = codebooks.size
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val dsub = cb.head.length
+      val cbLit = typedlit(cb.map(_.toSeq))
+      bind(slice(res, j * dsub + 1, dsub), sub =>
+        bind(transform(sequence(lit(0), lit(cb.size - 1)), ci =>
+            aggregate(zip_with(sub, element_at(cbLit, ci + 1),
+              (x, c) => (x - c) * (x - c)), lit(0.0d), (a, x) => a + x)),
+          dists => (array_position(dists, array_min(dists)) - 1 - 128)
+            .cast("tinyint")))
+    }: _*)
+  }
+
+  /** Incrementally add vectors to a [[buildIvfPqIndex]] index: assign
+    * each new vector to its nearest STORED coarse centroid, encode its
+    * residual through the STORED per-subspace codebooks ([[pqEncode]]),
+    * and append into the matching `__c=` partition — queries stay
+    * correct across appends because probe ranking, row assignment and
+    * ADC tables all use the same frozen centroids/codebooks. Appends
+    * are tallied per cell exactly like [[appendToIvfIndex]]; once the
+    * appended mass exceeds `retrainAt` × the trained mass the index
+    * reclusters itself ([[retrainIvfPqIndex]]). Pass
+    * `retrainAt = Double.MaxValue` to keep it frozen forever. */
+  def appendToIvfPqIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String, retrainAt: Double = 0.5): Unit = {
+    val spark = df.sparkSession
+    val meta = readMetaRaw(spark, path)
+    require(meta.get("kind").map(_.toString).contains("ivfpq"),
+      s"$path is not an IVF-PQ index")
+    val dims = meta("dims").toString.toInt
+    requireDims(df, vecCol, dims)
+    val cents = centroidsOf(meta)
+    val codebooks = codebooksOf(meta)
+    val centLit = typedlit(cents.map(_.toSeq))
+    val asg = assignToCentroids(df, vecCol, idCol, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      asg.join(df.select(col(idCol), col(vecCol)), col("__id") === col(idCol))
+        .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
+          element_at(centLit, col("__c") + 1), (x, c) => x - c))
+        .select(col(idCol), pqEncode(col("__res"), codebooks).as("__code"),
+          col(vecCol).as("__v"), col("__c"))
+        .repartition(col("__c"))
+        .write.mode("append").partitionBy("__c").parquet(path)
+      val batch = asg.groupBy("__c").agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val prev = appendedCountsOf(meta, cents.size)
+      val appended = cents.indices.map(c => prev(c) + batch.getOrElse(c, 0L))
+      val trained = meta.get("trainedCount").map(_.toString.toLong).getOrElse(0L)
+      writeMeta(spark, path, cleanPqMeta(meta) +
+        ("appendedCounts" -> appended))
+      if (trained > 0 && appended.sum > retrainAt * trained)
+        retrainIvfPqIndex(spark, path, idCol)
+    } finally { asg.unpersist(false): Unit }
+  }
+
+  /** Recluster a drifted IVF-PQ index in place, crash-safe like
+    * [[retrainIvfIndex]]: read the index's own stored `__v` vectors,
+    * re-run the full seed-fixed build (coarse k-means + codebook
+    * fits + re-encode) into a sibling scratch, swap it over the live
+    * one. Training from the TRUE vectors — not code reconstructions —
+    * matters precisely in the drift case this exists for: appended
+    * residuals outside the trained codebooks' range clamp to the
+    * nearest code, so reconstructions of drifted data collapse back
+    * toward the stale centroids and a reconstruction-trained rebuild
+    * could never find the new mass. */
+  def retrainIvfPqIndex(spark: SparkSession, path: String,
+      idCol: String): Unit = {
+    val meta = readMetaRaw(spark, path)
+    require(meta.get("kind").map(_.toString).contains("ivfpq"),
+      s"$path is not an IVF-PQ index")
+    val idx = spark.read.parquet(path)
+    val scratch = path.stripSuffix("/") + "__retrain"
+    buildIvfPqIndex(idx.select(col(idCol), col("__v")), "__v", idCol,
+      scratch, dims = meta("dims").toString.toInt,
+      nlist = meta("nlist").toString.toInt,
+      m = meta("m").toString.toInt,
+      codeK = meta("codeK").toString.toInt,
+      seed = meta("seed").toString.toLong,
+      trainFraction = meta.get("trainFraction")
+        .map(_.toString.toDouble).getOrElse(1.0))
+    installRebuilt(spark, path, scratch)
+  }
+
+  /** Exact re-rank over PQ candidates — the standard two-stage ANN
+    * serving shape: the quantized index prunes corpus → `kCoarse`
+    * candidates by approximate ADC distance (m byte-code lookups per
+    * row, the only thing the probe reads for the full cell), then the
+    * exact cosine kernel runs on those kCoarse rows alone, reading
+    * their true vectors from the index's own `__v` column (stored
+    * columnar next to the codes, so only the kCoarse surviving rows
+    * ever materialize a float vector — no corpus scan, no join).
+    * Returns the usual (id, sim) exact top-k. */
+  def ivfPqRerank(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, query: Seq[Float], k: Int,
+      kCoarse: Int = 0, nprobe: Int = 4): DataFrame = {
+    val kc = if (kCoarse > 0) kCoarse else math.max(10 * k, 100)
+    require(kc >= k, s"kCoarse=$kc must be >= k=$k")
+    pqProbedWithAdc(spark, path, query, nprobe) match {
+      case None =>
+        spark.emptyDataFrame.select(lit(0L).as(idCol),
+          lit(0.0).as("sim")).limit(0)
+      case Some((idx, adc)) =>
+        val cands = idx.select(col(idCol), col("__v"), adc.as("__adc"))
+          .orderBy(col("__adc"), col(idCol)).limit(kc)
+        bruteForceTopK(cands.select(col(idCol), col("__v").as(vecCol)),
+          vecCol, idCol, query, k)
+    }
   }
 
   // ------------------------------------------------------ semantic dedup
@@ -1011,5 +1187,80 @@ object Similarity {
     semanticDedup(assigned, vecCol, idCol, "__semcluster",
       threshold, maxCluster)
       .drop("__semcluster")
+  }
+
+  private val semanticBatchSlot = Dedup.newSlot()
+
+  /** Persist the SemDeDup clustering as an index, so semantic dedup
+    * gets the same incremental cross-corpus story the exact / minhash /
+    * LSH-cosine families have: seed-fixed k-means over the
+    * L2-NORMALIZED embeddings (Euclidean k-means on the unit sphere
+    * clusters by direction — the cosine geometry the dedup threshold
+    * lives in), members written as `(idCol, __nv normalized vector,
+    * __c)` partitioned by cluster, centroids persisted in the index
+    * meta so batch assignment needs no Spark-side model object. */
+  def buildSemanticIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String, k: Int = 64, maxIter: Int = 10, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    val feat = Par.spread(df).select(col(idCol),
+        l2Normalize(col(vecCol)).as("__nv"))
+      .withColumn("__feat", array_to_vector(col("__nv")))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__feat").setPredictionCol("__c")
+      .fit(feat)
+    model.transform(feat).select(col(idCol), col("__nv"), col("__c"))
+      .repartition(col("__c"))
+      .write.mode("overwrite").partitionBy("__c").parquet(path)
+    writeMeta(df.sparkSession, path,
+      Map("kind" -> "semantic", "dims" -> dims, "k" -> k, "seed" -> seed,
+        "centroids" -> model.clusterCenters.map(_.toArray.toSeq).toSeq))
+  }
+
+  /** Cross-corpus SemDeDup: drop batch rows whose cosine with an
+    * indexed corpus member of the SAME k-means cluster reaches
+    * `threshold` — [[semanticDedup]]'s within-cluster bound, applied
+    * batch-vs-corpus (Abbas et al. 2023 trade: a near-duplicate pair
+    * split across two clusters is missed; identical-direction copies
+    * always share their original's argmin centroid).
+    *
+    * Scale shape (batch-proportional, corpus never re-clustered or
+    * re-scanned): batch vectors normalize and assign to the STORED
+    * centroids through the same 64-aggregate pipeline the IVF family
+    * uses, the probe reads ONLY the `__c=` partition directories the
+    * batch assigned into (driver-side path selection over ≤ k ints),
+    * and the exact-cosine verify joins batch×members within matching
+    * clusters only — the n²/k candidate bound. */
+  def semanticDedupAgainstIndex(newDf: DataFrame, vecCol: String,
+      idCol: String, path: String, threshold: Double): DataFrame = {
+    val spark = newDf.sparkSession
+    val meta = readMetaRaw(spark, path)
+    require(meta.get("kind").map(_.toString).contains("semantic"),
+      s"$path is not a semantic index (buildSemanticIndex)")
+    requireDims(newDf, vecCol, meta("dims").toString.toInt)
+    val cents = centroidsOf(meta)
+    val norm = newDf.select(col(idCol).as("__bid"),
+      l2Normalize(col(vecCol)).as("__nv"))
+    // cached (one-slot swap): the assigned batch feeds the driver-side
+    // cluster collect AND the verify join; its lineage is the
+    // normalize + 64-aggregate assignment pipeline
+    val asgv = Dedup.cacheSwap(semanticBatchSlot,
+      norm.join(assignToCentroids(norm, "__nv", "__bid", cents)
+        .withColumnRenamed("__id", "__bid"), Seq("__bid")))
+    val probed = asgv.select("__c").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = probed.toSeq.sorted.map(c => new Path(root, s"__c=$c"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty) return newDf
+    // basePath keeps __c alive for the within-cluster join condition
+    val idx = spark.read.option("basePath", path).parquet(dirs: _*)
+    val doomed = asgv.join(idx.select(col("__nv").as("__cv"), col("__c")),
+        Seq("__c"))
+      .filter(cosine(col("__nv"), col("__cv")) >= threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    newDf.join(doomed, Seq(idCol), "left_anti")
   }
 }

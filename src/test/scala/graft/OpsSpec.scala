@@ -372,6 +372,56 @@ class OpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("semantic index: batch deduped against persisted k-means clusters") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val dir = java.nio.file.Files.createTempDirectory("semidx").toString
+    try {
+      Similarity.buildSemanticIndex(emb, "embedding", "vec_id", dir, k = 8)
+      // batch: scaled near-copies of two corpus vectors (identical
+      // direction -> same argmin centroid as their originals, cosine
+      // 1.0) + two reversed vectors (max corpus cosine ~0.4)
+      val near = emb.filter(col("vec_id") < 2).select(
+        (col("vec_id") + 5000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val fresh = emb.filter(col("vec_id") >= 2 && col("vec_id") < 4).select(
+        (col("vec_id") + 6000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      val batch = near.unionByName(fresh)
+      val kept = Similarity.semanticDedupAgainstIndex(batch, "embedding",
+        "vec_id", dir, threshold = 0.95)
+      assert(rows(kept).map(_.head).toSet == Set(6002L, 6003L),
+        rows(kept).map(_.head).toString)
+      // batch-proportionality: the probe reads ONLY the cluster dirs
+      // the batch assigned into (driver-side path selection over <= k
+      // ints) — 4 batch vectors can touch at most 4 of the 8 clusters
+      val allDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__c="))
+        .map(_.getName).toSet
+      val readDirs = kept.inputFiles.filter(_.contains(dir))
+        .map(f => new java.io.File(f).getParentFile.getName).toSet
+      assert(readDirs.nonEmpty && readDirs.size <= 4 &&
+        readDirs.size < allDirs.size,
+        s"probe read $readDirs of $allDirs")
+      // fresh-only batch survives whole; wrong index kind raises
+      assert(rows(Similarity.semanticDedupAgainstIndex(fresh, "embedding",
+        "vec_id", dir, threshold = 0.95)).map(_.head).toSet
+        == Set(6002L, 6003L))
+      intercept[IllegalArgumentException] {
+        Similarity.dedupAgainstIndex(batch, "embedding", "vec_id", dir, 0.95)
+      }
+      intercept[IllegalArgumentException] {
+        val lsh = java.nio.file.Files.createTempDirectory("notsem").toString
+        try {
+          Similarity.buildIndex(emb, "embedding", "vec_id", lsh, 64)
+          Similarity.semanticDedupAgainstIndex(batch, "embedding", "vec_id",
+            lsh, 0.95)
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(lsh))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("quantized IVF: int8 storage, same top-k ids, quantized append") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
@@ -922,6 +972,173 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ops.Similarity.buildIvfPqIndex(df, "embedding", "vec_id",
         dir + "2", dims = 8, m = 3))
+  }
+
+  test("IVF-PQ append: stored-codebook encoding matches exact argmin") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val planted = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1000001L, q.map(_ * 1.001f))).asJava, emb.schema)
+    val pool = emb.filter(col("vec_id") =!= 0 && col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("pqapp").toString
+    try {
+      Similarity.buildIvfPqIndex(pool, "embedding", "vec_id", dir, q.size,
+        nlist = 16, m = 8)
+      val extra = emb.filter(col("vec_id") >= 400).select(
+        (col("vec_id") + 2000L).as("vec_id"), col("embedding"))
+      // appendToIndex dispatches on the stored kind; frozen centroids
+      Similarity.appendToIndex(planted.unionByName(extra), "embedding",
+        "vec_id", dir, retrainAt = Double.MaxValue)
+      // the appended near-copy of q lands in q's nearest coarse cell:
+      // recalled even at nprobe=1
+      val got = rows(Similarity.ivfPqTopK(spark, dir, "vec_id", q, 5,
+        nprobe = 1)).map(_.head)
+      assert(got.contains(1000001L), s"appended dup missing at nprobe=1: $got")
+      // every appended row's (cell, codes) equals the exact driver-side
+      // argmin through the STORED centroids and codebooks (first-index
+      // tie-break) — proof the HOF encoder implements the math
+      val metaText = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_index_meta.json")), "UTF-8")
+      val meta = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](metaText)
+      def mat(o: Object): Seq[Array[Double]] =
+        o.asInstanceOf[java.util.List[java.util.List[Object]]].asScala.toSeq
+          .map(_.asScala.map(_.toString.toDouble).toArray)
+      val cents = mat(meta.get("centroids"))
+      val cbs = meta.get("codebooks").asInstanceOf[java.util.List[Object]]
+        .asScala.toSeq.map(mat)
+      val stored = spark.read.parquet(dir)
+        .filter(col("vec_id") >= 2000L && col("vec_id") < 1000000L)
+        .select(col("vec_id"), col("__c"), col("__code")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getSeq[Byte](2).toSeq))).toMap
+      val vecs = rows(extra).map(r =>
+        r.head.asInstanceOf[Long] ->
+          r(1).asInstanceOf[scala.collection.Seq[Float]].toSeq.map(_.toDouble))
+      assert(vecs.nonEmpty && stored.size == vecs.size)
+      def argmin(ds: Seq[Double]): Int = ds.indexOf(ds.min)
+      val dsub = q.size / 8
+      vecs.foreach { case (vid, v) =>
+        val c = argmin(cents.toSeq.map(ct =>
+          ct.toSeq.lazyZip(v).map((a, b) => (a - b) * (a - b)).sum))
+        val res = v.lazyZip(cents(c).toSeq).map(_ - _)
+        val codes = (0 until 8).map { j =>
+          val sub = res.slice(j * dsub, (j + 1) * dsub)
+          (argmin(cbs(j).toSeq.map(code =>
+            sub.lazyZip(code.toSeq).map((x, cc) => (x - cc) * (x - cc)).sum))
+            - 128).toByte
+        }
+        assert(stored(vid) == ((c, codes)),
+          s"vec $vid stored ${stored(vid)}, exact ($c, $codes)")
+      }
+      // dimension mismatch fails loudly
+      intercept[IllegalArgumentException] {
+        val bad = spark.createDataFrame(Seq(
+          org.apache.spark.sql.Row(9L, Seq(1f, 2f))).asJava, emb.schema)
+        Similarity.appendToIndex(bad, "embedding", "vec_id", dir)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("IVF-PQ retrain trigger: skewed append reclusters, rerank recall recovers") {
+    // same drift shape as the IVF retrain test: trained mass on axes
+    // e0/e1, appended mass on e2 tilting alternately toward e0 or e1 —
+    // frozen coarse centroids split the new cluster by tilt parity, so
+    // an nprobe=1 probe sees only half of it; the append exceeds
+    // retrainAt x trained mass, the index rebuilds from its stored
+    // __v vectors, and the new cluster gets its own cell
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def vdf(rows: Seq[(Long, Seq[Float])]) = s.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    val trained = vdf(
+      (0 until 100).map(i => (i.toLong, Seq(1f, 0.001f * i, 0f, 0f))) ++
+      (0 until 100).map(i => (1000L + i, Seq(0.001f * i, 1f, 0f, 0f))))
+    val batch = vdf((0 until 150).map { i =>
+      val tilt = 0.35f
+      (3000L + i, if (i % 2 == 0) Seq(tilt, 0f, 1f, 0f)
+                  else Seq(0f, tilt, 1f, 0f))
+    })
+    val qc = Seq(0f, 0f, 1f, 0f)
+    // both batch parities tie exactly on cosine to qc (dot 1.0, equal
+    // norms), so brute-force top-10 is the 10 lowest batch ids — 5 of
+    // each parity
+    val brute = rows(Similarity.bruteForceTopK(trained.unionByName(batch),
+      "embedding", "vec_id", qc, 10)).map(_.head.asInstanceOf[Long]).toSet
+    assert(brute == (0 until 10).map(3000L + _).toSet, brute)
+    // recall through the two-stage path: nprobe=1 candidates, exact
+    // rerank over the probed cell's stored vectors (kCoarse covers the
+    // whole cell, so the rerank is exact within the probed cell)
+    def recall(dir: String): Double = {
+      val got = rows(Similarity.ivfPqRerank(s, dir, "embedding", "vec_id",
+        qc, 10, kCoarse = 300, nprobe = 1)).map(_.head.asInstanceOf[Long]).toSet
+      got.intersect(brute).size / 10.0
+    }
+    val frozen = java.nio.file.Files.createTempDirectory("pqfroz").toString
+    val auto = java.nio.file.Files.createTempDirectory("pqauto").toString
+    try {
+      for (d <- Seq(frozen, auto))
+        Similarity.buildIvfPqIndex(trained, "embedding", "vec_id", d,
+          dims = 4, nlist = 3, m = 2, codeK = 8)
+      Similarity.appendToIvfPqIndex(batch, "embedding", "vec_id", frozen,
+        retrainAt = Double.MaxValue)
+      // 150 appended > 0.5 x 200 trained -> auto-retrains inside append
+      Similarity.appendToIvfPqIndex(batch, "embedding", "vec_id", auto)
+      val (rFrozen, rAuto) = (recall(frozen), recall(auto))
+      // frozen: the probed cell holds exactly one tilt parity -> 0.5
+      assert(rFrozen == 0.5, s"frozen nprobe=1 rerank recall $rFrozen != 0.5")
+      assert(rAuto == 1.0, s"retrained nprobe=1 rerank recall $rAuto != 1.0")
+      // retrain resets the drift baseline: full mass trained, no appends
+      val meta = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(auto, "_graft_index_meta.json")), "UTF-8"))
+      assert(meta.get("trainedCount").toString.toLong == 350L)
+      assert(meta.get("appendedCounts")
+        .asInstanceOf[java.util.List[Object]].asScala
+        .forall(_.toString.toLong == 0L))
+      val fm = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(frozen, "_graft_index_meta.json")), "UTF-8"))
+      assert(fm.get("appendedCounts")
+        .asInstanceOf[java.util.List[Object]].asScala
+        .map(_.toString.toLong).sum == 150L)
+    } finally for (d <- Seq(frozen, auto))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("IVF-PQ rerank: exact cosine over ADC candidates, probes never read __v") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val planted = spark.createDataFrame((0 until 10).map(i =>
+      org.apache.spark.sql.Row(1000000L + i, q.map(_ * 1.001f))).asJava,
+      emb.schema)
+    val pool = emb.filter(col("vec_id") =!= 0).unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("pqrr").toString
+    try {
+      Similarity.buildIvfPqIndex(pool, "embedding", "vec_id", dir, q.size,
+        nlist = 16, m = 8)
+      val rr = Similarity.ivfPqRerank(spark, dir, "embedding", "vec_id",
+        q, 10, kCoarse = 50, nprobe = 4)
+      // the 10 planted exact-direction copies dominate the exact
+      // ranking; sim is TRUE cosine (~1.0), not the ADC approximation
+      val got = rows(rr)
+      assert(got.map(_.head).toSet ==
+        (0 until 10).map(1000000L + _).toSet, got)
+      assert(got.forall(_(1).asInstanceOf[Double] > 0.999), got)
+      // the approximate probe projects only id/codes/cell: __v must be
+      // pruned from the ivfPqTopK scan (the in-RAM ADC story)
+      val probePlan = Similarity.ivfPqTopK(spark, dir, "vec_id", q, 10)
+        .queryExecution.executedPlan.toString
+      assert(!probePlan.contains("__v"), probePlan)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
   test("recallAtK: full probe = 1.0, starved probe = exact deficit, kind dispatch") {
