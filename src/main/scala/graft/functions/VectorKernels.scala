@@ -40,6 +40,19 @@ object VectorKernels {
     Bridge.column(CosineSim(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  /** [[cosine]] against an `array<tinyint>` right side read IN PLACE —
+    * the int8-ADC probe kernel: no cast, no dequantize multiply, no
+    * per-row array allocation; the loop reads raw bytes out of the
+    * Tungsten array. Correct as a *cosine* because cosine is invariant
+    * under the quantizer's per-vector positive scale (`cos(q, s·b) =
+    * cos(q, b)` for `s > 0` — [[graft.ops.Similarity.quantizeInt8]]'s
+    * scale is `max|x|/127 > 0` whenever the vector is nonzero, and
+    * zero vectors return null either way). */
+  def cosineI8(a: Column, b: Column): Column =
+    Bridge.column(CosineSimI8(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b)))
 }
 
 case class DotProduct(left: Expression, right: Expression)
@@ -152,5 +165,70 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[CosineSim]] with an `array<tinyint>` right operand read in place
+  * (`getByte`, widened in-register) — the quantized-index probe
+  * kernel. Same null / length-mismatch / zero-norm contract and the
+  * same accumulate-then-divide order as [[CosineSim]]. */
+case class CosineSimI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // left is guaranteed array<double>, right array<tinyint> by the
+  // VectorKernels wrapper; direct construction must honor that
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_cosine_i8"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getByte(i).toDouble
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    val nm = math.sqrt(daa) * math.sqrt(dbb)
+    if (nm == 0.0) null else dab / nm
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dab = ctx.freshName("dab")
+      val daa = ctx.freshName("daa")
+      val dbb = ctx.freshName("dbb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val nm = ctx.freshName("nm")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dab = 0.0; double $daa = 0.0; double $dbb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $x = $a.getDouble($i);
+         |    final double $y = (double) $b.getByte($i);
+         |    $dab += $x * $y; $daa += $x * $x; $dbb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $nm = Math.sqrt($daa) * Math.sqrt($dbb);
+         |    if ($nm == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dab / $nm; }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimI8 =
     copy(left = newLeft, right = newRight)
 }

@@ -619,11 +619,20 @@ object Similarity {
     val idx =
       if (dirs.isEmpty) spark.read.parquet(path).filter(lit(false))
       else spark.read.parquet(dirs.toSeq: _*)
-    val lists =
-      if (meta.get("quantized").exists(_.toString.toBoolean))
-        idx.select(col(idCol), dequantizeInt8(col("__qv")).as(vecCol))
-      else idx.select(col(idCol), col(vecCol))
-    bruteForceTopK(lists, vecCol, idCol, query, k)
+    if (meta.get("quantized").exists(_.toString.toBoolean)) {
+      // int8 direct scoring ([[graft.functions.VectorKernels.cosineI8]]):
+      // cosine is invariant under the quantizer's per-vector positive
+      // scale, so the probe ranks against the raw tinyint codes in
+      // place — no dequantize multiply, no cast, no per-row array
+      // allocation in the hot loop (the probe's inner kernel at scale)
+      val q = array(query.map(v => lit(v.toDouble)): _*)
+      Par.spread(idx).select(col(idCol),
+          graft.functions.VectorKernels.cosineI8(q,
+            col("__qv").getField("q")).as("sim"))
+        .orderBy(col("sim").desc, col(idCol)).limit(k)
+    } else
+      bruteForceTopK(idx.select(col(idCol), col(vecCol)), vecCol, idCol,
+        query, k)
   }
 
   private val vecCrossBandedSlot = Dedup.newSlot()

@@ -1623,4 +1623,34 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!planStr.contains("zip_with"), planStr)
   }
+
+  test("cosineI8 kernel: in-place byte scoring == cast-and-score, scale-invariant") {
+    import graft.functions.VectorKernels
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 40).map { _ =>
+      (Seq.fill(16)(rnd.nextDouble() * 2 - 1),
+       Seq.fill(16)((rnd.nextInt(255) - 127).toByte))
+    } :+ ((Seq.fill(4)(1.0), Seq.fill(4)(0.toByte)))   // zero-norm bytes
+    val df = s.createDataFrame(data).toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<tinyint>").as("b"))
+    val cmp = df.select(
+      VectorKernels.cosineI8(col("a"), col("b")).as("i8"),
+      VectorKernels.cosine(col("a"), col("b").cast("array<double>")).as("dd"),
+      // the quantized-probe claim: scoring raw codes matches scoring
+      // the dequantized vector (positive per-vector scale cancels)
+      VectorKernels.cosine(col("a"),
+        transform(col("b"), x => x.cast("double") * lit(0.0371))).as("dq"))
+    rows(cmp).foreach { r =>
+      assert(r(0) == r(1), s"i8 ${r(0)} != cast ${r(1)}")
+      (r(0), r(2)) match {
+        case (a: Double, b: Double) => assert(math.abs(a - b) < 1e-12, r)
+        case (a, b) => assert(a == b, r) // zero-norm -> null on both
+      }
+    }
+    // length mismatch -> null
+    val mm = s.sql("SELECT array(1.0d, 2.0d) a, cast(array(3) as array<tinyint>) b")
+    assert(rows(mm.select(VectorKernels.cosineI8(col("a"), col("b"))))
+      == Seq(Seq(null)))
+  }
 }
