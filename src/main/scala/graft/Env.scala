@@ -68,6 +68,40 @@ final class Env(
     * readers never observe a partial multi-table commit). */
   def transaction[A](body: => A): A = warehouse.transaction(body)
 
+  /** Snapshot diff: the key-level change audit of a managed table
+    * between two retained snapshots ([[graft.ops.Diff.diff]] over
+    * [[graft.store.Warehouse.readSnapshot]], keyed on the table's
+    * declared key). `to` defaults to the newest retained snapshot,
+    * `from` to the one just before `to` — the natural "what did the
+    * last write change" call. `summary = true` rolls the verdicts up
+    * to per-kind counts (the release gate). A storage-level audit
+    * surface like introspection: it reads snapshot directories
+    * directly, so view ACL read filters do NOT apply; bucketed tables
+    * refuse loudly (snapshot dirs are per-bucket deltas, not full
+    * states — readSnapshot's guard). */
+  def diffSnapshots(table: String, from: Option[String] = None,
+      to: Option[String] = None, summary: Boolean = false): DataFrame = {
+    require(registry(table).buckets == 0,
+      s"Table '$table' is bucketed; snapshots are per-bucket deltas, not " +
+        "full states, so there is nothing to diff")
+    val snaps = warehouse.snapshots(table)
+    val toSnap = to.getOrElse {
+      require(snaps.nonEmpty, s"No retained snapshots for '$table'")
+      snaps.last
+    }
+    val fromSnap = from.getOrElse {
+      val older = snaps.takeWhile(_ != toSnap)
+      require(older.nonEmpty, s"'$table' has no retained snapshot before " +
+        s"'$toSnap' — pass an explicit from=")
+      older.last
+    }
+    val keys = registry(table).key
+    val b = warehouse.readSnapshot(table, fromSnap)
+    val a = warehouse.readSnapshot(table, toSnap)
+    if (summary) graft.ops.Diff.diffSummary(b, a, keys)
+    else graft.ops.Diff.diff(b, a, keys)
+  }
+
   /** One-record fetch by filter, as a name->value map
     * (tanker/view.py:714-721). */
   def fetch(table: String, filterBy: String, args: Seq[Any] = Nil): Option[Map[String, Any]] = {

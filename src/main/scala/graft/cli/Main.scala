@@ -14,6 +14,7 @@ import graft.view.{Filter, FilterExpr, Order}
   *   graft.cli.Main <action> [table [fields...]] [options]
   *     action: info | read | write | delete | init | serve | version
   *             | export | import  (JSONL/CSV shard dirs, --format/--shards)
+  *             | snapshots | diff (--from/--to snapshot names, --summary)
   *     --config <file>     .tk.yaml-style config: {schema: path, warehouse: path}
   *     -F/--filter <expr>  repeatable s-expression filter
   *     -s/--sort  <col[:DESC]> repeatable sort
@@ -36,7 +37,8 @@ object Main {
       purge: Boolean = false, asciiTable: Boolean = false,
       vbar: Boolean = false, tic: String = "•",
       hideHeaders: Boolean = false, yaml: Boolean = false,
-      port: Int = 0, format: String = "jsonl", shards: Int = 0)
+      port: Int = 0, format: String = "jsonl", shards: Int = 0,
+      from: String = "", to: String = "", summary: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -59,6 +61,9 @@ object Main {
         case "--port" => o = o.copy(port = argv(i + 1).toInt); i += 2
         case "--format" => o = o.copy(format = argv(i + 1)); i += 2
         case "--shards" => o = o.copy(shards = argv(i + 1).toInt); i += 2
+        case "--from" => o = o.copy(from = argv(i + 1)); i += 2
+        case "--to" => o = o.copy(to = argv(i + 1)); i += 2
+        case "--summary" => o = o.copy(summary = true); i += 1
         case a if o.action.isEmpty => o = o.copy(action = a); i += 1
         case a => pos = pos :+ a; i += 1
       }
@@ -160,6 +165,20 @@ object Main {
         else graft.sources.Corpus.importJsonl(env.spark, dir)
       val res = env.view(o.table, df.columns.toSeq).write(df, purge = o.purge)
       out.write(s"imported $dir into ${o.table}\n")
+
+    // extension: snapshot diff — what changed in a table between two
+    // retained snapshots (Env.diffSnapshots; defaults to the last two,
+    // i.e. "what did the most recent write change"). `snapshots` lists
+    // the retained names to pass as --from/--to.
+    case "diff" =>
+      val d = env.diffSnapshots(o.table,
+        Option(o.from).filter(_.nonEmpty), Option(o.to).filter(_.nonEmpty),
+        summary = o.summary)
+      emit(d.orderBy(d.columns.map(
+        org.apache.spark.sql.functions.col).toIndexedSeq: _*), o, out)
+
+    case "snapshots" =>
+      env.warehouse.snapshots(o.table).foreach(sn => out.write(sn + "\n"))
 
     case "serve" => // blocks; contrib/bottle.py analogue over HTTP
       val srv = new graft.web.Server(env, o.port)

@@ -36,6 +36,14 @@ import graft.view.{Json, Order}
   *   POST /_txn             {"actions": [...]}   // atomic batch, see txn
   * }}}
   *
+  * Audit side (storage-level, see [[graft.Env.diffSnapshots]]):
+  *
+  * {{{
+  *   GET /_snapshots/<table>          → {"snapshots": ["snap-1", ...]}
+  *   GET /_diff/<table>?from=&to=&summary=true&limit=n
+  *   → {"columns": [keys..., "change"], "rows": [[...], ...]}
+  * }}}
+  *
   * ACL read/write filters configured on the env bind HTTP clients
   * exactly as library callers.
   */
@@ -79,7 +87,8 @@ final class Server(env: Env, port: Int = 0) {
 
   private def handleTable(ex: HttpExchange, path: String): (Int, String) = {
         val mutation = path.startsWith("_write/") || path.startsWith("_delete/")
-        val prefixed = mutation || path.startsWith("_profile/")
+        val prefixed = mutation || path.startsWith("_profile/") ||
+          path.startsWith("_diff/") || path.startsWith("_snapshots/")
         val table = if (prefixed) path.substring(path.indexOf('/') + 1) else path
         if (ex.getRequestMethod != (if (mutation) "POST" else "GET"))
           (405, Json.write(Map("error" ->
@@ -91,6 +100,11 @@ final class Server(env: Env, port: Int = 0) {
           (200, delete(table, params(ex.getRequestURI.getRawQuery)))
         else if (path.startsWith("_profile/"))
           (200, profile(table, params(ex.getRequestURI.getRawQuery)))
+        else if (path.startsWith("_diff/"))
+          (200, diff(table, params(ex.getRequestURI.getRawQuery)))
+        else if (path.startsWith("_snapshots/"))
+          (200, Json.write(Map(
+            "snapshots" -> env.warehouse.snapshots(table))))
         else (200, read(table, params(ex.getRequestURI.getRawQuery)))
   }
 
@@ -122,6 +136,29 @@ final class Server(env: Env, port: Int = 0) {
     }
     val rows = df.collect().toSeq.map(_.toSeq.map(cell))
     Json.write(Map("columns" -> cols, "rows" -> rows))
+  }
+
+  /** `GET /_diff/<table>?from=<snap>&to=<snap>&summary=true&limit=n` —
+    * snapshot change audit ([[graft.Env.diffSnapshots]]; from/to
+    * default to the two most recent retained snapshots, names via
+    * `GET /_snapshots/<table>`). Rows are key-ordered and capped by
+    * `limit` (default 1000) like `read`; `summary=true` returns the
+    * per-kind counts instead. Storage-level surface: view ACL read
+    * filters do not apply; bucketed tables refuse (400). */
+  private def diff(table: String, ps: Seq[(String, String)]): String = {
+    val get = ps.toMap
+    val df = env.diffSnapshots(table, get.get("from"), get.get("to"),
+      summary = get.get("summary").exists(_.toBoolean))
+    val ordered = df.orderBy(df.columns.toIndexedSeq.map(
+      org.apache.spark.sql.functions.col): _*)
+      .limit(get.get("limit").map(_.toInt).getOrElse(1000))
+    Json.write(Map("columns" -> ordered.columns.toSeq,
+      "rows" -> ordered.collect().toSeq.map(_.toSeq.map(v =>
+        if (v == null) null else v match {
+          case n: Number => n
+          case b: Boolean => b
+          case other => String.valueOf(other)
+        }))))
   }
 
   /** `GET /_profile/<table>?fields=a,b&filter=<s-expr>` — per-column

@@ -85,6 +85,58 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff: last-two default, explicit --from/--to, summary, bucketed refusal") {
+    val (conf, dir) = cfg()
+    run(conf, "init")
+    val csv = java.nio.file.Paths.get(dir, "m1.csv")
+    Files.writeString(csv, "registration_code,name\nA,X\nB,Y\n")
+    run(conf, "write", "member", "-f", csv.toString)
+    val csv2 = java.nio.file.Paths.get(dir, "m2.csv")
+    Files.writeString(csv2, "registration_code,name\nA,X2\nC,Z\n")
+    run(conf, "write", "member", "-f", csv2.toString)
+    // default = the two most recent retained snapshots: "what did the
+    // last write change" — A's payload changed, C appeared, B untouched
+    val got = run(conf, "diff", "member")
+    assert(got == "registration_code,change\nA,changed\nC,added\n", got)
+    val sum = run(conf, "diff", "member", "--summary")
+    assert(sum == "change,n\nadded,1\nchanged,1\n", sum)
+    // snapshots lists the retained names; explicit --from/--to agrees
+    val snaps = run(conf, "snapshots", "member").split("\n").toSeq
+    assert(snaps.size >= 2, snaps)
+    val explicit = run(conf, "diff", "member",
+      "--from", snaps(snaps.size - 2), "--to", snaps.last)
+    assert(explicit == got, explicit)
+    // an unknown snapshot name fails loudly
+    intercept[IllegalArgumentException] {
+      run(conf, "diff", "member", "--from", "snap-999999")
+    }
+    // bucketed tables refuse: their snapshot dirs are per-bucket
+    // deltas, not full table states
+    val bdir = Files.createTempDirectory("graft-cli-bdiff-")
+    val bschema = bdir.resolve("schema.yaml")
+    Files.writeString(bschema,
+      """- table: kv
+        |  columns:
+        |    k: varchar
+        |    v: bigint
+        |  key: [k]
+        |  buckets: 4
+        |""".stripMargin)
+    val bconf = bdir.resolve("tk.yaml")
+    Files.writeString(bconf,
+      s"schema: $bschema\nwarehouse: ${bdir.resolve("wh")}\n")
+    run(bconf.toString, "init")
+    val kcsv = bdir.resolve("kv.csv")
+    Files.writeString(kcsv, "k,v\na,1\n")
+    run(bconf.toString, "write", "kv", "-f", kcsv.toString)
+    Files.writeString(kcsv, "k,v\na,2\n")
+    run(bconf.toString, "write", "kv", "-f", kcsv.toString)
+    val err = intercept[IllegalArgumentException] {
+      run(bconf.toString, "diff", "kv")
+    }
+    assert(err.getMessage.contains("bucketed"), err.getMessage)
+  }
+
   test("profile action renders a per-column data card") {
     val (conf, dir) = cfg()
     run(conf, "init")

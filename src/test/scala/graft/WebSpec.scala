@@ -177,6 +177,45 @@ class WebSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("diff and snapshots endpoints: change audit between retained snapshots") {
+    val env = freshEnv(seedTeams = false)
+    env.view("member", Seq("registration_code", "name")).write(Seq(
+      Seq("A", "X"), Seq("B", "Y")))
+    env.view("member", Seq("registration_code", "name")).write(Seq(
+      Seq("A", "X2"), Seq("C", "Z")))
+    val srv = new graft.web.Server(env)
+    val port = srv.start()
+    try {
+      val (sc, sb) = get(port, "/_snapshots/member")
+      assert(sc == 200, sb)
+      val snaps = parse(sb)("snapshots")
+        .asInstanceOf[java.util.List[_]].asScala.map(_.toString)
+      assert(snaps.size >= 2, snaps)
+      // default: the two most recent retained snapshots
+      val (dc, db) = get(port, "/_diff/member")
+      assert(dc == 200, db)
+      val dm = parse(db)
+      assert(dm("columns").asInstanceOf[java.util.List[_]].asScala
+        == Seq("registration_code", "change"), dm)
+      val rows = dm("rows").asInstanceOf[java.util.List[java.util.List[_]]]
+        .asScala.map(_.asScala.toSeq)
+      assert(rows == Seq(Seq("A", "changed"), Seq("C", "added")), rows)
+      // explicit from/to agree with the default resolution
+      val (_, eb) = get(port,
+        s"/_diff/member?from=${snaps(snaps.size - 2)}&to=${snaps.last}")
+      assert(parse(eb)("rows").toString == dm("rows").toString, eb)
+      // summary rollup
+      val (_, sumB) = get(port, "/_diff/member?summary=true")
+      val sumRows = parse(sumB)("rows")
+        .asInstanceOf[java.util.List[java.util.List[_]]].asScala
+        .map(_.asScala.toSeq)
+      assert(sumRows == Seq(Seq("added", 1), Seq("changed", 1)), sumRows)
+      // unknown snapshot name -> loud 400, unknown table -> 404
+      assert(get(port, "/_diff/member?from=snap-999999")._1 == 400)
+      assert(get(port, "/_diff/nosuch")._1 == 404)
+    } finally srv.stop()
+  }
+
   test("error paths: unknown table 404, bad expression 400") {
     val env = freshEnv()
     val srv = new graft.web.Server(env)
