@@ -631,6 +631,22 @@ object SparkEntry {
     // index build → batch dedup-against-index, proving the ops
     // compose (each is also oracle-verified alone). The oracle
     // replicates the exact double arithmetic of every stage.
+    // LLM-pipeline: the FUSED text-curation pipeline (ops/Pipeline) —
+    // fingerprint exact dedup → minhash near-dedup → quality floor →
+    // deterministic hash downsample, executed stage-by-stage with
+    // scratch-dir spill between stages (each stage runs over the
+    // previous stage's materialized survivors, per-stage audit
+    // counts). Oracle composes the already-verified per-stage SQL in
+    // one CTE chain.
+    "pipeline_full" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val scratch = scratchDir("pipe-" + Integer.toHexString(dir.hashCode))
+      val stages = graft.ops.Pipeline.curateDocuments(
+        minQuality = 0.5, sampleFraction = 0.5)
+      graft.ops.Pipeline.run(docs, stages, scratch)._1
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "embed_pipeline" -> ((s, dir) => {
       val e = env(s, dir)
       val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
@@ -1537,6 +1553,56 @@ object SparkEntry {
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT idB FROM p WHERE jaccard >= 0.2)""".stripMargin,
+    // the fused pipeline's oracle is the COMPOSITION of its stages'
+    // already-verified SQL: fingerprint dedup -> true-jaccard near
+    // dedup (same LSH-recall argument as dedup_minhash_*) -> the
+    // text_quality score (4dp round like the op) -> the sample_hash
+    // band at fraction 0.5
+    "pipeline_full" ->
+      """WITH fp AS (
+        |  SELECT doc_id, text FROM documents
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    ORDER BY doc_id) = 1),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM fp)),
+        |p AS (
+        |  SELECT b.doc_id AS idB,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |nd AS (
+        |  SELECT doc_id, text FROM fp
+        |  WHERE doc_id NOT IN (SELECT idB FROM p WHERE jaccard >= 0.2)),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks,
+        |    len(text) AS nchar
+        |  FROM nd),
+        |m AS (
+        |  SELECT doc_id, ntok,
+        |    CASE WHEN nchar = 0 THEN 0.0
+        |         ELSE CAST(nchar - len(regexp_replace(text, '[\p{P}\p{S}]', '', 'g')) AS DOUBLE) / nchar END AS punct,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be'], t))) AS DOUBLE) / len(ltoks) END AS stop,
+        |    CASE WHEN ntok = 0 THEN NULL
+        |         ELSE CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / ntok END AS avgtok
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, round(
+        |    (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0 WHEN ntok = 0 THEN 0.0 ELSE 0.5 END) * 0.3 +
+        |    (1.0 - least(punct * 4, 1.0)) * 0.3 +
+        |    (least(stop * 5, 1.0)) * 0.2 +
+        |    (CASE WHEN coalesce(avgtok, 0.0) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |  , 4) AS quality FROM m)
+        |SELECT doc_id FROM q
+        |WHERE quality >= 0.5
+        |  AND (doc_id % 2147483648) * 2654435761 % 4294967296 < 2147483648
+        |ORDER BY doc_id""".stripMargin,
     // exact op, exact oracle: same brute-force self-join, no LSH caveat
     "dedup_jaccard_pairs" ->
       """WITH g AS (

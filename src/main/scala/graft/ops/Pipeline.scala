@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Fused corpus-curation pipeline: named stages chained over ONE
+  * input with scratch-dir SPILL between them.
+  *
+  * The individual curation ops ([[Dedup]], [[Text]], [[Sample]],
+  * [[Similarity]]) each take and return a DataFrame, so they compose
+  * lazily — but a lazily-composed chain of dedup miners is a plan
+  * whose every downstream action replays every upstream miner (several
+  * of them are multi-job plans with their own internal caching), and a
+  * failure anywhere restarts from the source scan. [[run]] executes
+  * the chain stage by stage, writing each stage's survivors to a
+  * scratch parquet directory and starting the next stage from that
+  * materialized, short-lineage frame:
+  *
+  *  - each stage runs over a plain scan, never a replay of the chain;
+  *  - the per-stage survivor counts come back as a [[StageReport]]
+  *    audit (the "how much did each filter remove" release table every
+  *    curation run is judged by);
+  *  - scratch is bounded to two stages' footprint — the previous spill
+  *    is deleted once the next lands (`keepSpills = true` retains all
+  *    of them for stage-by-stage debugging / restart);
+  *  - the returned frame is a lazy read of the LAST spill, ready for
+  *    [[Sample.writeShards]] or [[graft.sources.Corpus.exportJsonl]].
+  *
+  * At 100 TB the spill is the safety trade: one extra sequential
+  * write+read per stage (columnar, so narrow projections stay cheap)
+  * buys restartability and removes the multiplicative replay risk.
+  * Callers wanting pure lazy composition can still chain the ops
+  * directly — this module is the orchestration, not the operators.
+  */
+object Pipeline {
+
+  /** One named transformation; `f` must be a pure DataFrame
+    * transformation (it runs exactly once, against the previous
+    * stage's spill). */
+  final case class Stage(name: String, f: DataFrame => DataFrame)
+
+  /** Per-stage audit row: survivors after the stage and wall-clock
+    * seconds (transformation + spill + count). */
+  final case class StageReport(stage: String, rowsOut: Long, seconds: Double)
+
+  /** Run `stages` over `input`, spilling between stages under
+    * `scratch`. Returns the final survivors (lazy over the last spill
+    * — materialize or export before deleting `scratch`) and the
+    * per-stage audit. */
+  def run(input: DataFrame, stages: Seq[Stage], scratch: String,
+      keepSpills: Boolean = false): (DataFrame, Seq[StageReport]) = {
+    require(stages.nonEmpty, "pipeline needs at least one stage")
+    val spark = input.sparkSession
+    val fs = new Path(scratch)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var cur = input
+    var prevSpill: Option[Path] = None
+    val reports = Seq.newBuilder[StageReport]
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val t0 = System.nanoTime()
+      val dir = new Path(scratch, f"stage-$i%02d-${st.name}")
+      st.f(cur).write.mode("overwrite").parquet(dir.toString)
+      val spilled = spark.read.parquet(dir.toString)
+      // footer-count over the spill just written: cheap, and it IS the
+      // audit number (count of the materialized survivors, not of a
+      // replayed plan)
+      reports += StageReport(st.name, spilled.count(),
+        (System.nanoTime() - t0) / 1e9)
+      if (!keepSpills) prevSpill.foreach(p => fs.delete(p, true))
+      prevSpill = Some(dir)
+      cur = spilled
+    }
+    (cur, reports.result())
+  }
+
+  /** The canonical text-curation recipe, as a stage list for [[run]]:
+    * URL-canonical dedup (optional) → content-fingerprint exact dedup
+    * → MinHash near-dedup → quality floor (optional) → benchmark
+    * decontamination (optional, drops any doc sharing a 13-gram with
+    * the eval suite) → deterministic hash downsample (optional). The
+    * stages mirror the published curation pipelines (C4 / RefinedWeb /
+    * FineWeb shape): cheap exact passes first so the expensive miners
+    * see an already-shrunk corpus. */
+  def curateDocuments(idCol: String = "doc_id", textCol: String = "text",
+      urlCol: Option[String] = None, nearThreshold: Double = 0.2,
+      minQuality: Double = 0.0, bench: Option[DataFrame] = None,
+      benchTextCol: String = "text", contamGram: Int = 13,
+      sampleFraction: Double = 1.0): Seq[Stage] = {
+    val b = Seq.newBuilder[Stage]
+    urlCol.foreach { u =>
+      b += Stage("url_dedup", df =>
+        Dedup.exact(df.withColumn("__url", Text.normalizeUrl(col(u))),
+          Seq("__url"), idCol).drop("__url"))
+    }
+    b += Stage("exact_dedup", df => Dedup.byFingerprint(df, textCol, idCol))
+    b += Stage("near_dedup", df =>
+      Dedup.minhashDedup(df, idCol, textCol, threshold = nearThreshold))
+    if (minQuality > 0)
+      b += Stage("quality", df =>
+        df.filter(Text.qualityScore(col(textCol)) >= minQuality))
+    bench.foreach { bd =>
+      b += Stage("decontaminate", df =>
+        df.join(Text.decontaminate(df, idCol, textCol, bd, benchTextCol,
+            contamGram).select(col(idCol)),
+          Seq(idCol), "left_anti"))
+    }
+    if (sampleFraction < 1.0)
+      b += Stage("sample", df => Sample.byHash(df, idCol, sampleFraction))
+    b.result()
+  }
+}

@@ -559,4 +559,65 @@ class PipelineOpsSpec extends SparkSpec {
     val t = rows(Profile.topValues(df, "v", 3))
     assert(t == Seq(Seq("a", 3L), Seq("b", 3L), Seq("c", 2L)), t.toString)
   }
+
+  // -------------------------------------------------- fused pipeline
+
+  test("Pipeline.run: corpus in, curated JSONL shards out, bounded scratch") {
+    import graft.ops.Pipeline
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "text")).read()
+    // bench frame sharing 13-grams with some docs: real contamination
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("text").as("bench_text"))
+    val scratch = java.nio.file.Files.createTempDirectory("pipe").toString
+    val outDir = java.nio.file.Files.createTempDirectory("pipeout").toString + "/shards"
+    try {
+      val stages = Pipeline.curateDocuments(minQuality = 0.5,
+        bench = Some(bench), benchTextCol = "bench_text",
+        sampleFraction = 0.5)
+      assert(stages.map(_.name) == Seq("exact_dedup", "near_dedup",
+        "quality", "decontaminate", "sample"), stages.map(_.name))
+      val (out, reports) = Pipeline.run(docs, stages, scratch)
+      // the audit: one report per stage, monotone survivor counts,
+      // real shrink end to end (dedup, decontamination and the 0.5
+      // sample each bite on this corpus; the quality floor may not)
+      assert(reports.map(_.stage) == stages.map(_.name))
+      val counts = reports.map(_.rowsOut)
+      assert(counts == counts.sorted.reverse, counts)
+      assert(counts.last < counts.head / 2, counts)
+      assert(reports.forall(_.seconds > 0))
+      // equivalence: the same ops composed lazily produce the same set
+      val expected = {
+        val a = Dedup.byFingerprint(docs, "text", "doc_id")
+        val b = Dedup.minhashDedup(a, "doc_id", "text", threshold = 0.2)
+        val c = b.filter(Text.qualityScore(col("text")) >= 0.5)
+        val d = c.join(Text.decontaminate(c, "doc_id", "text", bench,
+          "bench_text").select("doc_id"), Seq("doc_id"), "left_anti")
+        Sample.byHash(d, "doc_id", 0.5)
+      }
+      assert(rows(out.select("doc_id").orderBy("doc_id")) ==
+        rows(expected.select("doc_id").orderBy("doc_id")))
+      // bounded scratch: only the LAST stage's spill remains
+      val spills = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("stage-")).map(_.getName).toSeq
+      assert(spills == Seq("stage-04-sample"), spills)
+      // shards out: the survivors export as sidecar-typed JSONL and
+      // round-trip (corpus-in -> shards-out, the hand-off artifact)
+      graft.sources.Corpus.exportJsonl(out, outDir, shards = 3)
+      val back = graft.sources.Corpus.importJsonl(spark, outDir)
+      assert(rows(back.select("doc_id").orderBy("doc_id")) ==
+        rows(out.select("doc_id").orderBy("doc_id")))
+      // keepSpills retains every stage for debugging/restart
+      val scratch2 = java.nio.file.Files.createTempDirectory("pipe2").toString
+      Pipeline.run(docs, stages.take(2), scratch2, keepSpills = true)
+      val kept = new java.io.File(scratch2).listFiles()
+        .filter(_.getName.startsWith("stage-")).map(_.getName).toSeq.sorted
+      assert(kept == Seq("stage-00-exact_dedup", "stage-01-near_dedup"), kept)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch2))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(outDir).getParentFile)
+    }
+  }
 }
