@@ -49,6 +49,13 @@ object Bench {
     // absorbs first-run JIT/plan-compilation warmup.
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query best-of-reps, alongside the reported median: a high
+    // median/min ratio is the in-run interference fingerprint (GC or
+    // block-manager pressure from NEIGHBORING queries landing inside a
+    // timed section — r9/r10 saw 2.7-4.9x drift between driver capture
+    // and isolated reruns). Carried in BENCH_FULL so the drift shows
+    // up in the artifact itself instead of needing a manual rerun.
+    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if only.forall(_.contains(name))) {
       val runs = Seq.fill(repeats) {
@@ -56,6 +63,8 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
       }
+      mins(name) =
+        if (runs.forall(_ < 0)) -1.0 else runs.filter(_ >= 0).min
       // untimed, ONCE per query (not per repeat — a full GC on this
       // heap costs seconds, and the median already absorbs a stray GC
       // landing inside one of the repeats): drop any cache/persist
@@ -295,8 +304,22 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     val fullQs = mapJson(results.map { case (k, v) => k -> v.toString })
+    // drift sentinel: queries whose median is >2x their best rep ran
+    // slower than the same code can run in this very session — flag
+    // them in the artifact and on stderr (sub-0.2s queries skipped:
+    // scheduling noise dominates there, not interference)
+    val drift = results.collect {
+      case (k, med) if med > 0.2 && mins.get(k).exists(m => m > 0 && med / m > 2) =>
+        k -> BigDecimal(med / mins(k)).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    }
+    drift.foreach { case (k, r) =>
+      System.err.println(s"[bench] WARN in-run drift: $k median=${results(k)} " +
+        s"min=${mins(k)} ratio=$r")
+    }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_min":${
+        mapJson(mins.map { case (k, v) => k -> v.toString })},"drift":${
+        mapJson(drift)},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LATEST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       fullLine.getBytes("UTF-8"))

@@ -82,22 +82,50 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   private def rootFile = new Path(root, "_ROOT")
   private def rootLock: Object = Warehouse.lockFor(root)
 
+  /** Parsed root catalog memo, keyed by the `_ROOT` file's
+    * (modification time, length). Every table read resolves through
+    * [[readRoot]], so at thousands of tables × reads per plan the
+    * open + read + YAML parse is pure driver overhead; the memo turns
+    * the steady-state cost into ONE getFileStatus call. Same-process
+    * commits refresh it under the root lock (exact, no staleness
+    * window); a swap by a DIFFERENT process is caught by the status
+    * check — except two foreign swaps landing in one mtime tick with
+    * identical byte length, which falls under the documented
+    * "concurrent writers from separate driver processes need external
+    * coordination" contract above. */
+  @volatile private var rootMemo: Option[(Long, Long, Map[String, String])] = None
+
   /** table -> pointer content from the root catalog; empty when the
     * warehouse predates the catalog (readers then fall back to the
     * per-table mirrors, which ARE authoritative for a legacy layout). */
   private def readRoot(): Map[String, String] = {
     val f = rootFile
     val fsys = fs(f)
-    if (!fsys.exists(f)) Map()
-    else try {
-      val in = fsys.open(f)
-      val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8) finally in.close()
-      val m = new org.yaml.snakeyaml.Yaml()
-        .load[java.util.Map[String, Object]](text)
-      if (m == null) Map()
-      else m.asScala.map { case (k, v) => k -> v.toString }.toMap
-    } catch { case scala.util.control.NonFatal(_) => Map() }
+    val status =
+      try Some(fsys.getFileStatus(f))
+      catch { case _: java.io.FileNotFoundException => None }
+    status match {
+      case None => Map()
+      case Some(st) =>
+        rootMemo match {
+          case Some((mt, len, m))
+              if mt == st.getModificationTime && len == st.getLen => m
+          case _ =>
+            try {
+              val in = fsys.open(f)
+              val text = try new String(
+                org.apache.commons.io.IOUtils.toByteArray(in),
+                StandardCharsets.UTF_8) finally in.close()
+              val y = new org.yaml.snakeyaml.Yaml()
+                .load[java.util.Map[String, Object]](text)
+              val parsed =
+                if (y == null) Map[String, String]()
+                else y.asScala.map { case (k, v) => k -> v.toString }.toMap
+              rootMemo = Some((st.getModificationTime, st.getLen, parsed))
+              parsed
+            } catch { case scala.util.control.NonFatal(_) => Map() }
+        }
+    }
   }
 
   /** Install `entries` into the root catalog as ONE atomic swap, then
@@ -117,6 +145,12 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       if (fsys.exists(f)) fsys.delete(f, false)
       if (!fsys.rename(tmp, f))
         throw new java.io.IOException(s"Failed to swap $f")
+      // refresh the memo under the lock: same-process readers see the
+      // new catalog without re-parsing (and never a stale one)
+      try {
+        val st = fsys.getFileStatus(f)
+        rootMemo = Some((st.getModificationTime, st.getLen, merged))
+      } catch { case scala.util.control.NonFatal(_) => rootMemo = None }
       entries.foreach { case (t, content) => writeMirror(t, content) }
     }
 
