@@ -316,9 +316,12 @@ object Similarity {
       case Some("ivf") => appendToIvfIndex(df, vecCol, idCol, path, retrainAt)
       case Some("ivfpq") =>
         appendToIvfPqIndex(df, vecCol, idCol, path, retrainAt)
+      case Some("semantic") =>
+        appendToSemanticIndex(df, vecCol, idCol, path, retrainAt)
       case Some("lsh") | None => appendToLshIndex(df, vecCol, idCol, path)
       case Some(other) => throw new IllegalArgumentException(
-        s"$path is a $other index; appendToIndex supports lsh, ivf and ivfpq")
+        s"$path is a $other index; appendToIndex supports lsh, ivf, " +
+          "ivfpq and semantic")
     }
   }
 
@@ -384,12 +387,18 @@ object Similarity {
     val asg = assignToCentroids(df, vecCol, idCol, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // tally BEFORE the write: committing an append to `path` fires
+      // refreshByPath(path), which invalidates any cached plan whose
+      // lineage reads the index — exactly the dedupe-then-append loop,
+      // where the batch is the survivor frame of dedupAgainstIndex.
+      // Collected after the write, the tally would re-evaluate the
+      // batch against the already-grown index (self-collision -> zero)
+      val batch = asg.groupBy("__c").agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       asg.join(df.select(col(idCol), payload), col("__id") === col(idCol))
         .select(col(idCol), col(payloadName), col("__c"))
         .repartition(col("__c"))
         .write.mode("append").partitionBy("__c").parquet(path)
-      val batch = asg.groupBy("__c").agg(count(lit(1)).as("__n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val prev = appendedCountsOf(meta, cents.size)
       val appended = cents.indices.map(c => prev(c) + batch.getOrElse(c, 0L))
       val trained = meta.get("trainedCount").map(_.toString.toLong).getOrElse(0L)
@@ -1044,6 +1053,11 @@ object Similarity {
     val asg = assignToCentroids(df, vecCol, idCol, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // tally BEFORE the write (see appendToIvfIndex: the commit's
+      // refreshByPath would invalidate a batch whose lineage reads
+      // this index, and a post-write re-evaluation self-collides)
+      val batch = asg.groupBy("__c").agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       asg.join(df.select(col(idCol), col(vecCol)), col("__id") === col(idCol))
         .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
           element_at(centLit, col("__c") + 1), (x, c) => x - c))
@@ -1051,8 +1065,6 @@ object Similarity {
           col(vecCol).as("__v"), col("__c"))
         .repartition(col("__c"))
         .write.mode("append").partitionBy("__c").parquet(path)
-      val batch = asg.groupBy("__c").agg(count(lit(1)).as("__n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val prev = appendedCountsOf(meta, cents.size)
       val appended = cents.indices.map(c => prev(c) + batch.getOrElse(c, 0L))
       val trained = meta.get("trainedCount").map(_.toString.toLong).getOrElse(0L)
@@ -1224,8 +1236,83 @@ object Similarity {
       .write.mode("overwrite").partitionBy("__c").parquet(path)
     writeMeta(df.sparkSession, path,
       Map("kind" -> "semantic", "dims" -> dims, "k" -> k, "seed" -> seed,
+        // drift baseline for appendToSemanticIndex's retrain trigger
+        "trainedCount" -> model.summary.clusterSizes.map(_.toLong).sum,
+        "appendedCounts" -> Seq.fill(k)(0L),
         "centroids" -> model.clusterCenters.map(_.toArray.toSeq).toSeq))
   }
+
+  /** Grow a [[buildSemanticIndex]] index with a new batch — the write
+    * half of the incremental loop (dedupe the batch against the index,
+    * then append the survivors so the NEXT batch dedupes against them
+    * too): rows normalize and assign to the STORED centroids, append
+    * into the matching `__c=` partitions, and per-cluster tallies
+    * drive the same retrain-on-drift contract as the IVF family —
+    * once appended mass exceeds `retrainAt` × the trained mass, the
+    * clustering refits from the index's own stored normalized vectors
+    * (crash-safe scratch build + swap). Drift matters here as RECALL:
+    * semantic dedup only compares within a cluster, so a batch
+    * distribution the trained centroids don't separate well degrades
+    * candidate quality until a retrain re-partitions the sphere. */
+  def appendToSemanticIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String, retrainAt: Double = 0.5): Unit = {
+    val spark = df.sparkSession
+    val meta = readMetaRaw(spark, path)
+    require(meta.get("kind").map(_.toString).contains("semantic"),
+      s"$path is not a semantic index (buildSemanticIndex)")
+    requireDims(df, vecCol, meta("dims").toString.toInt)
+    val cents = centroidsOf(meta)
+    val norm = df.select(col(idCol), l2Normalize(col(vecCol)).as("__nv"))
+    val asg = assignToCentroids(norm, "__nv", idCol, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // tally BEFORE the write (see appendToIvfIndex: the commit's
+      // refreshByPath would invalidate a batch whose lineage reads
+      // this index — the standard dedupe-survivors-then-append loop —
+      // and a post-write re-evaluation self-collides to zero)
+      val batch = asg.groupBy("__c").agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      asg.join(norm, col("__id") === col(idCol))
+        .select(col(idCol), col("__nv"), col("__c"))
+        .repartition(col("__c"))
+        .write.mode("append").partitionBy("__c").parquet(path)
+      val prev = appendedCountsOf(meta, cents.size)
+      val appended = cents.indices.map(c => prev(c) + batch.getOrElse(c, 0L))
+      val trained = meta.get("trainedCount").map(_.toString.toLong).getOrElse(0L)
+      writeMeta(spark, path, cleanSemanticMeta(meta) +
+        ("appendedCounts" -> appended))
+      if (trained > 0 && appended.sum > retrainAt * trained)
+        retrainSemanticIndex(spark, path, idCol)
+    } finally { asg.unpersist(false): Unit }
+  }
+
+  /** Recluster a drifted semantic index from its own stored normalized
+    * vectors, crash-safe like [[retrainIvfIndex]]. */
+  def retrainSemanticIndex(spark: SparkSession, path: String,
+      idCol: String): Unit = {
+    val meta = readMetaRaw(spark, path)
+    require(meta.get("kind").map(_.toString).contains("semantic"),
+      s"$path is not a semantic index (buildSemanticIndex)")
+    val idx = spark.read.parquet(path)
+    val scratch = path.stripSuffix("/") + "__retrain"
+    // __nv is already L2-normalized; buildSemanticIndex re-normalizes,
+    // which is idempotent on unit vectors
+    buildSemanticIndex(idx.select(col(idCol), col("__nv")), "__nv", idCol,
+      scratch, k = meta("k").toString.toInt,
+      seed = meta("seed").toString.toLong)
+    installRebuilt(spark, path, scratch)
+  }
+
+  /** Meta map with scala-typed values only (the semantic twin of
+    * [[cleanIvfMeta]]). */
+  private def cleanSemanticMeta(meta: Map[String, Any]): Map[String, Any] =
+    Map("kind" -> "semantic",
+      "dims" -> meta("dims").toString.toInt,
+      "k" -> meta("k").toString.toInt,
+      "seed" -> meta("seed").toString.toLong,
+      "trainedCount" -> meta.get("trainedCount")
+        .map(_.toString.toLong).getOrElse(0L),
+      "centroids" -> centroidsOf(meta).map(_.toSeq))
 
   /** Cross-corpus SemDeDup: drop batch rows whose cosine with an
     * indexed corpus member of the SAME k-means cluster reaches

@@ -422,6 +422,67 @@ class OpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("semantic index append: survivors grow the index, drift retrains") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val corpus = emb.filter(col("vec_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("semapp").toString
+    try {
+      Similarity.buildSemanticIndex(corpus, "embedding", "vec_id", dir, k = 8)
+      // survivors of batch 1 (a fresh reversed vector) append in
+      val fresh = corpus.filter(col("vec_id") === 2).select(
+        lit(6000L).as("vec_id"), reverse(col("embedding")).as("embedding"))
+      val kept1 = Similarity.semanticDedupAgainstIndex(fresh, "embedding",
+        "vec_id", dir, threshold = 0.95)
+      assert(rows(kept1).map(_.head) == Seq(6000L))
+      Similarity.appendToSemanticIndex(kept1, "embedding", "vec_id", dir,
+        retrainAt = Double.MaxValue)
+      // batch 2: a near-copy of the APPENDED vector must now be caught
+      // (the grown index covers it), a near-copy of an original corpus
+      // member stays caught, a fresh double-reversed-ish vector survives
+      val batch2 = corpus.filter(col("vec_id") === 2).select(
+          lit(7000L).as("vec_id"),
+          transform(reverse(col("embedding")), x => x * lit(1.001f))
+            .as("embedding"))
+        .unionByName(corpus.filter(col("vec_id") === 1).select(
+          lit(7001L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+      val kept2 = Similarity.semanticDedupAgainstIndex(batch2, "embedding",
+        "vec_id", dir, threshold = 0.95)
+      assert(rows(kept2).isEmpty, rows(kept2).map(_.head).toString)
+      // tallies recorded on the frozen index
+      def meta() = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(dir, "_graft_index_meta.json")), "UTF-8"))
+      assert(meta().get("appendedCounts")
+        .asInstanceOf[java.util.List[Object]].asScala
+        .map(_.toString.toLong).sum == 1L)
+      assert(meta().get("trainedCount").toString.toLong == 200L)
+      // drift: appending 150 rows (> 0.5 x 200 trained) auto-retrains —
+      // full mass becomes the new baseline, tallies reset, and the
+      // retrained index still dedupes near-copies of appended rows
+      val big = emb.filter(col("vec_id") >= 200 && col("vec_id") < 350)
+        .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+      Similarity.appendToSemanticIndex(big, "embedding", "vec_id", dir)
+      assert(meta().get("trainedCount").toString.toLong == 351L,
+        meta().toString)
+      assert(meta().get("appendedCounts")
+        .asInstanceOf[java.util.List[Object]].asScala
+        .forall(_.toString.toLong == 0L))
+      val probe = emb.filter(col("vec_id") === 210).select(
+        lit(8000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      assert(rows(Similarity.semanticDedupAgainstIndex(probe, "embedding",
+        "vec_id", dir, threshold = 0.95)).isEmpty)
+      // wrong kind refuses
+      intercept[IllegalArgumentException] {
+        Similarity.appendToSemanticIndex(big, "embedding", "vec_id",
+          java.nio.file.Files.createTempDirectory("nosem").toString)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("quantized IVF: int8 storage, same top-k ids, quantized append") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
