@@ -1353,8 +1353,13 @@ object Similarity {
     if (dirs.isEmpty) return newDf
     // basePath keeps __c alive for the within-cluster join condition
     val idx = spark.read.option("basePath", path).parquet(dirs: _*)
-    val doomed = asgv.join(idx.select(col("__nv").as("__cv"), col("__c")),
-        Seq("__c"))
+    // broadcast the BATCH side: `__c` has at most k distinct values, so
+    // a shuffle join would funnel each cluster's full membership into
+    // one reducer — the skew cliff at corpus scale. Broadcast keeps
+    // the index streaming through its pruned cluster partitions with
+    // no shuffle at all (the batch is small by this API's contract)
+    val doomed = broadcast(asgv)
+      .join(idx.select(col("__nv").as("__cv"), col("__c")), Seq("__c"))
       .filter(cosine(col("__nv"), col("__cv")) >= threshold)
       .select(col("__bid").as(idCol)).distinct()
     newDf.join(doomed, Seq(idCol), "left_anti")

@@ -245,6 +245,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("semanticDedupAgainstIndex plan: batch broadcasts, index never shuffles") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val dir = java.nio.file.Files.createTempDirectory("semplan").toString
+    try {
+      graft.ops.Similarity.buildSemanticIndex(emb, "embedding", "vec_id",
+        dir, k = 8)
+      val batch = emb.filter(col("vec_id") < 4).select(
+        (col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+      val p = plan(graft.ops.Similarity.semanticDedupAgainstIndex(batch,
+        "embedding", "vec_id", dir, 0.95))
+      // `__c` has at most k distinct values: a shuffle join on it
+      // funnels each cluster's whole membership into one reducer. The
+      // small batch side must broadcast so the index side streams
+      // through its pruned cluster partitions with no exchange
+      assert(p.contains("BroadcastHashJoin"), p)
+      val idxExchanges = p.linesIterator
+        .filter(l => l.contains("Exchange") && l.contains("__cv")).toSeq
+      assert(idxExchanges.isEmpty, p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), p)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("decontaminateBloom plan: hinted shuffle-hash verify, no nested loops") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val docs = env.view("documents", Seq("doc_id", "text")).read()
