@@ -508,6 +508,18 @@ object SparkEntry {
         Text.tokenCount(col("text")).cast("bigint").as("n_tokens"))
     }),
 
+    // LLM-pipeline: sliding token-window chunking (the
+    // chunk-for-embedding step): size-32 windows every 24 tokens
+    // (8-token overlap), one row per chunk, exact text equality with
+    // the oracle's slice arithmetic
+    "text_chunk" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
+      Text.chunkTokens(docs, "doc_id", "text", size = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_ix").cast("bigint").as("chunk_ix"),
+          col("chunk_text"))
+    }),
+
     // LLM-pipeline: quality score + language id — rows-only check
     "text_quality" -> ((s, dir) => {
       val docs = graft.ops.Par.spread(env(s, dir).view("documents",
@@ -1487,6 +1499,19 @@ object SparkEntry {
         |  CASE WHEN trim(text) = '' THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |FROM documents""".stripMargin,
+    // size-32 windows every 24 tokens; DuckDB 1-based inclusive list
+    // slicing clamps past the end exactly like Spark's slice
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 24.0) AS INT) AS nc
+        |      FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_ix FROM n)
+        |SELECT doc_id, chunk_ix,
+        |  array_to_string(toks[chunk_ix * 24 + 1 : chunk_ix * 24 + 32], ' ') AS chunk_text
+        |FROM c""".stripMargin,
     // Full re-derivation of Text.qualityScore + Text.langId in DuckDB
     // SQL (regexp + list lambdas); verified value-exact at 6dp.
     "text_quality" ->

@@ -25,6 +25,45 @@ object Text {
       split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
       p => length(trim(p)) > 0))
 
+  /** Sliding token-window chunking — the chunk-for-embedding step of
+    * retrieval / embedding pipelines: each document splits into
+    * windows of `size` whitespace tokens starting every
+    * `size - overlap` tokens (so consecutive chunks share `overlap`
+    * tokens of context), returned as one row per chunk
+    * `(idCol, chunk_ix, chunk_text)`. Every token appears in at least
+    * one chunk; the final chunk may be shorter. Chunk text re-joins
+    * tokens with single spaces (token-window semantics: original
+    * whitespace runs are not preserved, matching what a tokenizer
+    * sees). Blank / null documents produce no chunks.
+    *
+    * Pure HOF + posexplode — no shuffle, no UDF; chunking 100 TB is a
+    * scan. Compose with [[graft.ops.Sample.packSequences]] to pack
+    * the chunks and [[graft.ops.Similarity]] to index embeddings of
+    * them. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(size > 0, s"chunk size $size must be positive")
+    require(overlap >= 0 && overlap < size,
+      s"overlap $overlap must be in [0, size)")
+    val step = size - overlap
+    // null text short-circuits to an empty token list BEFORE the size
+    // check: under the legacy conf `size(null)` is -1, which would
+    // fabricate a sequence(0, -1) = [0, -1] and emit two empty chunks
+    val toks0 = when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(filter(split(trim(col(textCol)), "\\s+"),
+        t => length(t) > 0))
+    val chunks = Hof.bind(toks0, toks =>
+        when(org.apache.spark.sql.functions.size(toks) === 0,
+            array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              ceil(org.apache.spark.sql.functions.size(toks)
+                .cast("double") / step).cast("int") - 1),
+            i => concat_ws(" ", slice(toks, i * step + 1, lit(size))))))
+    df.select(col(idCol),
+      posexplode(chunks).as(Seq("chunk_ix", "chunk_text")))
+  }
+
   /** Mean whitespace-token length. */
   def avgTokenLength(text: Column): Column =
     when(tokenCount(text) === 0, lit(null))

@@ -1685,6 +1685,31 @@ class OpsSpec extends SparkSpec {
     assert(!planStr.contains("zip_with"), planStr)
   }
 
+  test("chunkTokens: sliding windows with overlap, clamped tail, edge cases") {
+    import graft.ops.Text
+    val df = s.createDataFrame(Seq(
+      (1L, "a b c d e f g h i j"),              // 10 tokens
+      (2L, "x y"),                              // shorter than one chunk
+      (3L, ""),                                 // blank -> no chunks
+      (4L, "   "),                              // whitespace -> no chunks
+      (5L, null.asInstanceOf[String])           // null -> no chunks
+    )).toDF("doc_id", "text")
+    val got = rows(Text.chunkTokens(df, "doc_id", "text", size = 4,
+      overlap = 2).orderBy("doc_id", "chunk_ix"))
+    assert(got == Seq(
+      Seq(1L, 0, "a b c d"), Seq(1L, 1, "c d e f"), Seq(1L, 2, "e f g h"),
+      Seq(1L, 3, "g h i j"), Seq(1L, 4, "i j"),
+      Seq(2L, 0, "x y")), got)
+    // overlap = 0 partitions the document exactly
+    val flat = rows(Text.chunkTokens(df.filter(col("doc_id") === 1),
+      "doc_id", "text", 3).orderBy("chunk_ix")).map(_(2)).mkString(" ")
+    assert(flat == "a b c d e f g h i j", flat)
+    intercept[IllegalArgumentException](
+      Text.chunkTokens(df, "doc_id", "text", 4, 4))
+    intercept[IllegalArgumentException](
+      Text.chunkTokens(df, "doc_id", "text", 0))
+  }
+
   test("cosineI8 kernel: in-place byte scoring == cast-and-score, scale-invariant") {
     import graft.functions.VectorKernels
     val rnd = new scala.util.Random(11)
