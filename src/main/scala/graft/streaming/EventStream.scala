@@ -190,4 +190,55 @@ object EventStream {
         graft.ops.Dedup.appendToMinhashIndex(kept, idCol, textCol, indexPath)
       }
     }
+
+  /** [[dedupedMergeInto]]'s EMBEDDING twin: every micro-batch of
+    * (id, vector, …) rows is semantically deduped against the
+    * persisted cluster index
+    * ([[graft.ops.Similarity.buildSemanticIndex]]), then within
+    * itself (exact cosine over LSH candidates), and the survivors
+    * merge into the managed table AND append into their assigned
+    * cluster partitions — later batches and restarts dedup against
+    * everything ingested so far, at batch-proportional cost. Same
+    * crash-safety ledger as the text sink: the table holds exactly
+    * the novel vectors, the index is at-least-once. */
+  def vectorDedupedMergeInto(df: DataFrame, env: graft.Env, table: String,
+      fields: Seq[String], idCol: String, vecCol: String,
+      indexPath: String, checkpointDir: String,
+      threshold: Double = 0.95) = {
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(vectorDedupedMergeSink(env, table, fields, idCol,
+        vecCol, indexPath, threshold))
+  }
+
+  /** The [[vectorDedupedMergeInto]] batch sink (same ambient-
+    * transaction guard as [[dedupedMergeSink]], for the same
+    * lost-forever reason). The localCheckpoint pins the survivor set
+    * BEFORE the index append: the append's commit invalidates cached
+    * plans reading the index, and an unpinned survivor frame
+    * re-evaluated afterwards would self-collide with the rows it just
+    * appended. */
+  private[graft] def vectorDedupedMergeSink(env: graft.Env, table: String,
+      fields: Seq[String], idCol: String, vecCol: String,
+      indexPath: String, threshold: Double): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      require(!env.warehouse.inTransaction,
+        "streaming vector-deduped-merge sink invoked inside a " +
+          "transaction: its table write would buffer into a transaction " +
+          "the sink never commits, while the index append still lands")
+      val first = batch.select(vecCol).head(1)
+      if (first.nonEmpty) {
+        val dims = first.head.getSeq[Any](0).size
+        val fresh = graft.ops.Similarity.semanticDedupAgainstIndex(
+          batch, vecCol, idCol, indexPath, threshold)
+        val kept = graft.ops.Similarity.cosineDedup(fresh, vecCol, idCol,
+          threshold, dims).localCheckpoint()
+        if (!kept.isEmpty) {
+          env.view(table, fields).write(kept)
+          graft.ops.Similarity.appendToSemanticIndex(kept, vecCol, idCol,
+            indexPath)
+        }
+      }
+    }
 }

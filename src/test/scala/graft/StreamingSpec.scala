@@ -152,6 +152,58 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
   }
 
+  test("vector-deduped streaming ingest: semantic index filters and grows per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val yaml =
+      """- table: vec_sink
+        |  columns:
+        |    vec_id: bigint
+        |    embedding: float[]
+        |  key: [vec_id]
+        |""".stripMargin
+    val root = java.nio.file.Files.createTempDirectory("graft-vsink-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vckpt-").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-vidx-").toString
+    try {
+      val env = Env(s, graft.schema.Registry.fromYaml(yaml), root)
+      env.createTables()
+      // seed corpus: two indexed vectors on opposite axes (k-means
+      // needs k >= 2)
+      val seed = Seq((100L, Seq(1f, 0f, 0f, 0f)),
+        (101L, Seq(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+      graft.ops.Similarity.buildSemanticIndex(seed, "embedding", "vec_id",
+        idx, k = 2)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val stream = mem.toDF().toDF("vec_id", "embedding")
+      val q = EventStream.vectorDedupedMergeInto(stream, env, "vec_sink",
+        Seq("vec_id", "embedding"), "vec_id", "embedding", idx, ckpt,
+        threshold = 0.95).start()
+      try {
+        // batch 1: near-dup of the seed + a novel direction (cosine
+        // 0.6 with the seed — all vectors sit clearly inside one
+        // cluster, no equidistant tie-breaks)
+        mem.addData((1L, Seq(1.001f, 0f, 0f, 0f)),
+          (2L, Seq(0.6f, 0.8f, 0f, 0f)))
+        q.processAllAvailable()
+        // batch 2: near-dup of batch 1's SURVIVOR (cross-batch — only
+        // caught if the append grew the index) + another novel one
+        mem.addData((3L, Seq(0.6006f, 0.8008f, 0.001f, 0f)),
+          (4L, Seq(0f, 0.6f, 0f, 0.8f)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = rows(env.view("vec_sink", Seq("vec_id")).read())
+        .map(_.head).toSet
+      assert(got == Set(2L, 4L), got.toString)
+      // the index grew by exactly the survivors
+      val members = s.read.parquet(idx).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(members == Set(100L, 101L, 2L, 4L), members.toString)
+    } finally Seq(root, ckpt, idx).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
   test("JSONL shard hand-off: sidecar-typed stream feeds the deduped ingest") {
     // the crawler→trainer hand-off: a process appends .jsonl shards
     // to a directory, the warehouse ingests them as micro-batches
