@@ -520,6 +520,18 @@ object SparkEntry {
           col("chunk_text"))
     }),
 
+    // LLM-pipeline: per-stratum top-fraction curation — keep the best
+    // quarter of each source by quality score (score desc, id
+    // tie-break: deterministic survivors on any cluster)
+    "sample_top_fraction" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "source", "text")).read())
+      val scored = docs.select(col("doc_id"), col("source"),
+        Text.qualityScore(col("text")).as("q"))
+      graft.ops.Sample.topFractionPerStratum(scored, Seq("source"), "q",
+        "doc_id", 0.25).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: quality score + language id — rows-only check
     "text_quality" -> ((s, dir) => {
       val docs = graft.ops.Par.spread(env(s, dir).view("documents",
@@ -2059,6 +2071,36 @@ object SparkEntry {
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10""".stripMargin,
+    // the text_quality score re-derivation (4dp round like the op),
+    // then the per-source proportional cut
+    "sample_top_fraction" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks,
+        |    len(text) AS nchar
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, ntok,
+        |    CASE WHEN nchar = 0 THEN 0.0
+        |         ELSE CAST(nchar - len(regexp_replace(text, '[\p{P}\p{S}]', '', 'g')) AS DOUBLE) / nchar END AS punct,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be'], t))) AS DOUBLE) / len(ltoks) END AS stop,
+        |    CASE WHEN ntok = 0 THEN NULL
+        |         ELSE CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / ntok END AS avgtok
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source, round(
+        |    (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0 WHEN ntok = 0 THEN 0.0 ELSE 0.5 END) * 0.3 +
+        |    (1.0 - least(punct * 4, 1.0)) * 0.3 +
+        |    (least(stop * 5, 1.0)) * 0.2 +
+        |    (CASE WHEN coalesce(avgtok, 0.0) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |  , 4) AS q FROM m)
+        |SELECT doc_id FROM q
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id)
+        |     <= ceil(count(*) OVER (PARTITION BY source) * 0.25)
+        |ORDER BY doc_id""".stripMargin,
     // floor() before the BIGINT cast: DuckDB's double→bigint cast
     // rounds to nearest, Spark's truncates — rates are positive so
     // floor == truncate

@@ -171,6 +171,27 @@ object Sample {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Per-stratum top-FRACTION filter: keep the best
+    * `ceil(fraction × stratum size)` rows of each stratum by
+    * `scoreCol` (descending; `idCol` breaks ties, so the survivor set
+    * is deterministic on any cluster) — "keep the best quarter per
+    * domain by quality score", the proportional sibling of
+    * [[capPerStratum]]'s absolute cap: strata keep their relative
+    * sizes while everything below the per-stratum score bar drops.
+    * One shuffle on the stratum key; the rank and the stratum count
+    * both compute inside the stratum's partition. */
+  def topFractionPerStratum(df: DataFrame, strataCols: Seq[String],
+      scoreCol: String, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+    val w = part.orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__rn", "__n")
+  }
+
   /** Token-budget shard packing: orders rows by `idCol`, then assigns
     * each row to shard `floor(tokens-before-it / budget)` — contiguous
     * runs of ~`budget` tokens each (a shard exceeds `budget` by at

@@ -132,6 +132,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(loSrc.nonEmpty && hiSrc.nonEmpty) // 17 groups do straddle 0.5
   }
 
+  test("topFractionPerStratum: proportional per-stratum cut, deterministic ties") {
+    val df = s.createDataFrame(Seq(
+      // stratum a: 5 rows, scores 5..1 -> ceil(5*0.4)=2 keep ids 10,11
+      (10L, "a", 5.0), (11L, "a", 4.0), (12L, "a", 3.0),
+      (13L, "a", 2.0), (14L, "a", 1.0),
+      // stratum b: 2 rows, equal scores -> ceil(2*0.4)=1, id tie-break
+      (20L, "b", 7.0), (21L, "b", 7.0),
+      // stratum c: 1 row -> ceil(0.4)=1 keeps it
+      (30L, "c", 0.0)
+    )).toDF("id", "src", "score")
+    val got = rows(Sample.topFractionPerStratum(df, Seq("src"), "score",
+      "id", 0.4).select("id").orderBy("id")).map(_.head)
+    assert(got == Seq(10L, 11L, 20L, 30L), got)
+    // fraction 0 keeps nothing, 1 keeps everything
+    assert(rows(Sample.topFractionPerStratum(df, Seq("src"), "score",
+      "id", 0.0)).isEmpty)
+    assert(rows(Sample.topFractionPerStratum(df, Seq("src"), "score",
+      "id", 1.0)).size == 8)
+    intercept[IllegalArgumentException](
+      Sample.topFractionPerStratum(df, Seq("src"), "score", "id", 1.5))
+  }
+
   test("capPerStratum keeps the first n per stratum in order") {
     val df = s.createDataFrame(
       (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd")))
