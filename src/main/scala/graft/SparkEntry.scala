@@ -824,6 +824,18 @@ object SparkEntry {
         env(s, dir).view("documents", Seq("doc_id", "n_chars")).read(),
         "n_chars", Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))),
 
+    // LLM-pipeline: PSI distribution-shift gate between two corpus
+    // versions (here: the doc_id parity halves) over the shared
+    // 20-bin n_chars histogram — smoothing, clamping and the Σ(p−q)·
+    // ln(p/q) fold replicated exactly in the oracle
+    "profile_psi" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "n_chars")).read()
+      graft.ops.Profile.psi(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "n_chars", lo = 0, hi = 2000, bins = 20)
+    }),
+
     // S6'/BRIN: use-index brin round-trip — events archived into a
     // range-clustered zoned table (manifest zone maps), read back with
     // key bounds that prune zone directories driver-side; the filter
@@ -1730,6 +1742,24 @@ object SparkEntry {
         |  unnest(quantile_cont(CAST(n_chars AS DOUBLE),
         |    [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])) AS value
         |FROM documents""".stripMargin,
+    "profile_psi" ->
+      """WITH b AS (
+        |  SELECT least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS INT), 0), 19) AS bin
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |a AS (
+        |  SELECT least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS INT), 0), 19) AS bin
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |bins AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS bin),
+        |cb AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+        |ca AS (SELECT bin, count(*) AS n FROM a GROUP BY 1),
+        |j AS (SELECT bins.bin, coalesce(cb.n, 0) AS nb, coalesce(ca.n, 0) AS na
+        |      FROM bins LEFT JOIN cb USING (bin) LEFT JOIN ca USING (bin)),
+        |t AS (SELECT sum(nb) AS tb, sum(na) AS ta FROM j),
+        |p AS (SELECT (nb + 0.5) / (tb + 10.0) AS p, (na + 0.5) / (ta + 10.0) AS q, tb, ta FROM j, t)
+        |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+        |  CAST(any_value(tb) AS BIGINT) AS n_before,
+        |  CAST(any_value(ta) AS BIGINT) AS n_after
+        |FROM p""".stripMargin,
     "q34_asof_join" ->
       """WITH e AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, ts, max(value) AS click_value

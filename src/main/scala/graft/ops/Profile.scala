@@ -92,6 +92,43 @@ object Profile {
         col("n"))
   }
 
+  /** Population Stability Index between two corpus versions of a
+    * numeric column — the standard distribution-shift release gate
+    * (conventional read: < 0.1 stable, 0.1–0.25 moderate shift,
+    * > 0.25 investigate): both sides bin into the SHARED fixed-width
+    * [[histogram]] grid (outliers clamp into the edge bins), bin
+    * shares smooth additively (`(n + 0.5) / (N + bins/2)`, so empty
+    * bins stay finite), and
+    * `PSI = Σ_bins (p_b − q_b) · ln(p_b / q_b)`.
+    * Returns one row `(psi, n_before, n_after)`, psi rounded to 6dp.
+    *
+    * Scale shape: two narrow histogram passes (map-side combined
+    * counts — the corpus payload never moves) + a bins-sized join and
+    * fold; comparing 100-TB snapshots costs two column scans. */
+  def psi(before: DataFrame, after: DataFrame, column: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "psi needs bins > 0 and hi > lo")
+    val hb = histogram(before, column, lo, hi, bins)
+      .select(col("bin"), col("n").as("__rawnb"))
+    val ha = histogram(after, column, lo, hi, bins)
+      .select(col("bin"), col("n").as("__rawna"))
+    val allBins = before.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    val joined = allBins
+      .join(hb, Seq("bin"), "left").join(ha, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__rawnb"), lit(0L)).as("__nb"),
+        coalesce(col("__rawna"), lit(0L)).as("__na"))
+    val tot = joined.agg(sum("__nb").as("__tb"), sum("__na").as("__ta"))
+    val shares = joined.crossJoin(broadcast(tot)).select(
+      col("__tb"), col("__ta"),
+      ((col("__nb") + 0.5) / (col("__tb") + 0.5 * bins)).as("__p"),
+      ((col("__na") + 0.5) / (col("__ta") + 0.5 * bins)).as("__q"))
+    shares.agg(
+      round(sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 6)
+        .as("psi"),
+      first(col("__tb")).as("n_before"), first(col("__ta")).as("n_after"))
+  }
+
   /** Exact quantiles of a numeric column with linear interpolation —
     * one row (q, value) per requested fraction, the percentile block
     * of a data card. Nulls are ignored (both here and in every SQL

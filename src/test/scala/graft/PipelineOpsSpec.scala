@@ -574,6 +574,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(h.size == 4)                           // empty bins absent
   }
 
+  test("psi: zero for identical distributions, positive under shift, finite on empty bins") {
+    val before = s.createDataFrame(
+      (Seq.fill(50)(10.0) ++ Seq.fill(50)(90.0)).map(Tuple1(_))).toDF("x")
+    // identical distribution -> exactly 0 (p == q per bin)
+    val same = rows(Profile.psi(before, before, "x", 0, 100, 10)).head
+    assert(same == Seq(0.0, 100L, 100L), same)
+    // mass moves from the 90s bin to the 10s bin -> clearly positive
+    val after = s.createDataFrame(
+      (Seq.fill(90)(10.0) ++ Seq.fill(10)(90.0)).map(Tuple1(_))).toDF("x")
+    val shifted = rows(Profile.psi(before, after, "x", 0, 100, 10)).head
+    assert(shifted(0).asInstanceOf[Double] > 0.25, shifted)
+    assert(shifted(1) == 100L && shifted(2) == 100L, shifted)
+    // a side concentrated in ONE bin leaves 9 empty bins on both
+    // sides of the ratio — smoothing keeps every term finite
+    val one = s.createDataFrame(Seq.fill(20)(Tuple1(55.0))).toDF("x")
+    val sparse = rows(Profile.psi(before, one, "x", 0, 100, 10)).head
+    assert(!sparse(0).asInstanceOf[Double].isNaN &&
+      !sparse(0).asInstanceOf[Double].isInfinite, sparse)
+    // outliers clamp into edge bins instead of dropping
+    val out = s.createDataFrame(Seq(-5.0, 500.0).map(Tuple1(_))).toDF("x")
+    val clamped = rows(Profile.psi(out, out, "x", 0, 100, 10)).head
+    assert(clamped == Seq(0.0, 2L, 2L), clamped)
+  }
+
   test("topValues: exact counts, deterministic value tie-break at the cutoff") {
     val df = s.createDataFrame(
       (Seq.fill(3)("b") ++ Seq.fill(3)("a") ++ Seq.fill(2)("c") ++
