@@ -824,6 +824,18 @@ object SparkEntry {
         env(s, dir).view("documents", Seq("doc_id", "n_chars")).read(),
         "n_chars", Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))),
 
+    // LLM-pipeline: per-column profile drift between two corpus
+    // versions (doc_id parity halves): before/after counts + deltas —
+    // the data-card diff printed next to the PSI score
+    "profile_compare" -> ((s, dir) => {
+      val docs = env(s, dir)
+        .view("documents", Seq("doc_id", "lang", "source", "n_chars")).read()
+      graft.ops.Profile.compare(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        Seq("lang", "source", "n_chars")).orderBy(col("column"))
+    }),
+
     // LLM-pipeline: PSI distribution-shift gate between two corpus
     // versions (here: the doc_id parity halves) over the shared
     // 20-bin n_chars histogram — smoothing, clamping and the Σ(p−q)·
@@ -1742,6 +1754,54 @@ object SparkEntry {
         |  unnest(quantile_cont(CAST(n_chars AS DOUBLE),
         |    [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])) AS value
         |FROM documents""".stripMargin,
+    // the profile_columns derivation over each parity half, joined
+    "profile_compare" ->
+      """WITH pb AS (
+        |  SELECT 'lang' AS "column", count(*) AS n_rows,
+        |    count(*) - count(lang) AS n_nulls,
+        |    count(DISTINCT CAST(lang AS VARCHAR)) AS n_distinct,
+        |    CAST(min(lang) AS VARCHAR) AS min_value,
+        |    CAST(max(lang) AS VARCHAR) AS max_value
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source),
+        |    count(DISTINCT CAST(source AS VARCHAR)),
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    count(DISTINCT CAST(n_chars AS VARCHAR)),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |pa AS (
+        |  SELECT 'lang' AS "column", count(*) AS n_rows,
+        |    count(*) - count(lang) AS n_nulls,
+        |    count(DISTINCT CAST(lang AS VARCHAR)) AS n_distinct,
+        |    CAST(min(lang) AS VARCHAR) AS min_value,
+        |    CAST(max(lang) AS VARCHAR) AS max_value
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source),
+        |    count(DISTINCT CAST(source AS VARCHAR)),
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    count(DISTINCT CAST(n_chars AS VARCHAR)),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT pb."column",
+        |  pb.n_rows AS rows_before, pb.n_nulls AS nulls_before,
+        |  pb.n_distinct AS distinct_before,
+        |  pb.min_value AS min_before, pb.max_value AS max_before,
+        |  pa.n_rows AS rows_after, pa.n_nulls AS nulls_after,
+        |  pa.n_distinct AS distinct_after,
+        |  pa.min_value AS min_after, pa.max_value AS max_after,
+        |  pa.n_rows - pb.n_rows AS rows_delta,
+        |  pa.n_nulls - pb.n_nulls AS nulls_delta,
+        |  pa.n_distinct - pb.n_distinct AS distinct_delta
+        |FROM pb JOIN pa USING ("column")
+        |ORDER BY pb."column"""".stripMargin,
     "profile_psi" ->
       """WITH b AS (
         |  SELECT least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS INT), 0), 19) AS bin

@@ -71,6 +71,27 @@ object Profile {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Per-column profile DRIFT between two corpus versions: one row
+    * per column with before/after row, null and distinct counts,
+    * min/max, and the count deltas — the data-card diff a release
+    * gate prints next to [[psi]]'s distribution score (psi says "the
+    * numeric shape moved", compare says WHERE: a null-rate spike, a
+    * cardinality collapse, a range extension). Two [[columns]] passes
+    * + a cols-sized join; corpus payloads never move. */
+  def compare(before: DataFrame, after: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, sfx: String) = columns(df, cols).select(
+      col("column"),
+      col("n_rows").as(s"rows_$sfx"), col("n_nulls").as(s"nulls_$sfx"),
+      col("n_distinct").as(s"distinct_$sfx"),
+      col("min_value").as(s"min_$sfx"), col("max_value").as(s"max_$sfx"))
+    side(before, "before").join(side(after, "after"), Seq("column"))
+      .withColumn("rows_delta", col("rows_after") - col("rows_before"))
+      .withColumn("nulls_delta", col("nulls_after") - col("nulls_before"))
+      .withColumn("distinct_delta",
+        col("distinct_after") - col("distinct_before"))
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): one row
     * per non-empty bin, (bin, bin_lo, bin_hi, n). Values outside the
     * range clamp into the edge bins (a data-QA histogram must show

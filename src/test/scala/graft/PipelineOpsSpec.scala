@@ -574,6 +574,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(h.size == 4)                           // empty bins absent
   }
 
+  test("profile compare: per-column before/after counts with deltas") {
+    val before = s.createDataFrame(Seq(
+      (1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L)))
+      .toDF("id", "lang", "n")
+    val after = s.createDataFrame(Seq(
+      (1L, "en", 10L), (2L, null.asInstanceOf[String], 20L),
+      (3L, "en", 30L), (4L, null.asInstanceOf[String], 99L)))
+      .toDF("id", "lang", "n")
+    val got = rows(Profile.compare(before, after, Seq("lang", "n"))
+      .orderBy("column"))
+    val lang = got.find(_.head == "lang").get
+    // (column, rows_b, nulls_b, distinct_b, min_b, max_b,
+    //  rows_a, nulls_a, distinct_a, min_a, max_a, deltas...)
+    assert(lang == Seq("lang", 3L, 0L, 2L, "de", "en",
+      4L, 2L, 1L, "en", "en", 1L, 2L, -1L), lang)
+    val n = got.find(_.head == "n").get
+    assert(n == Seq("n", 3L, 0L, 3L, "10", "30",
+      4L, 0L, 4L, "10", "99", 1L, 0L, 1L), n)
+  }
+
   test("psi: zero for identical distributions, positive under shift, finite on empty bins") {
     val before = s.createDataFrame(
       (Seq.fill(50)(10.0) ++ Seq.fill(50)(90.0)).map(Tuple1(_))).toDF("x")
