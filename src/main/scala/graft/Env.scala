@@ -81,9 +81,33 @@ final class Env(
     * states — readSnapshot's guard). */
   def diffSnapshots(table: String, from: Option[String] = None,
       to: Option[String] = None, summary: Boolean = false): DataFrame = {
+    val (b, a) = snapshotPair(table, from, to)
+    val keys = registry(table).key
+    if (summary) graft.ops.Diff.diffSummary(b, a, keys)
+    else graft.ops.Diff.diff(b, a, keys)
+  }
+
+  /** [[diffSnapshots]]'s PROFILE twin: instead of key-level change
+    * rows, the per-column data-card drift
+    * ([[graft.ops.Profile.compare]] — before/after rows, nulls,
+    * distinct counts, min/max, deltas) between two retained snapshots
+    * of a managed table. Same snapshot resolution, same storage-level
+    * (ACL-free, bucketed-refusal) contract. */
+  def compareSnapshots(table: String, from: Option[String] = None,
+      to: Option[String] = None): DataFrame = {
+    val (b, a) = snapshotPair(table, from, to)
+    graft.ops.Profile.compare(b, a, registry(table).own.map(_.name))
+  }
+
+  /** Shared snapshot resolution for the audit surfaces: `to` defaults
+    * to the newest retained snapshot, `from` to the one just before
+    * `to`; bucketed tables refuse up front (their snapshot dirs are
+    * per-bucket deltas, not full states). Returns (before, after). */
+  private def snapshotPair(table: String, from: Option[String],
+      to: Option[String]): (DataFrame, DataFrame) = {
     require(registry(table).buckets == 0,
       s"Table '$table' is bucketed; snapshots are per-bucket deltas, not " +
-        "full states, so there is nothing to diff")
+        "full states, so there is nothing to audit")
     val snaps = warehouse.snapshots(table)
     val toSnap = to.getOrElse {
       require(snaps.nonEmpty, s"No retained snapshots for '$table'")
@@ -95,11 +119,8 @@ final class Env(
         s"'$toSnap' — pass an explicit from=")
       older.last
     }
-    val keys = registry(table).key
-    val b = warehouse.readSnapshot(table, fromSnap)
-    val a = warehouse.readSnapshot(table, toSnap)
-    if (summary) graft.ops.Diff.diffSummary(b, a, keys)
-    else graft.ops.Diff.diff(b, a, keys)
+    (warehouse.readSnapshot(table, fromSnap),
+      warehouse.readSnapshot(table, toSnap))
   }
 
   /** One-record fetch by filter, as a name->value map

@@ -14,7 +14,8 @@ import graft.view.{Filter, FilterExpr, Order}
   *   graft.cli.Main <action> [table [fields...]] [options]
   *     action: info | read | write | delete | init | serve | version
   *             | export | import  (JSONL/CSV shard dirs, --format/--shards)
-  *             | snapshots | diff (--from/--to snapshot names, --summary)
+  *             | snapshots | diff (--from/--to snapshot names, --summary,
+  *                                 --profile = per-column drift card)
   *     --config <file>     .tk.yaml-style config: {schema: path, warehouse: path}
   *     -F/--filter <expr>  repeatable s-expression filter
   *     -s/--sort  <col[:DESC]> repeatable sort
@@ -38,7 +39,8 @@ object Main {
       vbar: Boolean = false, tic: String = "•",
       hideHeaders: Boolean = false, yaml: Boolean = false,
       port: Int = 0, format: String = "jsonl", shards: Int = 0,
-      from: String = "", to: String = "", summary: Boolean = false)
+      from: String = "", to: String = "", summary: Boolean = false,
+      profileDiff: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -64,6 +66,7 @@ object Main {
         case "--from" => o = o.copy(from = argv(i + 1)); i += 2
         case "--to" => o = o.copy(to = argv(i + 1)); i += 2
         case "--summary" => o = o.copy(summary = true); i += 1
+        case "--profile" => o = o.copy(profileDiff = true); i += 1
         case a if o.action.isEmpty => o = o.copy(action = a); i += 1
         case a => pos = pos :+ a; i += 1
       }
@@ -169,11 +172,16 @@ object Main {
     // extension: snapshot diff — what changed in a table between two
     // retained snapshots (Env.diffSnapshots; defaults to the last two,
     // i.e. "what did the most recent write change"). `snapshots` lists
-    // the retained names to pass as --from/--to.
+    // the retained names to pass as --from/--to; --summary rolls up
+    // per-kind counts, --profile switches to the per-column data-card
+    // drift (Env.compareSnapshots) instead of key-level rows.
     case "diff" =>
-      val d = env.diffSnapshots(o.table,
-        Option(o.from).filter(_.nonEmpty), Option(o.to).filter(_.nonEmpty),
-        summary = o.summary)
+      val d =
+        if (o.profileDiff) env.compareSnapshots(o.table,
+          Option(o.from).filter(_.nonEmpty), Option(o.to).filter(_.nonEmpty))
+        else env.diffSnapshots(o.table,
+          Option(o.from).filter(_.nonEmpty), Option(o.to).filter(_.nonEmpty),
+          summary = o.summary)
       emit(d.orderBy(d.columns.map(
         org.apache.spark.sql.functions.col).toIndexedSeq: _*), o, out)
 

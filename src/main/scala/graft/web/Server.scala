@@ -143,12 +143,17 @@ final class Server(env: Env, port: Int = 0) {
     * default to the two most recent retained snapshots, names via
     * `GET /_snapshots/<table>`). Rows are key-ordered and capped by
     * `limit` (default 1000) like `read`; `summary=true` returns the
-    * per-kind counts instead. Storage-level surface: view ACL read
-    * filters do not apply; bucketed tables refuse (400). */
+    * per-kind counts instead; `profile=true` switches to the
+    * per-column data-card drift ([[graft.Env.compareSnapshots]]).
+    * Storage-level surface: view ACL read filters do not apply;
+    * bucketed tables refuse (400). */
   private def diff(table: String, ps: Seq[(String, String)]): String = {
     val get = ps.toMap
-    val df = env.diffSnapshots(table, get.get("from"), get.get("to"),
-      summary = get.get("summary").exists(_.toBoolean))
+    val df =
+      if (get.get("profile").exists(_.toBoolean))
+        env.compareSnapshots(table, get.get("from"), get.get("to"))
+      else env.diffSnapshots(table, get.get("from"), get.get("to"),
+        summary = get.get("summary").exists(_.toBoolean))
     val ordered = df.orderBy(df.columns.toIndexedSeq.map(
       org.apache.spark.sql.functions.col): _*)
       .limit(get.get("limit").map(_.toInt).getOrElse(1000))

@@ -110,6 +110,15 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       run(conf, "diff", "member", "--from", "snap-999999")
     }
+    // --profile: per-column drift card instead of key-level rows
+    val prof = run(conf, "diff", "member", "--profile")
+    val header = prof.linesIterator.next()
+    assert(header.startsWith("column,") &&
+      header.contains("rows_before") && header.contains("nulls_delta"),
+      header)
+    val nameRow = prof.linesIterator.find(_.startsWith("name,")).get
+    // members A,B before; A,B,C after -> rows 2 -> 3, delta +1
+    assert(nameRow.contains("2,0,2") && nameRow.endsWith("1,0,1"), nameRow)
     // bucketed tables refuse: their snapshot dirs are per-bucket
     // deltas, not full table states
     val bdir = Files.createTempDirectory("graft-cli-bdiff-")

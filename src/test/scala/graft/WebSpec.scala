@@ -210,6 +210,13 @@ class WebSpec extends SparkSpec {
         .asInstanceOf[java.util.List[java.util.List[_]]].asScala
         .map(_.asScala.toSeq)
       assert(sumRows == Seq(Seq("added", 1), Seq("changed", 1)), sumRows)
+      // profile=true: the per-column drift card
+      val (pc, pb) = get(port, "/_diff/member?profile=true")
+      assert(pc == 200, pb)
+      val pCols = parse(pb)("columns").asInstanceOf[java.util.List[_]]
+        .asScala.map(_.toString)
+      assert(pCols.head == "column" && pCols.contains("rows_before") &&
+        pCols.contains("nulls_delta"), pCols)
       // unknown snapshot name -> loud 400, unknown table -> 404
       assert(get(port, "/_diff/member?from=snap-999999")._1 == 400)
       assert(get(port, "/_diff/nosuch")._1 == 404)
