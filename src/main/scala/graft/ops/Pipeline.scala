@@ -109,4 +109,22 @@ object Pipeline {
       b += Stage("sample", df => Sample.byHash(df, idCol, sampleFraction))
     b.result()
   }
+
+  /** The EMBEDDING-side curation recipe, as a stage list for [[run]]:
+    * exact duplicate drop (identical vectors — re-embedded copies of
+    * the same document are byte-equal) → LSH-candidate cosine
+    * near-dedup → SemDeDup within auto-trained k-means clusters
+    * (catches the paraphrase-distance band the tight cosine threshold
+    * keeps). The same shape [[graft.SparkEntry]]'s embed_pipeline
+    * composes lazily — here each miner starts from the previous
+    * stage's materialized survivors. */
+  def curateEmbeddings(idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int, nearThreshold: Double = 0.99,
+      semanticThreshold: Double = 0.95, semanticK: Int = 64): Seq[Stage] = Seq(
+    Stage("exact_dedup", df => Dedup.exact(df, Seq(vecCol), idCol)),
+    Stage("near_dedup", df =>
+      Similarity.cosineDedup(df, vecCol, idCol, nearThreshold, dims)),
+    Stage("semantic_dedup", df =>
+      Similarity.semanticDedupAuto(df, vecCol, idCol, semanticThreshold,
+        k = semanticK)))
 }

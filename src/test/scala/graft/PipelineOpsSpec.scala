@@ -628,6 +628,38 @@ class PipelineOpsSpec extends SparkSpec {
 
   // -------------------------------------------------- fused pipeline
 
+  test("curateEmbeddings: exact, near and semantic dups each fall to their stage") {
+    import graft.ops.Pipeline
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val rows0 = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.8f, 0.6f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0f, 0.6f, 0.8f)),
+      (9001L, Seq(1f, 0f, 0f, 0f)),            // exact copy of 1
+      (9002L, Seq(1.001f, 0f, 0f, 0f)),        // cosine 1.0 with 1
+      (9003L, Seq(0.97f, 0.2431f, 0f, 0f)))    // cosine 0.97 with 1
+    val df = s.createDataFrame(rows0.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    val scratch = java.nio.file.Files.createTempDirectory("ecur").toString
+    try {
+      val (out, reports) = Pipeline.run(df,
+        Pipeline.curateEmbeddings(dims = 4, semanticK = 2), scratch)
+      // 7 -> 6 (exact: 9001) -> 5 (near at 0.99: 9002)
+      //   -> 4 (semantic at 0.95 within the k-means cluster: 9003,
+      //         which the tighter near threshold deliberately spared)
+      assert(reports.map(r => (r.stage, r.rowsOut)) == Seq(
+        ("exact_dedup", 6L), ("near_dedup", 5L), ("semantic_dedup", 4L)),
+        reports)
+      assert(rows(out.select("vec_id").orderBy("vec_id")).map(_.head)
+        == Seq(1L, 2L, 3L, 4L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(scratch))
+  }
+
   test("Pipeline.run: corpus in, curated JSONL shards out, bounded scratch") {
     import graft.ops.Pipeline
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
