@@ -1237,6 +1237,17 @@ class OpsSpec extends SparkSpec {
     val pq = rows(graft.ops.Similarity.recallAtK(s, base + "/pq", corpus,
       "embedding", "vec_id", k = 20, nQueries = 4, nprobe = 2))
     assert(pq.size == 4 && pq.forall(_(1) == 1.0), pq)
+    // LSH dispatch honors ITS probe knob (probeLevel; nprobe is the
+    // ivf/ivfpq knob): multi-probe recall can only improve on the
+    // bare-bands level, and the full multi-probe is exact here
+    graft.ops.Similarity.buildIndex(corpus, "embedding", "vec_id",
+      base + "/lsh", dims = 8, buckets = 16)
+    def lshRecall(pl: Int) = rows(graft.ops.Similarity.recallAtK(s,
+      base + "/lsh", corpus, "embedding", "vec_id", k = 5, nQueries = 4,
+      probeLevel = pl)).map(_(1).asInstanceOf[Double])
+    val (r0, r1) = (lshRecall(0), lshRecall(1))
+    assert(r0.zip(r1).forall { case (a, b) => b >= a }, s"$r0 vs $r1")
+    assert(r1.forall(_ == 1.0), r1)
   }
 
   test("Diff: added/removed/changed verdicts; null-shape changes detected") {
