@@ -71,6 +71,36 @@ object Profile {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** [[columns]] with SKETCHED distinct counts: the same data-card
+    * schema, but `n_distinct` comes from `approx_count_distinct`
+    * (HyperLogLog++, relative error `rsd`) computed inside the SAME
+    * wide aggregate as the counts and min/max — ONE pass over the
+    * corpus with fixed-size state per column, no melt, no second
+    * shuffle. The swap-in for columns whose distinct count is itself
+    * corpus-scale (ids, urls, hashes at 100 TB), where the exact
+    * two-stage distinct's shuffle is the profiling cost. Exact path
+    * stays [[columns]]; sketch error is engine-specific, so this
+    * variant is spec-gated against the exact counts rather than
+    * DuckDB-oracled. */
+  def columnsApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val d = Par.spread(df)
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { cn =>
+      Seq(count(col(cn)).as(s"__c_$cn"),
+        approx_count_distinct(col(cn), rsd).as(s"__d_$cn"),
+        min(col(cn)).cast("string").as(s"__mn_$cn"),
+        max(col(cn)).cast("string").as(s"__mx_$cn"))
+    }
+    d.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { cn =>
+        struct(lit(cn).as("column"), col("__n").as("n_rows"),
+          (col("__n") - col(s"__c_$cn")).as("n_nulls"),
+          col(s"__d_$cn").as("n_distinct"),
+          col(s"__mn_$cn").as("min_value"), col(s"__mx_$cn").as("max_value"))
+      }: _*)).as("__p")).select(col("__p.*"))
+  }
+
   /** Per-column profile DRIFT between two corpus versions: one row
     * per column with before/after row, null and distinct counts,
     * min/max, and the count deltas — the data-card diff a release

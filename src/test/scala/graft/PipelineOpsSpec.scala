@@ -574,6 +574,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(h.size == 4)                           // empty bins absent
   }
 
+  test("columnsApprox: one-pass sketch profile tracks the exact card") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents",
+      Seq("doc_id", "lang", "source", "n_chars", "text")).read()
+    val cols = Seq("lang", "source", "n_chars", "text")
+    val exact = rows(Profile.columns(docs, cols))
+      .map(r => r.head -> r).toMap
+    val approx = rows(graft.ops.Profile.columnsApprox(docs, cols, rsd = 0.02))
+      .map(r => r.head -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      // identical schema; rows/nulls/min/max are exact in both paths
+      assert(a(1) == e(1) && a(2) == e(2) && a(4) == e(4) && a(5) == e(5),
+        s"$c: $a vs $e")
+      // the sketch tracks the exact distinct within a generous 3x rsd
+      val (ed, ad) = (e(3).asInstanceOf[Long].toDouble,
+        a(3).asInstanceOf[Long].toDouble)
+      assert(math.abs(ad - ed) <= math.max(1.0, 3 * 0.02 * ed),
+        s"$c: approx $ad vs exact $ed")
+    }
+    // the one-pass claim: strictly fewer exchanges than the exact
+    // path (which adds the melt + two-stage distinct shuffles)
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(graft.ops.Profile.columnsApprox(docs, cols)) <
+      exchanges(Profile.columns(docs, cols)))
+  }
+
   test("profile compare: per-column before/after counts with deltas") {
     val before = s.createDataFrame(Seq(
       (1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L)))
