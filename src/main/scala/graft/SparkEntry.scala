@@ -532,6 +532,21 @@ object SparkEntry {
         "doc_id", 0.25).select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: per-stratum cut under planted 90%-one-stratum skew
+    // — the boundary-plan scale probe (no per-stratum window task)
+    "sample_top_fraction_skew" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
+      val strat = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 9, lit("mega"))
+          .otherwise(concat(lit("s"),
+            pmod(col("doc_id"), lit(10)).cast("string"))).as("strat"),
+        col("n_chars"))
+      graft.ops.Sample.topFractionPerStratum(strat, Seq("strat"),
+          "n_chars", "doc_id", 0.1)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: quality score + language id — rows-only check
     "text_quality" -> ((s, dir) => {
       val docs = graft.ops.Par.spread(env(s, dir).view("documents",
@@ -2190,6 +2205,20 @@ object SparkEntry {
         |SELECT doc_id FROM q
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id)
         |     <= ceil(count(*) OVER (PARTITION BY source) * 0.25)
+        |ORDER BY doc_id""".stripMargin,
+    // planted mega-stratum (90% of docs in one stratum): the oracle's
+    // window sorts it in one pass at sf0.01; the op's boundary plan
+    // keeps the same exact ceil(f*n)/(score desc, id) contract with no
+    // per-stratum window task (PlanSpec proof)
+    "sample_top_fraction_skew" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 9 THEN 'mega'
+        |         ELSE 's' || CAST(doc_id % 10 AS VARCHAR) END AS strat,
+        |    n_chars FROM documents)
+        |SELECT doc_id FROM t
+        |QUALIFY row_number() OVER (PARTITION BY strat ORDER BY n_chars DESC, doc_id)
+        |     <= ceil(count(*) OVER (PARTITION BY strat) * 0.1)
         |ORDER BY doc_id""".stripMargin,
     // floor() before the BIGINT cast: DuckDB's double→bigint cast
     // rounds to nearest, Spark's truncates — rates are positive so

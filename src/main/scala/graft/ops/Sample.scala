@@ -157,39 +157,128 @@ object Sample {
     df.filter(h >= lit(bound(lo)) && upper)
   }
 
-  /** Per-stratum cap: the first `n` rows of each stratum in
-    * `orderCols` order (ties broken by the full order list — pass a
-    * unique id last for determinism). One shuffle on the stratum key;
-    * rank never leaves the stratum's partition. The per-source /
-    * per-domain cap every mixing recipe needs. */
-  def capPerStratum(df: DataFrame, strataCols: Seq[String],
-      orderCols: Seq[String], n: Int): DataFrame = {
+  /** Shared machinery of [[capPerStratum]] / [[topFractionPerStratum]]:
+    * find, per stratum, the order-key tuple of the LAST kept row (the
+    * "boundary"), then keep payload rows whose key tuple sorts at or
+    * before it — a broadcast-join + narrow filter, so the payload
+    * itself never shuffles, never persists, and never funnels through
+    * a per-stratum window task.
+    *
+    * The naive plan (`row_number().over(Window.partitionBy(strata))`)
+    * sorts each stratum's FULL row set in one task — a scale cliff
+    * when one source dominates a 100-TB corpus. Here the exact rank is
+    * computed over a NARROW layout (strata + key tuple only) with the
+    * [[packByBudget]] two-phase prefix sum: range-repartition the
+    * layout on (strata, key) — a stratum's rows stay contiguous but
+    * SPREAD over many partitions — stamp `spark_partition_id()`,
+    * collect one (partition, stratum) count per pair to the driver for
+    * prefix offsets, and add a PARTITION-LOCAL row_number (window
+    * grouped by the partition stamp, so no window group ever exceeds
+    * one layout partition). The row whose global rank equals the
+    * stratum's keep-count is the boundary; boundaries (#strata rows)
+    * broadcast back onto the untouched payload. Exact under arbitrary
+    * ties and key skew; driver traffic is #partitions × #strata longs.
+    *
+    * `kOf` maps the per-stratum row count to its keep-count; a stratum
+    * whose keep-count is ≤ 0 has no boundary row and drops entirely
+    * (the inner join). The layout persists (partition stamps must be
+    * stable across the two jobs — see [[packByBudget]]) and is pinned;
+    * callers running many selections call [[releaseLayouts]] after
+    * materializing results. */
+  private def keepUpToStratumBoundary(df: DataFrame, strataCols: Seq[String],
+      keyCols: Seq[org.apache.spark.sql.Column],
+      kOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val sCols = strataCols.map(col)
+    // identical field names on both sides: struct comparison requires
+    // matching types, and the payload filter compares payload-side
+    // keys against the layout-derived boundary struct
+    def key = struct(keyCols.zipWithIndex.map { case (c, i) =>
+      c.as(s"k$i") }: _*)
+    val layout = df.select(sCols :+ key.as("__key"): _*)
+      .repartitionByRange(sCols :+ col("__key"): _*)
+      .withColumn("__p", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pin(layout)
+    val nS = strataCols.length
+    val stats = layout.groupBy(col("__p") +: sCols: _*)
+      .agg(count(lit(1)).as("__c")).collect()
+    // driver: per stratum, rank offset of each partition (counts of the
+    // same stratum in all earlier partitions — range partitioning keeps
+    // a stratum contiguous in (strata, key) order) and the total count
+    val offRows = stats.groupBy(r => (1 to nS).map(r.get).toIndexedSeq)
+      .iterator.flatMap { case (sv, rs) =>
+        val total = rs.map(_.getLong(nS + 1)).sum
+        var acc = 0L
+        rs.sortBy(_.getInt(0)).map { r =>
+          val off = acc; acc += r.getLong(nS + 1)
+          Row.fromSeq(r.getInt(0) +: sv :+ off :+ total)
+        }
+      }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__p",
+        org.apache.spark.sql.types.IntegerType, false) +:
+      strataCols.map(c => org.apache.spark.sql.types.StructField(
+        s"__s_$c", df.schema(c).dataType, true)) :+
+      org.apache.spark.sql.types.StructField("__off", LongType, false) :+
+      org.apache.spark.sql.types.StructField("__n", LongType, false))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    // null-safe stratum equality: groupBy above treats null strata as a
+    // group, the joins must agree
+    def strataCond(lhs: DataFrame, rhs: DataFrame) =
+      strataCols.map(c => lhs(c) <=> rhs(s"__s_$c"))
+        .foldLeft(lit(true))(_ && _)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn")
+      .partitionBy(col("__p") +: sCols: _*).orderBy(col("__key"))
+    val ranked = layout.join(broadcast(offDf),
+      layout("__p") === offDf("__p") && strataCond(layout, offDf))
+      .drop(offDf("__p"))
+      .withColumn("__rank", col("__off") + row_number().over(w))
+    val bounds = ranked
+      .filter(col("__rank") === least(kOf(col("__n")), col("__n")))
+      .select(strataCols.map(c => col(s"__s_$c")) :+
+        col("__key").as("__bound"): _*)
+    df.join(broadcast(bounds), strataCond(df, bounds))
+      .filter(key <= col("__bound"))
+      .select(df.columns.map(col).toSeq: _*)
   }
+
+  /** Per-stratum cap: the first `n` rows of each stratum in
+    * `orderCols` order (ascending; pass a unique id last — with ties
+    * AT the boundary tuple, all tying rows are kept, a deterministic
+    * superset where a window's row_number would pick arbitrarily).
+    * The per-source / per-domain cap every mixing recipe needs.
+    *
+    * Scale shape: see [[keepUpToStratumBoundary]] — the payload never
+    * shuffles and no task ever sorts a whole stratum, so a corpus
+    * where one domain holds 90% of the rows caps in parallel. */
+  def capPerStratum(df: DataFrame, strataCols: Seq[String],
+      orderCols: Seq[String], n: Int): DataFrame =
+    keepUpToStratumBoundary(df, strataCols, orderCols.map(col),
+      _ => lit(n.toLong))
 
   /** Per-stratum top-FRACTION filter: keep the best
     * `ceil(fraction × stratum size)` rows of each stratum by
-    * `scoreCol` (descending; `idCol` breaks ties, so the survivor set
-    * is deterministic on any cluster) — "keep the best quarter per
-    * domain by quality score", the proportional sibling of
+    * `scoreCol` (descending, nulls last; `idCol` breaks ties, so the
+    * survivor set is deterministic on any cluster) — "keep the best
+    * quarter per domain by quality score", the proportional sibling of
     * [[capPerStratum]]'s absolute cap: strata keep their relative
     * sizes while everything below the per-stratum score bar drops.
-    * One shuffle on the stratum key; the rank and the stratum count
-    * both compute inside the stratum's partition. */
+    *
+    * Scale shape: see [[keepUpToStratumBoundary]] — only a narrow
+    * (strata, score, id) layout shuffles; the payload is filtered in
+    * place by the broadcast per-stratum boundary, with no per-stratum
+    * window task even under total score ties (integer-valued quality
+    * scores on a mega-stratum). The descending order is encoded as an
+    * ascending key tuple (null flag, −score, id); NaN scores are
+    * unsupported (−NaN does not invert NaN's ordering). */
   def topFractionPerStratum(df: DataFrame, strataCols: Seq[String],
       scoreCol: String, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
-    val part = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols.map(col): _*)
-    val w = part.orderBy(col(scoreCol).desc, col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(part))
-      .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__rn", "__n")
+    keepUpToStratumBoundary(df, strataCols,
+      Seq(col(scoreCol).isNull.cast("int"), -col(scoreCol), col(idCol)),
+      n => ceil(n * lit(fraction)).cast("long"))
   }
 
   /** Token-budget shard packing: orders rows by `idCol`, then assigns

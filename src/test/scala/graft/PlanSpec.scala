@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 
 /** Physical-plan audits: the properties that keep the engine fast at
   * 100 TB — filter pushdown to the parquet scan, column pruning,
@@ -268,6 +268,33 @@ class PlanSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoop"), p)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir))
+  }
+
+  test("per-stratum selection never windows a full stratum (boundary plan)") {
+    // planted skew: 90% of rows in one stratum. The old plan
+    // (row_number over Window.partitionBy(strata)) sorts the mega
+    // stratum in ONE task; the boundary plan's only windows are
+    // grouped by the layout partition stamp, so every window group is
+    // bounded by one partition regardless of stratum skew.
+    val df = spark.range(0, 2000).select(col("id"),
+      when(col("id") % 10 < 9, "mega").otherwise("rest").as("src"),
+      (col("id") % 97).cast("double").as("score"))
+    val top = graft.ops.Sample.topFractionPerStratum(
+      df, Seq("src"), "score", "id", 0.25)
+    val p1 = plan(top)
+    val win1 = p1.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(win1.nonEmpty, p1)
+    win1.foreach(l => assert(l.contains("__p#"),
+      s"window not partition-stamp-bounded: $l"))
+    // and the selection itself is right: exact per-stratum ceil(f*n)
+    val kept = top.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("mega" -> 450L, "rest" -> 50L), kept.toString)
+    // capPerStratum takes the same boundary path
+    val p2 = plan(graft.ops.Sample.capPerStratum(df, Seq("src"), Seq("id"), 5))
+    val win2 = p2.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(win2.nonEmpty && win2.forall(_.contains("__p#")), p2)
+    graft.ops.Sample.releaseLayouts()
   }
 
   test("decontaminateBloom plan: hinted shuffle-hash verify, no nested loops") {
