@@ -257,6 +257,14 @@ object Similarity {
   private[ops] def readIndexMeta(spark: SparkSession, path: String): Map[String, Any] =
     readMetaRaw(spark, path)
 
+  /** Vector dimensionality recorded in an index's metadata — the
+    * authoritative contract for callers (e.g. streaming sinks) that
+    * size batch vectors against a persisted index: reads one tiny
+    * sidecar file instead of probing the batch's first row, which
+    * costs a job per micro-batch and dies on a leading null vector. */
+  def indexDims(spark: SparkSession, path: String): Int =
+    readMetaRaw(spark, path)("dims").toString.toInt
+
   /** Build-time LSH parameters, persisted next to the index so a query
     * can never silently probe with mismatched parameters (which would
     * read the wrong partitions and return near-zero recall). */

@@ -218,7 +218,12 @@ object EventStream {
     * BEFORE the index append: the append's commit invalidates cached
     * plans reading the index, and an unpinned survivor frame
     * re-evaluated afterwards would self-collide with the rows it just
-    * appended. */
+    * appended. Vector dims come from the index's own metadata (the
+    * authoritative build-time contract) rather than probing the
+    * batch's first row — no extra per-batch job, and a null vector
+    * cannot kill the stream; null-vector rows are dropped (they carry
+    * nothing to dedup or index — mismatched NON-null dims still fail
+    * loudly inside the dedup ops). */
   private[graft] def vectorDedupedMergeSink(env: graft.Env, table: String,
       fields: Seq[String], idCol: String, vecCol: String,
       indexPath: String, threshold: Double): (DataFrame, Long) => Unit =
@@ -227,18 +232,16 @@ object EventStream {
         "streaming vector-deduped-merge sink invoked inside a " +
           "transaction: its table write would buffer into a transaction " +
           "the sink never commits, while the index append still lands")
-      val first = batch.select(vecCol).head(1)
-      if (first.nonEmpty) {
-        val dims = first.head.getSeq[Any](0).size
-        val fresh = graft.ops.Similarity.semanticDedupAgainstIndex(
-          batch, vecCol, idCol, indexPath, threshold)
-        val kept = graft.ops.Similarity.cosineDedup(fresh, vecCol, idCol,
-          threshold, dims).localCheckpoint()
-        if (!kept.isEmpty) {
-          env.view(table, fields).write(kept)
-          graft.ops.Similarity.appendToSemanticIndex(kept, vecCol, idCol,
-            indexPath)
-        }
+      val dims = graft.ops.Similarity.indexDims(batch.sparkSession, indexPath)
+      val vecs = batch.filter(col(vecCol).isNotNull)
+      val fresh = graft.ops.Similarity.semanticDedupAgainstIndex(
+        vecs, vecCol, idCol, indexPath, threshold)
+      val kept = graft.ops.Similarity.cosineDedup(fresh, vecCol, idCol,
+        threshold, dims).localCheckpoint()
+      if (!kept.isEmpty) {
+        env.view(table, fields).write(kept)
+        graft.ops.Similarity.appendToSemanticIndex(kept, vecCol, idCol,
+          indexPath)
       }
     }
 }

@@ -45,7 +45,10 @@ import graft.view.{Json, Order}
   * }}}
   *
   * ACL read/write filters configured on the env bind HTTP clients
-  * exactly as library callers.
+  * exactly as library callers. The audit endpoints read storage
+  * snapshots beneath the view layer, where those filters cannot
+  * apply — so `/_diff` and `/_snapshots` refuse (403) for any table
+  * with an `aclRead` entry rather than leak hidden rows' changes.
   */
 final class Server(env: Env, port: Int = 0) {
 
@@ -100,6 +103,16 @@ final class Server(env: Env, port: Int = 0) {
           (200, delete(table, params(ex.getRequestURI.getRawQuery)))
         else if (path.startsWith("_profile/"))
           (200, profile(table, params(ex.getRequestURI.getRawQuery)))
+        // the audit endpoints read STORAGE snapshots, beneath the View
+        // layer where aclRead filters bind — serving them for an
+        // ACL-guarded table would leak key-level changes and column
+        // min/max for rows the ACL hides (and snapshot names leak
+        // write cadence). Refuse loudly; the library surface
+        // (Env.diffSnapshots) stays available to the operator.
+        else if ((path.startsWith("_diff/") || path.startsWith("_snapshots/"))
+            && env.aclRead.getOrElse(table, Nil).nonEmpty)
+          (403, Json.write(Map("error" ->
+            s"'$table' has ACL read filters; snapshot audit is not served over HTTP")))
         else if (path.startsWith("_diff/"))
           (200, diff(table, params(ex.getRequestURI.getRawQuery)))
         else if (path.startsWith("_snapshots/"))
@@ -145,8 +158,10 @@ final class Server(env: Env, port: Int = 0) {
     * `limit` (default 1000) like `read`; `summary=true` returns the
     * per-kind counts instead; `profile=true` switches to the
     * per-column data-card drift ([[graft.Env.compareSnapshots]]).
-    * Storage-level surface: view ACL read filters do not apply;
-    * bucketed tables refuse (400). */
+    * Storage-level surface: view ACL read filters CANNOT apply
+    * (snapshots predate the view layer), so tables with an `aclRead`
+    * entry refuse with 403 before reaching here; bucketed tables
+    * refuse (400). */
   private def diff(table: String, ps: Seq[(String, String)]): String = {
     val get = ps.toMap
     val df =

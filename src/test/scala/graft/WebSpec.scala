@@ -174,6 +174,15 @@ class WebSpec extends SparkSpec {
     try {
       val (_, body) = get(port, "/member?fields=name")
       assert(body.contains("Bob") && body.contains("Alice") && !body.contains("Trudy"), body)
+      // the storage-level audit endpoints cannot apply the view-layer
+      // ACL filter, so an ACL-guarded table refuses rather than leak
+      // hidden rows' key-level changes / column min-max / snapshots
+      val (dc, db) = get(port, "/_diff/member")
+      assert(dc == 403 && db.contains("ACL"), s"$dc $db")
+      assert(get(port, "/_diff/member?profile=true")._1 == 403)
+      assert(get(port, "/_snapshots/member")._1 == 403)
+      // an un-guarded table still serves its audit
+      assert(get(port, "/_snapshots/country")._1 == 200)
     } finally srv.stop()
   }
 
