@@ -1551,13 +1551,16 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |FROM documents""".stripMargin,
     // size-32 windows every 24 tokens; DuckDB 1-based inclusive list
-    // slicing clamps past the end exactly like Spark's slice
+    // slicing clamps past the end exactly like Spark's slice. nc skips
+    // a trailing window fully contained in its predecessor:
+    // max(1, ceil((n - overlap) / step))
     "text_chunk" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS toks
         |  FROM documents),
-        |n AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 24.0) AS INT) AS nc
+        |n AS (SELECT doc_id, toks,
+        |        greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT)) AS nc
         |      FROM t WHERE len(toks) > 0),
         |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_ix FROM n)
         |SELECT doc_id, chunk_ix,

@@ -31,7 +31,9 @@ object Text {
     * `size - overlap` tokens (so consecutive chunks share `overlap`
     * tokens of context), returned as one row per chunk
     * `(idCol, chunk_ix, chunk_text)`. Every token appears in at least
-    * one chunk; the final chunk may be shorter. Chunk text re-joins
+    * one chunk; the final chunk may be shorter, and a trailing window
+    * that would sit entirely inside its predecessor (every token
+    * already covered) is not emitted. Chunk text re-joins
     * tokens with single spaces (token-window semantics: original
     * whitespace runs are not preserved, matching what a tokenizer
     * sees). Blank / null documents produce no chunks.
@@ -52,13 +54,21 @@ object Text {
     val toks0 = when(col(textCol).isNull, array().cast("array<string>"))
       .otherwise(filter(split(trim(col(textCol)), "\\s+"),
         t => length(t) > 0))
+    // a window is emitted only when it contributes at least one NEW
+    // token: starts run while s < nTokens - overlap, i.e. nChunks =
+    // max(1, ceil((nTokens - overlap) / step)) — the trailing window
+    // that ceil(nTokens / step) would add whenever nTokens % step is
+    // in (0, overlap] sits entirely inside its predecessor and would
+    // only produce redundant downstream embedding work. Coverage
+    // still holds: the last start is ≥ nTokens - size.
     val chunks = Hof.bind(toks0, toks =>
         when(org.apache.spark.sql.functions.size(toks) === 0,
             array().cast("array<string>"))
           .otherwise(transform(
             sequence(lit(0),
-              ceil(org.apache.spark.sql.functions.size(toks)
-                .cast("double") / step).cast("int") - 1),
+              greatest(lit(0),
+                ceil((org.apache.spark.sql.functions.size(toks) - overlap)
+                  .cast("double") / step).cast("int") - 1)),
             i => concat_ws(" ", slice(toks, i * step + 1, lit(size))))))
     df.select(col(idCol),
       posexplode(chunks).as(Seq("chunk_ix", "chunk_text")))

@@ -1707,10 +1707,15 @@ class OpsSpec extends SparkSpec {
     )).toDF("doc_id", "text")
     val got = rows(Text.chunkTokens(df, "doc_id", "text", size = 4,
       overlap = 2).orderBy("doc_id", "chunk_ix"))
+    // no trailing "i j" chunk: tokens 8-9 are already covered by
+    // "g h i j", so a 5th window would only duplicate embedding work
     assert(got == Seq(
       Seq(1L, 0, "a b c d"), Seq(1L, 1, "c d e f"), Seq(1L, 2, "e f g h"),
-      Seq(1L, 3, "g h i j"), Seq(1L, 4, "i j"),
+      Seq(1L, 3, "g h i j"),
       Seq(2L, 0, "x y")), got)
+    // every token is covered exactly once by the union of chunks
+    val cover = got.filter(_.head == 1L).map(_(2).toString)
+    assert(cover.last.split(" ").last == "j", cover)
     // overlap = 0 partitions the document exactly
     val flat = rows(Text.chunkTokens(df.filter(col("doc_id") === 1),
       "doc_id", "text", 3).orderBy("chunk_ix")).map(_(2)).mkString(" ")
