@@ -301,6 +301,65 @@ object Similarity {
       .asScala.toMap
   }
 
+  /** Append-tally durability journal. A crash between an append's
+    * parquet commit and its meta update would silently drop the
+    * batch's mass from `appendedCounts`, making drift retrain fire
+    * late. So each append writes its per-cell tally delta to a
+    * uniquely-named sidecar BEFORE the data append and removes it only
+    * AFTER the folded counts are durable in the meta — surviving
+    * journals are therefore exactly the deltas whose meta fold is
+    * unconfirmed, and the next append folds them in
+    * ([[pendingTallies]]). Re-folding can only OVERcount (crash before
+    * the data append itself, or a caller retrying a whole append —
+    * whose duplicate members the dedup semantics tolerate as extra
+    * candidates), which at worst retrains EARLY — always safe, a
+    * retrain rebuilds exact state from the stored vectors — never
+    * silently late. Journals ride inside the index directory
+    * (underscore prefix: invisible to parquet readers, like the meta
+    * sidecar) and vanish with it on a retrain swap, whose rebuild
+    * resets the tallies anyway. */
+  private def writeTallyJournal(spark: SparkSession, path: String,
+      delta: Map[Int, Long]): Path = {
+    val f = new Path(path,
+      s"_graft_tally_journal_${java.util.UUID.randomUUID}.json")
+    val out = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(f, false)
+    try out.write(graft.view.Json.write(
+      delta.map { case (c, n) => c.toString -> n }).getBytes("UTF-8"))
+    finally out.close()
+    f
+  }
+
+  /** Unconfirmed tally deltas left by crashed or retried appends (see
+    * [[writeTallyJournal]]): the journal files to clear once folded,
+    * and their summed per-cell delta. */
+  private def pendingTallies(spark: SparkSession,
+      path: String): (Seq[Path], Map[Int, Long]) = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(
+      new Path(dir, "_graft_tally_journal_*.json")))
+      .getOrElse(Array.empty).toSeq.map(_.getPath)
+    import scala.jdk.CollectionConverters._
+    val sums = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    files.foreach { f =>
+      val in = fs.open(f)
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](text)
+        .asScala.foreach { case (k, v) => sums(k.toInt) += v.toString.toLong }
+    }
+    (files, sums.toMap)
+  }
+
+  private def clearTallyJournals(spark: SparkSession,
+      files: Seq[Path]): Unit =
+    files.headOption.foreach { h =>
+      val fs = h.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      files.foreach(fs.delete(_, false))
+    }
+
   private def readMeta(spark: SparkSession, path: String): Map[String, Long] =
     readMetaRaw(spark, path).collect {
       case (k, v: Number) => k -> v.longValue()
@@ -369,8 +428,13 @@ object Similarity {
     * per-centroid append tallies persist in the index meta, and once
     * total appended mass exceeds `retrainAt` × the trained mass the
     * index reclusters itself ([[retrainIvfIndex]] — a full seed-fixed
-    * k-means rebuild over the index's own rows). Pass
-    * `retrainAt = Double.MaxValue` to keep centroids frozen forever.
+    * k-means rebuild over the index's own rows). Tallies are
+    * crash-durable through a sidecar journal ([[writeTallyJournal]]):
+    * a kill between the data append and the meta update cannot lose
+    * the batch's mass, and a blind caller retry at worst double-counts
+    * toward an EARLY retrain (its duplicate members are tolerated as
+    * extra dedup candidates until the retrain rebuilds exact state).
+    * Pass `retrainAt = Double.MaxValue` to keep centroids frozen forever.
     * The default (0.5) keeps recall-healing ON — a deliberate choice
     * now that the retrain swap is crash-safe: an IVF index that
     * silently degrades to 50% recall is a worse surprise than a
@@ -403,15 +467,22 @@ object Similarity {
       // batch against the already-grown index (self-collision -> zero)
       val batch = asg.groupBy("__c").agg(count(lit(1)).as("__n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // durability: journal this batch's delta BEFORE the data append,
+      // fold any unconfirmed deltas from crashed/retried appends, and
+      // clear journals only once the fold is durable in the meta
+      val (journals, pending) = pendingTallies(spark, path)
+      val myJournal = writeTallyJournal(spark, path, batch)
       asg.join(df.select(col(idCol), payload), col("__id") === col(idCol))
         .select(col(idCol), col(payloadName), col("__c"))
         .repartition(col("__c"))
         .write.mode("append").partitionBy("__c").parquet(path)
       val prev = appendedCountsOf(meta, cents.size)
-      val appended = cents.indices.map(c => prev(c) + batch.getOrElse(c, 0L))
+      val appended = cents.indices.map(c =>
+        prev(c) + batch.getOrElse(c, 0L) + pending.getOrElse(c, 0L))
       val trained = meta.get("trainedCount").map(_.toString.toLong).getOrElse(0L)
       writeMeta(spark, path, cleanIvfMeta(meta) +
         ("appendedCounts" -> appended))
+      clearTallyJournals(spark, journals :+ myJournal)
       // retrain on DRIFT, not on every big append: pre-trainedCount
       // indexes (no baseline) never auto-retrain
       if (trained > 0 && appended.sum > retrainAt * trained)
@@ -770,8 +841,16 @@ object Similarity {
       vecCol: String, idCol: String, k: Int, nQueries: Int = 10,
       nprobe: Int = 4, probeLevel: Int = 1): DataFrame = {
     require(k > 0 && nQueries > 0, "recallAtK needs k > 0 and nQueries > 0")
+    // dispatch is closed over the three top-k index families: an
+    // unknown kind (e.g. a semantic dedup index, which has no top-k
+    // prober) must refuse here, not fall through to the LSH prober
+    // and die on a missing meta key
     val kind = readMetaRaw(spark, path).get("kind").map(_.toString)
       .getOrElse("lsh")
+    require(Set("lsh", "ivf", "ivfpq")(kind),
+      s"recallAtK supports lsh/ivf/ivfpq indexes; $path is kind '$kind'" +
+        (if (kind == "semantic") " (a dedup cluster index, not a top-k index)"
+         else ""))
     val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
       .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
       .limit(nQueries).collect()
@@ -1066,6 +1145,9 @@ object Similarity {
       // this index, and a post-write re-evaluation self-collides)
       val batch = asg.groupBy("__c").agg(count(lit(1)).as("__n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // durability journal — see appendToIvfIndex
+      val (journals, pending) = pendingTallies(spark, path)
+      val myJournal = writeTallyJournal(spark, path, batch)
       asg.join(df.select(col(idCol), col(vecCol)), col("__id") === col(idCol))
         .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
           element_at(centLit, col("__c") + 1), (x, c) => x - c))
@@ -1074,10 +1156,12 @@ object Similarity {
         .repartition(col("__c"))
         .write.mode("append").partitionBy("__c").parquet(path)
       val prev = appendedCountsOf(meta, cents.size)
-      val appended = cents.indices.map(c => prev(c) + batch.getOrElse(c, 0L))
+      val appended = cents.indices.map(c =>
+        prev(c) + batch.getOrElse(c, 0L) + pending.getOrElse(c, 0L))
       val trained = meta.get("trainedCount").map(_.toString.toLong).getOrElse(0L)
       writeMeta(spark, path, cleanPqMeta(meta) +
         ("appendedCounts" -> appended))
+      clearTallyJournals(spark, journals :+ myJournal)
       if (trained > 0 && appended.sum > retrainAt * trained)
         retrainIvfPqIndex(spark, path, idCol)
     } finally { asg.unpersist(false): Unit }
@@ -1280,15 +1364,20 @@ object Similarity {
       // and a post-write re-evaluation self-collides to zero)
       val batch = asg.groupBy("__c").agg(count(lit(1)).as("__n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // durability journal — see appendToIvfIndex
+      val (journals, pending) = pendingTallies(spark, path)
+      val myJournal = writeTallyJournal(spark, path, batch)
       asg.join(norm, col("__id") === col(idCol))
         .select(col(idCol), col("__nv"), col("__c"))
         .repartition(col("__c"))
         .write.mode("append").partitionBy("__c").parquet(path)
       val prev = appendedCountsOf(meta, cents.size)
-      val appended = cents.indices.map(c => prev(c) + batch.getOrElse(c, 0L))
+      val appended = cents.indices.map(c =>
+        prev(c) + batch.getOrElse(c, 0L) + pending.getOrElse(c, 0L))
       val trained = meta.get("trainedCount").map(_.toString.toLong).getOrElse(0L)
       writeMeta(spark, path, cleanSemanticMeta(meta) +
         ("appendedCounts" -> appended))
+      clearTallyJournals(spark, journals :+ myJournal)
       if (trained > 0 && appended.sum > retrainAt * trained)
         retrainSemanticIndex(spark, path, idCol)
     } finally { asg.unpersist(false): Unit }

@@ -644,6 +644,71 @@ class OpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("append tally journal: a crashed meta update folds into the next append") {
+    import graft.ops.Similarity
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def vdf(rows: Seq[(Long, Seq[Float])]) = s.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    val trained = vdf(
+      (0 until 15).map(i => (i.toLong, Seq(1f, 0.01f * i, 0f, 0f))) ++
+      (0 until 15).map(i => (100L + i, Seq(0.01f * i, 1f, 0f, 0f))))
+    val batchA = vdf((0 until 20).map(i =>
+      (3000L + i, Seq(0.3f, 0f, 1f, 0.01f * i))))
+    val batchB = vdf(Seq((5000L, Seq(0f, 0.3f, 1f, 0f)),
+      (5001L, Seq(0f, 0.31f, 1f, 0f))))
+    val dir = java.nio.file.Files.createTempDirectory("ivfjournal").toString
+    def journals() = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_graft_tally_journal_")).toSeq
+    def metaText() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_index_meta.json")), "UTF-8")
+    def meta() = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](metaText())
+    try {
+      Similarity.buildIvfIndex(trained, "embedding", "vec_id", dir,
+        dims = 4, nlist = 2)
+      Similarity.appendToIvfIndex(batchA, "embedding", "vec_id", dir,
+        retrainAt = Double.MaxValue)
+      // the happy path cleans up after itself
+      assert(journals().isEmpty, journals().map(_.getName))
+      val counts = meta().get("appendedCounts")
+        .asInstanceOf[java.util.List[Object]].asScala.map(_.toString.toLong)
+      assert(counts.sum == 20L, counts)
+      // simulate a kill between batchA's parquet commit and its meta
+      // update: the rows are already in the index (they are), the
+      // journal survives, and the meta still shows zero appended mass
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_graft_tally_journal_crashsim.json"),
+        counts.zipWithIndex.map { case (n, c) => s""""$c": $n""" }
+          .mkString("{", ", ", "}").getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_graft_index_meta.json"),
+        metaText().replaceAll("\"appendedCounts\":\\s*\\[[^\\]]*\\]",
+          "\"appendedCounts\": [0, 0]").getBytes("UTF-8"))
+      // drop the Hadoop local-FS checksum sidecar the out-of-band
+      // rewrite invalidated (a real crash loses the write+crc pair
+      // together, so production never sees this)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._graft_index_meta.json.crc"))
+      // reopen + append 2 rows at retrainAt = 0.6: journal 20 + batch 2
+      // = 22 > 0.6 x 30 trained, while 2 alone would never cross — the
+      // retrain firing proves the crashed delta was folded back in
+      Similarity.appendToIvfIndex(batchB, "embedding", "vec_id", dir,
+        retrainAt = 0.6)
+      assert(meta().get("trainedCount").toString.toLong == 52L, metaText())
+      assert(meta().get("appendedCounts")
+        .asInstanceOf[java.util.List[Object]].asScala
+        .forall(_.toString.toLong == 0L), metaText())
+      assert(journals().isEmpty, journals().map(_.getName))
+      assert(s.read.parquet(dir).count() == 52L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("crashed retrain swap (index at __old) heals on next open") {
     // the retrain swap renames live -> __old, scratch -> live; a crash
     // between the renames leaves only __old — any entry point that
@@ -1248,6 +1313,15 @@ class OpsSpec extends SparkSpec {
     val (r0, r1) = (lshRecall(0), lshRecall(1))
     assert(r0.zip(r1).forall { case (a, b) => b >= a }, s"$r0 vs $r1")
     assert(r1.forall(_ == 1.0), r1)
+    // an index kind with no top-k prober refuses loudly instead of
+    // falling through to the LSH prober and dying on a missing meta key
+    graft.ops.Similarity.buildSemanticIndex(corpus, "embedding", "vec_id",
+      base + "/sem", k = 2)
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Similarity.recallAtK(s, base + "/sem", corpus,
+        "embedding", "vec_id", k = 5))
+    assert(e.getMessage.contains("lsh/ivf/ivfpq") &&
+      e.getMessage.contains("semantic"), e.getMessage)
   }
 
   test("Diff: added/removed/changed verdicts; null-shape changes detected") {
