@@ -75,25 +75,29 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * catalog-less introspection, never authoritative once `_ROOT`
     * exists. Root read-modify-write is serialized by a JVM-wide
     * per-root lock — correct for any single-driver deployment (all
-    * Warehouse writes are driver-coordinated); concurrent writers from
-    * SEPARATE driver processes on one root need external coordination,
-    * exactly as object-store table formats without a compare-and-swap
-    * service do. */
+    * Warehouse writes are driver-coordinated). A SECOND driver
+    * process attempting to write the same root is refused loudly by
+    * the `_LEASE` writer lease ([[ensureLease]]) instead of losing
+    * updates; read-only processes are unaffected. */
   private def rootFile = new Path(root, "_ROOT")
   private def rootLock: Object = Warehouse.lockFor(root)
 
   /** Parsed root catalog memo, keyed by the `_ROOT` file's
-    * (modification time, length). Every table read resolves through
-    * [[readRoot]], so at thousands of tables × reads per plan the
-    * open + read + YAML parse is pure driver overhead; the memo turns
-    * the steady-state cost into ONE getFileStatus call. Same-process
-    * commits refresh it under the root lock (exact, no staleness
-    * window); a swap by a DIFFERENT process is caught by the status
-    * check — except two foreign swaps landing in one mtime tick with
-    * identical byte length, which falls under the documented
-    * "concurrent writers from separate driver processes need external
-    * coordination" contract above. */
-  @volatile private var rootMemo: Option[(Long, Long, Map[String, String])] = None
+    * (modification time, length) and SHARED per root across every
+    * Warehouse instance in this JVM ([[Warehouse.memoFor]]) — a
+    * per-instance memo would treat a sibling instance's commit as a
+    * foreign swap and could cache stale state. Every table read
+    * resolves through [[readRoot]], so at thousands of tables × reads
+    * per plan the open + read + YAML parse is pure driver overhead;
+    * the memo turns the steady-state cost into ONE getFileStatus
+    * call. Same-process commits refresh it under the root lock
+    * (marked `exact` — never stale while this process holds the
+    * writer lease); a swap by a different process is caught by the
+    * status check, and the same-mtime-tick/same-length blind spot is
+    * closed by re-reading any non-exact memo whose file is younger
+    * than [[Warehouse.RootFreshnessMs]] (a colliding foreign swap is
+    * by definition that recent; an idle catalog stays memoized). */
+  private def rootMemo = Warehouse.memoFor(root)
 
   /** table -> pointer content from the root catalog; empty when the
     * warehouse predates the catalog (readers then fall back to the
@@ -107,9 +111,11 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     status match {
       case None => Map()
       case Some(st) =>
-        rootMemo match {
-          case Some((mt, len, m))
-              if mt == st.getModificationTime && len == st.getLen => m
+        rootMemo.get() match {
+          case Some((mt, len, m, exact))
+              if mt == st.getModificationTime && len == st.getLen &&
+                (exact || System.currentTimeMillis - mt >
+                  Warehouse.RootFreshnessMs) => m
           case _ =>
             try {
               val in = fsys.open(f)
@@ -121,7 +127,8 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
               val parsed =
                 if (y == null) Map[String, String]()
                 else y.asScala.map { case (k, v) => k -> v.toString }.toMap
-              rootMemo = Some((st.getModificationTime, st.getLen, parsed))
+              rootMemo.set(Some((st.getModificationTime, st.getLen, parsed,
+                false)))
               parsed
             } catch { case scala.util.control.NonFatal(_) => Map() }
         }
@@ -135,9 +142,10 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * (readers resolve through the root first). */
   private def commitPointers(entries: collection.Seq[(String, String)]): Unit =
     rootLock.synchronized {
-      val merged = readRoot() ++ entries
       val f = rootFile
       val fsys = fs(f)
+      ensureLease(fsys)
+      val merged = readRoot() ++ entries
       val tmp = new Path(root, s"_ROOT.tmp-${System.nanoTime()}")
       val out = fsys.create(tmp, true)
       try out.write(Json.write(merged).getBytes(StandardCharsets.UTF_8))
@@ -149,10 +157,49 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       // new catalog without re-parsing (and never a stale one)
       try {
         val st = fsys.getFileStatus(f)
-        rootMemo = Some((st.getModificationTime, st.getLen, merged))
-      } catch { case scala.util.control.NonFatal(_) => rootMemo = None }
+        rootMemo.set(Some((st.getModificationTime, st.getLen, merged, true)))
+      } catch { case scala.util.control.NonFatal(_) => rootMemo.set(None) }
       entries.foreach { case (t, content) => writeMirror(t, content) }
     }
+
+  /** Writer lease: `_LEASE` under the root names the ONE process
+    * allowed to commit (hostname:pid, heartbeat = the file's mtime).
+    * Checked and refreshed at every commit — NOT at construction, so
+    * read-only Envs from other processes (`tk read` against a running
+    * server) stay legal. A second process attempting a write refuses
+    * loudly while the holder's heartbeat is fresh, and may steal a
+    * lease older than [[Warehouse.LeaseTtlMs]] (a crashed or exited
+    * holder); a merely-idle holder whose lease was stolen refuses at
+    * its own next commit instead of silently losing updates. This
+    * turns the formerly documented multi-driver `_ROOT`
+    * read-modify-write hazard into a loud error. Heartbeat writes are
+    * skipped while the lease is younger than TTL/2, so a busy writer
+    * adds roughly one tiny write per TTL/2, not per commit. */
+  private def ensureLease(fsys: FileSystem): Unit = {
+    val f = new Path(root, "_LEASE")
+    val me = Warehouse.processId
+    val st = try Some(fsys.getFileStatus(f))
+      catch { case _: java.io.FileNotFoundException => None }
+    val holder = st.map { _ =>
+      val in = fsys.open(f)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim finally in.close()
+    }
+    val age = st.map(s => System.currentTimeMillis - s.getModificationTime)
+    holder match {
+      case Some(h) if h != me && age.exists(_ <= Warehouse.LeaseTtlMs) =>
+        throw new IllegalStateException(
+          s"warehouse $root is write-leased by process '$h' " +
+            s"(heartbeat ${age.get} ms ago): a second writer would lose " +
+            "updates. Stop the holder, or wait for its lease to expire " +
+            s"(ttl ${Warehouse.LeaseTtlMs} ms).")
+      case Some(h) if h == me && age.exists(_ <= Warehouse.LeaseTtlMs / 2) =>
+        () // ours and fresh — skip the heartbeat write
+      case _ => // absent, ours-but-aging, or stale-foreign: (re)take it
+        val out = fsys.create(f, true)
+        try out.write(me.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+  }
 
   private def writeMirror(t: String, content: String): Unit = {
     val f = currentFile(t)
@@ -763,6 +810,37 @@ object Warehouse {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[store] def lockFor(root: String): Object =
     rootLocks.computeIfAbsent(root, _ => new Object)
+
+  /** Parsed-root memo shared by every Warehouse instance over one root
+    * in this JVM, keyed like [[lockFor]]: (mtime, length, entries,
+    * exact), where `exact` marks content installed by this JVM's own
+    * commit under the root lock. A per-instance memo would treat a
+    * sibling instance's commit as a foreign swap. */
+  private val rootMemos = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicReference[
+      Option[(Long, Long, Map[String, String], Boolean)]]]()
+  private[store] def memoFor(root: String): java.util.concurrent.atomic
+      .AtomicReference[Option[(Long, Long, Map[String, String], Boolean)]] =
+    rootMemos.computeIfAbsent(root,
+      _ => new java.util.concurrent.atomic.AtomicReference(None))
+
+  /** A non-exact memo entry younger than this re-reads the catalog:
+    * closes the same-mtime-tick/same-length foreign-swap blind spot
+    * of the (mtime, length) key at the cost of re-parsing only roots
+    * modified in the last two seconds. */
+  private[store] val RootFreshnessMs: Long = 2000L
+
+  /** Writer-lease heartbeat TTL (see `ensureLease`): a lease whose
+    * mtime is older than this is stealable by another process. */
+  private[store] val LeaseTtlMs: Long = 10 * 60 * 1000L
+
+  /** This process's writer identity for the `_LEASE` guard; hostname
+    * resolution is done once (it can block on DNS). */
+  private[store] lazy val processId: String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case scala.util.control.NonFatal(_) => "localhost" }
+    s"$host:${ProcessHandle.current().pid()}"
+  }
 
   /** Rebuild a Registry from a warehouse directory: the persisted
     * `_SCHEMA.yaml` when present (full fidelity), else best-effort

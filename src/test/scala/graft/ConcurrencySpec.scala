@@ -36,6 +36,45 @@ class ConcurrencySpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("writer lease: fresh foreign lease refuses, stale lease steals") {
+    val env = freshEnv()
+    val root = env.warehouse.root
+    val lease = java.nio.file.Paths.get(root, "_LEASE")
+    // the seed writes acquired the lease for this process
+    assert(java.nio.file.Files.exists(lease),
+      "no _LEASE after a committed write")
+    val mine = new String(java.nio.file.Files.readAllBytes(lease), "UTF-8")
+    assert(mine.endsWith(s":${ProcessHandle.current().pid()}"), mine)
+    // a FRESH lease held by another process: any commit refuses loudly
+    // (delete first so no stale Hadoop checksum sidecar survives)
+    java.nio.file.Files.delete(lease)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, "._LEASE.crc"))
+    java.nio.file.Files.write(lease, "otherhost:999999999".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      env.view("country", Seq("name")).write(Seq(Seq("Italy"))))
+    assert(e.getMessage.contains("write-leased") &&
+      e.getMessage.contains("otherhost:999999999"), e.getMessage)
+    // ...and nothing was committed under the foreign lease
+    assert(rows(env.view("country", Seq("name")).read()).size == 3)
+    // a lease past its TTL is stealable: age the foreign lease, the
+    // same write now succeeds and the lease is ours again
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 11 * 60 * 1000L))
+    env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+    assert(rows(env.view("country", Seq("name")).read()).size == 4)
+    assert(new String(java.nio.file.Files.readAllBytes(lease), "UTF-8")
+      == mine)
+    // read-only access never needed the lease: a foreign fresh lease
+    // does not block reads
+    java.nio.file.Files.delete(lease)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, "._LEASE.crc"))
+    java.nio.file.Files.write(lease, "otherhost:999999999".getBytes("UTF-8"))
+    assert(rows(env.view("country", Seq("name")).read()).size == 4)
+  }
+
   test("link BFS enumerates join paths shortest-first") { // base_test.py:199-227
     val env = freshEnv(seedTeams = false)
     val reg = env.registry
