@@ -86,6 +86,28 @@ object Bench {
         if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(repeats / 2)
     }
 
+    // Scale/write probes below: the r11 verdict flagged that these ran
+    // ONCE, carried no queries_min entry, and were therefore invisible
+    // to the drift sentinel — exactly where the only cross-round
+    // movers lived. Every REPEATABLE probe (the miners, pure reads,
+    // idempotent re-updates) now runs `probeReps` times with median +
+    // min tracked like the main loop; probes whose rerun would change
+    // semantics (a load that becomes an update, an insert that becomes
+    // an upsert) stay single-shot and are listed in BENCH_FULL's
+    // "single_run" so the artifact says so explicitly.
+    val probeReps =
+      sys.env.get("SPARK_GRAFT_PROBE_REPEATS").map(_.toInt).getOrElse(2)
+    val singleRun = scala.collection.mutable.ArrayBuffer[String]()
+    def probe(name: String, reps: Int = -1)(body: => Unit): Unit = {
+      val n = if (reps > 0) reps else probeReps
+      val runs = Seq.fill(n)(time(body))
+      mins(name) = if (runs.forall(_ < 0)) -1.0 else runs.filter(_ >= 0).min
+      results(name) =
+        if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(n / 2)
+      if (n == 1) singleRun += name
+    }
+    def probeOnce(name: String)(body: => Unit): Unit = probe(name, 1)(body)
+
     // Write-path probe (BASELINE.md): 100k-row upsert, insert then
     // re-write as update, through the full View.write machinery.
     if (only.isEmpty) {
@@ -102,8 +124,10 @@ object Bench {
       .cache()
     batch.count() // materialize outside the timed sections
     val wv = e.view("bench_scratch", Seq("code", "ts", "n", "x"))
-    results("write_100k_insert") = time(wv.write(batch))
-    results("write_100k_update") = time(wv.write(batch))
+    // a repeated insert would be an update — single-shot by semantics
+    probeOnce("write_100k_insert")(wv.write(batch))
+    // re-updating the same batch is idempotent work: repeatable
+    probe("write_100k_update")(wv.write(batch))
     batch.unpersist()
 
     // Pruned-merge probe: load the full lineitem keyspace into a
@@ -117,12 +141,13 @@ object Bench {
       .cache()
     allRows.count()
     val bv = e.view("bench_bucketed", Seq("code", "x"))
-    results("bucketed_load_full") = time(bv.write(allRows))
+    // rerunning the load would merge against the loaded table
+    probeOnce("bucketed_load_full")(bv.write(allRows))
     // batch confined to 2 of 64 buckets -> only those rewrite
     val small = allRows
       .filter(pmod(hash(col("code")), lit(64)) < 2).limit(1000).cache()
     small.count()
-    results("bucketed_update_1k") = time(bv.write(small))
+    probe("bucketed_update_1k")(bv.write(small))
     allRows.unpersist(); small.unpersist()
 
     // BRIN probe: archive events into the range-clustered zoned table,
@@ -134,15 +159,15 @@ object Bench {
       .read().cache()
     ev.count()
     val av = e.view("event_archive", Seq("event_id", "ts", "event_type", "value"))
-    results("brin_load_full") = time(av.write(ev))
+    probeOnce("brin_load_full")(av.write(ev))
     val recent = ev.orderBy(col("event_id").desc).limit(1000).cache()
     recent.count()
-    results("brin_update_recent_1k") = time(av.write(recent))
+    probe("brin_update_recent_1k")(av.write(recent))
     ev.unpersist(); recent.unpersist()
     val rv = e.view("event_archive", Seq("event_id", "event_type", "value"))
-    results("brin_scan_full") = time(
+    probe("brin_scan_full")(
       rv.read().write.format("noop").mode("overwrite").save())
-    results("brin_range_read") = time(
+    probe("brin_range_read")(
       rv.read(Seq("(and (>= event_id 1000) (<= event_id 1500))"))
         .write.format("noop").mode("overwrite").save())
 
@@ -162,7 +187,8 @@ object Bench {
       .reduce(_ unionByName _).cache()
     li10.count()
     val sv = e.view("bench_sf1", Seq("code", "x"))
-    results("sf1_write_roundtrip") = time(sv.write(li10))
+    // rerun would be a full-table update, not a round-trip
+    probeOnce("sf1_write_roundtrip")(sv.write(li10))
     li10.unpersist()
     val docs1 = e.view("documents", Seq("doc_id", "text")).read()
     val abc = "abcdefghijklmnopqrstuvwxyz"
@@ -175,17 +201,21 @@ object Bench {
           // (measured: 103s vs the ~4s a linear scale-up costs)
           translate(col("text"), abc, abc.drop(k) + abc.take(k)).as("text")))
       .reduce(_ unionByName _)
-    // cold single-shot baseline at 1x: the median-of-3
-    // dedup_minhash_pairs entry reuses the miner's slot cache on
-    // repeats 2-3, which would overstate the sf1 ratio ~3x
-    graft.ops.Dedup.clearMaterializedSlots()
-    results("dedup_minhash_pairs_cold") = time(
+    // cold baseline at 1x: the median-of-3 dedup_minhash_pairs entry
+    // reuses the miner's slot cache on repeats 2-3, which would
+    // overstate the sf1 ratio ~3x — so every rep clears the slots
+    // INSIDE the timed body (the clear is microseconds) and measures
+    // a true cold run, now repeatable for the drift sentinel
+    probe("dedup_minhash_pairs_cold") {
+      graft.ops.Dedup.clearMaterializedSlots()
       graft.ops.Dedup.minhashPairs(docs1, "doc_id", "text", threshold = 0.2)
-        .write.format("noop").mode("overwrite").save())
-    graft.ops.Dedup.clearMaterializedSlots()
-    results("sf1_dedup_minhash_pairs") = time(
+        .write.format("noop").mode("overwrite").save()
+    }
+    probe("sf1_dedup_minhash_pairs") {
+      graft.ops.Dedup.clearMaterializedSlots()
       graft.ops.Dedup.minhashPairs(docs10, "doc_id", "text", threshold = 0.2)
-        .write.format("noop").mode("overwrite").save())
+        .write.format("noop").mode("overwrite").save()
+    }
     graft.ops.Dedup.clearMaterializedSlots()
 
     // sf1 probes for the OTHER shuffle-heavy miners (r9 verdict #4):
@@ -204,24 +234,26 @@ object Bench {
         src.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
           translate(col("text"), abc, abc.drop(k) + abc.take(k)).as("text")))
       .reduce(_ unionByName _)
-    results("dedup_spans_cold") = time(
+    probe("dedup_spans_cold")(
       graft.ops.Dedup.duplicateSpans(planted1, "doc_id", "text", n = 8)
         .write.format("noop").mode("overwrite").save())
-    results("sf1_dedup_spans") = time(
+    probe("sf1_dedup_spans")(
       graft.ops.Dedup.duplicateSpans(shifted(planted1), "doc_id", "text", n = 8)
         .write.format("noop").mode("overwrite").save())
     val mdHash = (t: org.apache.spark.sql.Column) =>
       conv(substring(md5(t), 1, 15), 16, 10).cast("long")
-    graft.ops.Dedup.clearMaterializedSlots()
-    results("dedup_simhash_cold") = time(
+    probe("dedup_simhash_cold") {
+      graft.ops.Dedup.clearMaterializedSlots()
       graft.ops.Dedup.simhashPairs(docs1, "doc_id", "text", maxHamming = 3,
         numBits = 60, tokenHash = mdHash)
-        .write.format("noop").mode("overwrite").save())
-    graft.ops.Dedup.clearMaterializedSlots()
-    results("sf1_dedup_simhash") = time(
+        .write.format("noop").mode("overwrite").save()
+    }
+    probe("sf1_dedup_simhash") {
+      graft.ops.Dedup.clearMaterializedSlots()
       graft.ops.Dedup.simhashPairs(shifted(docs1), "doc_id", "text",
         maxHamming = 3, numBits = 60, tokenHash = mdHash)
-        .write.format("noop").mode("overwrite").save())
+        .write.format("noop").mode("overwrite").save()
+    }
     graft.ops.Dedup.clearMaterializedSlots()
     val prof1 = e.view("documents",
       Seq("doc_id", "lang", "source", "n_chars", "text")).read()
@@ -230,7 +262,7 @@ object Bench {
           col("lang"), col("source"), col("n_chars"),
           translate(col("text"), abc, abc.drop(k) + abc.take(k)).as("text")))
       .reduce(_ unionByName _)
-    results("sf1_profile_columns") = time(
+    probe("sf1_profile_columns")(
       graft.ops.Profile.columns(prof10, Seq("lang", "source", "n_chars", "text"))
         .write.format("noop").mode("overwrite").save())
 
@@ -250,16 +282,22 @@ object Bench {
         emb1.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
           rolled.as("embedding"), col("label"))
       }.reduce(_ unionByName _)
-    graft.ops.Dedup.clearMaterializedSlots()
-    results("sf1_dedup_semantic") = time(
+    probe("sf1_dedup_semantic") {
+      graft.ops.Dedup.clearMaterializedSlots()
       graft.ops.Similarity.semanticDedup(emb10, "embedding", "vec_id",
         "label", threshold = 0.95)
-        .write.format("noop").mode("overwrite").save())
+        .write.format("noop").mode("overwrite").save()
+    }
     graft.ops.Dedup.clearMaterializedSlots()
     val q10 = emb1.filter(col("vec_id") === 0).head().getSeq[Float](1)
     val pqDir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-bench-sf1pq-${ProcessHandle.current().pid()}").getAbsolutePath
-    results("sf1_ann_pq_build_query") = time {
+    probe("sf1_ann_pq_build_query") {
+      // delete first so every rep is a true cold build, not an
+      // overwrite of a laid-out index
+      try org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(pqDir))
+      catch { case _: Exception => }
       graft.ops.Similarity.buildIvfPqIndex(emb10, "embedding", "vec_id",
         pqDir, dims = q10.size, nlist = 64, m = 8)
       graft.ops.Similarity.ivfPqTopK(spark, pqDir, "vec_id", q10, 10,
@@ -319,7 +357,8 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_min":${
         mapJson(mins.map { case (k, v) => k -> v.toString })},"drift":${
-        mapJson(drift)},"sf":"$sfDir"}"""
+        mapJson(drift)},"single_run":${
+        singleRun.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LATEST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       fullLine.getBytes("UTF-8"))
