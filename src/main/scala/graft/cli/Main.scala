@@ -16,6 +16,10 @@ import graft.view.{Filter, FilterExpr, Order}
   *             | export | import  (JSONL/CSV shard dirs, --format/--shards)
   *             | snapshots | diff (--from/--to snapshot names, --summary,
   *                                 --profile = per-column drift card)
+  *             | curate (fused curation pipeline: --scratch <dir>,
+  *                       --min-quality/--near/--url-col/--sample/--bench
+  *                       stage flags, --out <table> / -f <export dir>,
+  *                       --keep-spills + --resume N restartability)
   *     --config <file>     .tk.yaml-style config: {schema: path, warehouse: path}
   *     -F/--filter <expr>  repeatable s-expression filter
   *     -s/--sort  <col[:DESC]> repeatable sort
@@ -40,7 +44,12 @@ object Main {
       hideHeaders: Boolean = false, yaml: Boolean = false,
       port: Int = 0, format: String = "jsonl", shards: Int = 0,
       from: String = "", to: String = "", summary: Boolean = false,
-      profileDiff: Boolean = false)
+      profileDiff: Boolean = false,
+      // curate options (see the `curate` action)
+      scratch: String = "", minQuality: Double = 0.0, near: Double = 0.2,
+      urlCol: String = "", sample: Double = 1.0, bench: String = "",
+      benchField: String = "text", outTable: String = "",
+      keepSpills: Boolean = false, resumeFrom: Int = -1)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -67,6 +76,17 @@ object Main {
         case "--to" => o = o.copy(to = argv(i + 1)); i += 2
         case "--summary" => o = o.copy(summary = true); i += 1
         case "--profile" => o = o.copy(profileDiff = true); i += 1
+        case "--scratch" => o = o.copy(scratch = argv(i + 1)); i += 2
+        case "--min-quality" =>
+          o = o.copy(minQuality = argv(i + 1).toDouble); i += 2
+        case "--near" => o = o.copy(near = argv(i + 1).toDouble); i += 2
+        case "--url-col" => o = o.copy(urlCol = argv(i + 1)); i += 2
+        case "--sample" => o = o.copy(sample = argv(i + 1).toDouble); i += 2
+        case "--bench" => o = o.copy(bench = argv(i + 1)); i += 2
+        case "--bench-field" => o = o.copy(benchField = argv(i + 1)); i += 2
+        case "--out" => o = o.copy(outTable = argv(i + 1)); i += 2
+        case "--keep-spills" => o = o.copy(keepSpills = true); i += 1
+        case "--resume" => o = o.copy(resumeFrom = argv(i + 1).toInt); i += 2
         case a if o.action.isEmpty => o = o.copy(action = a); i += 1
         case a => pos = pos :+ a; i += 1
       }
@@ -243,6 +263,52 @@ object Main {
         }
       }
       out.write(s"applied ${actions.size} action(s) atomically\n")
+
+    // extension: fused curation over a managed table — the CLI face of
+    // ops/Pipeline's curateDocuments recipe. Stages are flag-selected
+    // (--url-col adds url_dedup, --min-quality > 0 adds the quality
+    // floor, --bench <table> adds decontamination against that table's
+    // --bench-field column, --sample < 1 adds the hash downsample);
+    // exact + minhash near-dedup always run. Prints the per-stage
+    // StageReport audit through the ascii renderer; survivors go to a
+    // managed table (--out) and/or an export dir (-f + --format).
+    // --keep-spills retains every stage under --scratch so a failed or
+    // re-tuned run restarts with --resume N (Pipeline.resume) instead
+    // of replaying the miners. Positional fields name the id and text
+    // columns (default doc_id text).
+    case "curate" =>
+      if (o.scratch.isEmpty)
+        throw new IllegalArgumentException("curate needs --scratch <dir>")
+      val idCol = o.fields.headOption.getOrElse("doc_id")
+      val textCol = o.fields.drop(1).headOption.getOrElse("text")
+      val bench = Option(o.bench).filter(_.nonEmpty)
+        .map(t => env.view(t, Seq(o.benchField)).read())
+      val stages = graft.ops.Pipeline.curateDocuments(idCol, textCol,
+        urlCol = Option(o.urlCol).filter(_.nonEmpty),
+        nearThreshold = o.near, minQuality = o.minQuality,
+        bench = bench, benchTextCol = o.benchField,
+        sampleFraction = o.sample)
+      val (survivors, reports) =
+        if (o.resumeFrom >= 0)
+          graft.ops.Pipeline.resume(env.spark, stages, o.scratch,
+            o.resumeFrom, keepSpills = o.keepSpills)
+        else graft.ops.Pipeline.run(
+          env.view(o.table).read(o.filters.map(FilterExpr.apply)),
+          stages, o.scratch, keepSpills = o.keepSpills)
+      Render.asciiTable(reports.map(r => Seq(r.stage, r.rowsOut.toString,
+          f"${r.seconds}%.2f")), Some(Seq("stage", "rows_out", "seconds")))
+        .foreach(out.write)
+      Option(o.outTable).filter(_.nonEmpty).foreach { t =>
+        env.view(t, survivors.columns.toSeq).write(survivors): Unit
+        out.write(s"wrote survivors into $t\n")
+      }
+      o.file.foreach { dir =>
+        requireFormat(o)
+        if (o.format == "csv")
+          graft.sources.Corpus.exportCsv(survivors, dir, o.shards)
+        else graft.sources.Corpus.exportJsonl(survivors, dir, o.shards)
+        out.write(s"exported survivors to $dir (${o.format})\n")
+      }
 
     case other => out.write(s"""Action "$other" not supported\n""")
   }

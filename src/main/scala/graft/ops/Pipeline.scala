@@ -49,7 +49,11 @@ object Pipeline {
     * — materialize or export before deleting `scratch`) and the
     * per-stage audit. */
   def run(input: DataFrame, stages: Seq[Stage], scratch: String,
-      keepSpills: Boolean = false): (DataFrame, Seq[StageReport]) = {
+      keepSpills: Boolean = false): (DataFrame, Seq[StageReport]) =
+    runFrom(input, stages, scratch, keepSpills, base = 0)
+
+  private def runFrom(input: DataFrame, stages: Seq[Stage], scratch: String,
+      keepSpills: Boolean, base: Int): (DataFrame, Seq[StageReport]) = {
     require(stages.nonEmpty, "pipeline needs at least one stage")
     val spark = input.sparkSession
     val fs = new Path(scratch)
@@ -59,7 +63,7 @@ object Pipeline {
     val reports = Seq.newBuilder[StageReport]
     stages.zipWithIndex.foreach { case (st, i) =>
       val t0 = System.nanoTime()
-      val dir = new Path(scratch, f"stage-$i%02d-${st.name}")
+      val dir = new Path(scratch, f"stage-${base + i}%02d-${st.name}")
       st.f(cur).write.mode("overwrite").parquet(dir.toString)
       val spilled = spark.read.parquet(dir.toString)
       // footer-count over the spill just written: cheap, and it IS the
@@ -72,6 +76,33 @@ object Pipeline {
       cur = spilled
     }
     (cur, reports.result())
+  }
+
+  /** Restart a [[run]] whose scratch was retained (`keepSpills =
+    * true`) from stage index `from` (0-based, into the SAME stage
+    * list): stages `[from, end)` re-run starting from stage
+    * `from - 1`'s spill, with spill numbering continued so the scratch
+    * layout matches what an uninterrupted run would have produced.
+    * This is the documented restartability as an API instead of a
+    * manual convention — after a mid-pipeline failure (or when
+    * re-tuning only the later, cheaper stages) the already-computed
+    * miners never replay. Refuses loudly when the needed spill is
+    * missing (the earlier run was not `keepSpills`, or `from` names a
+    * stage that never completed). For `from = 0` call [[run]] — the
+    * original input is not spilled. */
+  def resume(spark: org.apache.spark.sql.SparkSession, stages: Seq[Stage],
+      scratch: String, from: Int,
+      keepSpills: Boolean = false): (DataFrame, Seq[StageReport]) = {
+    require(from >= 1 && from < stages.size,
+      s"resume point $from must be in [1, ${stages.size}) — " +
+        "restart from 0 via run() with the original input")
+    val prev = new Path(scratch, f"stage-${from - 1}%02d-${stages(from - 1).name}")
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(prev),
+      s"no spill at $prev — the earlier run must use keepSpills = true " +
+        s"and have completed stage ${from - 1} ('${stages(from - 1).name}')")
+    runFrom(spark.read.parquet(prev.toString), stages.drop(from), scratch,
+      keepSpills, base = from)
   }
 
   /** The canonical text-curation recipe, as a stage list for [[run]]:

@@ -89,7 +89,8 @@ final class Server(env: Env, port: Int = 0) {
   }
 
   private def handleTable(ex: HttpExchange, path: String): (Int, String) = {
-        val mutation = path.startsWith("_write/") || path.startsWith("_delete/")
+        val mutation = path.startsWith("_write/") ||
+          path.startsWith("_delete/") || path.startsWith("_curate/")
         val prefixed = mutation || path.startsWith("_profile/") ||
           path.startsWith("_diff/") || path.startsWith("_snapshots/")
         val table = if (prefixed) path.substring(path.indexOf('/') + 1) else path
@@ -99,6 +100,7 @@ final class Server(env: Env, port: Int = 0) {
         else if (table.isEmpty || !env.registry.names.contains(table))
           (404, Json.write(Map("error" -> s"unknown table '$table'")))
         else if (path.startsWith("_write/")) (200, write(table, ex))
+        else if (path.startsWith("_curate/")) (200, curate(table, ex))
         else if (path.startsWith("_delete/"))
           (200, delete(table, params(ex.getRequestURI.getRawQuery)))
         else if (path.startsWith("_profile/"))
@@ -212,6 +214,55 @@ final class Server(env: Env, port: Int = 0) {
     val rows = arr(body("rows")).map(arr)
     val res = env.view(table, fields).write(rows)
     Json.write(Map("filtered" -> res.filtered, "deleted" -> res.deleted))
+  }
+
+  /** `POST /_curate/<table>` — the fused curation pipeline
+    * ([[graft.ops.Pipeline.curateDocuments]]) over a managed table,
+    * through the View layer (ACL read filters narrow the input;
+    * writing survivors with `"out"` goes through the full ACL'd
+    * upsert). Body (JSON):
+    *
+    * {{{
+    *   {"scratch": "/dir",            // required spill directory
+    *    "id_col": "doc_id", "text_col": "text",
+    *    "min_quality": 0.5, "near": 0.2, "sample": 0.5,
+    *    "url_col": "url",             // adds the url_dedup stage
+    *    "bench": "benchtable", "bench_field": "text",  // decontaminate
+    *    "out": "curated",             // write survivors to this table
+    *    "keep_spills": true, "resume": 2}  // Pipeline.resume from N
+    *   → {"stages": [{"stage": ..., "rows_out": n, "seconds": s}], "out": ...}
+    * }}} */
+  private def curate(table: String, ex: HttpExchange): String = {
+    val body = jsonBody(ex)
+    def str(k: String, d: String) =
+      body.get(k).map(String.valueOf).filter(_.nonEmpty).getOrElse(d)
+    def dbl(k: String, d: Double) =
+      body.get(k).map(_.toString.toDouble).getOrElse(d)
+    val scratch = str("scratch", "")
+    require(scratch.nonEmpty, """curate needs "scratch": "<dir>"""")
+    val benchField = str("bench_field", "text")
+    val bench = Some(str("bench", "")).filter(_.nonEmpty)
+      .map(t => env.view(t, Seq(benchField)).read())
+    val stages = graft.ops.Pipeline.curateDocuments(
+      str("id_col", "doc_id"), str("text_col", "text"),
+      urlCol = Some(str("url_col", "")).filter(_.nonEmpty),
+      nearThreshold = dbl("near", 0.2), minQuality = dbl("min_quality", 0.0),
+      bench = bench, benchTextCol = benchField,
+      sampleFraction = dbl("sample", 1.0))
+    val keep = body.get("keep_spills").exists(_.toString.toBoolean)
+    val (survivors, reports) = body.get("resume").map(_.toString.toInt) match {
+      case Some(n) =>
+        graft.ops.Pipeline.resume(env.spark, stages, scratch, n, keep)
+      case None =>
+        graft.ops.Pipeline.run(env.view(table).read(), stages, scratch, keep)
+    }
+    val written = Some(str("out", "")).filter(_.nonEmpty).map { t =>
+      env.view(t, survivors.columns.toSeq).write(survivors); t
+    }
+    Json.write(Map(
+      "stages" -> reports.map(r => Map("stage" -> r.stage,
+        "rows_out" -> r.rowsOut, "seconds" -> r.seconds)),
+      "out" -> written.orNull))
   }
 
   private def arr(v: Any): Seq[Any] = v match {

@@ -203,6 +203,68 @@ class CliSpec extends SparkSpec {
     assert(!after.contains("Spain"), s"first action leaked: $after")
   }
 
+  test("curate action: stage audit, survivors to table/export, resume") {
+    val dir = Files.createTempDirectory("graft-cli-curate-")
+    val schema = dir.resolve("schema.yaml")
+    Files.writeString(schema,
+      """- table: docs
+        |  columns:
+        |    doc_id: bigint
+        |    text: varchar
+        |  key: [doc_id]
+        |- table: curated
+        |  columns:
+        |    doc_id: bigint
+        |    text: varchar
+        |  key: [doc_id]
+        |""".stripMargin)
+    val conf = dir.resolve("tk.yaml")
+    Files.writeString(conf, s"schema: $schema\nwarehouse: ${dir.resolve("wh")}\n")
+    run(conf.toString, "init")
+    val csv = dir.resolve("docs.csv")
+    // doc 2 is an exact copy of doc 1; the rest share no tokens
+    Files.writeString(csv, "doc_id,text\n" +
+      "1,alpha beta gamma delta epsilon\n" +
+      "2,alpha beta gamma delta epsilon\n" +
+      "3,one two three four five six\n" +
+      "4,red green blue yellow purple\n" +
+      "5,cat dog bird fish horse goat\n" +
+      "6,north south east west upward\n" +
+      "7,apple pear plum quince cherry\n" +
+      "8,violin cello flute oboe drum\n")
+    run(conf.toString, "write", "docs", "-f", csv.toString)
+    val scratch = dir.resolve("scratch").toString
+    val shard = dir.resolve("shards").toString
+    val audit = run(conf.toString, "curate", "docs",
+      "--scratch", scratch, "--keep-spills", "--sample", "0.5",
+      "--out", "curated", "-f", shard)
+    // the S8 ascii audit table names every selected stage
+    assert(audit.contains("exact_dedup") && audit.contains("near_dedup") &&
+      audit.contains("sample") && audit.contains("rows_out"), audit)
+    assert(audit.contains("wrote survivors into curated") &&
+      audit.contains(s"exported survivors to $shard"), audit)
+    // survivors landed in the managed table and the export dir
+    val curated = run(conf.toString, "read", "curated", "doc_id", "-H",
+      "-s", "doc_id")
+    val ids = curated.trim.linesIterator.toSeq
+    assert(ids.nonEmpty && ids.size < 8, curated)
+    assert(!(ids.contains("1") && ids.contains("2")), curated) // dup dropped
+    assert(new java.io.File(shard, "_graft_schema.json").exists())
+    // resume from stage 1 over the kept spills: same survivor set
+    val audit2 = run(conf.toString, "curate", "docs",
+      "--scratch", scratch, "--resume", "1", "--sample", "0.5",
+      "--out", "curated")
+    assert(!audit2.contains("exact_dedup") && audit2.contains("near_dedup"),
+      audit2)
+    val curated2 = run(conf.toString, "read", "curated", "doc_id", "-H",
+      "-s", "doc_id")
+    assert(curated2 == curated, s"$curated2 vs $curated")
+    // no scratch -> loud refusal
+    val e = intercept[IllegalArgumentException](
+      run(conf.toString, "curate", "docs"))
+    assert(e.getMessage.contains("--scratch"), e.getMessage)
+  }
+
   test("yaml input and output") {
     val (conf, dir) = cfg()
     run(conf, "init")

@@ -690,6 +690,36 @@ class PipelineOpsSpec extends SparkSpec {
       new java.io.File(scratch))
   }
 
+  test("Pipeline.resume over kept spills equals the uninterrupted run") {
+    import graft.ops.Pipeline
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "text")).read()
+    // defaults + sample: stages = exact_dedup, near_dedup, sample
+    val stages = Pipeline.curateDocuments(sampleFraction = 0.5)
+    val scratch = java.nio.file.Files.createTempDirectory("resume").toString
+    try {
+      val (full, fullReports) = Pipeline.run(docs, stages, scratch,
+        keepSpills = true)
+      val fullIds = rows(full.select("doc_id").orderBy("doc_id"))
+      // resume from the LAST stage: only it re-runs, fed by the kept
+      // near_dedup spill — same survivors, same audit count
+      val (res, resReports) = Pipeline.resume(spark, stages, scratch, from = 2)
+      assert(resReports.map(_.stage) == Seq("sample"), resReports)
+      assert(resReports.head.rowsOut == fullReports.last.rowsOut)
+      assert(rows(res.select("doc_id").orderBy("doc_id")) == fullIds)
+      // a scratch without the needed spill refuses loudly
+      val empty = java.nio.file.Files.createTempDirectory("resume2").toString
+      val e = intercept[IllegalArgumentException](
+        Pipeline.resume(spark, stages, empty, from = 1))
+      assert(e.getMessage.contains("keepSpills"), e.getMessage)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(empty))
+      // from = 0 is run()'s job (the original input is never spilled)
+      intercept[IllegalArgumentException](
+        Pipeline.resume(spark, stages, scratch, from = 0))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(scratch))
+  }
+
   test("Pipeline.run: corpus in, curated JSONL shards out, bounded scratch") {
     import graft.ops.Pipeline
     val env = Testbed.env(spark, "/root/testdata/sf0.001")

@@ -232,6 +232,36 @@ class WebSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("curate endpoint: runs the pipeline, returns the stage audit") {
+    val env = freshEnv(seedTeams = false)
+    // B is an exact copy of A's text; the rest are all-distinct
+    env.view("member", Seq("registration_code", "name")).write(Seq(
+      Seq("A", "alpha beta gamma delta"), Seq("B", "alpha beta gamma delta"),
+      Seq("C", "one two three four"), Seq("D", "red green blue cyan")))
+    val srv = new graft.web.Server(env)
+    val port = srv.start()
+    val scratch = java.nio.file.Files.createTempDirectory("webcur").toString
+    try {
+      val (code, body) = post(port, "/_curate/member",
+        s"""{"scratch": "$scratch", "id_col": "registration_code",
+           | "text_col": "name"}""".stripMargin)
+      assert(code == 200, body)
+      val stages = parse(body)("stages")
+        .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.map(m => m.get("stage").toString ->
+          m.get("rows_out").toString.toLong)
+      assert(stages.map(_._1) == Seq("exact_dedup", "near_dedup"), stages)
+      assert(stages.head._2 == 3L, stages)  // the exact dup dropped
+      // GET refused, missing scratch refused
+      assert(get(port, "/_curate/member")._1 == 405)
+      assert(post(port, "/_curate/member", "{}")._1 == 400)
+    } finally {
+      srv.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(scratch))
+    }
+  }
+
   test("error paths: unknown table 404, bad expression 400") {
     val env = freshEnv()
     val srv = new graft.web.Server(env)
