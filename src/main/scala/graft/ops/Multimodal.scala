@@ -684,6 +684,92 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Pure-JVM RIFF/AVI container probe — the third pure-JVM video
+    * family after ISO BMFF ([[Mp4Probe]]) and EBML ([[EbmlProbe]]):
+    * walks the published RIFF chunk layout (`RIFF…AVI ` → `LIST hdrl`
+    * → `avih` main header for frame period / total frames / stream
+    * count / dimensions, `LIST strl` → `strh` for the first `vids`
+    * stream's fourcc codec handler). Chunk sizes are little-endian
+    * and word-aligned; the walk is bounds-checked so truncated
+    * payloads yield whatever facts were present, like the other two
+    * probes. Container METADATA only — no codec work, no external
+    * binary. Returns None for anything not starting with the
+    * `RIFF…AVI ` magic. */
+  private[graft] object RiffProbe {
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+    def looksLikeAvi(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 && fourcc(b, 0) == "RIFF" &&
+        fourcc(b, 8) == "AVI "
+
+    def parse(b: Array[Byte]): Option[Row] = try {
+      if (!looksLikeAvi(b)) return None
+      var usPerFrame = 0L
+      var totalFrames = 0L
+      var nStreams: Integer = null
+      var width: Integer = null
+      var height: Integer = null
+      var codec: String = null
+      def chunks(off0: Int, end: Int): Unit = {
+        var off = off0
+        while (off + 8 <= end) {
+          val id = fourcc(b, off)
+          val size = u32(b, off + 4)
+          val body = off + 8
+          val bodyEnd = math.min(end.toLong, body + size).toInt
+          id match {
+            case "LIST" if bodyEnd - body >= 4 =>
+              chunks(body + 4, bodyEnd) // skip the list-type fourcc
+            case "avih" if bodyEnd - body >= 40 =>
+              usPerFrame = u32(b, body)
+              totalFrames = u32(b, body + 16)
+              nStreams = Int.box(u32(b, body + 24).toInt)
+              width = Int.box(u32(b, body + 32).toInt)
+              height = Int.box(u32(b, body + 36).toInt)
+            case "strh" if bodyEnd - body >= 8 =>
+              if (fourcc(b, body) == "vids" && codec == null)
+                codec = fourcc(b, body + 4).trim
+            case _ => ()
+          }
+          off = body + size.toInt + (size.toInt & 1) // word alignment
+          if (size > Int.MaxValue - 16) return
+        }
+      }
+      chunks(12, math.min(b.length.toLong, 8 + u32(b, 4)).toInt)
+      Some(Row("avi", codec, width, height,
+        if (usPerFrame > 0 && totalFrames > 0)
+          Double.box(totalFrames * usPerFrame / 1000.0) else null,
+        nStreams, Boolean.box(true)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal AVI (RIFF) container: `RIFF(AVI LIST(hdrl
+    * avih(1 ms/frame, durationMs frames, 1 stream, w×h) LIST(strl
+    * strh('vids','MJPG'))))` — exact arithmetic, for the probe specs
+    * (the RIFF sibling of [[synthWebm]]). */
+  private[graft] def synthAvi(durationMs: Int, w: Int, h: Int): Array[Byte] = {
+    def le(v: Long): Array[Byte] =
+      Array(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+        (v >> 24) & 0xFF).map(_.toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(kind) ++ body)
+    val avih = chunk("avih", le(1000L) ++ le(0) ++ le(0) ++ le(0) ++
+      le(durationMs.toLong) ++ le(0) ++ le(1) ++ le(0) ++
+      le(w.toLong) ++ le(h.toLong) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
+    val strh = chunk("strh", cc("vids") ++ cc("MJPG") ++
+      Array.fill(48)(0.toByte))
+    val body = cc("AVI ") ++ list("hdrl", avih ++ list("strl", strh))
+    cc("RIFF") ++ le(body.length) ++ body
+  }
+
   /** Deterministic minimal WebM (EBML/Matroska) container:
     * EBML(DocType 'webm') + Segment(Info(TimecodeScale 1e6 ns = 1 ms
     * ticks, Duration float == `durationMs` exactly), Tracks(one video
@@ -714,8 +800,10 @@ object Multimodal {
   }
 
   /** Video metadata prober: MP4-family payloads parse IN-JVM
-    * ([[Mp4Probe]]) and Matroska/WebM payloads parse IN-JVM
-    * ([[EbmlProbe]]) — no external process, the scale path for the
+    * ([[Mp4Probe]]), Matroska/WebM/MKV payloads parse IN-JVM
+    * ([[EbmlProbe]] — DocType is read from the file, so `matroska`
+    * and `webm` both resolve), and RIFF/AVI payloads parse IN-JVM
+    * ([[RiffProbe]]) — no external process, the scale path for the
     * dominant containers; other formats fall to an OPTIONAL external
     * binary (ffprobe by default — the one tool every production video
     * pipeline already ships), the payload piped to its stdin and the
@@ -745,6 +833,7 @@ object Multimodal {
       if (bytes == null) return Row(null, null, null, null, null, null,
         Boolean.box(false))
       val jvm = Mp4Probe.parse(bytes).orElse(EbmlProbe.parse(bytes))
+        .orElse(RiffProbe.parse(bytes))
       // the JVM fast path answers only when the walk found real facts
       // (duration or dimensions). A magic-bearing payload with NO
       // facts — truncated after ftyp/the EBML header, or metadata

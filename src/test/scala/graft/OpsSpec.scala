@@ -1553,6 +1553,32 @@ class OpsSpec extends SparkSpec {
     assert(missing.probe(b.take(14)) == headOnly)
   }
 
+  test("RIFF probe: pure-JVM AVI parse, truncation, prober dispatch") {
+    val b = Multimodal.synthAvi(4500, 320, 240)
+    val r = Multimodal.RiffProbe.parse(b).get
+    assert(r.getString(0) == "avi" && r.getString(1) == "MJPG", r)
+    assert(r.getInt(2) == 320 && r.getInt(3) == 240, r)
+    // 4500 frames at 1000 us/frame = 4500 ms exactly
+    assert(r.getDouble(4) == 4500.0 && r.getInt(5) == 1 && r.getBoolean(6), r)
+    // not RIFF -> None; null-safe; families don't cross-match
+    assert(Multimodal.RiffProbe.parse("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.RiffProbe.parse(null).isEmpty)
+    assert(Multimodal.RiffProbe.parse(Multimodal.synthWebm(1, 2, 2)).isEmpty)
+    assert(Multimodal.EbmlProbe.parse(b).isEmpty)
+    assert(Multimodal.Mp4Probe.parse(b).isEmpty)
+    // truncated mid-strh (fccHandler torn away): the avih facts
+    // already read survive, the codec stays null — the walk never
+    // throws (strh body is 56 bytes; dropping 60 leaves only its
+    // fccType readable, below the 8-byte guard)
+    val trunc = Multimodal.RiffProbe.parse(b.take(b.length - 60)).get
+    assert(trunc.getString(0) == "avi" && trunc.getDouble(4) == 4500.0 &&
+      trunc.getInt(2) == 320 && trunc.isNullAt(1), trunc)
+    // end-to-end through the prober WITHOUT any external binary: AVI
+    // payloads probe REAL container facts (probed=true)
+    val missing = new Multimodal.ExternalVideoProber("graft-no-such-binary")
+    assert(missing.probe(b) == r)
+  }
+
   test("asofJoin rejects reserved names, payload collisions, numeric ts tolerance") {
     val s2 = s
     import s2.implicits._
