@@ -370,6 +370,20 @@ object SparkEntry {
             |       (or (> o_totalprice _parent.c_acctbal)
             |           (< o_orderkey (* _parent.c_custkey 40)))))))""".stripMargin))),
 
+    // R15 negated DUAL-SCOPE nested subquery (the last expression gap,
+    // closed round 12): the inner NOT EXISTS references both its
+    // enclosing sub (orders, equi) and the outer scope (customer,
+    // non-equi) — hoisted as a carried distinct-tuple list tested
+    // witness-free at the customer scope
+    "q38_neg_dual_scope" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey", "c_name"))
+        .read(Seq(
+          """(exists (from orders (select 1) (where
+            |  (and (= o_custkey _parent.c_custkey)
+            |       (not (exists (from lineitem (select 1) (where
+            |         (and (= l_orderkey _parent.o_orderkey)
+            |              (> l_extendedprice _parent._parent.c_acctbal))))))))))""".stripMargin))),
+
     // LLM-pipeline: exact dedup (hash-groupBy, keep smallest id)
     "dedup_exact" -> ((s, dir) => {
       val docs = env(s, dir).view("documents",
@@ -1460,6 +1474,13 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND (o_totalprice > c_acctbal
         |    OR o_orderkey < c_custkey * 40))""".stripMargin,
+    "q38_neg_dual_scope" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem
+        |      WHERE l_orderkey = o_orderkey
+        |        AND l_extendedprice > c_acctbal))""".stripMargin,
     "q13_dates" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,

@@ -152,7 +152,21 @@ final case class ExistsSpec(sub: QueryBuilder, pairs: Seq[(Column, Column)],
       * skyline (Pareto frontier) — a dominated tuple can never be the
       * only witness — bounding the array by the frontier size, not the
       * group size. */
-    tupleSpecs: Seq[(String, Column)] = Nil)
+    tupleSpecs: Seq[(String, Column)] = Nil,
+    /** Hoisted NEGATED nested subqueries referencing BOTH this spec's
+      * sub and an outer scope (round 12 — the last expression gap):
+      * each entry names an inner tuple-carrying spec registered on the
+      * sub's own builder (its `<inner>_ts` distinct-tuple array rides
+      * the sub frame, one per sub row) plus the (op, outer column)
+      * tests that must find NO satisfying tuple. The flag frame
+      * collects one struct of those arrays per sub row into
+      * `<flag>_nts` per equi-group (never fans out the outer join),
+      * and the predicate asks, at the OUTER scope where the compared
+      * columns live, for a sub row whose every negated sub is
+      * witness-free: ∃ r: ∀ hoisted subs: ¬∃ tuple satisfying. Array
+      * sizes are bounded like [[tupleSpecs]]: distinct compared-value
+      * tuples per inner group × sub rows per outer key. */
+    negTests: Seq[(String, Seq[(String, Column)])] = Nil)
 
 /** Compiles s-expression ASTs to Spark [[Column]]s over a "wide frame":
   * the base table left-joined with every table reached by a dotted
@@ -620,6 +634,7 @@ final class QueryBuilder(
     val residual = mutable.Buffer[Column]()
     val pulledUp = mutable.Buffer[Column]()
     val nonEquis = mutable.Buffer[(String, Column, Column)]() // (op, parent, sub)
+    val negTests = mutable.Buffer[(String, Seq[(String, Column)])]()
     extraPair.foreach(pairs += _)
     conjuncts(sub.whereAsts).foreach { c =>
       val d = topDepth(c)
@@ -633,8 +648,29 @@ final class QueryBuilder(
           isSubqueryNode(inner) && !referencesScope(c, 0) && escapesScope(c, 0)
         case _ => false
       }
+      // a negated nested subquery referencing BOTH this sub and an
+      // outer scope (the formerly-raising shape): hoistable as a
+      // carried distinct-tuple list — (from-node, optional `in` lhs)
+      val negDual: Option[(Ast, Option[Ast])] = c match {
+        case Ast.Node(Seq(Word(n), Ast.Node(Seq(Word(e), f @ Ast.Node(_)))))
+            if n.equalsIgnoreCase("not") && e.equalsIgnoreCase("exists") =>
+          Some((f, None))
+        case Ast.Node(Seq(Word(n), Ast.Node(Seq(Word(i), lhs, f @ Ast.Node(_)))))
+            if n.equalsIgnoreCase("not") && i.equalsIgnoreCase("in") =>
+          Some((f, Some(lhs)))
+        case Ast.Node(Seq(Word(ni), lhs, f @ Ast.Node(_)))
+            if ni.equalsIgnoreCase("notin") =>
+          Some((f, Some(lhs)))
+        case _ => None
+      }
       if (pullable) {
         pulledUp += one(compile(dropOneParent(c, 0), args))
+      } else if (negDual.isDefined && referencesScope(c, 0) &&
+          escapesScope(c, 0)) {
+        val (fromAst, lhsAst) = negDual.get
+        negTests += hoistNegatedSub(qb, fromAst, lhsAst, args)
+        // contributes no predicate at THIS scope: the witness-free
+        // test completes where the outer columns live
       } else if (d == 0) {
         // May contain nested exists/in whose subs register carries on
         // qb; only a bare subquery conjunct keeps the nested flag
@@ -691,13 +727,40 @@ final class QueryBuilder(
     if (nonEquis.nonEmpty && carried.nonEmpty)
       throw new UnsupportedOperationException(
         "Non-equi correlation cannot combine with multi-level carries")
+    if (negTests.nonEmpty && (carried.nonEmpty || nonEquis.nonEmpty))
+      throw new UnsupportedOperationException(
+        "A negated dual-scope subquery cannot combine with other carried " +
+        "or non-equi correlation in the same exists")
     existsSpecs += ExistsSpec(qb, pairs.toSeq, residual.reduceOption(_ && _),
       flag, carried.toSeq,
       reduceCol = if (nonEquis.size == 1) Some(nonEquis.head._3) else None,
       tupleSpecs = if (nonEquis.size >= 2)
-        nonEquis.toSeq.map { case (op, _, sc) => (op, sc) } else Nil)
+        nonEquis.toSeq.map { case (op, _, sc) => (op, sc) } else Nil,
+      negTests = negTests.toSeq)
     val c =
-      if (nonEquis.isEmpty) col(flag).isNotNull
+      if (negTests.nonEmpty) {
+        // ∃ sub row whose every hoisted negated sub is witness-free.
+        // Inner: a null tuple array (no inner rows for that sub row)
+        // or an all-null HOF result (null outer column — SQL unknown)
+        // coalesces to "no witness" = the ¬∃ is TRUE; outer: a missing
+        // equi-group (null _nts) coalesces to EXISTS = false, like SQL
+        coalesce(exists(col(s"${flag}_nts"), row =>
+          negTests.toSeq.map { case (inFlag, tests) =>
+            !coalesce(exists(row.getField(s"${inFlag}_ts"), t =>
+              tests.zipWithIndex.map { case ((op, pc), i) =>
+                val tv = t.getField(s"t$i")
+                op match {
+                  case "=" => pc === tv
+                  case "!=" => pc =!= tv
+                  case ">" => pc > tv
+                  case ">=" => pc >= tv
+                  case "<" => pc < tv
+                  case "<=" => pc <= tv
+                }
+              }.reduce(_ && _)), lit(false))
+          }.reduce(_ && _)), lit(false))
+      }
+      else if (nonEquis.isEmpty) col(flag).isNotNull
       else if (nonEquis.size == 1) {
         val (op, pc, _) = nonEquis.head
         val (mn, mx) = (col(s"${flag}_mn"), col(s"${flag}_mx"))
@@ -734,6 +797,89 @@ final class QueryBuilder(
     CCol(if (negate) !full else full)
   }
 
+  /** Hoist a `(not (exists …))` / `(not (in …))` / `(notin …)`
+    * conjunct of an enclosing sub that references BOTH that sub
+    * (equi-correlation, scope 1 from the inner sub) and the outer
+    * scope above it (comparisons at scope 2) — the complement-set
+    * shape the carry machinery cannot express as equality pairs.
+    *
+    * The inner sub reduces, per enclosing-scope equi-group, to the
+    * DISTINCT tuples of its outer-compared columns — the existing
+    * [[ExistsSpec.tupleSpecs]] flag-frame machinery, registered on the
+    * enclosing sub's own builder so `<flag>_ts` rides its frame (one
+    * bounded array per sub row, null when the group is empty). The
+    * "no tuple satisfies" test runs at the OUTER scope through the
+    * enclosing spec's [[ExistsSpec.negTests]]. Returns that spec
+    * entry: (inner flag, (op, outer column) tests).
+    *
+    * Scale shape: same contract as tupleSpecs — array sizes bounded by
+    * distinct compared-value tuples per group, all joins equi, no
+    * row-explosion (the outer flag frame groups before joining).
+    * Restrictions (loud): own-parent correlation must be equi, outer
+    * refs must sit at scope 2 exactly, and the negated sub may not
+    * itself nest further subqueries. */
+  private def hoistNegatedSub(qb: QueryBuilder, fromAst: Ast,
+      lhsAst: Option[Ast], args: Args): (String, Seq[(String, Column)]) = {
+    val isub = qb.compile(fromAst, args) match {
+      case s: CSub => s
+      case other => throw new IllegalArgumentException(
+        s"Expected sub-select, got $other")
+    }
+    val iqb = isub.qb
+    val flag = s"__nexists_${root.existsCounter.getAndIncrement()}"
+    val pairs = mutable.Buffer[(Column, Column)]()
+    val residual = mutable.Buffer[Column]()
+    val outerTests = mutable.Buffer[(String, Column, Column)]()
+    lhsAst.foreach { l =>
+      if (topDepth(l) != 0) throw new UnsupportedOperationException(
+        "notin with a _parent-referencing left side cannot combine with " +
+          "outer-scope correlation inside the sub")
+      require(isub.selectAsts.size == 1,
+        "(in x (from ...)) requires exactly one selected column")
+      pairs += ((qb.one(qb.compile(l, args)),
+        iqb.one(iqb.compile(isub.selectAsts.head, args))))
+    }
+    conjuncts(isub.whereAsts).foreach { c =>
+      if (topDepth(c) == 0) {
+        if (escapesScope(c, 0)) throw new UnsupportedOperationException(
+          "a subquery nested inside a negated dual-scope subquery cannot " +
+            s"reference outer scopes: $c")
+        residual += iqb.one(iqb.compile(c, args))
+      } else c match {
+        case Ast.Node(Seq(Word(op), a, b))
+            if Set("=", "!=", ">", ">=", "<", "<=")(op) &&
+              (topDepth(a) >= 1) != (topDepth(b) >= 1) =>
+          val (pSide, sSide) = if (topDepth(a) >= 1) (a, b) else (b, a)
+          val normOp = if (topDepth(a) >= 1) op else flip(op)
+          val pc = iqb.one(iqb.compile(pSide, args))
+          val sc = iqb.one(iqb.compile(sSide, args))
+          topDepth(pSide) match {
+            case 1 if op == "=" => pairs += ((pc, sc))
+            case 2 => outerTests += ((normOp, pc, sc))
+            case _ => throw new UnsupportedOperationException(
+              "a negated dual-scope subquery supports equi-correlation to " +
+                "its own parent and comparisons to the grandparent only, " +
+                s"got: $c")
+          }
+        case _ => throw new UnsupportedOperationException(
+          "Only equi or single-comparison correlation against _parent is " +
+            s"supported in exists/in, got: $c")
+      }
+    }
+    if (iqb.pendingCarries.nonEmpty) {
+      iqb.pendingCarries.clear()
+      throw new UnsupportedOperationException(
+        "NOT EXISTS / notin cannot carry correlation deeper than the " +
+          "grandparent scope")
+    }
+    if (outerTests.isEmpty) throw new UnsupportedOperationException(
+      "negated dual-scope subquery found no supported outer-scope comparison")
+    qb.existsSpecs += ExistsSpec(iqb, pairs.toSeq,
+      residual.reduceOption(_ && _), flag,
+      tupleSpecs = outerTests.toSeq.map { case (op, _, sc) => (op, sc) })
+    (flag, outerTests.toSeq.map { case (op, pc, _) => (op, pc) })
+  }
+
   private def inSubquery(lhs: Column, sub: CSub, negate: Boolean, args: Args): CV = {
     require(sub.selectAsts.size == 1,
       "(in x (from ...)) requires exactly one selected column")
@@ -756,7 +902,30 @@ final class QueryBuilder(
     for (spec <- existsSpecs) {
       val sf = spec.sub.subFrame()
       val filtered = spec.residual.map(sf.filter).getOrElse(sf)
-      if (spec.tupleSpecs.nonEmpty) {
+      if (spec.negTests.nonEmpty) {
+        // hoisted negated dual-scope subqueries: the sub frame already
+        // carries one `<inner>_ts` tuple array per sub row (the inner
+        // specs joined during subFrame()); collect one struct of those
+        // arrays per sub row into `<flag>_nts` per equi-group. The
+        // groupBy keeps the flag join 1:1 with the outer keys — no
+        // fan-out — and the predicate's nested HOFs run the
+        // witness-free tests at the outer scope.
+        val keyNames = spec.pairs.indices.map(i => s"${spec.flag}_k$i")
+        val rowStruct = struct(spec.negTests.map { case (f, _) =>
+          col(s"${f}_ts").as(s"${f}_ts") }: _*)
+        val sel = spec.pairs.zip(keyNames).map { case ((_, s), n) =>
+          s.as(n) } :+ rowStruct.as("__nrow")
+        val tf = filtered.select(sel: _*)
+        val nts = collect_list(col("__nrow")).as(s"${spec.flag}_nts")
+        val flagDf =
+          if (spec.pairs.isEmpty) tf.agg(nts)
+          else tf.groupBy(keyNames.map(col): _*).agg(nts)
+        val cond =
+          if (spec.pairs.isEmpty) lit(true)
+          else spec.pairs.zip(keyNames)
+            .map { case ((p, _), n) => p === col(n) }.reduce(_ && _)
+        df = df.join(flagDf, cond, "left").drop(keyNames: _*)
+      } else if (spec.tupleSpecs.nonEmpty) {
         // 2+ non-equi conjuncts: carry the DISTINCT compared-value
         // tuples per equi-group; the predicate runs an `exists` HOF
         // over them. Array size is bounded by distinct tuples per

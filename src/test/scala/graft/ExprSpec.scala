@@ -278,15 +278,54 @@ class ExprSpec extends SparkSpec {
         |       (not (exists (from member (select 1) (where
         |         (> id (* _parent._parent.id 20))))))))))""".stripMargin)))
 
-    // referencing BOTH the sub and the grandparent still raises (the
-    // complement of a carried key set is inexpressible), loudly
+    // referencing BOTH the sub and the grandparent (raised through
+    // round 11): the negated sub hoists as a carried distinct-tuple
+    // list tested at the outer scope — non-equi variant: a country
+    // qualifies via a team NONE of whose members out-ids the country
+    val exp2 = countries.collect {
+      case (cid, cname) if teams.exists { case (tid, _, tc) =>
+        tc == cid && !members.exists { case (mid, mt) =>
+          mt == tid && mid > cid } } => Seq(cname)
+    }
+    check(exp2, env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (not (exists (from member (select 1) (where
+        |         (and (= team _parent.id)
+        |              (> id _parent._parent.id))))))))))""".stripMargin)))
+
+    // equi variant through notin — the complement-set shape proper: a
+    // country qualifies via a team whose member-id set misses cid + 1
+    val exp3 = countries.collect {
+      case (cid, cname) if teams.exists { case (tid, _, tc) =>
+        tc == cid && !members.exists { case (mid, mt) =>
+          mt == tid && mid == cid + 1 } } => Seq(cname)
+    }
+    check(exp3, env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (not (exists (from member (select 1) (where
+        |         (and (= team _parent.id)
+        |              (= id (+ _parent._parent.id 1)))))))))))""".stripMargin)))
+
+    // the NOTIN spelling takes the same hoist: t.id ∉ {m.team | m.id
+    // out-ids the country} ⟺ exp2's ¬∃ member shape
+    val exp4 = exp2
+    check(exp4, env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (notin id (from member (select team) (where
+        |         (> id _parent._parent.id))))))))""".stripMargin)))
+
+    // still loud: a scope-0 NON-equi inside the negated dual-scope sub
+    // (the tuple hoist carries outer comparisons only)
     intercept[UnsupportedOperationException] {
       env.view("country", Seq("name")).read(Seq(
         """(exists (from team (select 1) (where
           |  (and (= country _parent.id)
           |       (not (exists (from member (select 1) (where
-          |         (and (= team _parent.id)
-          |              (> id _parent._parent.id))))))))))""".stripMargin))
+          |         (and (> id _parent.id)
+          |              (= id _parent._parent.id))))))))))""".stripMargin))
         .collect()
     }
   }

@@ -70,6 +70,21 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoop"), p2)
     // the reduction side is a per-key aggregate, not the raw sub table
     assert(p2.contains("HashAggregate"), p2)
+
+    // negated dual-scope subquery (round 12): the hoisted tuple carry
+    // must keep every join equi — the inner tuple list aggregates per
+    // order, the outer flag frame aggregates per customer key, and the
+    // witness-free test is HOF-evaluated, never a join condition
+    val negDual = env.view("customer", Seq("c_custkey")).read(Seq(
+      """(exists (from orders (select 1) (where
+        |  (and (= o_custkey _parent.c_custkey)
+        |       (not (exists (from lineitem (select 1) (where
+        |         (and (= l_orderkey _parent.o_orderkey)
+        |              (> l_extendedprice _parent._parent.c_acctbal))))))))))""".stripMargin))
+    val p3 = plan(negDual)
+    assert(!p3.contains("CartesianProduct") && !p3.contains("BroadcastNestedLoop"), p3)
+    assert(p3.contains("collect_list") && p3.contains("HashAggregate") ||
+      p3.contains("ObjectHashAggregate"), p3)
   }
 
   test("whole-stage codegen covers the aggregation pipeline") {
