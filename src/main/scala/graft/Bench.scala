@@ -94,9 +94,12 @@ object Bench {
     // min tracked like the main loop; probes whose rerun would change
     // semantics (a load that becomes an update, an insert that becomes
     // an upsert) stay single-shot and are listed in BENCH_FULL's
-    // "single_run" so the artifact says so explicitly.
+    // "single_run" so the artifact says so explicitly. Default 3, an
+    // ODD count: sorted.apply(n/2) on an even count picks the UPPER of
+    // the middle pair, a systematic upward bias that would read as a
+    // phantom regression against earlier single-shot records.
     val probeReps =
-      sys.env.get("SPARK_GRAFT_PROBE_REPEATS").map(_.toInt).getOrElse(2)
+      sys.env.get("SPARK_GRAFT_PROBE_REPEATS").map(_.toInt).getOrElse(3)
     val singleRun = scala.collection.mutable.ArrayBuffer[String]()
     def probe(name: String, reps: Int = -1)(body: => Unit): Unit = {
       val n = if (reps > 0) reps else probeReps

@@ -714,7 +714,12 @@ object Multimodal {
       var width: Integer = null
       var height: Integer = null
       var codec: String = null
-      def chunks(off0: Int, end: Int): Unit = {
+      // depth-bounded: real AVIs nest 2-3 LIST levels; a corrupt or
+      // adversarial payload of nothing but LIST headers must not
+      // recurse to a StackOverflowError (an Error, which the Exception
+      // guard below would NOT absorb — it would kill the scan task)
+      def chunks(off0: Int, end: Int, depth: Int): Unit = {
+        if (depth > 16) return
         var off = off0
         while (off + 8 <= end) {
           val id = fourcc(b, off)
@@ -723,7 +728,7 @@ object Multimodal {
           val bodyEnd = math.min(end.toLong, body + size).toInt
           id match {
             case "LIST" if bodyEnd - body >= 4 =>
-              chunks(body + 4, bodyEnd) // skip the list-type fourcc
+              chunks(body + 4, bodyEnd, depth + 1) // skip the list-type fourcc
             case "avih" if bodyEnd - body >= 40 =>
               usPerFrame = u32(b, body)
               totalFrames = u32(b, body + 16)
@@ -739,7 +744,7 @@ object Multimodal {
           if (size > Int.MaxValue - 16) return
         }
       }
-      chunks(12, math.min(b.length.toLong, 8 + u32(b, 4)).toInt)
+      chunks(12, math.min(b.length.toLong, 8 + u32(b, 4)).toInt, 0)
       Some(Row("avi", codec, width, height,
         if (usPerFrame > 0 && totalFrames > 0)
           Double.box(totalFrames * usPerFrame / 1000.0) else null,

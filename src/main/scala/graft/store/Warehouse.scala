@@ -94,9 +94,10 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * (marked `exact` — never stale while this process holds the
     * writer lease); a swap by a different process is caught by the
     * status check, and the same-mtime-tick/same-length blind spot is
-    * closed by re-reading any non-exact memo whose file is younger
-    * than [[Warehouse.RootFreshnessMs]] (a colliding foreign swap is
-    * by definition that recent; an idle catalog stays memoized). */
+    * closed by re-reading any non-exact memo held locally for less
+    * than [[Warehouse.RootFreshnessMs]] (a colliding foreign swap can
+    * only land within one mtime tick of the swap we read; an idle
+    * catalog stays memoized). */
   private def rootMemo = Warehouse.memoFor(root)
 
   /** table -> pointer content from the root catalog; empty when the
@@ -112,9 +113,15 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       case None => Map()
       case Some(st) =>
         rootMemo.get() match {
-          case Some((mt, len, m, exact))
+          // freshness keys on the LOCAL time this entry was installed
+          // (seen), never the storage-assigned mtime: a foreign swap
+          // sharing the memoized mtime tick can only land within one
+          // tick granularity of the swap we read, so re-reading until
+          // the entry has been held locally for RootFreshnessMs covers
+          // it regardless of storage/driver clock skew
+          case Some((mt, len, m, exact, seen))
               if mt == st.getModificationTime && len == st.getLen &&
-                (exact || System.currentTimeMillis - mt >
+                (exact || System.currentTimeMillis - seen >
                   Warehouse.RootFreshnessMs) => m
           case _ =>
             try {
@@ -128,7 +135,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
                 if (y == null) Map[String, String]()
                 else y.asScala.map { case (k, v) => k -> v.toString }.toMap
               rootMemo.set(Some((st.getModificationTime, st.getLen, parsed,
-                false)))
+                false, System.currentTimeMillis)))
               parsed
             } catch { case scala.util.control.NonFatal(_) => Map() }
         }
@@ -157,7 +164,8 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       // new catalog without re-parsing (and never a stale one)
       try {
         val st = fsys.getFileStatus(f)
-        rootMemo.set(Some((st.getModificationTime, st.getLen, merged, true)))
+        rootMemo.set(Some((st.getModificationTime, st.getLen, merged, true,
+          System.currentTimeMillis)))
       } catch { case scala.util.control.NonFatal(_) => rootMemo.set(None) }
       entries.foreach { case (t, content) => writeMirror(t, content) }
     }
@@ -178,26 +186,46 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   private def ensureLease(fsys: FileSystem): Unit = {
     val f = new Path(root, "_LEASE")
     val me = Warehouse.processId
-    val st = try Some(fsys.getFileStatus(f))
-      catch { case _: java.io.FileNotFoundException => None }
-    val holder = st.map { _ =>
-      val in = fsys.open(f)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8).trim finally in.close()
+    def readHolder(): Option[(String, Long)] =
+      try {
+        val st = fsys.getFileStatus(f)
+        val in = fsys.open(f)
+        val h = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).trim finally in.close()
+        Some((h, System.currentTimeMillis - st.getModificationTime))
+      } catch { case _: java.io.FileNotFoundException => None }
+    def refuse(h: String, age: Long): Nothing = throw new IllegalStateException(
+      s"warehouse $root is write-leased by process '$h' " +
+        s"(heartbeat $age ms ago): a second writer would lose updates. " +
+        "Stop the holder, or wait for its lease to expire " +
+        s"(ttl ${Warehouse.LeaseTtlMs} ms).")
+    // take/steal uses create(overwrite = false) — atomic on local/HDFS
+    // semantics — so two processes racing for an absent lease cannot
+    // both believe they won: the loser's create throws, it re-reads,
+    // and refuses unless the winner was itself
+    def take(): Unit = {
+      val out =
+        try fsys.create(f, false)
+        catch {
+          case _: java.io.IOException =>
+            readHolder() match {
+              case Some((h, age)) if h != me => refuse(h, age)
+              case _ => fsys.create(f, true) // ours (or vanished): refresh
+            }
+        }
+      try out.write(me.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
-    val age = st.map(s => System.currentTimeMillis - s.getModificationTime)
-    holder match {
-      case Some(h) if h != me && age.exists(_ <= Warehouse.LeaseTtlMs) =>
-        throw new IllegalStateException(
-          s"warehouse $root is write-leased by process '$h' " +
-            s"(heartbeat ${age.get} ms ago): a second writer would lose " +
-            "updates. Stop the holder, or wait for its lease to expire " +
-            s"(ttl ${Warehouse.LeaseTtlMs} ms).")
-      case Some(h) if h == me && age.exists(_ <= Warehouse.LeaseTtlMs / 2) =>
+    readHolder() match {
+      case Some((h, age)) if h != me && age <= Warehouse.LeaseTtlMs =>
+        refuse(h, age)
+      case Some((h, age)) if h == me && age <= Warehouse.LeaseTtlMs / 2 =>
         () // ours and fresh — skip the heartbeat write
-      case _ => // absent, ours-but-aging, or stale-foreign: (re)take it
+      case Some((h, _)) if h != me => // stale foreign: steal
+        fsys.delete(f, false); take()
+      case Some(_) => // ours but aging: heartbeat (we own it — plain write)
         val out = fsys.create(f, true)
         try out.write(me.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      case None => take()
     }
   }
 
@@ -818,16 +846,18 @@ object Warehouse {
     * sibling instance's commit as a foreign swap. */
   private val rootMemos = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicReference[
-      Option[(Long, Long, Map[String, String], Boolean)]]]()
+      Option[(Long, Long, Map[String, String], Boolean, Long)]]]()
   private[store] def memoFor(root: String): java.util.concurrent.atomic
-      .AtomicReference[Option[(Long, Long, Map[String, String], Boolean)]] =
+      .AtomicReference[Option[(Long, Long, Map[String, String], Boolean, Long)]] =
     rootMemos.computeIfAbsent(root,
       _ => new java.util.concurrent.atomic.AtomicReference(None))
 
-  /** A non-exact memo entry younger than this re-reads the catalog:
-    * closes the same-mtime-tick/same-length foreign-swap blind spot
-    * of the (mtime, length) key at the cost of re-parsing only roots
-    * modified in the last two seconds. */
+  /** A non-exact memo entry held locally for less than this re-reads
+    * the catalog: closes the same-mtime-tick/same-length foreign-swap
+    * blind spot of the (mtime, length) key at the cost of re-parsing
+    * only entries installed in the last two seconds — keyed on the
+    * local install time, so storage/driver clock skew cannot reopen
+    * the hole. */
   private[store] val RootFreshnessMs: Long = 2000L
 
   /** Writer-lease heartbeat TTL (see `ensureLease`): a lease whose

@@ -221,9 +221,11 @@ object EventStream {
     * appended. Vector dims come from the index's own metadata (the
     * authoritative build-time contract) rather than probing the
     * batch's first row — no extra per-batch job, and a null vector
-    * cannot kill the stream; null-vector rows are dropped (they carry
-    * nothing to dedup or index — mismatched NON-null dims still fail
-    * loudly inside the dedup ops). */
+    * cannot kill the stream. Null-vector rows carry nothing to dedup
+    * or index, but they are still EVENTS: they merge into the table
+    * (trivially novel — no vector to collide on) and only skip the
+    * dedup passes and the index append. Mismatched NON-null dims
+    * still fail loudly inside the dedup ops. */
   private[graft] def vectorDedupedMergeSink(env: graft.Env, table: String,
       fields: Seq[String], idCol: String, vecCol: String,
       indexPath: String, threshold: Double): (DataFrame, Long) => Unit =
@@ -238,10 +240,12 @@ object EventStream {
         vecs, vecCol, idCol, indexPath, threshold)
       val kept = graft.ops.Similarity.cosineDedup(fresh, vecCol, idCol,
         threshold, dims).localCheckpoint()
-      if (!kept.isEmpty) {
-        env.view(table, fields).write(kept)
-        graft.ops.Similarity.appendToSemanticIndex(kept, vecCol, idCol,
-          indexPath)
+      val all = kept.unionByName(batch.filter(col(vecCol).isNull))
+      if (!all.isEmpty) {
+        env.view(table, fields).write(all)
+        if (!kept.isEmpty)
+          graft.ops.Similarity.appendToSemanticIndex(kept, vecCol, idCol,
+            indexPath)
       }
     }
 }

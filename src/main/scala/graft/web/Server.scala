@@ -220,10 +220,15 @@ final class Server(env: Env, port: Int = 0) {
     * ([[graft.ops.Pipeline.curateDocuments]]) over a managed table,
     * through the View layer (ACL read filters narrow the input;
     * writing survivors with `"out"` goes through the full ACL'd
-    * upsert). Body (JSON):
+    * upsert). Unlike the CLI (operator-trusted), HTTP clients never
+    * name a raw filesystem path: `scratch` is a NAME, resolved to
+    * `<warehouse root>/_scratch/<name>` — an arbitrary path here
+    * would let any client overwrite/delete `stage-*` directories
+    * anywhere the server can write (including inside managed tables).
+    * Body (JSON):
     *
     * {{{
-    *   {"scratch": "/dir",            // required spill directory
+    *   {"scratch": "run1",            // required spill dir NAME
     *    "id_col": "doc_id", "text_col": "text",
     *    "min_quality": 0.5, "near": 0.2, "sample": 0.5,
     *    "url_col": "url",             // adds the url_dedup stage
@@ -238,8 +243,12 @@ final class Server(env: Env, port: Int = 0) {
       body.get(k).map(String.valueOf).filter(_.nonEmpty).getOrElse(d)
     def dbl(k: String, d: Double) =
       body.get(k).map(_.toString.toDouble).getOrElse(d)
-    val scratch = str("scratch", "")
-    require(scratch.nonEmpty, """curate needs "scratch": "<dir>"""")
+    val scratchName = str("scratch", "")
+    require(scratchName.nonEmpty, """curate needs "scratch": "<name>"""")
+    require(scratchName.matches("[A-Za-z0-9._-]+") &&
+      scratchName != "." && scratchName != "..",
+      s"scratch must be a plain name, got '$scratchName'")
+    val scratch = s"${env.warehouse.root}/_scratch/$scratchName"
     val benchField = str("bench_field", "text")
     val bench = Some(str("bench", "")).filter(_.nonEmpty)
       .map(t => env.view(t, Seq(benchField)).read())

@@ -188,15 +188,19 @@ class StreamingSpec extends SparkSpec {
           (2L, Seq(0.6f, 0.8f, 0f, 0f)))
         q.processAllAvailable()
         // batch 2: near-dup of batch 1's SURVIVOR (cross-batch — only
-        // caught if the append grew the index) + another novel one
+        // caught if the append grew the index) + another novel one +
+        // a NULL-vector event (embedder gap): it must neither kill the
+        // stream nor vanish — merged into the table, skipped by the
+        // dedup passes and the index
         mem.addData((3L, Seq(0.6006f, 0.8008f, 0.001f, 0f)),
-          (4L, Seq(0f, 0.6f, 0f, 0.8f)))
+          (4L, Seq(0f, 0.6f, 0f, 0.8f)),
+          (5L, null.asInstanceOf[Seq[Float]]))
         q.processAllAvailable()
       } finally q.stop()
       val got = rows(env.view("vec_sink", Seq("vec_id")).read())
         .map(_.head).toSet
-      assert(got == Set(2L, 4L), got.toString)
-      // the index grew by exactly the survivors
+      assert(got == Set(2L, 4L, 5L), got.toString)
+      // the index grew by exactly the VECTOR survivors (no null entry)
       val members = s.read.parquet(idx).select("vec_id").collect()
         .map(_.getLong(0)).toSet
       assert(members == Set(100L, 101L, 2L, 4L), members.toString)

@@ -240,11 +240,12 @@ class WebSpec extends SparkSpec {
       Seq("C", "one two three four"), Seq("D", "red green blue cyan")))
     val srv = new graft.web.Server(env)
     val port = srv.start()
-    val scratch = java.nio.file.Files.createTempDirectory("webcur").toString
     try {
+      // scratch is a NAME resolved under <warehouse>/_scratch — an
+      // HTTP client can never aim the spill writer at a raw path
       val (code, body) = post(port, "/_curate/member",
-        s"""{"scratch": "$scratch", "id_col": "registration_code",
-           | "text_col": "name"}""".stripMargin)
+        """{"scratch": "run1", "id_col": "registration_code",
+          | "text_col": "name"}""".stripMargin)
       assert(code == 200, body)
       val stages = parse(body)("stages")
         .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
@@ -252,14 +253,17 @@ class WebSpec extends SparkSpec {
           m.get("rows_out").toString.toLong)
       assert(stages.map(_._1) == Seq("exact_dedup", "near_dedup"), stages)
       assert(stages.head._2 == 3L, stages)  // the exact dup dropped
+      assert(new java.io.File(s"${env.warehouse.root}/_scratch/run1")
+        .isDirectory)
+      // path-shaped scratch names refuse
+      assert(post(port, "/_curate/member",
+        """{"scratch": "../evil"}""")._1 == 400)
+      assert(post(port, "/_curate/member",
+        """{"scratch": "/tmp/evil"}""")._1 == 400)
       // GET refused, missing scratch refused
       assert(get(port, "/_curate/member")._1 == 405)
       assert(post(port, "/_curate/member", "{}")._1 == 400)
-    } finally {
-      srv.stop()
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(scratch))
-    }
+    } finally srv.stop()
   }
 
   test("error paths: unknown table 404, bad expression 400") {
