@@ -20,6 +20,9 @@ import graft.view.{Filter, FilterExpr, Order}
   *                       --min-quality/--near/--url-col/--sample/--bench
   *                       stage flags, --out <table> / -f <export dir>,
   *                       --keep-spills + --resume N restartability)
+  *             | index (ANN index lifecycle: build/append/retrain/
+  *                      recall/info over a vector table — --path dir,
+  *                      --kind lsh|ivf|ivfpq|semantic, probe knobs)
   *     --config <file>     .tk.yaml-style config: {schema: path, warehouse: path}
   *     -F/--filter <expr>  repeatable s-expression filter
   *     -s/--sort  <col[:DESC]> repeatable sort
@@ -49,7 +52,13 @@ object Main {
       scratch: String = "", minQuality: Double = 0.0, near: Double = 0.2,
       urlCol: String = "", sample: Double = 1.0, bench: String = "",
       benchField: String = "text", outTable: String = "",
-      keepSpills: Boolean = false, resumeFrom: Int = -1)
+      keepSpills: Boolean = false, resumeFrom: Int = -1,
+      // index options (see the `index` action); kOpt serves recall's
+      // top-k (default 10) and the semantic build's cluster count
+      // (default 64)
+      path: String = "", kind: String = "ivf", nlist: Int = 64,
+      subM: Int = 8, kOpt: Int = -1, quantized: Boolean = false,
+      queries: Int = 10, nprobe: Int = 4, probeLevel: Int = 1)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -87,6 +96,16 @@ object Main {
         case "--out" => o = o.copy(outTable = argv(i + 1)); i += 2
         case "--keep-spills" => o = o.copy(keepSpills = true); i += 1
         case "--resume" => o = o.copy(resumeFrom = argv(i + 1).toInt); i += 2
+        case "--path" => o = o.copy(path = argv(i + 1)); i += 2
+        case "--kind" => o = o.copy(kind = argv(i + 1)); i += 2
+        case "--nlist" => o = o.copy(nlist = argv(i + 1).toInt); i += 2
+        case "--m" => o = o.copy(subM = argv(i + 1).toInt); i += 2
+        case "--k" => o = o.copy(kOpt = argv(i + 1).toInt); i += 2
+        case "--quantized" => o = o.copy(quantized = true); i += 1
+        case "--queries" => o = o.copy(queries = argv(i + 1).toInt); i += 2
+        case "--nprobe" => o = o.copy(nprobe = argv(i + 1).toInt); i += 2
+        case "--probe-level" =>
+          o = o.copy(probeLevel = argv(i + 1).toInt); i += 2
         case a if o.action.isEmpty => o = o.copy(action = a); i += 1
         case a => pos = pos :+ a; i += 1
       }
@@ -308,6 +327,101 @@ object Main {
           graft.sources.Corpus.exportCsv(survivors, dir, o.shards)
         else graft.sources.Corpus.exportJsonl(survivors, dir, o.shards)
         out.write(s"exported survivors to $dir (${o.format})\n")
+      }
+
+    // extension: ANN index lifecycle over a managed vector table — the
+    // CLI face of ops/Similarity's index families. Sub-actions:
+    //   tk index build   <table> <id> <vec> --path d --kind lsh|ivf|ivfpq|semantic
+    //                    [--nlist N] [--m M] [--k K] [--quantized]
+    //   tk index append  <table> <id> <vec> --path d   (-F narrows the batch)
+    //   tk index retrain <id> <vec> --path d           (kind from the meta)
+    //   tk index recall  <table> <id> <vec> --path d [--k] [--queries]
+    //                    [--nprobe] [--probe-level]    (per-query recall rows)
+    //   tk index info    --path d                      (meta, arrays summarized)
+    // Vector dims derive from the table's first row at build; append /
+    // retrain dispatch on the index's own metadata.
+    case "index" =>
+      import graft.ops.Similarity
+      def path(): String = {
+        if (o.path.isEmpty)
+          throw new IllegalArgumentException("index needs --path <dir>")
+        o.path
+      }
+      def tiv(): (String, String, String) = {
+        if (o.fields.size < 3) throw new IllegalArgumentException(
+          s"index ${o.table} needs <table> <idField> <vecField>")
+        (o.fields.head, o.fields(1), o.fields(2))
+      }
+      // graft's `float` column type is double-precision (like the
+      // reference); the ANN families operate on float32 vectors, so
+      // the lifecycle normalizes the vector column once on read
+      def vecs(t: String, id: String, v: String) =
+        env.view(t, Seq(id, v)).read(o.filters.map(FilterExpr.apply))
+          .withColumn(v, org.apache.spark.sql.functions.col(v)
+            .cast("array<float>"))
+      o.table match {
+        case "build" =>
+          val (t, id, v) = tiv()
+          val df = vecs(t, id, v)
+          val dims = df.select(org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.col(v))).head(1).headOption
+            .map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+              s"no rows in $t to derive vector dims from"))
+          o.kind match {
+            case "lsh" => Similarity.buildIndex(df, v, id, path(), dims)
+            case "ivf" => Similarity.buildIvfIndex(df, v, id, path(), dims,
+              nlist = o.nlist, quantized = o.quantized)
+            case "ivfpq" => Similarity.buildIvfPqIndex(df, v, id, path(),
+              dims, nlist = o.nlist, m = o.subM)
+            case "semantic" => Similarity.buildSemanticIndex(df, v, id,
+              path(), k = if (o.kOpt > 0) o.kOpt else 64)
+            case other => throw new IllegalArgumentException(
+              s"unknown --kind '$other' (lsh|ivf|ivfpq|semantic)")
+          }
+          out.write(s"built ${o.kind} index at ${o.path} ($dims dims)\n")
+        case "append" =>
+          val (t, id, v) = tiv()
+          val df = vecs(t, id, v)
+          val kind = Similarity.indexKind(env.spark, path())
+          kind match {
+            case "lsh" => Similarity.appendToIndex(df, v, id, o.path)
+            case "ivf" => Similarity.appendToIvfIndex(df, v, id, o.path)
+            case "ivfpq" => Similarity.appendToIvfPqIndex(df, v, id, o.path)
+            case "semantic" =>
+              Similarity.appendToSemanticIndex(df, v, id, o.path)
+          }
+          out.write(s"appended into $kind index at ${o.path}\n")
+        case "retrain" =>
+          if (o.fields.size < 2) throw new IllegalArgumentException(
+            "index retrain needs <idField> <vecField>")
+          val (id, v) = (o.fields.head, o.fields(1))
+          val kind = Similarity.indexKind(env.spark, path())
+          kind match {
+            case "ivf" => Similarity.retrainIvfIndex(env.spark, o.path, v, id)
+            case "ivfpq" => Similarity.retrainIvfPqIndex(env.spark, o.path, id)
+            case "semantic" =>
+              Similarity.retrainSemanticIndex(env.spark, o.path, id)
+            case other => throw new IllegalArgumentException(
+              s"'$other' indexes have no retrain (data-independent hashing)")
+          }
+          out.write(s"retrained $kind index at ${o.path}\n")
+        case "recall" =>
+          val (t, id, v) = tiv()
+          emit(Similarity.recallAtK(env.spark, path(), vecs(t, id, v), v, id,
+            k = if (o.kOpt > 0) o.kOpt else 10, nQueries = o.queries,
+            nprobe = o.nprobe, probeLevel = o.probeLevel), o, out)
+        case "info" =>
+          Similarity.indexMeta(env.spark, path()).toSeq.sortBy(_._1)
+            .foreach { case (k, v) =>
+              val shown = v match {
+                case l: java.util.List[_] => s"[${l.size()} entries]"
+                case other => String.valueOf(other)
+              }
+              out.write(s"$k: $shown\n")
+            }
+        case other => throw new IllegalArgumentException(
+          s"unknown index sub-action '$other' " +
+            "(build|append|retrain|recall|info)")
       }
 
     case other => out.write(s"""Action "$other" not supported\n""")

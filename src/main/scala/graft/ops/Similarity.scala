@@ -265,6 +265,17 @@ object Similarity {
   def indexDims(spark: SparkSession, path: String): Int =
     readMetaRaw(spark, path)("dims").toString.toInt
 
+  /** Index family recorded in the metadata (`lsh` when absent — the
+    * pre-kind LSH layout), for callers dispatching on a persisted
+    * index without knowing how it was built (the CLI lifecycle). */
+  def indexKind(spark: SparkSession, path: String): String =
+    readMetaRaw(spark, path).get("kind").map(_.toString).getOrElse("lsh")
+
+  /** The full metadata sidecar, read-only — build parameters, drift
+    * tallies, centroids/codebooks — for observability surfaces. */
+  def indexMeta(spark: SparkSession, path: String): Map[String, Any] =
+    readMetaRaw(spark, path)
+
   /** Build-time LSH parameters, persisted next to the index so a query
     * can never silently probe with mismatched parameters (which would
     * read the wrong partitions and return near-zero recall). */
@@ -856,7 +867,10 @@ object Similarity {
       .limit(nQueries).collect()
     val scores = sample.toSeq.map { r =>
       val qid = r.getLong(0)
-      val qv = r.getSeq[Float](1)
+      // element-type tolerant: a corpus column of array<double> (the
+      // warehouse `float` type is double-precision) samples queries
+      // just as well as array<float>
+      val qv = r.getSeq[Number](1).map(_.floatValue())
       val approx = (kind match {
         case "ivf" => ivfTopK(spark, path, vecCol, idCol, qv, k, nprobe)
         case "ivfpq" => ivfPqTopK(spark, path, idCol, qv, k, nprobe)

@@ -265,6 +265,72 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--scratch"), e.getMessage)
   }
 
+  test("index action: build, info, recall, append, retrain lifecycle") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-cli-index-")
+    val schemaYaml =
+      """- table: vectors
+        |  columns:
+        |    vec_id: bigint
+        |    embedding: float[]
+        |  key: [vec_id]
+        |""".stripMargin
+    val schema = dir.resolve("schema.yaml")
+    Files.writeString(schema, schemaYaml)
+    val conf = dir.resolve("tk.yaml")
+    Files.writeString(conf, s"schema: $schema\nwarehouse: ${dir.resolve("wh")}\n")
+    run(conf.toString, "init")
+    // seed two clean axis clusters through the library (same root,
+    // same process -> same writer lease)
+    val env = graft.Env(spark,
+      graft.schema.Registry.fromYaml(schemaYaml), dir.resolve("wh").toString)
+    val vschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def vdf(rows: Seq[(Long, Seq[Float])]) = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, vschema)
+    env.view("vectors", Seq("vec_id", "embedding")).write(vdf(
+      (0 until 10).map(i => (i.toLong, Seq(1f, 0.01f * i, 0f, 0f))) ++
+      (0 until 10).map(i => (100L + i, Seq(0.01f * i, 1f, 0f, 0f)))))
+    val idx = dir.resolve("idx").toString
+    // build + info
+    val built = run(conf.toString, "index", "build", "vectors",
+      "vec_id", "embedding", "--path", idx, "--kind", "ivf", "--nlist", "2")
+    assert(built.contains("built ivf index") && built.contains("4 dims"), built)
+    val info = run(conf.toString, "index", "info", "--path", idx)
+    assert(info.contains("kind: ivf") && info.contains("nlist: 2") &&
+      info.contains("centroids: [2 entries]"), info)
+    // full-probe recall over both cells reproduces brute force
+    val rec = run(conf.toString, "index", "recall", "vectors",
+      "vec_id", "embedding", "--path", idx, "--k", "5", "--queries", "4",
+      "--nprobe", "2")
+    val recalls = rec.trim.linesIterator.drop(1)
+      .map(_.split(",")(1).toDouble).toSeq
+    assert(recalls.size == 4 && recalls.forall(_ == 1.0), rec)
+    // append a filtered batch of NEW table rows into the index
+    env.view("vectors", Seq("vec_id", "embedding")).write(vdf(Seq(
+      (200L, Seq(1f, 0.2f, 0f, 0f)), (201L, Seq(0.2f, 1f, 0f, 0f)))))
+    val app = run(conf.toString, "index", "append", "vectors",
+      "vec_id", "embedding", "--path", idx, "-F", "(>= vec_id 200)")
+    assert(app.contains("appended into ivf index"), app)
+    assert(spark.read.parquet(idx).count() == 22L)
+    // retrain (kind from the meta) resets the drift baseline
+    val ret = run(conf.toString, "index", "retrain", "vec_id", "embedding",
+      "--path", idx)
+    assert(ret.contains("retrained ivf index"), ret)
+    val info2 = run(conf.toString, "index", "info", "--path", idx)
+    assert(info2.contains("trainedCount: 22"), info2)
+    // loud errors: missing --path, unknown sub-action
+    assert(intercept[IllegalArgumentException](
+      run(conf.toString, "index", "info")).getMessage.contains("--path"))
+    assert(intercept[IllegalArgumentException](
+      run(conf.toString, "index", "bogus", "--path", idx))
+      .getMessage.contains("sub-action"))
+  }
+
   test("yaml input and output") {
     val (conf, dir) = cfg()
     run(conf, "init")
