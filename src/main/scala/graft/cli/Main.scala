@@ -49,10 +49,13 @@ object Main {
       from: String = "", to: String = "", summary: Boolean = false,
       profileDiff: Boolean = false,
       // curate options (see the `curate` action)
-      scratch: String = "", minQuality: Double = 0.0, near: Double = 0.2,
+      // near < 0 = unset: resolves to 0.2 (minhash Jaccard) for the
+      // document recipe, 0.99 (cosine) for --embeddings
+      scratch: String = "", minQuality: Double = 0.0, near: Double = -1.0,
       urlCol: String = "", sample: Double = 1.0, bench: String = "",
       benchField: String = "text", outTable: String = "",
       keepSpills: Boolean = false, resumeFrom: Int = -1,
+      embeddings: Boolean = false,
       // index options (see the `index` action); kOpt serves recall's
       // top-k (default 10) and the semantic build's cluster count
       // (default 64)
@@ -93,6 +96,7 @@ object Main {
         case "--sample" => o = o.copy(sample = argv(i + 1).toDouble); i += 2
         case "--bench" => o = o.copy(bench = argv(i + 1)); i += 2
         case "--bench-field" => o = o.copy(benchField = argv(i + 1)); i += 2
+        case "--embeddings" => o = o.copy(embeddings = true); i += 1
         case "--out" => o = o.copy(outTable = argv(i + 1)); i += 2
         case "--keep-spills" => o = o.copy(keepSpills = true); i += 1
         case "--resume" => o = o.copy(resumeFrom = argv(i + 1).toInt); i += 2
@@ -294,25 +298,48 @@ object Main {
     // --keep-spills retains every stage under --scratch so a failed or
     // re-tuned run restarts with --resume N (Pipeline.resume) instead
     // of replaying the miners. Positional fields name the id and text
-    // columns (default doc_id text).
+    // columns (default doc_id text). --embeddings switches to the
+    // vector recipe (curateEmbeddings: exact → cosine near-dedup at
+    // --near, default 0.99 → SemDeDup with --k clusters) over
+    // (vec_id, embedding) positionals.
     case "curate" =>
       if (o.scratch.isEmpty)
         throw new IllegalArgumentException("curate needs --scratch <dir>")
-      val idCol = o.fields.headOption.getOrElse("doc_id")
-      val textCol = o.fields.drop(1).headOption.getOrElse("text")
-      val bench = Option(o.bench).filter(_.nonEmpty)
-        .map(t => env.view(t, Seq(o.benchField)).read())
-      val stages = graft.ops.Pipeline.curateDocuments(idCol, textCol,
-        urlCol = Option(o.urlCol).filter(_.nonEmpty),
-        nearThreshold = o.near, minQuality = o.minQuality,
-        bench = bench, benchTextCol = o.benchField,
-        sampleFraction = o.sample)
+      val input = env.view(o.table).read(o.filters.map(FilterExpr.apply))
+      val stages =
+        if (o.embeddings) {
+          // vector recipe: exact → cosine near-dedup → SemDeDup. The
+          // warehouse `float` type is double-precision; the vector
+          // ops run on float32, so the column normalizes on read
+          val idCol = o.fields.headOption.getOrElse("vec_id")
+          val vecCol = o.fields.drop(1).headOption.getOrElse("embedding")
+          val dims = input.select(org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.col(vecCol))).head(1).headOption
+            .map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+              s"no rows in ${o.table} to derive vector dims from"))
+          graft.ops.Pipeline.Stage("float32", df =>
+            df.withColumn(vecCol, org.apache.spark.sql.functions.col(vecCol)
+              .cast("array<float>"))) +:
+            graft.ops.Pipeline.curateEmbeddings(idCol, vecCol, dims,
+              nearThreshold = if (o.near >= 0) o.near else 0.99,
+              semanticK = if (o.kOpt > 0) o.kOpt else 64)
+        } else {
+          val idCol = o.fields.headOption.getOrElse("doc_id")
+          val textCol = o.fields.drop(1).headOption.getOrElse("text")
+          val bench = Option(o.bench).filter(_.nonEmpty)
+            .map(t => env.view(t, Seq(o.benchField)).read())
+          graft.ops.Pipeline.curateDocuments(idCol, textCol,
+            urlCol = Option(o.urlCol).filter(_.nonEmpty),
+            nearThreshold = if (o.near >= 0) o.near else 0.2,
+            minQuality = o.minQuality,
+            bench = bench, benchTextCol = o.benchField,
+            sampleFraction = o.sample)
+        }
       val (survivors, reports) =
         if (o.resumeFrom >= 0)
           graft.ops.Pipeline.resume(env.spark, stages, o.scratch,
             o.resumeFrom, keepSpills = o.keepSpills)
-        else graft.ops.Pipeline.run(
-          env.view(o.table).read(o.filters.map(FilterExpr.apply)),
+        else graft.ops.Pipeline.run(input,
           stages, o.scratch, keepSpills = o.keepSpills)
       Render.asciiTable(reports.map(r => Seq(r.stage, r.rowsOut.toString,
           f"${r.seconds}%.2f")), Some(Seq("stage", "rows_out", "seconds")))

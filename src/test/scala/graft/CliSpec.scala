@@ -329,6 +329,18 @@ class CliSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       run(conf.toString, "index", "bogus", "--path", idx))
       .getMessage.contains("sub-action"))
+    // the EMBEDDINGS curate recipe over the same vector table: the
+    // 0.01-step cluster members sit above cosine 0.99, so the
+    // near-dedup stage genuinely bites
+    val cur = run(conf.toString, "curate", "vectors", "vec_id", "embedding",
+      "--embeddings", "--scratch", dir.resolve("escratch").toString,
+      "--k", "2")
+    assert(cur.contains("float32") && cur.contains("exact_dedup") &&
+      cur.contains("near_dedup") && cur.contains("semantic_dedup"), cur)
+    // table cells are space-padded: (stage, rows_out, seconds)
+    val lastRows = cur.linesIterator.find(_.contains("semantic_dedup")).get
+      .trim.split("\\s+")(1).toLong
+    assert(lastRows > 0 && lastRows < 22, cur)
   }
 
   test("yaml input and output") {
