@@ -384,6 +384,20 @@ object SparkEntry {
             |         (and (= l_orderkey _parent.o_orderkey)
             |              (> l_extendedprice _parent._parent.c_acctbal))))))))))""".stripMargin))),
 
+    // R15 round 12b: the negated dual-scope sub ALSO carries a
+    // NON-equi correlation to its own parent (orders) — the compared
+    // lineitem expression rides the tuple, the order's totalprice
+    // rides the carried struct, both tested in the nested HOF
+    "q38b_dual_scope_nonequi" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey", "c_name"))
+        .read(Seq(
+          """(exists (from orders (select 1) (where
+            |  (and (= o_custkey _parent.c_custkey)
+            |       (not (exists (from lineitem (select 1) (where
+            |         (and (= l_orderkey _parent.o_orderkey)
+            |              (> (* l_quantity 2000) _parent.o_totalprice)
+            |              (> l_extendedprice _parent._parent.c_acctbal))))))))))""".stripMargin))),
+
     // LLM-pipeline: exact dedup (hash-groupBy, keep smallest id)
     "dedup_exact" -> ((s, dir) => {
       val docs = env(s, dir).view("documents",
@@ -1349,6 +1363,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: linear quality classifier (the CCNet/fastText
+    // wiki-vs-crawl filter shape) — NB log-odds token weights trained
+    // on two labeled source slices, every doc scored by mean token
+    // weight; the model is a joined table, never a fitted estimator
+    "text_classifier" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents",
+        Seq("doc_id", "text", "source")).read()
+      val pos = docs.filter(col("source").isin("src0", "src1", "src2"))
+      val neg = docs.filter(col("source").isin("src3", "src4", "src5"))
+      val w = Text.classifierWeights(pos, "text", neg, "text")
+      Text.classifierScore(docs, "doc_id", "text", w)
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: exact substring-dedup signal (Lee et al.) — the
     // fraction of each doc covered by a word 8-gram that also occurs
     // in ANOTHER doc; a shared boilerplate footer is planted on every
@@ -1480,6 +1508,14 @@ object SparkEntry {
         |  WHERE o_custkey = c_custkey
         |    AND NOT EXISTS (SELECT 1 FROM lineitem
         |      WHERE l_orderkey = o_orderkey
+        |        AND l_extendedprice > c_acctbal))""".stripMargin,
+    "q38b_dual_scope_nonequi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem
+        |      WHERE l_orderkey = o_orderkey
+        |        AND l_quantity * 2000 > o_totalprice
         |        AND l_extendedprice > c_acctbal))""".stripMargin,
     "q13_dates" ->
       """SELECT o_orderkey,
@@ -2441,6 +2477,34 @@ object SparkEntry {
         |  round(sum(tf.tf * ln((coalesce(counts.c, 0) + 1.0) / (k.t + k.v)))
         |    / sum(tf.tf), 6) AS lm_logprob
         |FROM tf LEFT JOIN counts USING (token), k GROUP BY 1""".stripMargin,
+    "text_classifier" ->
+      """WITH ptok AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |ntok AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE source IN ('src3', 'src4', 'src5')),
+        |pc AS (SELECT token, count(*) AS cp FROM ptok GROUP BY 1),
+        |nc AS (SELECT token, count(*) AS cn FROM ntok GROUP BY 1),
+        |j AS (SELECT coalesce(pc.token, nc.token) AS token, cp, cn
+        |  FROM pc FULL OUTER JOIN nc ON pc.token = nc.token),
+        |k AS (SELECT sum(coalesce(cp, 0)) AS tp, sum(coalesce(cn, 0)) AS tn,
+        |  count(*) AS v FROM j),
+        |w AS (SELECT token, round(ln((coalesce(cp, 0) + 1.0) / (k.tp + k.v))
+        |  - ln((coalesce(cn, 0) + 1.0) / (k.tn + k.v)), 6) AS weight FROM j, k),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |tfw AS (SELECT tf.doc_id, tf.tf,
+        |  CAST(round(coalesce(w.weight, 0.0) * 1e6, 0) AS BIGINT) AS wi
+        |  FROM tf LEFT JOIN w USING (token))
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf * wi) / sum(tf) / 1e6, 6) AS clf_score
+        |FROM tfw GROUP BY 1""".stripMargin,
     "dedup_spans" ->
       """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
         |    THEN text || ' this shared boilerplate footer sentence repeats across many documents verbatim'

@@ -157,16 +157,30 @@ final case class ExistsSpec(sub: QueryBuilder, pairs: Seq[(Column, Column)],
       * sub and an outer scope (round 12 — the last expression gap):
       * each entry names an inner tuple-carrying spec registered on the
       * sub's own builder (its `<inner>_ts` distinct-tuple array rides
-      * the sub frame, one per sub row) plus the (op, outer column)
-      * tests that must find NO satisfying tuple. The flag frame
-      * collects one struct of those arrays per sub row into
-      * `<flag>_nts` per equi-group (never fans out the outer join),
-      * and the predicate asks, at the OUTER scope where the compared
-      * columns live, for a sub row whose every negated sub is
-      * witness-free: ∃ r: ∀ hoisted subs: ¬∃ tuple satisfying. Array
-      * sizes are bounded like [[tupleSpecs]]: distinct compared-value
-      * tuples per inner group × sub rows per outer key. */
-    negTests: Seq[(String, Seq[(String, Column)])] = Nil)
+      * the sub frame, one per sub row) plus the tests that must find
+      * NO satisfying tuple. The flag frame collects one struct of
+      * those arrays per sub row into `<flag>_nts` per equi-group
+      * (never fans out the outer join; byte-equal structs dedup via
+      * collect_set — interchangeable witnesses), and the predicate
+      * asks, at the OUTER scope where the compared columns live, for a
+      * sub row whose every negated sub is witness-free: ∃ r: ∀ hoisted
+      * subs: ¬∃ tuple satisfying. Array sizes are bounded like
+      * [[tupleSpecs]]: distinct compared-value tuples per inner group
+      * × distinct carried structs per outer key. */
+    negTests: Seq[NegTest] = Nil)
+
+/** One hoisted negated dual-scope subquery riding
+  * [[ExistsSpec.negTests]]: `flag` names the inner spec whose
+  * `<flag>_ts` distinct-tuple array is carried per enclosing-sub row.
+  * Each test compares tuple dim `t<idx>` against either an outer-scope
+  * column (Left — resolvable where the enclosing predicate lands) or a
+  * named field of the carried `__nrow` struct (Right — an
+  * enclosing-sub column materialized per sub row by [[rowCols]]; the
+  * NON-equi own-parent correlation the inner equi-group keys cannot
+  * absorb rides the struct this way). */
+final case class NegTest(flag: String,
+    tests: Seq[(String, Either[Column, String], Int)],
+    rowCols: Seq[(String, Column)] = Nil)
 
 /** Compiles s-expression ASTs to Spark [[Column]]s over a "wide frame":
   * the base table left-joined with every table reached by a dotted
@@ -634,7 +648,7 @@ final class QueryBuilder(
     val residual = mutable.Buffer[Column]()
     val pulledUp = mutable.Buffer[Column]()
     val nonEquis = mutable.Buffer[(String, Column, Column)]() // (op, parent, sub)
-    val negTests = mutable.Buffer[(String, Seq[(String, Column)])]()
+    val negTests = mutable.Buffer[NegTest]()
     extraPair.foreach(pairs += _)
     conjuncts(sub.whereAsts).foreach { c =>
       val d = topDepth(c)
@@ -745,10 +759,13 @@ final class QueryBuilder(
         // coalesces to "no witness" = the ¬∃ is TRUE; outer: a missing
         // equi-group (null _nts) coalesces to EXISTS = false, like SQL
         coalesce(exists(col(s"${flag}_nts"), row =>
-          negTests.toSeq.map { case (inFlag, tests) =>
-            !coalesce(exists(row.getField(s"${inFlag}_ts"), t =>
-              tests.zipWithIndex.map { case ((op, pc), i) =>
+          negTests.toSeq.map { nt =>
+            !coalesce(exists(row.getField(s"${nt.flag}_ts"), t =>
+              nt.tests.map { case (op, side, i) =>
                 val tv = t.getField(s"t$i")
+                // Left: outer-scope column, resolvable here; Right: an
+                // enclosing-sub value riding the carried struct
+                val pc = side.fold(identity, f => row.getField(f))
                 op match {
                   case "=" => pc === tv
                   case "!=" => pc =!= tv
@@ -812,14 +829,22 @@ final class QueryBuilder(
     * enclosing spec's [[ExistsSpec.negTests]]. Returns that spec
     * entry: (inner flag, (op, outer column) tests).
     *
+    * NON-equi correlation to the own parent (round 12b) cannot become
+    * a group key; instead the compared sub column rides the tuple as
+    * an extra dim and the enclosing-sub value rides the carried
+    * `__nrow` struct ([[NegTest.rowCols]]), tested together in the
+    * nested HOF. With no equi pair at all the inner flag frame
+    * degrades to ONE global tuple set (broadcast single-row join) —
+    * fine when the distinct compared tuples are bounded, documented
+    * here because nothing prunes it.
+    *
     * Scale shape: same contract as tupleSpecs — array sizes bounded by
     * distinct compared-value tuples per group, all joins equi, no
     * row-explosion (the outer flag frame groups before joining).
-    * Restrictions (loud): own-parent correlation must be equi, outer
-    * refs must sit at scope 2 exactly, and the negated sub may not
-    * itself nest further subqueries. */
+    * Restrictions (loud): outer refs must sit at scope 2 exactly, and
+    * the negated sub may not itself nest further subqueries. */
   private def hoistNegatedSub(qb: QueryBuilder, fromAst: Ast,
-      lhsAst: Option[Ast], args: Args): (String, Seq[(String, Column)]) = {
+      lhsAst: Option[Ast], args: Args): NegTest = {
     val isub = qb.compile(fromAst, args) match {
       case s: CSub => s
       case other => throw new IllegalArgumentException(
@@ -830,6 +855,7 @@ final class QueryBuilder(
     val pairs = mutable.Buffer[(Column, Column)]()
     val residual = mutable.Buffer[Column]()
     val outerTests = mutable.Buffer[(String, Column, Column)]()
+    val innerTests = mutable.Buffer[(String, Column, Column)]()
     lhsAst.foreach { l =>
       if (topDepth(l) != 0) throw new UnsupportedOperationException(
         "notin with a _parent-referencing left side cannot combine with " +
@@ -855,9 +881,13 @@ final class QueryBuilder(
           val sc = iqb.one(iqb.compile(sSide, args))
           topDepth(pSide) match {
             case 1 if op == "=" => pairs += ((pc, sc))
+            case 1 =>
+              // non-equi to the own parent: the sub column becomes a
+              // tuple dim, the parent value a carried-struct field
+              innerTests += ((normOp, pc, sc))
             case 2 => outerTests += ((normOp, pc, sc))
             case _ => throw new UnsupportedOperationException(
-              "a negated dual-scope subquery supports equi-correlation to " +
+              "a negated dual-scope subquery supports correlation to " +
                 "its own parent and comparisons to the grandparent only, " +
                 s"got: $c")
           }
@@ -874,10 +904,21 @@ final class QueryBuilder(
     }
     if (outerTests.isEmpty) throw new UnsupportedOperationException(
       "negated dual-scope subquery found no supported outer-scope comparison")
+    // tuple dims: outer-compared columns first, then own-parent
+    // non-equi-compared columns — both reduced to their distinct
+    // tuples per equi-group by the tupleSpecs machinery
+    val dims = outerTests.toSeq ++ innerTests.toSeq
     qb.existsSpecs += ExistsSpec(iqb, pairs.toSeq,
       residual.reduceOption(_ && _), flag,
-      tupleSpecs = outerTests.toSeq.map { case (op, _, sc) => (op, sc) })
-    (flag, outerTests.toSeq.map { case (op, pc, _) => (op, pc) })
+      tupleSpecs = dims.map { case (op, _, sc) => (op, sc) })
+    NegTest(flag,
+      outerTests.toSeq.zipWithIndex.map { case ((op, pc, _), i) =>
+        (op, Left(pc): Either[Column, String], i) } ++
+      innerTests.toSeq.zipWithIndex.map { case ((op, _, _), j) =>
+        (op, Right(s"${flag}_p$j"): Either[Column, String],
+          outerTests.size + j) },
+      rowCols = innerTests.toSeq.zipWithIndex.map { case ((_, pc, _), j) =>
+        (s"${flag}_p$j", pc) })
   }
 
   private def inSubquery(lhs: Column, sub: CSub, negate: Boolean, args: Args): CV = {
@@ -911,12 +952,18 @@ final class QueryBuilder(
         // fan-out — and the predicate's nested HOFs run the
         // witness-free tests at the outer scope.
         val keyNames = spec.pairs.indices.map(i => s"${spec.flag}_k$i")
-        val rowStruct = struct(spec.negTests.map { case (f, _) =>
-          col(s"${f}_ts").as(s"${f}_ts") }: _*)
+        val rowStruct = struct(spec.negTests.flatMap { nt =>
+          col(s"${nt.flag}_ts").as(s"${nt.flag}_ts") +:
+            nt.rowCols.map { case (n, c) => c.as(n) } }: _*)
         val sel = spec.pairs.zip(keyNames).map { case ((_, s), n) =>
           s.as(n) } :+ rowStruct.as("__nrow")
         val tf = filtered.select(sel: _*)
-        val nts = collect_list(col("__nrow")).as(s"${spec.flag}_nts")
+        // collect_SET: sub rows carrying byte-equal structs are
+        // interchangeable witnesses, so the per-group array is bounded
+        // by distinct carried shapes, not sub-row count (a hot outer
+        // key with millions of sub rows equi-joined to the same inner
+        // group would otherwise collect one entry per sub row)
+        val nts = collect_set(col("__nrow")).as(s"${spec.flag}_nts")
         val flagDf =
           if (spec.pairs.isEmpty) tf.agg(nts)
           else tf.groupBy(keyNames.map(col): _*).agg(nts)

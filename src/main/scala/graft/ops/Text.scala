@@ -296,6 +296,82 @@ object Text {
           .as("lm_logprob"))
   }
 
+  // ------------------------------------- linear quality classifier
+
+  /** Token log-odds weights of a linear quality classifier trained on
+    * two labeled corpora — the closed-form, deterministic stand-in
+    * for the fastText-style wiki-vs-crawl quality filter the
+    * published curation pipelines run (CCNet; DSIR's importance
+    * weights are the same ratio over hashed n-grams). Multinomial
+    * Naive Bayes with add-one smoothing over the UNION vocabulary:
+    * `w(t) = ln((c_pos(t)+1)/(T_pos+V)) − ln((c_neg(t)+1)/(T_neg+V))`
+    * — a token seen on one side only still gets a finite weight.
+    * Returns (token, weight), weight rounded to 6 places; the model
+    * is DATA, so scoring is engine-reproducible (unlike a fitted
+    * estimator).
+    *
+    * Scale shape: each side collapses to a map-side-combined
+    * (token, count) aggregate, full-outer-joined on token; the three
+    * model constants broadcast as ONE row. The model may be
+    * arbitrarily large — nothing collects to the driver. */
+  def classifierWeights(pos: org.apache.spark.sql.DataFrame,
+      posTextCol: String, neg: org.apache.spark.sql.DataFrame,
+      negTextCol: String): org.apache.spark.sql.DataFrame = {
+    def toks(c: Column) =
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    def counts(d: org.apache.spark.sql.DataFrame, c: String, n: String) =
+      Par.spread(d).select(explode(toks(col(c))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(n))
+    val joined = counts(pos, posTextCol, "__cp")
+      .join(counts(neg, negTextCol, "__cn"), Seq("token"), "full_outer")
+    val consts = joined.agg(
+      sum(coalesce(col("__cp"), lit(0L))).as("__tp"),
+      sum(coalesce(col("__cn"), lit(0L))).as("__tn"),
+      count(lit(1)).as("__v"))
+    joined.crossJoin(broadcast(consts))
+      .select(col("token"), round(
+        log((coalesce(col("__cp"), lit(0L)) + lit(1.0)) /
+          (col("__tp") + col("__v"))) -
+        log((coalesce(col("__cn"), lit(0L)) + lit(1.0)) /
+          (col("__tn") + col("__v"))), 6).as("weight"))
+  }
+
+  /** Score each document under a (token, weight) linear model: the
+    * MEAN per-token weight (length-normalized, like [[lmScore]]), so
+    * score > 0 reads "pos-like". Tokens absent from the model score 0
+    * — true NB would give every OOV token the constant
+    * `ln((T_neg+V)/(T_pos+V))`, an offset that depends only on corpus
+    * sizes; dropping it lets the weights table alone define the
+    * model. Returns one row per document with ≥1 token:
+    * (idCol, n_tokens, clf_score).
+    *
+    * The weighted sum runs in integer MICRO-UNITS (weights are
+    * 6-decimal, so `round(w*1e6)` is exact): integer addition is
+    * associative, so the score cannot wobble in the last ulp with
+    * partitioning, token order, or engine — a float sum rounds
+    * differently on either side of a half-way boundary and breaks
+    * cross-engine reproducibility.
+    *
+    * Scale shape: the same single explode + per-(doc, token) count as
+    * [[tfidf]], left-joined to the weights on token — joined, not
+    * broadcast, so the model can exceed executor memory. */
+  def classifierScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, weights: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def toks(c: Column) =
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    val tf = Par.spread(df)
+      .select(col(idCol), explode(toks(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    val wi = round(col("weight") * lit(1e6)).cast("bigint")
+    tf.join(weights, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).cast("bigint").as("n_tokens"),
+        sum(col("__tf") * coalesce(wi, lit(0L))).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__s") / col("n_tokens") / lit(1e6), 6).as("clf_score"))
+  }
+
   /** 64-bit identity hashes of the word n-gram MULTISET (duplicates
     * kept, unlike [[Dedup.shingleHashes]]) — the repetition statistics
     * need occurrence counts, not set identity. Each token is hashed

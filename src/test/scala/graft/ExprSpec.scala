@@ -317,16 +317,51 @@ class ExprSpec extends SparkSpec {
         |       (notin id (from member (select team) (where
         |         (> id _parent._parent.id))))))))""".stripMargin)))
 
-    // still loud: a scope-0 NON-equi inside the negated dual-scope sub
-    // (the tuple hoist carries outer comparisons only)
+    // round 12b: NON-equi correlation to the own parent inside the
+    // negated dual-scope sub (raised through the first half of round
+    // 12) — the compared member column rides the tuple as an extra
+    // dim, the team value rides the carried __nrow struct
+    val exp5 = countries.collect {
+      case (cid, cname) if teams.exists { case (tid, _, tc) =>
+        tc == cid && !members.exists { case (mid, _) =>
+          mid > tid && mid == cid } } => Seq(cname)
+    }
+    check(exp5, env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (not (exists (from member (select 1) (where
+        |         (and (> id _parent.id)
+        |              (= id _parent._parent.id))))))))))""".stripMargin)))
+
+    // mixed: equi AND non-equi own-parent correlation (the non-equi
+    // parent side an expression) plus the outer comparison — the
+    // equi pair stays a group key, the non-equi rides tuple + struct
+    val exp6 = countries.collect {
+      case (cid, cname) if teams.exists { case (tid, _, tc) =>
+        tc == cid && !members.exists { case (mid, mt) =>
+          mt == tid && mid > tid * 3 && mid > cid } } => Seq(cname)
+    }
+    check(exp6, env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (not (exists (from member (select 1) (where
+        |         (and (= team _parent.id)
+        |              (> id (* _parent.id 3))
+        |              (> id _parent._parent.id))))))))))""".stripMargin)))
+
+    // still loud: correlation deeper than the grandparent from inside
+    // the negated sub (scope 3 = country seen from a sub nested two
+    // levels down)
     intercept[UnsupportedOperationException] {
       env.view("country", Seq("name")).read(Seq(
         """(exists (from team (select 1) (where
           |  (and (= country _parent.id)
-          |       (not (exists (from member (select 1) (where
-          |         (and (> id _parent.id)
-          |              (= id _parent._parent.id))))))))))""".stripMargin))
-        .collect()
+          |       (exists (from member (select 1) (where
+          |         (and (= team _parent.id)
+          |              (not (exists (from member (select 1) (where
+          |                (and (= id _parent.id)
+          |                     (> id _parent._parent._parent.id))))))))))))))"""
+          .stripMargin)).collect()
     }
   }
 

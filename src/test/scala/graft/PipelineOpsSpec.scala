@@ -444,6 +444,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).drop(1) == Seq(1L, r6(lp(1))))
   }
 
+  test("classifier weights + score match the NB hand formula") {
+    // pos: c(a)=3, c(b)=1 -> Tp=4; neg: c(b)=2, c(c)=1 -> Tn=3;
+    // union vocab V=3 -> w(t) = ln((cp+1)/(4+3)) - ln((cn+1)/(3+3))
+    val pos = docsDf(Seq((1L, "a a b"), (2L, "a"))).select(col("text"))
+    val neg = docsDf(Seq((3L, "b b c"))).select(col("text"))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def w(cp: Long, cn: Long) =
+      r6(math.log((cp + 1.0) / 7.0) - math.log((cn + 1.0) / 6.0))
+    val ws = rows(Text.classifierWeights(pos, "text", neg, "text")
+      .orderBy("token"))
+    assert(ws == Seq(Seq("a", w(3, 0)), Seq("b", w(1, 2)), Seq("c", w(0, 1))))
+    // scoring: mean token weight, summed in integer micro-units; OOV
+    // token z scores 0; the blank doc has no tokens and is absent
+    def wi(cp: Long, cn: Long) = math.round(w(cp, cn) * 1e6)
+    val scored = rows(Text.classifierScore(
+      docsDf(Seq((10L, "a b z"), (11L, ""), (12L, "c c"))),
+      "doc_id", "text", Text.classifierWeights(pos, "text", neg, "text"))
+      .orderBy("doc_id"))
+    assert(scored.map(_.head) == Seq(10L, 12L))
+    assert(scored(0).drop(1) ==
+      Seq(3L, r6((wi(3, 0) + wi(1, 2) + 0L) / 3.0 / 1e6)))
+    assert(scored(1).drop(1) == Seq(2L, r6(w(0, 1))))
+  }
+
   test("duplicateSpans: cross-doc grams cover merged token spans") {
     // n=3: docs 1/2 share "a b c" and "b c d" (overlapping spans merge
     // to 4 covered tokens each); doc 3 repeats a gram only WITHIN
