@@ -575,6 +575,27 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: CCNet head/middle/tail bucket assignment — every
+    // doc labeled 0/1/2 by its score's per-source quartile band
+    // (cuts at 25% / 75%), one layout pass for both cuts
+    "sample_score_buckets" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(env(s, dir).view("documents",
+        Seq("doc_id", "source", "n_chars")).read())
+      graft.ops.Sample.scoreBuckets(docs, Seq("source"), "n_chars",
+          "doc_id", Seq(0.25, 0.75))
+        .select(col("doc_id"), col("bucket")).orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline: the SAMPLED form — head kept fully, middle at
+    // half, tail at 1/8 via the idHash membership rule
+    "sample_score_buckets_keep" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(env(s, dir).view("documents",
+        Seq("doc_id", "source", "n_chars")).read())
+      graft.ops.Sample.byScoreBuckets(docs, Seq("source"), "n_chars",
+          "doc_id", Seq(0.25, 0.75), Seq(1.0, 0.5, 0.125))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: quality score + language id — rows-only check
     "text_quality" -> ((s, dir) => {
       val docs = graft.ops.Par.spread(env(s, dir).view("documents",
@@ -2279,6 +2300,32 @@ object SparkEntry {
         |SELECT doc_id FROM t
         |QUALIFY row_number() OVER (PARTITION BY strat ORDER BY n_chars DESC, doc_id)
         |     <= ceil(count(*) OVER (PARTITION BY strat) * 0.1)
+        |ORDER BY doc_id""".stripMargin,
+    // cuts 0.25/0.75 are exactly binary-representable, so both
+    // engines' ceil(n * f) agree bit-for-bit
+    "sample_score_buckets" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST(CASE WHEN rn <= ceil(n * 0.25) THEN 0
+        |  WHEN rn <= ceil(n * 0.75) THEN 1 ELSE 2 END AS INTEGER) AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "sample_score_buckets_keep" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, CASE WHEN rn <= ceil(n * 0.25) THEN 0
+        |  WHEN rn <= ceil(n * 0.75) THEN 1 ELSE 2 END AS bkt FROM r)
+        |SELECT doc_id FROM b
+        |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 <
+        |  CASE bkt WHEN 0 THEN 4294967296 WHEN 1 THEN 2147483648
+        |    ELSE 536870912 END
         |ORDER BY doc_id""".stripMargin,
     // floor() before the BIGINT cast: DuckDB's double→bigint cast
     // rounds to nearest, Spark's truncates — rates are positive so

@@ -188,6 +188,35 @@ object Sample {
   private def keepUpToStratumBoundary(df: DataFrame, strataCols: Seq[String],
       keyCols: Seq[org.apache.spark.sql.Column],
       kOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val bounds = stratumBounds(df, strataCols, keyCols, Seq(kOf))
+      .drop("__cut")
+    def key = struct(keyCols.zipWithIndex.map { case (c, i) =>
+      c.as(s"k$i") }: _*)
+    df.join(broadcast(bounds), strataCond(df, bounds, strataCols))
+      .filter(key <= col("__bound"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** Null-safe stratum equality between a payload frame and a
+    * layout-derived frame carrying `__s_<c>` copies: the layout
+    * groupBy treats null strata as a group, so the joins must agree. */
+  private def strataCond(lhs: DataFrame, rhs: DataFrame,
+      strataCols: Seq[String]): org.apache.spark.sql.Column =
+    strataCols.map(c => lhs(c) <=> rhs(s"__s_$c"))
+      .foldLeft(lit(true))(_ && _)
+
+  /** The layout pass of [[keepUpToStratumBoundary]], generalized to
+    * MANY keep-counts over one layout: returns one row per
+    * (stratum, cut index) with the boundary key tuple of that cut —
+    * `(__s_<strata>…, __cut, __bound)`. All cuts share the single
+    * narrow layout materialization, stats collect and partition-local
+    * rank window, so asking for B cuts costs the same two jobs as
+    * one. A cut whose keep-count is ≤ 0 for a stratum emits no row
+    * there; two cuts landing on the same rank each emit their own. */
+  private def stratumBounds(df: DataFrame, strataCols: Seq[String],
+      keyCols: Seq[org.apache.spark.sql.Column],
+      kOfs: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column])
+      : DataFrame = {
     val spark = df.sparkSession
     val sCols = strataCols.map(col)
     // identical field names on both sides: struct comparison requires
@@ -224,24 +253,82 @@ object Sample {
       org.apache.spark.sql.types.StructField("__n", LongType, false))
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offRows, 1), offSchema)
-    // null-safe stratum equality: groupBy above treats null strata as a
-    // group, the joins must agree
-    def strataCond(lhs: DataFrame, rhs: DataFrame) =
-      strataCols.map(c => lhs(c) <=> rhs(s"__s_$c"))
-        .foldLeft(lit(true))(_ && _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__p") +: sCols: _*).orderBy(col("__key"))
     val ranked = layout.join(broadcast(offDf),
-      layout("__p") === offDf("__p") && strataCond(layout, offDf))
+      layout("__p") === offDf("__p") && strataCond(layout, offDf, strataCols))
       .drop(offDf("__p"))
       .withColumn("__rank", col("__off") + row_number().over(w))
-    val bounds = ranked
-      .filter(col("__rank") === least(kOf(col("__n")), col("__n")))
-      .select(strataCols.map(c => col(s"__s_$c")) :+
-        col("__key").as("__bound"): _*)
-    df.join(broadcast(bounds), strataCond(df, bounds))
-      .filter(key <= col("__bound"))
-      .select(df.columns.map(col).toSeq: _*)
+    // every cut's boundary rank, tested in one pass over the ranked
+    // layout; explode keeps only the rows that ARE a boundary
+    val cutRanks = array(kOfs.zipWithIndex.map { case (k, i) =>
+      struct(lit(i).as("c"), least(k(col("__n")), col("__n")).as("r")) }: _*)
+    ranked
+      .select(strataCols.map(c => col(s"__s_$c")) ++ Seq(col("__key"),
+        explode(filter(cutRanks, s =>
+          s.getField("r") === col("__rank"))).as("__cb")): _*)
+      .select(strataCols.map(c => col(s"__s_$c")) ++ Seq(
+        col("__cb").getField("c").as("__cut"),
+        col("__key").as("__bound")): _*)
+  }
+
+  /** Per-stratum score-BUCKET assignment — the CCNet head/middle/tail
+    * shape: bucket 0 holds each stratum's best `ceil(f1 × n)` rows by
+    * (`scoreCol` desc nulls last, `idCol` tie-break), bucket 1 the
+    * next `ceil(f2 × n) − ceil(f1 × n)`, …, bucket B−1 the remainder;
+    * `fractions` are the strictly-increasing CUMULATIVE cut points in
+    * (0, 1). Adds `bucketCol` (int, 0 = best). Same exactness
+    * contract as [[topFractionPerStratum]] (unique ids make the
+    * assignment deterministic under score ties; NaN scores
+    * unsupported).
+    *
+    * Scale shape: ONE narrow layout pass computes every cut's
+    * boundary tuple ([[stratumBounds]] — B cuts cost the same two
+    * jobs as one); the payload never shuffles, joining the broadcast
+    * per-stratum bounds array and counting the cuts it falls inside
+    * with an array HOF. */
+  def scoreBuckets(df: DataFrame, strataCols: Seq[String], scoreCol: String,
+      idCol: String, fractions: Seq[Double],
+      bucketCol: String = "bucket"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f < 1) &&
+      fractions.sliding(2).forall(s => s.size < 2 || s(0) < s(1)),
+      s"fractions $fractions must be strictly increasing within (0,1)")
+    val keyCols = Seq(col(scoreCol).isNull.cast("int"), -col(scoreCol),
+      col(idCol))
+    // f > 0 and n ≥ 1 make every cut's keep-count ≥ 1, so every
+    // (stratum, cut) has a boundary row and the join below is total
+    val bounds = stratumBounds(df, strataCols, keyCols,
+      fractions.map(f => (n: org.apache.spark.sql.Column) =>
+        ceil(n * lit(f)).cast("long")))
+    val arr = bounds.groupBy(strataCols.map(c => col(s"__s_$c")): _*)
+      .agg(collect_list(col("__bound")).as("__bs"))
+    def key = struct(keyCols.zipWithIndex.map { case (c, i) =>
+      c.as(s"k$i") }: _*)
+    // nested cuts ⇒ bucket = #cuts − #(bounds at-or-after the key);
+    // two cuts on one rank contribute two equal bounds, as intended
+    df.join(broadcast(arr), strataCond(df, arr, strataCols))
+      .withColumn(bucketCol, (lit(fractions.size) -
+        size(filter(col("__bs"), b => key <= b))).cast("int"))
+      .select(df.columns.map(col) :+ col(bucketCol): _*)
+  }
+
+  /** CCNet-style bucket SAMPLING: assign [[scoreBuckets]], then keep
+    * each bucket at its rate through the [[idHash]] membership rule —
+    * `rates(b)` is bucket b's keep fraction (`rates.size =
+    * fractions.size + 1`). The classic instance scores documents with
+    * [[graft.ops.Text.lmScore]] and keeps the head fully, the middle
+    * at half, the tail at a trickle. Deterministic, stateless and
+    * partitioning-independent like every sampler here. */
+  def byScoreBuckets(df: DataFrame, strataCols: Seq[String], scoreCol: String,
+      idCol: String, fractions: Seq[Double], rates: Seq[Double]): DataFrame = {
+    require(rates.size == fractions.size + 1,
+      s"need ${fractions.size + 1} rates, got ${rates.size}")
+    require(rates.forall(r => r >= 0 && r <= 1), s"rates $rates not in [0,1]")
+    val b = scoreBuckets(df, strataCols, scoreCol, idCol, fractions,
+      "__bucket")
+    val rArr = array(rates.map(r => lit((r * 4294967296.0).toLong)): _*)
+    b.filter(idHash(col(idCol)) < element_at(rArr, col("__bucket") + 1))
+      .drop("__bucket")
   }
 
   /** Per-stratum cap: the first `n` rows of each stratum in

@@ -154,6 +154,35 @@ class PipelineOpsSpec extends SparkSpec {
       Sample.topFractionPerStratum(df, Seq("src"), "score", "id", 1.5))
   }
 
+  test("scoreBuckets: nested per-stratum cuts, rate-filtered keep") {
+    val df = s.createDataFrame(Seq(
+      // stratum a: 5 rows, scores 5..1; cuts (0.2, 0.6) ->
+      // ceil(1)=1 head (id 10), ceil(3)=3 cum -> mid ids 11,12, tail 13,14
+      (10L, "a", 5.0), (11L, "a", 4.0), (12L, "a", 3.0),
+      (13L, "a", 2.0), (14L, "a", 1.0),
+      // stratum b: 2 equal scores -> both cuts land on ceil(0.4)=1 /
+      // ceil(1.2)=2: head id 20 (tie-break), mid 21, no tail
+      (20L, "b", 7.0), (21L, "b", 7.0),
+      // stratum c: 1 row -> both cuts rank 1 -> bucket 0
+      (30L, "c", 0.0)
+    )).toDF("id", "src", "score")
+    val got = rows(Sample.scoreBuckets(df, Seq("src"), "score", "id",
+      Seq(0.2, 0.6)).select("id", "bucket").orderBy("id"))
+      .map(r => r.head -> r(1)).toMap
+    assert(got == Map(10L -> 0, 11L -> 1, 12L -> 1, 13L -> 2, 14L -> 2,
+      20L -> 0, 21L -> 1, 30L -> 0), got.toString)
+    // byScoreBuckets: rate 1 keeps a bucket fully, rate 0 drops it
+    val kept = rows(Sample.byScoreBuckets(df, Seq("src"), "score", "id",
+      Seq(0.2, 0.6), Seq(1.0, 0.0, 1.0)).select("id").orderBy("id"))
+      .map(_.head)
+    assert(kept == Seq(10L, 13L, 14L, 20L, 30L), kept)
+    intercept[IllegalArgumentException](Sample.scoreBuckets(
+      df, Seq("src"), "score", "id", Seq(0.6, 0.2)))
+    intercept[IllegalArgumentException](Sample.byScoreBuckets(
+      df, Seq("src"), "score", "id", Seq(0.5), Seq(1.0)))
+    Sample.releaseLayouts()
+  }
+
   test("capPerStratum keeps the first n per stratum in order") {
     val df = s.createDataFrame(
       (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd")))

@@ -85,6 +85,22 @@ class PlanSpec extends SparkSpec {
     assert(!p3.contains("CartesianProduct") && !p3.contains("BroadcastNestedLoop"), p3)
     assert(p3.contains("collect_list") && p3.contains("HashAggregate") ||
       p3.contains("ObjectHashAggregate"), p3)
+    // the outer flag frame dedups interchangeable carried structs
+    // (collect_SET), bounding hot keys by distinct shapes
+    assert(p3.contains("collect_set"), p3)
+
+    // round 12b: the non-equi own-parent correlation rides tuple +
+    // carried struct — still zero non-equi JOINS anywhere in the plan
+    val negDualNe = env.view("customer", Seq("c_custkey")).read(Seq(
+      """(exists (from orders (select 1) (where
+        |  (and (= o_custkey _parent.c_custkey)
+        |       (not (exists (from lineitem (select 1) (where
+        |         (and (= l_orderkey _parent.o_orderkey)
+        |              (> (* l_quantity 2000) _parent.o_totalprice)
+        |              (> l_extendedprice _parent._parent.c_acctbal))))))))))""".stripMargin))
+    val p4 = plan(negDualNe)
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoop"), p4)
+    assert(p4.contains("collect_set"), p4)
   }
 
   test("whole-stage codegen covers the aggregation pipeline") {
@@ -309,6 +325,12 @@ class PlanSpec extends SparkSpec {
     val p2 = plan(graft.ops.Sample.capPerStratum(df, Seq("src"), Seq("id"), 5))
     val win2 = p2.linesIterator.filter(_.contains("Window ")).toSeq
     assert(win2.nonEmpty && win2.forall(_.contains("__p#")), p2)
+    // scoreBuckets shares the layout machinery: B cuts, one layout
+    // pass, still no full-stratum window anywhere
+    val p3 = plan(graft.ops.Sample.scoreBuckets(
+      df, Seq("src"), "score", "id", Seq(0.25, 0.75)))
+    val win3 = p3.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(win3.nonEmpty && win3.forall(_.contains("__p#")), p3)
     graft.ops.Sample.releaseLayouts()
   }
 
