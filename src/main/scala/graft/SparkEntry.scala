@@ -1175,6 +1175,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // LLM-pipeline: LEAKAGE-SAFE split — near-duplicate clusters move
+    // as one unit (group key = connected-component root of the mined
+    // pair graph), so no near-dup pair ever straddles train/val
+    "sample_leakage_split" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.2)
+      graft.ops.Sample.splitByComponents(docs, pairs, "doc_id", 0.0, 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: temperature-flattened language sampling (the
     // mT5/XLM-R rebalancing rule p_s ∝ n_s^alpha) — half the corpus,
     // low-resource languages over-represented relative to natural
@@ -2352,6 +2362,30 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5(CAST(source AS VARCHAR)), 1, 8) >= '00000000'
         |  AND substr(md5(CAST(source AS VARCHAR)), 1, 8) < '80000000'""".stripMargin,
+    // the dedup_clusters component CTE + the group-split md5 band on
+    // the component root (unpaired docs group by their own id)
+    "sample_leakage_split" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
+        |e AS (SELECT idA AS a, idB AS b FROM p UNION SELECT idB, idA FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |grp AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grpkey
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT doc_id FROM grp
+        |WHERE substr(md5(CAST(grpkey AS VARCHAR)), 1, 8) >= '00000000'
+        |  AND substr(md5(CAST(grpkey AS VARCHAR)), 1, 8) < '80000000'
+        |ORDER BY doc_id""".stripMargin,
     "sample_pack" ->
       """SELECT doc_id, n_tokens,
         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id

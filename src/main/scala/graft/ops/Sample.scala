@@ -157,6 +157,30 @@ object Sample {
     df.filter(h >= lit(bound(lo)) && upper)
   }
 
+  /** Train/validation split atomic over NEAR-DUPLICATE clusters — the
+    * leakage guard [[splitByGroup]] cannot give when the leak unit is
+    * not a metadata column but similarity itself: two near-duplicate
+    * documents on opposite sides of a split leak the evaluation set
+    * into training. `pairs` is a mined near-dup pair list
+    * ([[Dedup.minhashPairs]] / [[Dedup.jaccardPairs]] /
+    * [[Similarity.cosinePairs]]); the split's group key is each doc's
+    * connected-component root ([[Cluster.components]] — transitively
+    * closed, so a chain A~B~C moves as one unit even though (A,C) was
+    * never mined), unpaired docs being their own group. Disjoint
+    * bands `[lo, hi)` partition the corpus cluster-atomically.
+    *
+    * Scale shape: component labels are (long, long) shuffles
+    * (O(log diameter) rounds); the corpus side adds one equi-join on
+    * id and the stateless md5-band filter — no new heavy machinery. */
+  def splitByComponents(df: DataFrame, pairs: DataFrame, idCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    val comp = Cluster.components(pairs)
+      .select(col("id").as(idCol), col("component").as("__comp"))
+    val grouped = df.join(comp, Seq(idCol), "left")
+      .withColumn("__grp", coalesce(col("__comp"), col(idCol)))
+    splitByGroup(grouped, "__grp", lo, hi).drop("__comp", "__grp")
+  }
+
   /** Shared machinery of [[capPerStratum]] / [[topFractionPerStratum]]:
     * find, per stratum, the order-key tuple of the LAST kept row (the
     * "boundary"), then keep payload rows whose key tuple sorts at or

@@ -183,6 +183,26 @@ class PipelineOpsSpec extends SparkSpec {
     Sample.releaseLayouts()
   }
 
+  test("splitByComponents: near-dup clusters never straddle the split") {
+    // pairs chain 1~2~3 (one cluster) and 10~11; 20/21 unpaired
+    val df = s.createDataFrame(
+      Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).map(Tuple1(_))).toDF("id")
+    val pairs = s.createDataFrame(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      .toDF("idA", "idB")
+    val lo = rows(Sample.splitByComponents(df, pairs, "id", 0.0, 0.5))
+      .map(_.head.asInstanceOf[Long]).toSet
+    val hi = rows(Sample.splitByComponents(df, pairs, "id", 0.5, 1.0))
+      .map(_.head.asInstanceOf[Long]).toSet
+    // disjoint bands partition the corpus...
+    assert((lo & hi).isEmpty && (lo | hi) == Set(1L, 2L, 3L, 10L, 11L, 20L, 21L))
+    // ...and each cluster lands whole on one side
+    assert(Set(1L, 2L, 3L).subsetOf(lo) || Set(1L, 2L, 3L).subsetOf(hi))
+    assert(Set(10L, 11L).subsetOf(lo) || Set(10L, 11L).subsetOf(hi))
+    // the schema is untouched (helper columns dropped)
+    assert(Sample.splitByComponents(df, pairs, "id", 0.0, 1.0)
+      .columns.toSeq == Seq("id"))
+  }
+
   test("capPerStratum keeps the first n per stratum in order") {
     val df = s.createDataFrame(
       (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd")))
