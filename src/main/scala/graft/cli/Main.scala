@@ -313,10 +313,14 @@ object Main {
           // ops run on float32, so the column normalizes on read
           val idCol = o.fields.headOption.getOrElse("vec_id")
           val vecCol = o.fields.drop(1).headOption.getOrElse("embedding")
-          val dims = input.select(org.apache.spark.sql.functions.size(
+          // first NON-null vector sizes the model (a leading null row
+          // would otherwise read size = -1/null and blow up here)
+          val dims = input
+            .filter(org.apache.spark.sql.functions.col(vecCol).isNotNull)
+            .select(org.apache.spark.sql.functions.size(
               org.apache.spark.sql.functions.col(vecCol))).head(1).headOption
             .map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
-              s"no rows in ${o.table} to derive vector dims from"))
+              s"no non-null vectors in ${o.table} to derive dims from"))
           graft.ops.Pipeline.Stage("float32", df =>
             df.withColumn(vecCol, org.apache.spark.sql.functions.col(vecCol)
               .cast("array<float>"))) +:

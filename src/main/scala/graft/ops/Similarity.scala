@@ -694,12 +694,17 @@ object Similarity {
   /** ANN top-k against a [[buildIvfIndex]] index: ranks centroids
     * against the query ON THE DRIVER (centroids ride in the index
     * meta), reads only the `nprobe` nearest centroid partitions, exact
-    * cosine on those lists. */
+    * cosine on those lists. A [[buildSemanticIndex]] index probes
+    * through the same path (pass `vecCol = "__nv"`): its layout IS an
+    * unquantized IVF over stored L2-normalized vectors, and cosine is
+    * normalization-invariant — this is what makes semantic-index
+    * recall measurable ([[recallAtK]]). */
   def ivfTopK(spark: SparkSession, path: String, vecCol: String,
       idCol: String, query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
     val meta = readMetaRaw(spark, path)
-    require(meta.get("kind").map(_.toString).contains("ivf"),
-      s"$path is not an IVF index")
+    require(meta.get("kind").map(_.toString)
+        .exists(Set("ivf", "semantic")),
+      s"$path is not an IVF-layout (ivf/semantic) index")
     require(query.size == meta("dims").toString.toInt,
       s"Query vector has ${query.size} dims; index was built with ${meta("dims")}")
     val centroids = centroidsOf(meta)
@@ -852,16 +857,18 @@ object Similarity {
       vecCol: String, idCol: String, k: Int, nQueries: Int = 10,
       nprobe: Int = 4, probeLevel: Int = 1): DataFrame = {
     require(k > 0 && nQueries > 0, "recallAtK needs k > 0 and nQueries > 0")
-    // dispatch is closed over the three top-k index families: an
-    // unknown kind (e.g. a semantic dedup index, which has no top-k
-    // prober) must refuse here, not fall through to the LSH prober
-    // and die on a missing meta key
+    // dispatch is closed over the known index families: an unknown
+    // kind must refuse here, not fall through to the LSH prober and
+    // die on a missing meta key. A SEMANTIC index measures
+    // within-probed-cluster recall — the number that bounds its dedup
+    // miss rate (SemDeDup only compares within a cluster) — by
+    // probing its IVF-shaped layout over the stored normalized
+    // vectors.
     val kind = readMetaRaw(spark, path).get("kind").map(_.toString)
       .getOrElse("lsh")
-    require(Set("lsh", "ivf", "ivfpq")(kind),
-      s"recallAtK supports lsh/ivf/ivfpq indexes; $path is kind '$kind'" +
-        (if (kind == "semantic") " (a dedup cluster index, not a top-k index)"
-         else ""))
+    require(Set("lsh", "ivf", "ivfpq", "semantic")(kind),
+      s"recallAtK supports lsh/ivf/ivfpq/semantic indexes; " +
+        s"$path is kind '$kind'")
     val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
       .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
       .limit(nQueries).collect()
@@ -874,6 +881,7 @@ object Similarity {
       val approx = (kind match {
         case "ivf" => ivfTopK(spark, path, vecCol, idCol, qv, k, nprobe)
         case "ivfpq" => ivfPqTopK(spark, path, idCol, qv, k, nprobe)
+        case "semantic" => ivfTopK(spark, path, "__nv", idCol, qv, k, nprobe)
         case _ => annTopKIndexed(spark, path, vecCol, idCol, qv, k,
           probeLevel)
       }).select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet

@@ -1313,15 +1313,33 @@ class OpsSpec extends SparkSpec {
     val (r0, r1) = (lshRecall(0), lshRecall(1))
     assert(r0.zip(r1).forall { case (a, b) => b >= a }, s"$r0 vs $r1")
     assert(r1.forall(_ == 1.0), r1)
-    // an index kind with no top-k prober refuses loudly instead of
-    // falling through to the LSH prober and dying on a missing meta key
+    // SEMANTIC arm: within-probed-cluster recall through the index's
+    // IVF-shaped layout (stored normalized vectors; cosine is
+    // normalization-invariant, so full probe = brute force and the
+    // single-cluster probe shows the exact dedup-miss deficit)
     graft.ops.Similarity.buildSemanticIndex(corpus, "embedding", "vec_id",
       base + "/sem", k = 2)
+    // k = whole own cluster: the rank-20 cut sits on the huge
+    // cross-cluster margin, so the probe's normalized-vector cosine
+    // cannot tie-flip against the raw-vector brute force at the cut
+    val semFull = rows(graft.ops.Similarity.recallAtK(s, base + "/sem",
+      corpus, "embedding", "vec_id", k = 20, nQueries = 4, nprobe = 2))
+    assert(semFull.size == 4 && semFull.forall(_(1) == 1.0), semFull)
+    val semOwn = rows(graft.ops.Similarity.recallAtK(s, base + "/sem",
+      corpus, "embedding", "vec_id", k = 25, nQueries = 4, nprobe = 1))
+    assert(semOwn.size == 4 && semOwn.forall(_(1) == 20.0 / 25.0), semOwn)
+    // a truly unknown kind still refuses loudly instead of falling
+    // through to the LSH prober and dying on a missing meta key
+    val bogus = base + "/bogus"
+    corpus.write.mode("overwrite").parquet(bogus)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bogus, "_graft_index_meta.json"),
+      """{"kind": "mystery", "dims": 8}""".getBytes)
     val e = intercept[IllegalArgumentException](
-      graft.ops.Similarity.recallAtK(s, base + "/sem", corpus,
+      graft.ops.Similarity.recallAtK(s, bogus, corpus,
         "embedding", "vec_id", k = 5))
-    assert(e.getMessage.contains("lsh/ivf/ivfpq") &&
-      e.getMessage.contains("semantic"), e.getMessage)
+    assert(e.getMessage.contains("lsh/ivf/ivfpq/semantic") &&
+      e.getMessage.contains("mystery"), e.getMessage)
   }
 
   test("Diff: added/removed/changed verdicts; null-shape changes detected") {
