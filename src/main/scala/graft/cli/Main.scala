@@ -56,6 +56,9 @@ object Main {
       benchField: String = "text", outTable: String = "",
       keepSpills: Boolean = false, resumeFrom: Int = -1,
       embeddings: Boolean = false,
+      // classifier stage: NB log-odds weights trained on two labeled
+      // tables' text columns, survivors need mean token weight >= min
+      clfPos: String = "", clfNeg: String = "", minClf: Double = 0.0,
       // index options (see the `index` action); kOpt serves recall's
       // top-k (default 10) and the semantic build's cluster count
       // (default 64)
@@ -97,6 +100,9 @@ object Main {
         case "--bench" => o = o.copy(bench = argv(i + 1)); i += 2
         case "--bench-field" => o = o.copy(benchField = argv(i + 1)); i += 2
         case "--embeddings" => o = o.copy(embeddings = true); i += 1
+        case "--clf-pos" => o = o.copy(clfPos = argv(i + 1)); i += 2
+        case "--clf-neg" => o = o.copy(clfNeg = argv(i + 1)); i += 2
+        case "--min-clf" => o = o.copy(minClf = argv(i + 1).toDouble); i += 2
         case "--out" => o = o.copy(outTable = argv(i + 1)); i += 2
         case "--keep-spills" => o = o.copy(keepSpills = true); i += 1
         case "--resume" => o = o.copy(resumeFrom = argv(i + 1).toInt); i += 2
@@ -290,7 +296,9 @@ object Main {
     // extension: fused curation over a managed table — the CLI face of
     // ops/Pipeline's curateDocuments recipe. Stages are flag-selected
     // (--url-col adds url_dedup, --min-quality > 0 adds the quality
-    // floor, --bench <table> adds decontamination against that table's
+    // floor, --clf-pos/--clf-neg train the NB log-odds classifier on
+    // two labeled tables and add the classifier floor at --min-clf,
+    // --bench <table> adds decontamination against that table's
     // --bench-field column, --sample < 1 adds the hash downsample);
     // exact + minhash near-dedup always run. Prints the per-stage
     // StageReport audit through the ascii renderer; survivors go to a
@@ -332,11 +340,21 @@ object Main {
           val textCol = o.fields.drop(1).headOption.getOrElse("text")
           val bench = Option(o.bench).filter(_.nonEmpty)
             .map(t => env.view(t, Seq(o.benchField)).read())
+          // --clf-pos/--clf-neg train the NB log-odds model from two
+          // labeled tables' text columns (both required together)
+          require(o.clfPos.isEmpty == o.clfNeg.isEmpty,
+            "curate needs BOTH --clf-pos and --clf-neg (or neither)")
+          val clf = Option(o.clfPos).filter(_.nonEmpty).map { p =>
+            graft.ops.Text.classifierWeights(
+              env.view(p, Seq(textCol)).read(), textCol,
+              env.view(o.clfNeg, Seq(textCol)).read(), textCol)
+          }
           graft.ops.Pipeline.curateDocuments(idCol, textCol,
             urlCol = Option(o.urlCol).filter(_.nonEmpty),
             nearThreshold = if (o.near >= 0) o.near else 0.2,
             minQuality = o.minQuality,
             bench = bench, benchTextCol = o.benchField,
+            classifier = clf, minClassifier = o.minClf,
             sampleFraction = o.sample)
         }
       val (survivors, reports) =

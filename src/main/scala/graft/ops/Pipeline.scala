@@ -107,16 +107,22 @@ object Pipeline {
 
   /** The canonical text-curation recipe, as a stage list for [[run]]:
     * URL-canonical dedup (optional) → content-fingerprint exact dedup
-    * → MinHash near-dedup → quality floor (optional) → benchmark
-    * decontamination (optional, drops any doc sharing a 13-gram with
-    * the eval suite) → deterministic hash downsample (optional). The
-    * stages mirror the published curation pipelines (C4 / RefinedWeb /
-    * FineWeb shape): cheap exact passes first so the expensive miners
-    * see an already-shrunk corpus. */
+    * → MinHash near-dedup → quality floor (optional) → linear
+    * classifier floor (optional — the CCNet/fastText wiki-vs-crawl
+    * filter: docs scoring below `minClassifier` mean token log-odds
+    * under the supplied [[graft.ops.Text.classifierWeights]] model
+    * drop; docs with zero tokens score nothing and drop too) →
+    * benchmark decontamination (optional, drops any doc sharing a
+    * 13-gram with the eval suite) → deterministic hash downsample
+    * (optional). The stages mirror the published curation pipelines
+    * (C4 / RefinedWeb / FineWeb / CCNet shape): cheap exact passes
+    * first so the expensive miners see an already-shrunk corpus. */
   def curateDocuments(idCol: String = "doc_id", textCol: String = "text",
       urlCol: Option[String] = None, nearThreshold: Double = 0.2,
       minQuality: Double = 0.0, bench: Option[DataFrame] = None,
       benchTextCol: String = "text", contamGram: Int = 13,
+      classifier: Option[DataFrame] = None,
+      minClassifier: Double = 0.0,
       sampleFraction: Double = 1.0): Seq[Stage] = {
     val b = Seq.newBuilder[Stage]
     urlCol.foreach { u =>
@@ -130,6 +136,12 @@ object Pipeline {
     if (minQuality > 0)
       b += Stage("quality", df =>
         df.filter(Text.qualityScore(col(textCol)) >= minQuality))
+    classifier.foreach { w =>
+      b += Stage("classifier", df =>
+        df.join(Text.classifierScore(df, idCol, textCol, w)
+            .filter(col("clf_score") >= minClassifier).select(col(idCol)),
+          Seq(idCol), "left_semi"))
+    }
     bench.foreach { bd =>
       b += Stage("decontaminate", df =>
         df.join(Text.decontaminate(df, idCol, textCol, bd, benchTextCol,

@@ -233,6 +233,8 @@ final class Server(env: Env, port: Int = 0) {
     *    "min_quality": 0.5, "near": 0.2, "sample": 0.5,
     *    "url_col": "url",             // adds the url_dedup stage
     *    "bench": "benchtable", "bench_field": "text",  // decontaminate
+    *    "clf_pos": "wiki", "clf_neg": "crawl", "min_clf": 0.0,
+    *                                  // adds the classifier stage
     *    "out": "curated",             // write survivors to this table
     *    "keep_spills": true, "resume": 2}  // Pipeline.resume from N
     *   → {"stages": [{"stage": ..., "rows_out": n, "seconds": s}], "out": ...}
@@ -252,11 +254,21 @@ final class Server(env: Env, port: Int = 0) {
     val benchField = str("bench_field", "text")
     val bench = Some(str("bench", "")).filter(_.nonEmpty)
       .map(t => env.view(t, Seq(benchField)).read())
+    val textCol = str("text_col", "text")
+    val (clfPos, clfNeg) = (str("clf_pos", ""), str("clf_neg", ""))
+    require(clfPos.isEmpty == clfNeg.isEmpty,
+      """curate needs BOTH "clf_pos" and "clf_neg" (or neither)""")
+    val clf = Some(clfPos).filter(_.nonEmpty).map { p =>
+      graft.ops.Text.classifierWeights(
+        env.view(p, Seq(textCol)).read(), textCol,
+        env.view(clfNeg, Seq(textCol)).read(), textCol)
+    }
     val stages = graft.ops.Pipeline.curateDocuments(
-      str("id_col", "doc_id"), str("text_col", "text"),
+      str("id_col", "doc_id"), textCol,
       urlCol = Some(str("url_col", "")).filter(_.nonEmpty),
       nearThreshold = dbl("near", 0.2), minQuality = dbl("min_quality", 0.0),
       bench = bench, benchTextCol = benchField,
+      classifier = clf, minClassifier = dbl("min_clf", 0.0),
       sampleFraction = dbl("sample", 1.0))
     val keep = body.get("keep_spills").exists(_.toString.toBoolean)
     val (survivors, reports) = body.get("resume").map(_.toString.toInt) match {

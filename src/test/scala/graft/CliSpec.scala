@@ -217,6 +217,16 @@ class CliSpec extends SparkSpec {
         |    doc_id: bigint
         |    text: varchar
         |  key: [doc_id]
+        |- table: wiki
+        |  columns:
+        |    doc_id: bigint
+        |    text: varchar
+        |  key: [doc_id]
+        |- table: crawl
+        |  columns:
+        |    doc_id: bigint
+        |    text: varchar
+        |  key: [doc_id]
         |""".stripMargin)
     val conf = dir.resolve("tk.yaml")
     Files.writeString(conf, s"schema: $schema\nwarehouse: ${dir.resolve("wh")}\n")
@@ -263,6 +273,29 @@ class CliSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       run(conf.toString, "curate", "docs"))
     assert(e.getMessage.contains("--scratch"), e.getMessage)
+    // classifier stage: doc 5 matches the crawl side's tokens (mean
+    // log-odds < 0 -> dropped at --min-clf 0), doc 3 matches wiki,
+    // everything else is OOV-neutral (score 0, kept)
+    val wcsv = dir.resolve("wiki.csv")
+    Files.writeString(wcsv, "doc_id,text\n1,one two three four five six\n")
+    run(conf.toString, "write", "wiki", "-f", wcsv.toString)
+    val ccsv = dir.resolve("crawl.csv")
+    Files.writeString(ccsv, "doc_id,text\n1,cat dog bird fish horse goat\n")
+    run(conf.toString, "write", "crawl", "-f", ccsv.toString)
+    val audit3 = run(conf.toString, "curate", "docs",
+      "--scratch", dir.resolve("cscratch").toString,
+      "--clf-pos", "wiki", "--clf-neg", "crawl")
+    // 8 docs -> exact_dedup drops the copy (7) -> classifier drops
+    // doc 5 (6): the stage is present and bites exactly once
+    assert(audit3.contains("classifier"), audit3)
+    val clfRows = audit3.linesIterator.find(_.contains("classifier")).get
+      .trim.split("\\s+")(1).toLong
+    assert(clfRows == 6L, audit3)
+    // one classifier table without the other -> loud refusal
+    val e2 = intercept[IllegalArgumentException](
+      run(conf.toString, "curate", "docs",
+        "--scratch", dir.resolve("cscratch2").toString, "--clf-pos", "wiki"))
+    assert(e2.getMessage.contains("--clf-neg"), e2.getMessage)
   }
 
   test("index action: build, info, recall, append, retrain lifecycle") {

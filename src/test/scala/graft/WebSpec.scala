@@ -263,6 +263,15 @@ class WebSpec extends SparkSpec {
       // GET refused, missing scratch refused
       assert(get(port, "/_curate/member")._1 == 405)
       assert(post(port, "/_curate/member", "{}")._1 == 400)
+      // classifier stage plumbing: pos/neg from managed tables adds
+      // the stage; one side alone refuses
+      val (c2, b2) = post(port, "/_curate/member",
+        """{"scratch": "run2", "id_col": "registration_code",
+          | "text_col": "name", "clf_pos": "team", "clf_neg": "country"}"""
+          .stripMargin)
+      assert(c2 == 200 && b2.contains("classifier"), s"$c2 $b2")
+      assert(post(port, "/_curate/member",
+        """{"scratch": "run3", "clf_pos": "team"}""")._1 == 400)
     } finally srv.stop()
   }
 
