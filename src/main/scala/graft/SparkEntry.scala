@@ -1454,6 +1454,24 @@ object SparkEntry {
       v.write(docs.filter(col("doc_id") % 3 === 2))
       e.warehouse.compact("compact_scratch")
       v.read().select(col("doc_id"), col("n_chars"))
+    }),
+
+    // S4 extension: Z-ORDER compaction — recluster a composite-key
+    // brin table on the bit-interleaved (event_id, user_id) key, so
+    // zone pruning works on EITHER column, then read a band of the
+    // SECOND key column through the pruned path. Results must match
+    // the oracle's plain scan exactly — pruning is IO elision only.
+    "warehouse_zorder" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      val ev = e.view("events", Seq("event_id", "user_id", "value")).read()
+        .filter(col("user_id").isNotNull)
+      val v = e.view("zorder_scratch", Seq("event_id", "user_id", "value"))
+      v.write(ev)
+      e.warehouse.compactZOrder("zorder_scratch", Seq("event_id", "user_id"))
+      v.read(Seq(graft.view.FilterExpr(
+          "(and (>= user_id 100) (< user_id 140))")))
+        .select(col("event_id"), col("user_id"), col("value"))
     })
   )
 
@@ -2625,6 +2643,9 @@ object SparkEntry {
         |    (x, i) -> NOT list_contains(rml, i - 1)), ' '), '') END AS text
         |FROM tok LEFT JOIN rm USING (doc_id)""".stripMargin,
     "warehouse_compact" ->
-      "SELECT doc_id, n_chars FROM documents"
+      "SELECT doc_id, n_chars FROM documents",
+    "warehouse_zorder" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id >= 100 AND user_id < 140""".stripMargin
   )
 }

@@ -109,6 +109,14 @@ object Testbed {
       // Compaction round-trip target (warehouse_compact query): three
       // partial merges fragment the manifest across snapshots, then
       // compact() collapses it.
+      // Z-order round-trip target (warehouse_zorder query): a
+      // composite-key brin table re-clustered on the interleaved key;
+      // reads bounded on the SECOND key column go through zone
+      // pruning and must stay exact.
+      TableDef.normalized("zorder_scratch", Seq(
+        cd("event_id", BigIntT), cd("user_id", BigIntT),
+        cd("value", FloatT)),
+        key = Seq("event_id", "user_id"), useIndex = "brin"),
       TableDef.normalized("compact_scratch", Seq(
         cd("doc_id", BigIntT), cd("text", VarcharT), cd("lang", VarcharT),
         cd("source", VarcharT), cd("n_chars", BigIntT)),

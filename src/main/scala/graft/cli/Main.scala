@@ -64,7 +64,10 @@ object Main {
       // (default 64)
       path: String = "", kind: String = "ivf", nlist: Int = 64,
       subM: Int = 8, kOpt: Int = -1, quantized: Boolean = false,
-      queries: Int = 10, nprobe: Int = 4, probeLevel: Int = 1)
+      queries: Int = 10, nprobe: Int = 4, probeLevel: Int = 1,
+      // compact action: comma-separated z-order columns; None = plain
+      // compaction, Some("") = clear the recorded z-order property
+      zorder: Option[String] = None)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -103,6 +106,7 @@ object Main {
         case "--clf-pos" => o = o.copy(clfPos = argv(i + 1)); i += 2
         case "--clf-neg" => o = o.copy(clfNeg = argv(i + 1)); i += 2
         case "--min-clf" => o = o.copy(minClf = argv(i + 1).toDouble); i += 2
+        case "--zorder" => o = o.copy(zorder = Some(argv(i + 1))); i += 2
         case "--out" => o = o.copy(outTable = argv(i + 1)); i += 2
         case "--keep-spills" => o = o.copy(keepSpills = true); i += 1
         case "--resume" => o = o.copy(resumeFrom = argv(i + 1).toInt); i += 2
@@ -171,6 +175,8 @@ object Main {
             val snaps = m.zones.map(_.dir.split("/")(0)).distinct.size
             out.write(s"zones: ${m.zones.size} on ${td.key.head} " +
               s"across $snaps snapshot(s)\n")
+            if (m.zorder.nonEmpty)
+              out.write(s"zorder: ${m.zorder.mkString(",")}\n")
           }
       } else env.registry.names.sorted.foreach(n => out.write(n + "\n"))
 
@@ -236,6 +242,22 @@ object Main {
 
     case "snapshots" =>
       env.warehouse.snapshots(o.table).foreach(sn => out.write(sn + "\n"))
+
+    // layout maintenance: collapse fragmented snapshots/zones; with
+    // --zorder a,b also (re)cluster a brin table on that z-order and
+    // record it as the table property (--zorder "" clears it) — see
+    // Warehouse.compactZOrder
+    case "compact" =>
+      o.zorder match {
+        case Some(cols) => env.warehouse.compactZOrder(o.table,
+          cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        case None => env.warehouse.compact(o.table)
+      }
+      env.warehouse.currentManifest(o.table).foreach { m =>
+        out.write(s"zones: ${m.zones.size}" +
+          (if (m.zorder.nonEmpty) s" zorder: ${m.zorder.mkString(",")}"
+           else "") + "\n")
+      }
 
     case "serve" => // blocks; contrib/bottle.py analogue over HTTP
       val srv = new graft.web.Server(env, o.port)

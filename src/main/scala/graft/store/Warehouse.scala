@@ -58,7 +58,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * mark (so surrogate-id assignment never scans the full table).
     * Brin tables instead carry `zones` — the range-cluster zone map. */
   final case class Manifest(snap: String, maxId: Long, buckets: Map[Int, String],
-      zones: Seq[Zone] = Nil)
+      zones: Seq[Zone] = Nil, zorder: Seq[String] = Nil)
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
 
@@ -298,7 +298,11 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
           Zone(z.get("dir").toString, bound(z.get("lo")), bound(z.get("hi")),
             extra)
         }.toSeq).getOrElse(Nil)
-    Manifest(m("snap").toString, m("maxId").toString.toLong, buckets, zones)
+    val zorder = m.get("zorder").map(
+      _.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
+      .getOrElse(Nil)
+    Manifest(m("snap").toString, m("maxId").toString.toLong, buckets, zones,
+      zorder)
   }
 
   private def manifestJson(m: Manifest): String =
@@ -308,7 +312,8 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
         Map("dir" -> z.dir, "lo" -> z.lo.orNull, "hi" -> z.hi.orNull) ++
           (if (z.extra.isEmpty) Map() else Map("cols" -> z.extra.map {
             case (c, (lo, hi)) => c -> Seq(lo.orNull, hi.orNull)
-          }))))))
+          }))))) ++
+      (if (m.zorder.isEmpty) Map() else Map("zorder" -> m.zorder)))
 
   def exists(t: String): Boolean =
     registry(t).external.isDefined || readPointer(t).isDefined
@@ -482,8 +487,15 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       replaced: Map[String, Brin.Bounds], newMaxId: Long): Unit =
     writeZonedImpl(t, df, Some(replaced), Some(newMaxId))
 
+  /** `cluster`: optional clustering expression overriding the default
+    * leading-key order (the z-order compaction path); `setZOrder`:
+    * Some(cols) records cols as the table's z-order property (empty =
+    * clear), None inherits the previous manifest's — the property
+    * survives every write and steers [[compact]]'s re-clustering. */
   private def writeZonedImpl(t: String, df: DataFrame,
-      replaced: Option[Map[String, Brin.Bounds]], knownMaxId: Option[Long]): Unit = {
+      replaced: Option[Map[String, Brin.Bounds]], knownMaxId: Option[Long],
+      cluster: Option[Column] = None,
+      setZOrder: Option[Seq[String]] = None): Unit = {
     val td = registry(t)
     val zkey = td.key.head
     val next = nextSnapName(t)
@@ -507,8 +519,11 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       }
     }
     val zc = col("`" + zkey + "`")
+    // z-order cluster key first, leading key second: within one
+    // z-value run the leading-key stats stay as tight as possible
+    val ck: Seq[Column] = cluster.map(c => Seq(c, zc)).getOrElse(Seq(zc))
     aligned(td, df)
-      .repartitionByRange(nZones, zc).sortWithinPartitions(zc)
+      .repartitionByRange(nZones, ck: _*).sortWithinPartitions(ck: _*)
       .withColumn("__z", expr("spark_partition_id()"))
       .write.mode("overwrite").partitionBy("__z").parquet(dir.toString)
     // zone stats from the WRITTEN files (column-pruned read-back of
@@ -556,7 +571,9 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
         knownMaxId.getOrElse(statMaxId).max(prev.map(_.maxId).getOrElse(0L))
       case None => knownMaxId.getOrElse(statMaxId)
     }
-    swapPointer(t, manifestJson(Manifest(next, maxIdNow, Map(), allZones)))
+    val zorder = setZOrder.getOrElse(prev.map(_.zorder).getOrElse(Nil))
+    swapPointer(t, manifestJson(Manifest(next, maxIdNow, Map(), allZones,
+      zorder)))
     gc(t, keep = allZones.map(_.dir.split("/")(0)).toSet + next)
     // auto-compaction: every narrow merge adds ~1 zone (and pins its
     // snap dir against gc), so a long-lived append-mostly table would
@@ -769,7 +786,104 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       // per bucket dir instead of (tasks × buckets) small files
       val full = read(t).repartition(td.buckets, bucketExpr(td))
       writeBucketed(t, full, affected = None, knownMaxId = keepMax)
+    } else if (td.useIndex.equalsIgnoreCase("brin") &&
+        currentManifest(t).exists(_.zorder.size >= 2)) {
+      // the table carries a z-order property ([[compactZOrder]]):
+      // re-cluster on the interleaved key, not the leading key, so
+      // auto-compaction keeps multi-column pruning tight
+      val zcols = currentManifest(t).get.zorder
+      val full = read(t)
+      writeZonedImpl(t, full, replaced = None, knownMaxId = keepMax,
+        cluster = zValueColumn(full, zcols))
     } else write(t, read(t), knownMaxId = keepMax)
+  }
+
+  /** Z-ORDER compaction of a brin table: rewrite the live state with
+    * zones clustered on the bit-interleaved bucket ranks of `cols`
+    * (the Morton / Z-curve order of the lakehouse OPTIMIZE ZORDER
+    * command) instead of the leading key alone — every listed
+    * column's per-zone min/max tightens to ~a √-fraction of its
+    * domain, so [[readZones]] prunes on ANY of them, not just the
+    * leading key. `cols` must be zone-tracked (the full table key
+    * plus `id` — stats machinery and [[graft.view.ZonePrune]] are
+    * unchanged; only the physical clustering moves). The choice is
+    * recorded in the manifest as a table PROPERTY: later partial
+    * merges write their slices leading-key-clustered (locally fuzzy,
+    * still exact — zone pruning is IO elision under per-zone stats
+    * that hold regardless of order), and the next [[compact]] —
+    * manual or the auto-compaction threshold — re-clusters the whole
+    * table on the recorded z-order. `Nil` clears the property and
+    * restores plain leading-key compaction.
+    *
+    * Scale shape: one footer count + one ~20k-row sampled scan decide
+    * per-column bucket boundaries driver-side (same sampling idea as
+    * `repartitionByRange`); the rewrite itself is the one full
+    * range-exchange any compaction pays. The z-value is pure integer
+    * arithmetic over an order-preserving bucket id (a ≤63-literal
+    * array HOF per column), fully codegen'd. */
+  def compactZOrder(t: String, cols: Seq[String]): Unit = {
+    val td = registry(t)
+    require(td.external.isEmpty, s"Table '$t' is external (read-only)")
+    require(td.useIndex.equalsIgnoreCase("brin"),
+      s"Table '$t' has use-index '${td.useIndex}'; z-order needs brin")
+    require(cols.size != 1,
+      "z-order needs at least two columns (Nil clears the property; " +
+      "one column is plain compact())")
+    require(cols.distinct.size == cols.size,
+      s"duplicate z-order columns: ${cols.mkString(", ")}")
+    val tracked = zoneStatCols(td)
+    cols.foreach(c => require(tracked.contains(c),
+      s"Column '$c' carries no zone stats (tracked: ${tracked.mkString(", ")})"))
+    val keepMax = Some(maxId(t))
+    val full = read(t)
+    val cluster = if (cols.size >= 2) zValueColumn(full, cols) else None
+    writeZonedImpl(t, full, replaced = None, knownMaxId = keepMax,
+      cluster = cluster, setZOrder = Some(cols))
+  }
+
+  /** Bit-interleaved z-value over `cols` as a Column, or None when the
+    * frame is empty. Per column: sample ~20k rows once (all columns in
+    * one job), sort driver-side in zone-map order ([[Brin.cmp]] over
+    * [[Brin.encode]] — matches Spark's binary string comparison), take
+    * `2^zorderBits − 1` evenly-spaced cut points, and bucket each row
+    * by counting cuts at or below its value (array HOF over the
+    * literal cut list — order-preserving for any orderable type,
+    * codegen'd, no per-row driver call). Nulls bucket to 0 (zone-map
+    * order puts them nowhere; stats over them stay conservative).
+    * Buckets then interleave bit-by-bit, column i contributing bit b
+    * at position `b × nCols + i` — the Morton code. Bit budget:
+    * `zorderBits × nCols ≤ 62` (signed-long safe);
+    * `spark.graft.brin.zorderBits` (default 6 → 64 buckets/column). */
+  private def zValueColumn(df: DataFrame, cols: Seq[String]): Option[Column] = {
+    import org.apache.spark.sql.functions.{array, filter, shiftleft, shiftright, size}
+    val nBits = spark.conf.getOption("spark.graft.brin.zorderBits")
+      .map(_.toInt).getOrElse(6)
+    require(nBits >= 1 && nBits * cols.size <= 62,
+      s"zorderBits $nBits × ${cols.size} columns exceeds the 62-bit budget")
+    val n = df.count()
+    if (n == 0) return None
+    val frac = math.min(1.0, 20000.0 / n)
+    val proj = df.select(cols.map(c => col("`" + c + "`")): _*)
+    val sampled = (if (frac >= 1.0) proj else proj.sample(frac, 42)).collect()
+    if (sampled.isEmpty) return None
+    val nB = 1 << nBits
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val sorted = sampled.iterator.map(_.get(i)).filter(_ != null).toArray
+        .sortWith((a, b) => Brin.cmp(Brin.encode(a), Brin.encode(b)) < 0)
+      val cuts =
+        if (sorted.isEmpty) Seq.empty[Any] // all-null column: constant 0
+        else (1 until nB).map(k =>
+          sorted(math.min(((k.toLong * sorted.length) / nB).toInt,
+            sorted.length - 1))).distinct
+      if (cuts.isEmpty) lit(0L)
+      else size(filter(array(cuts.map(v => lit(v)): _*),
+        b => col("`" + c + "`") >= b)).cast("long")
+    }
+    Some(buckets.zipWithIndex.map { case (bkt, i) =>
+      (0 until nBits).map { b =>
+        shiftleft(shiftright(bkt, b).bitwiseAND(lit(1L)), b * cols.size + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _))
   }
 
   /** Retained snapshot names for a managed table, oldest first. GC

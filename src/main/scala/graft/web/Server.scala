@@ -34,6 +34,7 @@ import graft.view.{Json, Order}
   *   POST /_delete/<table>?filter=<s-expr>&<k>=v
   *   → {"deleted": n}
   *   POST /_txn             {"actions": [...]}   // atomic batch, see txn
+  *   POST /_compact/<table> [{"zorder": ["a","b"]}]  // layout maintenance
   * }}}
   *
   * Audit side (storage-level, see [[graft.Env.diffSnapshots]]):
@@ -90,7 +91,8 @@ final class Server(env: Env, port: Int = 0) {
 
   private def handleTable(ex: HttpExchange, path: String): (Int, String) = {
         val mutation = path.startsWith("_write/") ||
-          path.startsWith("_delete/") || path.startsWith("_curate/")
+          path.startsWith("_delete/") || path.startsWith("_curate/") ||
+          path.startsWith("_compact/")
         val prefixed = mutation || path.startsWith("_profile/") ||
           path.startsWith("_diff/") || path.startsWith("_snapshots/")
         val table = if (prefixed) path.substring(path.indexOf('/') + 1) else path
@@ -101,6 +103,7 @@ final class Server(env: Env, port: Int = 0) {
           (404, Json.write(Map("error" -> s"unknown table '$table'")))
         else if (path.startsWith("_write/")) (200, write(table, ex))
         else if (path.startsWith("_curate/")) (200, curate(table, ex))
+        else if (path.startsWith("_compact/")) (200, compact(table, ex))
         else if (path.startsWith("_delete/"))
           (200, delete(table, params(ex.getRequestURI.getRawQuery)))
         else if (path.startsWith("_profile/"))
@@ -284,6 +287,36 @@ final class Server(env: Env, port: Int = 0) {
       "stages" -> reports.map(r => Map("stage" -> r.stage,
         "rows_out" -> r.rowsOut, "seconds" -> r.seconds)),
       "out" -> written.orNull))
+  }
+
+  /** `POST /_compact/<table>` — small-file compaction
+    * ([[graft.store.Warehouse.compact]]); exposes no row data (the
+    * response is layout metadata only), so it is not ACL-gated. An
+    * optional body `{"zorder": ["a", "b"]}` (re)clusters a brin table
+    * on that z-order and records it as the table property
+    * ([[graft.store.Warehouse.compactZOrder]]); `{"zorder": []}`
+    * clears the property. No body / no key = plain compaction, which
+    * re-applies a previously recorded z-order. */
+  private def compact(table: String, ex: HttpExchange): String = {
+    val text = new String(org.apache.commons.io.IOUtils
+      .toByteArray(ex.getRequestBody), StandardCharsets.UTF_8)
+    val body: scala.collection.Map[String, Object] =
+      if (text.isBlank) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Option(new org.yaml.snakeyaml.Yaml()
+          .load[java.util.Map[String, Object]](text))
+          .map(_.asScala).getOrElse(Map.empty)
+      }
+    body.get("zorder") match {
+      case Some(cols) =>
+        env.warehouse.compactZOrder(table, arr(cols).map(String.valueOf))
+      case None => env.warehouse.compact(table)
+    }
+    val m = env.warehouse.currentManifest(table)
+    Json.write(Map("table" -> table,
+      "zones" -> m.map(_.zones.size).getOrElse(0),
+      "zorder" -> m.map(_.zorder).getOrElse(Nil)))
   }
 
   private def arr(v: Any): Seq[Any] = v match {

@@ -25,6 +25,18 @@ class BrinSpec extends SparkSpec {
       |    kind: varchar
       |  key: [ts]
       |  use-index: brin
+      |- table: grid
+      |  columns:
+      |    a: bigint
+      |    b: bigint
+      |    w: float
+      |  key: [a, b]
+      |  use-index: brin
+      |- table: flat
+      |  columns:
+      |    k: bigint
+      |    v: float
+      |  key: [k]
       |""".stripMargin
 
   def bEnv(zones: Int = 8): Env = {
@@ -423,6 +435,87 @@ class BrinSpec extends SparkSpec {
     // + parquet row-group stats must still apply (two pruning layers)
     assert(p.contains("PushedFilters: [IsNotNull(seq), GreaterThanOrEqual(seq,10)"),
       p)
+  }
+
+  test("z-order compaction: secondary-key reads prune, content exact") {
+    val env = bEnv(zones = 8)
+    val v = env.view("grid", Seq("a", "b", "w"))
+    val n = 512
+    // b = a permutation of a's domain (167 coprime with 512), so the
+    // two columns are order-independent: leading-key clustering makes
+    // every zone span b's full range
+    v.write((0 until n).map(i =>
+      Seq(i.toLong, ((i * 167) % n).toLong, i.toDouble)))
+    val all = v.read().inputFiles.length
+    assert(all >= 4, s"expected several zone files, got $all")
+    val bFilter: Seq[Filter] = Seq(FilterExpr("(and (>= b 100) (< b 110))"))
+    val before = v.read(bFilter)
+    val want = rows(before).toSet
+    assert(want.size == 10)
+    assert(before.inputFiles.length == all,
+      s"pre-zorder a b-bound cannot prune: ${before.inputFiles.length} vs $all")
+
+    env.warehouse.compactZOrder("grid", Seq("a", "b"))
+    val m = env.warehouse.currentManifest("grid").get
+    assert(m.zorder == Seq("a", "b"))
+    assert(m.zones.nonEmpty && m.zones.forall(_.dir.startsWith(m.snap + "/")))
+    // same rows, now through a b-pruned read — AND the leading key
+    // still prunes (both columns get ~√-fraction zone extents)
+    val after = v.read(bFilter)
+    assert(rows(after).toSet == want)
+    assert(after.inputFiles.length <= all / 2,
+      s"post-zorder b-bound should prune: ${after.inputFiles.length} vs $all")
+    val aRead = v.read(Seq("(and (>= a 100) (< a 110))"))
+    assert(rows(aRead).size == 10)
+    assert(aRead.inputFiles.length < all,
+      s"post-zorder a-bound should still prune: ${aRead.inputFiles.length}")
+  }
+
+  test("z-order is a table property: merges carry it, compact re-applies it") {
+    val env = bEnv(zones = 8)
+    val v = env.view("grid", Seq("a", "b", "w"))
+    val n = 512
+    v.write((0 until n).map(i =>
+      Seq(i.toLong, ((i * 167) % n).toLong, i.toDouble)))
+    env.warehouse.compactZOrder("grid", Seq("a", "b"))
+    val all = env.warehouse.currentManifest("grid").get.zones.size
+    // a narrow merge writes its slice leading-key-clustered but must
+    // keep the property and the content
+    v.write(Seq(Seq(100L, (100L * 167) % n, -1.0)))
+    val m1 = env.warehouse.currentManifest("grid").get
+    assert(m1.zorder == Seq("a", "b"))
+    assert(rows(v.read(Seq("(= a 100)"))).head(2) == -1.0)
+    assert(rows(v.read()).size == n)
+    // compact() re-clusters on the RECORDED z-order: zones collapse
+    // into one snapshot and the b-bound prune stays tight
+    env.warehouse.compact("grid")
+    val m2 = env.warehouse.currentManifest("grid").get
+    assert(m2.zorder == Seq("a", "b"))
+    assert(m2.zones.forall(_.dir.startsWith(m2.snap + "/")))
+    val b = v.read(Seq("(and (>= b 100) (< b 110))"))
+    assert(rows(b).size == 10)
+    assert(b.inputFiles.length <= (all max 2) / 2,
+      s"re-applied z-order should prune: ${b.inputFiles.length} of $all")
+    // Nil clears the property: back to plain leading-key compaction
+    env.warehouse.compactZOrder("grid", Nil)
+    val m3 = env.warehouse.currentManifest("grid").get
+    assert(m3.zorder.isEmpty)
+    assert(rows(v.read()).size == n)
+  }
+
+  test("z-order validation: non-brin, single column, untracked column") {
+    val env = bEnv()
+    val g = env.view("flat", Seq("k", "v"))
+    g.write(Seq(Seq(1L, 1.0)))
+    val e1 = intercept[IllegalArgumentException](
+      env.warehouse.compactZOrder("flat", Seq("k", "id")))
+    assert(e1.getMessage.contains("brin"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      env.warehouse.compactZOrder("grid", Seq("a")))
+    assert(e2.getMessage.contains("two columns"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      env.warehouse.compactZOrder("grid", Seq("a", "w")))
+    assert(e3.getMessage.contains("zone stats"), e3.getMessage)
   }
 
   test("snapshot time travel on a brin table hides the zone column") {

@@ -298,6 +298,37 @@ class CliSpec extends SparkSpec {
     assert(e2.getMessage.contains("--clf-neg"), e2.getMessage)
   }
 
+  test("compact action: --zorder records the property; reads stay exact") {
+    val dir = Files.createTempDirectory("graft-cli-compact-")
+    val schema = dir.resolve("schema.yaml")
+    Files.writeString(schema,
+      """- table: grid
+        |  columns:
+        |    a: bigint
+        |    b: bigint
+        |  key: [a, b]
+        |  use-index: brin
+        |""".stripMargin)
+    val conf = dir.resolve("tk.yaml")
+    Files.writeString(conf, s"schema: $schema\nwarehouse: ${dir.resolve("wh")}\n")
+    run(conf.toString, "init")
+    val csv = dir.resolve("grid.csv")
+    Files.writeString(csv, "a,b\n" +
+      (0 until 256).map(i => s"$i,${(i * 167) % 256}").mkString("\n"))
+    run(conf.toString, "write", "grid", "-f", csv.toString)
+    val out = run(conf.toString, "compact", "grid", "--zorder", "a,b")
+    assert(out.contains("zorder: a,b"), out)
+    assert(run(conf.toString, "info", "grid").contains("zorder: a,b"))
+    // the re-clustered layout answers a secondary-key filter exactly
+    val got = run(conf.toString, "read", "grid", "a", "b", "-H",
+      "-F", "(= b 100)")
+    assert(got.trim == "252,100", got)
+    // plain compact keeps the property; --zorder "" clears it
+    assert(run(conf.toString, "compact", "grid").contains("zorder: a,b"))
+    val cleared = run(conf.toString, "compact", "grid", "--zorder", "")
+    assert(!cleared.contains("zorder"), cleared)
+  }
+
   test("index action: build, info, recall, append, retrain lifecycle") {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("graft-cli-index-")

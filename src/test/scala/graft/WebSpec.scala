@@ -272,6 +272,13 @@ class WebSpec extends SparkSpec {
       assert(c2 == 200 && b2.contains("classifier"), s"$c2 $b2")
       assert(post(port, "/_curate/member",
         """{"scratch": "run3", "clf_pos": "team"}""")._1 == 400)
+      // layout maintenance: plain compact returns zone metadata; a
+      // z-order body on a non-brin table refuses; GET refused
+      val (cpc, cpb) = post(port, "/_compact/member", "")
+      assert(cpc == 200 && cpb.contains("zones"), s"$cpc $cpb")
+      assert(post(port, "/_compact/member",
+        """{"zorder": ["registration_code", "id"]}""")._1 == 400)
+      assert(get(port, "/_compact/member")._1 == 405)
     } finally srv.stop()
   }
 
