@@ -268,6 +268,23 @@ object Bench {
     probe("sf1_profile_columns")(
       graft.ops.Profile.columns(prof10, Seq("lang", "source", "n_chars", "text"))
         .write.format("noop").mode("overwrite").save())
+    // planted MEGA-STRATUM (r11 verdict #1's bench leg): 90% of the
+    // 10x corpus lands in one stratum — the shape that cliffs a
+    // per-stratum row_number window into a single sort task. The
+    // boundary-tuple plan (Sample.keepUpToStratumBoundary) keeps the
+    // payload un-shuffled and window groups bounded by one layout
+    // partition, so this should track sf1_profile_columns, not blow up.
+    probe("sf1_sample_skewed_stratum") {
+      val skewed = prof10.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 9, lit("mega"))
+          .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(97))))
+          .as("src"),
+        col("n_chars"))
+      graft.ops.Sample.topFractionPerStratum(skewed, Seq("src"),
+        "n_chars", "doc_id", 0.25)
+        .write.format("noop").mode("overwrite").save()
+      graft.ops.Sample.releaseLayouts()
+    }
 
     // sf1 probes for the round-10 vector ops. The 10x embedding corpus
     // ROTATES each copy's vectors by k positions — norms and within-

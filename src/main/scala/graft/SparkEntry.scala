@@ -476,6 +476,18 @@ object SparkEntry {
           minWords = 5, requireTerminal = false).as("cleaned"))
     }),
 
+    // LLM-pipeline: Unicode hygiene — NFC (native codegen kernel) +
+    // CRLF canonicalization + control stripping. Mojibake is planted
+    // (decomposed e+U+0301, a NUL, a CRLF) so the oracle proves the
+    // normalizer bites, not just passes ASCII through.
+    "text_normalize" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
+      val planted = concat(lit("Cafe\u0301\r\n\u0001 "), col("text"))
+      docs.select(col("doc_id"),
+        Text.normalizeUnicode(planted).as("text"))
+    }),
+
     // LLM-pipeline: per-doc text statistics (punctuation density,
     // mean token length, subword estimate is lookbehind-regex so not
     // SQL-expressible — kept out of the oracle-gated columns)
@@ -1996,6 +2008,17 @@ object SparkEntry {
         |    l -> len(regexp_split_to_array(trim(l), '\s+')) >= 5
         |         AND trim(l) <> ''),
         |  chr(10)) AS cleaned
+        |FROM documents""".stripMargin,
+    // the planted prefix is built from chr() codepoints so the JSON
+    // side-channel never carries raw control bytes; the op's stage
+    // order (nfc -> crlf -> control strip) is replayed verbatim
+    "text_normalize" ->
+      """SELECT doc_id, regexp_replace(
+        |    regexp_replace(
+        |      nfc_normalize('Cafe' || chr(769) || chr(13) || chr(10)
+        |                    || chr(1) || ' ' || text),
+        |      '\r\n|\r', chr(10), 'g'),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS text
         |FROM documents""".stripMargin,
     // subwords: the lookbehind-split count equals (# alphanumeric
     // runs) + (# non-alnum non-space chars) — lookbehind-free algebra

@@ -563,6 +563,23 @@ object Text {
     array_join(kept, "\n")
   }
 
+  /** Unicode text hygiene — the canonical FIRST stage of a web-corpus
+    * cleaner: NFC normalization (native codegen kernel,
+    * [[graft.functions.TextKernels.nfc]] — decomposed `e`+U+0301 and
+    * precomposed `é` become byte-identical, so exact dedup,
+    * fingerprints and shingle hashes stop depending on which encoder
+    * produced the page), then newline canonicalization (CRLF and
+    * lone CR → LF), then C0/DEL control stripping (tab and newline
+    * kept). Narrow, stateless, per-row, fully codegen'd; NULL in,
+    * NULL out. Order matters and is part of the contract (the DuckDB
+    * oracle replays it verbatim): normalize first, so the control
+    * scrub sees composed code points. */
+  def normalizeUnicode(text: Column): Column =
+    regexp_replace(
+      regexp_replace(graft.functions.TextKernels.nfc(text),
+        "\\r\\n|\\r", "\n"),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
   /** Canonical URL form for web-corpus dedup: the same page crawled
     * as `HTTPS://WWW.Site.com:443/p/1/?utm_source=x&b=2&a=1#top` and
     * `https://site.com/p/1?a=1&b=2` must collapse to ONE key before

@@ -972,6 +972,31 @@ class OpsSpec extends SparkSpec {
     assert(edge == Seq("", ""), edge.toString)
   }
 
+  test("normalizeUnicode: NFC composition, CRLF, control strip, codegen plan") {
+    val df = docsDf(Seq(
+      (1L, "Cafe\u0301 du monde"),        // decomposed -> precomposed
+      (2L, "a\r\nb\rc"),                  // CRLF and lone CR -> LF
+      (3L, "x\u0001y\u0007z\ttab\nkeep\u007f"), // controls out, \t\n kept
+      (4L, "plain ascii stays identical")))
+      .select(col("doc_id"), Text.normalizeUnicode(col("text")).as("n"))
+    val got = rows(df).map(r => r.head -> r(1)).toMap
+    assert(got(1L) == "Caf\u00e9 du monde", got(1L).toString)
+    assert(got(2L) == "a\nb\nc", got(2L).toString)
+    assert(got(3L) == "xyz\ttab\nkeep", got(3L).toString)
+    assert(got(4L) == "plain ascii stays identical")
+    // null passthrough
+    val n = rows(docsDf(Seq((5L, null)))
+      .select(Text.normalizeUnicode(col("text")).as("n"))).head.head
+    assert(n == null)
+    // the kernel stays inside whole-stage codegen (a local relation
+    // pre-evaluates via the interpreted path, so drive a Range scan)
+    val cg = spark.range(2).select(Text.normalizeUnicode(
+      concat(lit("Cafe\u0301 "), col("id").cast("string"))).as("n"))
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // * = whole-stage codegen
+    assert(rows(cg).map(_.head) == Seq("Caf\u00e9 0", "Caf\u00e9 1"))
+  }
+
   test("MP4 probe: pure-JVM box parse, binary-less end-to-end, graceful truncation") {
     val b = Multimodal.synthMp4(12345, 640, 360)
     val r = Multimodal.Mp4Probe.parse(b).get
