@@ -59,6 +59,10 @@ object Main {
       // classifier stage: NB log-odds weights trained on two labeled
       // tables' text columns, survivors need mean token weight >= min
       clfPos: String = "", clfNeg: String = "", minClf: Double = 0.0,
+      normalize: Boolean = false,
+      // sample/shard actions: id column (defaults to the table key),
+      // split band "lo,hi" and leakage-group column
+      by: String = "", band: String = "", group: String = "",
       // index options (see the `index` action); kOpt serves recall's
       // top-k (default 10) and the semantic build's cluster count
       // (default 64)
@@ -107,6 +111,10 @@ object Main {
         case "--clf-neg" => o = o.copy(clfNeg = argv(i + 1)); i += 2
         case "--min-clf" => o = o.copy(minClf = argv(i + 1).toDouble); i += 2
         case "--zorder" => o = o.copy(zorder = Some(argv(i + 1))); i += 2
+        case "--normalize" => o = o.copy(normalize = true); i += 1
+        case "--by" => o = o.copy(by = argv(i + 1)); i += 2
+        case "--band" => o = o.copy(band = argv(i + 1)); i += 2
+        case "--group" => o = o.copy(group = argv(i + 1)); i += 2
         case "--out" => o = o.copy(outTable = argv(i + 1)); i += 2
         case "--keep-spills" => o = o.copy(keepSpills = true); i += 1
         case "--resume" => o = o.copy(resumeFrom = argv(i + 1).toInt); i += 2
@@ -243,6 +251,47 @@ object Main {
     case "snapshots" =>
       env.warehouse.snapshots(o.table).foreach(sn => out.write(sn + "\n"))
 
+    // extension: the deterministic sampler family on the CLI — the
+    // "reproducible slice / leakage-safe split" steps of a
+    // training-data pipeline (ops/Sample). All selections are
+    // stateless id-hash rules: reruns pick the SAME rows on any
+    // cluster size, and complementary --band calls partition the
+    // table exactly. --sample f keeps the first f of the hash space;
+    // --band lo,hi a disjoint band of it; --group makes the band
+    // atomic over a group column (site/source/author) so near-dup
+    // groups never straddle a split. Rows emit like `read`, or land
+    // in --out <table> through the full upsert path.
+    case "sample" =>
+      val fields = if (o.fields.nonEmpty) o.fields else null
+      val df = env.view(o.table, fields).read(o.filters.map(FilterExpr.apply))
+      val picked =
+        if (o.band.nonEmpty) {
+          val parts = o.band.split(",").map(_.trim.toDouble)
+          require(parts.length == 2,
+            s"--band needs lo,hi fractions, got '${o.band}'")
+          if (o.group.nonEmpty)
+            graft.ops.Sample.splitByGroup(df, o.group, parts(0), parts(1))
+          else graft.ops.Sample.split(df, sampleId(o, env, df), parts(0),
+            parts(1))
+        } else graft.ops.Sample.byHash(df, sampleId(o, env, df), o.sample)
+      if (o.outTable.nonEmpty) {
+        env.view(o.outTable, picked.columns.toSeq).write(picked)
+        out.write(s"sampled ${o.table} into ${o.outTable}\n")
+      } else emit(picked, o, out)
+
+    // extension: materialized global shuffle — write the table as
+    // --shards N directories, each one file, rows in a fixed
+    // pseudo-random order (Sample.writeShards): the training-shard
+    // layout dataloaders stream. One exchange regardless of size.
+    case "shard" =>
+      require(o.shards > 0, "shard needs --shards <n>")
+      val dir = o.file.getOrElse(throw new IllegalArgumentException(
+        "shard needs -f/--file <dir>"))
+      val fields = if (o.fields.nonEmpty) o.fields else null
+      val df = env.view(o.table, fields).read(o.filters.map(FilterExpr.apply))
+      graft.ops.Sample.writeShards(df, sampleId(o, env, df), o.shards, dir)
+      out.write(s"wrote ${o.shards} shard(s) of ${o.table} to $dir\n")
+
     // layout maintenance: collapse fragmented snapshots/zones; with
     // --zorder a,b also (re)cluster a brin table on that z-order and
     // record it as the table property (--zorder "" clears it) — see
@@ -317,7 +366,8 @@ object Main {
 
     // extension: fused curation over a managed table — the CLI face of
     // ops/Pipeline's curateDocuments recipe. Stages are flag-selected
-    // (--url-col adds url_dedup, --min-quality > 0 adds the quality
+    // (--normalize prepends the Unicode-hygiene rewrite,
+    // --url-col adds url_dedup, --min-quality > 0 adds the quality
     // floor, --clf-pos/--clf-neg train the NB log-odds classifier on
     // two labeled tables and add the classifier floor at --min-clf,
     // --bench <table> adds decontamination against that table's
@@ -377,7 +427,7 @@ object Main {
             minQuality = o.minQuality,
             bench = bench, benchTextCol = o.benchField,
             classifier = clf, minClassifier = o.minClf,
-            sampleFraction = o.sample)
+            sampleFraction = o.sample, normalize = o.normalize)
         }
       val (survivors, reports) =
         if (o.resumeFrom >= 0)
@@ -508,6 +558,25 @@ object Main {
 
   /** Shared result rendering: csv (default), --yaml, --ascii-table or
     * --vbar, to stdout or --file. */
+  /** Id column for the hash-rule samplers: --by, else the surrogate
+    * `id` when selected, else the leading key. The id-hash rules are
+    * integer arithmetic, so a non-integral column is refused loudly
+    * (point at --by) instead of hashing nulls silently. */
+  private def sampleId(o: Opts, env: Env,
+      df: org.apache.spark.sql.DataFrame): String = {
+    val idc =
+      if (o.by.nonEmpty) o.by
+      else if (df.columns.contains("id")) "id"
+      else env.registry(o.table).key.head
+    require(df.columns.contains(idc),
+      s"id column '$idc' is not among the selected fields")
+    val t = df.schema(idc).dataType.simpleString
+    require(Set("bigint", "int", "smallint", "tinyint").contains(t),
+      s"id column '$idc' is $t; the hash samplers need an integral id" +
+      " — pick one with --by (or use --group for string keys)")
+    idc
+  }
+
   private def emit(df: org.apache.spark.sql.DataFrame, o: Opts, out: Writer): Unit = {
     val headers = df.columns.toSeq
     val rows = df.collect().map(_.toSeq.map(v => if (v == null) "" else v)).toSeq

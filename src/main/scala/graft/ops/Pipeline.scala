@@ -106,6 +106,8 @@ object Pipeline {
   }
 
   /** The canonical text-curation recipe, as a stage list for [[run]]:
+    * Unicode hygiene (optional — [[Text.normalizeUnicode]] rewrite,
+    * so downstream fingerprints see NFC-canonical bytes) →
     * URL-canonical dedup (optional) → content-fingerprint exact dedup
     * → MinHash near-dedup → quality floor (optional) → linear
     * classifier floor (optional — the CCNet/fastText wiki-vs-crawl
@@ -123,8 +125,16 @@ object Pipeline {
       benchTextCol: String = "text", contamGram: Int = 13,
       classifier: Option[DataFrame] = None,
       minClassifier: Double = 0.0,
-      sampleFraction: Double = 1.0): Seq[Stage] = {
+      sampleFraction: Double = 1.0,
+      normalize: Boolean = false): Seq[Stage] = {
     val b = Seq.newBuilder[Stage]
+    // Unicode hygiene FIRST when asked: NFC makes visually-identical
+    // texts byte-identical, so every later fingerprint/shingle stage
+    // sees the canonical form (rows_out never shrinks here — the
+    // stage rewrites, it doesn't filter)
+    if (normalize)
+      b += Stage("normalize", df =>
+        df.withColumn(textCol, Text.normalizeUnicode(col(textCol))))
     urlCol.foreach { u =>
       b += Stage("url_dedup", df =>
         Dedup.exact(df.withColumn("__url", Text.normalizeUrl(col(u))),

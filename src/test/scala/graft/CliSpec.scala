@@ -296,6 +296,66 @@ class CliSpec extends SparkSpec {
       run(conf.toString, "curate", "docs",
         "--scratch", dir.resolve("cscratch2").toString, "--clf-pos", "wiki"))
     assert(e2.getMessage.contains("--clf-neg"), e2.getMessage)
+    // --normalize prepends the Unicode-hygiene rewrite: present in
+    // the audit, rewrites without filtering (all 8 docs pass through)
+    val audit4 = run(conf.toString, "curate", "docs",
+      "--scratch", dir.resolve("nscratch").toString, "--normalize")
+    val normRow = audit4.linesIterator.find(_.contains("normalize"))
+    assert(normRow.isDefined, audit4)
+    assert(normRow.get.trim.split("\\s+")(1).toLong == 8L, audit4)
+  }
+
+  test("sample and shard actions: deterministic slices, bands partition") {
+    val dir = Files.createTempDirectory("graft-cli-sample-")
+    val schema = dir.resolve("schema.yaml")
+    Files.writeString(schema,
+      """- table: docs
+        |  columns:
+        |    doc_id: bigint
+        |    text: varchar
+        |  key: [doc_id]
+        |- table: half
+        |  columns:
+        |    doc_id: bigint
+        |    text: varchar
+        |  key: [doc_id]
+        |""".stripMargin)
+    val conf = dir.resolve("tk.yaml")
+    Files.writeString(conf, s"schema: $schema\nwarehouse: ${dir.resolve("wh")}\n")
+    run(conf.toString, "init")
+    val csv = dir.resolve("docs.csv")
+    Files.writeString(csv, "doc_id,text\n" +
+      (1 to 40).map(i => s"$i,doc number $i").mkString("\n"))
+    run(conf.toString, "write", "docs", "-f", csv.toString)
+    // deterministic slice: same selection on every run
+    val s1 = run(conf.toString, "sample", "docs", "doc_id", "-H",
+      "--sample", "0.5")
+    assert(s1 == run(conf.toString, "sample", "docs", "doc_id", "-H",
+      "--sample", "0.5"))
+    val n1 = s1.trim.linesIterator.size
+    assert(n1 > 5 && n1 < 35, s1)
+    // complementary bands PARTITION the table
+    val a = run(conf.toString, "sample", "docs", "doc_id", "-H",
+      "--band", "0,0.5").trim.linesIterator.toSet
+    val b = run(conf.toString, "sample", "docs", "doc_id", "-H",
+      "--band", "0.5,1").trim.linesIterator.toSet
+    assert((a & b).isEmpty && (a ++ b).size == 40, s"$a / $b")
+    // --out lands survivors in a managed table through the upsert
+    run(conf.toString, "sample", "docs", "--sample", "0.5",
+      "--out", "half")
+    val got = run(conf.toString, "read", "half", "doc_id", "-H")
+    assert(got.trim.linesIterator.size == n1, got)
+    // shard: one dir per shard, rows partitioned across them exactly
+    val sdir = dir.resolve("shards").toString
+    run(conf.toString, "shard", "docs", "-f", sdir, "--shards", "4")
+    val back = spark.read.parquet(sdir)
+    assert(back.count() == 40)
+    assert(back.select("shard").distinct().count() == 4)
+    // a string id column refuses loudly, pointing at --by
+    val e = intercept[IllegalArgumentException](
+      run(conf.toString, "sample", "docs", "-H", "--sample", "0.5",
+        "--by", "text"))
+    assert(e.getMessage.contains("--by"), e.getMessage)
   }
 
   test("compact action: --zorder records the property; reads stay exact") {
