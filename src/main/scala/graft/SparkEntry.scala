@@ -488,6 +488,29 @@ object SparkEntry {
         Text.normalizeUnicode(planted).as("text"))
     }),
 
+    // LLM-pipeline: Gopher line-level quality signals (Rae 2021 —
+    // bullet/ellipsis line shares, duplicate-line fractions, alpha
+    // word share, symbol ratio). Bullets/dups/ellipses/symbols are
+    // planted on a doc_id stride so every signal provably bites.
+    "text_gopher" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
+      val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("• promo line\n• promo line\n- item\n"),
+            col("text")))
+        .when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit("\nread more...\nread more...\n####")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"), Text.gopherSignals(planted).as("g"))
+        .select(col("doc_id"),
+          col("g.frac_bullet_lines").as("frac_bullet_lines"),
+          col("g.frac_ellipsis_lines").as("frac_ellipsis_lines"),
+          col("g.dup_line_frac").as("dup_line_frac"),
+          col("g.dup_line_char_frac").as("dup_line_char_frac"),
+          col("g.frac_alpha_words").as("frac_alpha_words"),
+          col("g.symbol_word_ratio").as("symbol_word_ratio"))
+    }),
+
     // LLM-pipeline: per-doc text statistics (punctuation density,
     // mean token length, subword estimate is lookbehind-regex so not
     // SQL-expressible — kept out of the oracle-gated columns)
@@ -2009,6 +2032,59 @@ object SparkEntry {
         |         AND trim(l) <> ''),
         |  chr(10)) AS cleaned
         |FROM documents""".stripMargin,
+    // bullet (8226) and ellipsis (8230) are built from chr() code
+    // points; list lambdas replay the HOF contract (trimmed non-empty
+    // lines, non-empty tokens) exactly
+    "text_gopher" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(8226) || ' promo line'
+        |           || chr(10) || chr(8226) || ' promo line' || chr(10)
+        |           || '- item' || chr(10) || text
+        |         WHEN doc_id % 11 = 0 THEN text || chr(10)
+        |           || 'read more...' || chr(10) || 'read more...'
+        |           || chr(10) || '####'
+        |         ELSE text END AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, t,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |      x -> trim(x)), x -> x <> '') AS lines,
+        |    list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+        |    round(len(list_filter(lines, x -> regexp_matches(x,
+        |      '^[' || chr(8226) || '*-]')))::DOUBLE / len(lines), 6)
+        |  END AS frac_bullet_lines,
+        |  CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+        |    round(len(list_filter(lines, x -> regexp_matches(x,
+        |      '(\.\.\.|' || chr(8230) || ')$')))::DOUBLE / len(lines), 6)
+        |  END AS frac_ellipsis_lines,
+        |  CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+        |    round((len(lines) - len(list_distinct(lines)))::DOUBLE
+        |      / len(lines), 6)
+        |  END AS dup_line_frac,
+        |  CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+        |    round((coalesce(list_sum(list_transform(lines,
+        |        x -> length(x))), 0)
+        |      - coalesce(list_sum(list_transform(list_distinct(lines),
+        |        x -> length(x))), 0))::DOUBLE
+        |      / greatest(coalesce(list_sum(list_transform(lines,
+        |        x -> length(x))), 0), 1), 6)
+        |  END AS dup_line_char_frac,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    round(len(list_filter(toks, x -> regexp_matches(x,
+        |      '[A-Za-z]')))::DOUBLE / len(toks), 6)
+        |  END AS frac_alpha_words,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    round(((length(t) - length(replace(t, '#', '')))
+        |      + (length(t) - length(replace(t, chr(8230), '')))
+        |      + (length(t) - length(replace(t, '...', ''))) / 3)::DOUBLE
+        |      / len(toks), 6)
+        |  END AS symbol_word_ratio
+        |FROM l""".stripMargin,
     // the planted prefix is built from chr() codepoints so the JSON
     // side-channel never carries raw control bytes; the op's stage
     // order (nfc -> crlf -> control strip) is replayed verbatim

@@ -546,6 +546,61 @@ object Text {
         topFrac(2, "top_bigram_frac"), topFrac(3, "top_trigram_frac"))
   }
 
+  /** Gopher-rule document signals (Rae et al. 2021, appendix A —
+    * the published line-level quality heuristics the n-gram
+    * [[repetition]] fractions don't cover). One struct per document:
+    *
+    *  - `frac_bullet_lines`: non-empty lines starting with a bullet
+    *    (`•`, `-`, `*`) — listicle/boilerplate share.
+    *  - `frac_ellipsis_lines`: non-empty lines ending `...`/`…` —
+    *    truncated-preview share.
+    *  - `dup_line_frac`: `1 − distinct/total` over non-empty trimmed
+    *    lines.
+    *  - `dup_line_char_frac`: characters in repeat occurrences of a
+    *    line (beyond its first) over all line characters.
+    *  - `frac_alpha_words`: whitespace tokens containing a Latin
+    *    letter.
+    *  - `symbol_word_ratio`: `#` and ellipsis occurrences per token.
+    *
+    * All fractions rounded to 6 places; empty denominators yield 0.
+    * Pure per-row HOF/regexp Column — no shuffle, no UDF, scan-speed
+    * over 100 TB. Thresholding is the caller's policy (Gopher's cuts:
+    * bullet > 0.9, ellipsis > 0.3, alpha < 0.8, symbol > 0.1). */
+  def gopherSignals(text: Column): Column = {
+    val tl = coalesce(text, lit(""))
+    Hof.bind(filter(transform(split(tl, "\n"), l => trim(l)), l => l =!= ""),
+      lines => {
+        val nL = size(lines)
+        def fracLines(p: Column => Column) =
+          when(nL === 0, lit(0.0)).otherwise(
+            round(size(filter(lines, p)).cast("double") / nL, 6))
+        val charsOf = (ls: Column) =>
+          aggregate(ls, lit(0L), (a, l) => a + length(l))
+        val toks = filter(split(trim(tl), "\\s+"), t => t =!= "")
+        val nT = size(toks)
+        def occurrences(needle: String, width: Int) =
+          (length(tl) - length(regexp_replace(tl,
+            java.util.regex.Pattern.quote(needle), ""))) / width
+        struct(
+          fracLines(_.rlike("^[•*-]")).as("frac_bullet_lines"),
+          fracLines(_.rlike("(\\.\\.\\.|…)$")).as("frac_ellipsis_lines"),
+          when(nL === 0, lit(0.0)).otherwise(round(
+            (nL - size(array_distinct(lines))).cast("double") / nL, 6))
+            .as("dup_line_frac"),
+          when(nL === 0, lit(0.0)).otherwise(round(
+            (charsOf(lines) - charsOf(array_distinct(lines))).cast("double") /
+              greatest(charsOf(lines), lit(1L)), 6))
+            .as("dup_line_char_frac"),
+          when(nT === 0, lit(0.0)).otherwise(round(
+            size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nT,
+            6)).as("frac_alpha_words"),
+          when(nT === 0, lit(0.0)).otherwise(round(
+            (occurrences("#", 1) + occurrences("…", 1) +
+              occurrences("...", 3)).cast("double") / nT, 6))
+            .as("symbol_word_ratio"))
+      })
+  }
+
   /** C4-style line cleaning (Raffel et al. 2020 §2.2 heuristics —
     * published, widely replicated): keep only lines with at least
     * `minWords` whitespace tokens and, when `requireTerminal`, a

@@ -972,6 +972,20 @@ class OpsSpec extends SparkSpec {
     assert(edge == Seq("", ""), edge.toString)
   }
 
+  test("gopherSignals: bullet/ellipsis/dup-line/alpha/symbol fractions") {
+    // 5 non-empty lines: 2 bullets (one duplicated), 1 ellipsis; 13
+    // tokens, 10 with a Latin letter; one '#' and one '...'
+    val doc = "\u2022 alpha beta\n\u2022 alpha beta\n" +
+      "real prose line here\nmore...\n\n#tag 42"
+    val g = rows(docsDf(Seq((1L, doc)))
+      .select(Text.gopherSignals(col("text")).as("g")).select("g.*")).head
+    assert(g == Seq(0.4, 0.2, 0.2, 0.206897, 0.769231, 0.153846), g)
+    // empty and null text: all-zero signals, no crash
+    val z = rows(docsDf(Seq((2L, ""), (3L, null)))
+      .select(Text.gopherSignals(col("text")).as("g")).select("g.*"))
+    assert(z.forall(_ == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0)), z.toString)
+  }
+
   test("normalizeUnicode: NFC composition, CRLF, control strip, codegen plan") {
     val df = docsDf(Seq(
       (1L, "Cafe\u0301 du monde"),        // decomposed -> precomposed
