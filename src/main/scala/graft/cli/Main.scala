@@ -292,6 +292,16 @@ object Main {
       graft.ops.Sample.writeShards(df, sampleId(o, env, df), o.shards, dir)
       out.write(s"wrote ${o.shards} shard(s) of ${o.table} to $dir\n")
 
+    // extension: consistent whole-warehouse backup — the single-file
+    // root catalog pins a transactionally consistent cross-table cut;
+    // the destination is itself a functional warehouse root (restore =
+    // point --config's warehouse at it). See Warehouse.backup.
+    case "backup" =>
+      val dest = o.file.getOrElse(throw new IllegalArgumentException(
+        "backup needs -f/--file <dest dir>"))
+      env.warehouse.backup(dest)
+      out.write(s"warehouse backed up to $dest\n")
+
     // layout maintenance: collapse fragmented snapshots/zones; with
     // --zorder a,b also (re)cluster a brin table on that z-order and
     // record it as the table property (--zorder "" clears it) — see

@@ -886,6 +886,66 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     }.reduce(_ bitwiseOR _))
   }
 
+  /** Consistent whole-warehouse BACKUP: pin the root catalog with one
+    * atomic read, copy every snapshot directory it references (plus
+    * the `_SCHEMA.yaml` sidecar) under `destRoot`, and write the
+    * destination's root catalog LAST — so the backup directory is
+    * itself a fully functional warehouse root (restore = point an Env
+    * at it, or copy it back; there is no separate archive format),
+    * and a reader of a half-written backup sees no catalog yet rather
+    * than a partial one. Because every commit — including multi-table
+    * transactions — swaps the single `_ROOT` file atomically and
+    * snapshot dirs are immutable once referenced, the pinned catalog
+    * is a transactionally consistent cross-table cut by construction;
+    * no writer quiescence is needed for CONSISTENCY. Durability of
+    * the copy itself still races gc: a concurrent writer may reclaim
+    * a superseded snapshot mid-copy, which surfaces as a loud
+    * missing-path error (re-run the backup), never a silent hole.
+    * Backups also prune by construction: only LIVE state copies —
+    * superseded snapshots, scratch spills and external/ANN-index data
+    * (not part of the catalog's transactional state) stay behind. */
+  def backup(destRoot: String): Unit = {
+    recoverTransactions() // fold any journaled commit before pinning
+    val destP = new Path(destRoot)
+    val dfs = fs(destP)
+    require(!dfs.exists(new Path(destP, "_ROOT")),
+      s"'$destRoot' already holds a warehouse root")
+    dfs.mkdirs(destP)
+    val cat = readRoot()
+    // legacy (pre-catalog) layouts fall back to per-table mirrors:
+    // each read is atomic but the cross-table cut is then only
+    // per-table consistent — exactly the guarantee such layouts have
+    val pinned: Map[String, String] =
+      if (cat.nonEmpty) cat
+      else registry.names.flatMap(t => readPointer(t).map(t -> _)).toMap
+    pinned.foreach { case (t, ptr) =>
+      val m = if (ptr.startsWith("{")) parseManifest(ptr)
+        else Manifest(ptr, -1L, Map())
+      val snaps = (Seq(m.snap) ++
+        m.buckets.values.map(_.split("/")(0)) ++
+        m.zones.map(_.dir.split("/")(0))).distinct
+      snaps.foreach { s =>
+        val src = new Path(tableDir(t), s)
+        val dst = new Path(new Path(destP, t), s)
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs(src), src, dfs, dst,
+            false, hadoopConf))
+          throw new java.io.IOException(s"backup copy failed: $src")
+      }
+      val cf = new Path(new Path(destP, t), "_CURRENT")
+      val out = dfs.create(cf, true)
+      try out.write(ptr.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val sf = new Path(root, "_SCHEMA.yaml")
+    if (fs(sf).exists(sf))
+      org.apache.hadoop.fs.FileUtil.copy(fs(sf), sf, dfs,
+        new Path(destP, "_SCHEMA.yaml"), false, hadoopConf)
+    val rf = new Path(destP, "_ROOT")
+    val out = dfs.create(rf, true)
+    try out.write(Json.write(pinned).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Retained snapshot names for a managed table, oldest first. GC
     * keeps the manifest-referenced snapshots plus the two most recent,
     * so this is a bounded time-travel window over immutable

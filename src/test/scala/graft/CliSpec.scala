@@ -356,6 +356,14 @@ class CliSpec extends SparkSpec {
       run(conf.toString, "sample", "docs", "-H", "--sample", "0.5",
         "--by", "text"))
     assert(e.getMessage.contains("--by"), e.getMessage)
+    // backup action: the copy is a complete warehouse a config can
+    // point at directly
+    val bdir = dir.resolve("bak").toString
+    assert(run(conf.toString, "backup", "-f", bdir).contains("backed up"))
+    val conf2 = dir.resolve("tk2.yaml")
+    Files.writeString(conf2, s"schema: $schema\nwarehouse: $bdir\n")
+    val restored = run(conf2.toString, "read", "docs", "doc_id", "-H")
+    assert(restored.trim.linesIterator.size == 40, restored)
   }
 
   test("compact action: --zorder records the property; reads stay exact") {

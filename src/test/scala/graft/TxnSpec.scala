@@ -285,4 +285,38 @@ class TxnSpec extends SparkSpec {
     val got = rows(env.view("country", Seq("name")).read()).map(_.head).toSet
     assert(Set[Any]("Italy", "Spain", "Malta").subsetOf(got), got.toString)
   }
+
+  test("backup: the copy is a functional warehouse with the txn's cut") {
+    val env = freshEnv()
+    // multi-table txn first: the pinned catalog must carry BOTH sides
+    env.transaction {
+      env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+      env.view("member", Seq("registration_code", "name"))
+        .write(Seq(Seq("088", "Yve")))
+    }
+    // fragment a bucketed-ish history: several sequential writes leave
+    // pointers across snapshots; backup must chase every referenced dir
+    env.view("country", Seq("name")).write(Seq(Seq("Spain")))
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-backup-").toString + "/wh"
+    env.warehouse.backup(dest)
+    // restore = open an Env at the backup root with the same registry
+    val restored = Env(env.spark,
+      graft.schema.Registry.fromYaml(SparkSpec.baseYaml), dest)
+    def names(e: Env) =
+      rows(e.view("country", Seq("name")).read()).map(_.head).toSet
+    assert(names(restored) == names(env), names(restored).toString)
+    assert(rows(restored.view("member", Seq("registration_code", "name"))
+      .read()).toSet ==
+      rows(env.view("member", Seq("registration_code", "name")).read()).toSet)
+    // the backup is INDEPENDENT: writes to the source don't leak in
+    env.view("country", Seq("name")).write(Seq(Seq("Malta")))
+    assert(!names(restored).contains("Malta"))
+    // and the backup itself accepts writes (it is a real warehouse)
+    restored.view("country", Seq("name")).write(Seq(Seq("Norway")))
+    assert(names(restored).contains("Norway") && !names(env).contains("Norway"))
+    // refusing to clobber an existing warehouse root
+    val e = intercept[IllegalArgumentException](env.warehouse.backup(dest))
+    assert(e.getMessage.contains("already holds"), e.getMessage)
+  }
 }
