@@ -1007,6 +1007,22 @@ object SparkEntry {
     // LLM-pipeline: symmetric int8 quantization + dequantized error —
     // the 4x embedding shrink for billion-vector pipelines; all double
     // arithmetic so the quantized values are engine-exact
+    // LLM-pipeline: PCA dimension reduction before an ANN build —
+    // basis from ONE distributed covariance pass (map-side outer
+    // products, a d² reduce) + driver eigen of the d×d matrix;
+    // the projection rides as literal arrays through the codegen dot
+    // kernel, a narrow per-row stage. Eigendecomposition is not
+    // SQL-expressible → rows-only driver check; exactness is pinned
+    // by OpsSpec property goldens (orthonormal sign-fixed basis,
+    // descending variance, k=d distance preservation).
+    "embed_pca" -> ((s, dir) => {
+      val emb = graft.ops.Par.spread(
+        env(s, dir).view("embeddings", Seq("vec_id", "embedding")).read())
+      val basis = Similarity.pcaBasis(emb, "embedding", 8)
+      emb.select(col("vec_id"),
+        Similarity.pcaProject(col("embedding"), basis).as("reduced"))
+    }),
+
     "embed_quantize" -> ((s, dir) => {
       val emb = graft.ops.Par.spread(
         env(s, dir).view("embeddings", Seq("vec_id", "embedding")).read())
@@ -1489,6 +1505,27 @@ object SparkEntry {
       v.write(docs.filter(col("doc_id") % 3 === 2))
       e.warehouse.compact("compact_scratch")
       v.read().select(col("doc_id"), col("n_chars"))
+    }),
+
+    // S1/S2 extension: consistent whole-warehouse BACKUP — load a
+    // slice, back the warehouse up, then read THROUGH a second Env
+    // rooted at the backup; the copy must round-trip exactly (the
+    // oracle reads the original parquet).
+    "warehouse_backup" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      val docs = e.view("documents",
+        Seq("doc_id", "text", "lang", "source", "n_chars")).read()
+      val v = e.view("compact_scratch",
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      v.write(docs)
+      // dest under the (temp, exit-reaped) warehouse root: unique per
+      // run so bench repeats never hit the clobber guard
+      val dest = s"${e.warehouse.root}/_backup-${System.nanoTime()}"
+      e.warehouse.backup(dest)
+      val restored = graft.Env(s, Testbed.registry(dir), dest)
+      restored.view("compact_scratch", Seq("doc_id", "n_chars")).read()
+        .select(col("doc_id"), col("n_chars"))
     }),
 
     // S4 extension: Z-ORDER compaction — recluster a composite-key
@@ -2745,6 +2782,8 @@ object SparkEntry {
       "SELECT doc_id, n_chars FROM documents",
     "warehouse_zorder" ->
       """SELECT event_id, user_id, value FROM events
-        |WHERE user_id >= 100 AND user_id < 140""".stripMargin
+        |WHERE user_id >= 100 AND user_id < 140""".stripMargin,
+    "warehouse_backup" ->
+      "SELECT doc_id, n_chars FROM documents"
   )
 }

@@ -59,7 +59,8 @@ object Main {
       // classifier stage: NB log-odds weights trained on two labeled
       // tables' text columns, survivors need mean token weight >= min
       clfPos: String = "", clfNeg: String = "", minClf: Double = 0.0,
-      normalize: Boolean = false,
+      normalize: Boolean = false, gopher: Boolean = false,
+      explain: Boolean = false,
       // sample/shard actions: id column (defaults to the table key),
       // split band "lo,hi" and leakage-group column
       by: String = "", band: String = "", group: String = "",
@@ -112,6 +113,8 @@ object Main {
         case "--min-clf" => o = o.copy(minClf = argv(i + 1).toDouble); i += 2
         case "--zorder" => o = o.copy(zorder = Some(argv(i + 1))); i += 2
         case "--normalize" => o = o.copy(normalize = true); i += 1
+        case "--gopher" => o = o.copy(gopher = true); i += 1
+        case "--explain" => o = o.copy(explain = true); i += 1
         case "--by" => o = o.copy(by = argv(i + 1)); i += 2
         case "--band" => o = o.copy(band = argv(i + 1)); i += 2
         case "--group" => o = o.copy(group = argv(i + 1)); i += 2
@@ -195,8 +198,15 @@ object Main {
         if (s.contains(":")) { val Array(c, d) = s.split(":", 2); Order(c, d) }
         else Order(s)
       }
-      emit(view.read(o.filters.map(FilterExpr.apply),
-        order = order, limit = o.limit, offset = o.offset), o, out)
+      val df = view.read(o.filters.map(FilterExpr.apply),
+        order = order, limit = o.limit, offset = o.offset)
+      // --explain: the compiled physical plan instead of rows — shows
+      // parquet pushdown (PushedFilters/ReadSchema), zone pruning (the
+      // scan's file count) and codegen spans, the operator's window
+      // into what the s-expression actually planned to
+      if (o.explain) out.write(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) + "\n")
+      else emit(df, o, out)
 
     case "write" =>
       val (fields, data) = readInput(o)
@@ -378,7 +388,8 @@ object Main {
     // ops/Pipeline's curateDocuments recipe. Stages are flag-selected
     // (--normalize prepends the Unicode-hygiene rewrite,
     // --url-col adds url_dedup, --min-quality > 0 adds the quality
-    // floor, --clf-pos/--clf-neg train the NB log-odds classifier on
+    // floor, --gopher adds the published Gopher line-rule floor,
+    // --clf-pos/--clf-neg train the NB log-odds classifier on
     // two labeled tables and add the classifier floor at --min-clf,
     // --bench <table> adds decontamination against that table's
     // --bench-field column, --sample < 1 adds the hash downsample);
@@ -437,7 +448,8 @@ object Main {
             minQuality = o.minQuality,
             bench = bench, benchTextCol = o.benchField,
             classifier = clf, minClassifier = o.minClf,
-            sampleFraction = o.sample, normalize = o.normalize)
+            sampleFraction = o.sample, normalize = o.normalize,
+            gopher = o.gopher)
         }
       val (survivors, reports) =
         if (o.resumeFrom >= 0)

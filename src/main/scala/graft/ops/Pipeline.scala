@@ -109,7 +109,10 @@ object Pipeline {
     * Unicode hygiene (optional — [[Text.normalizeUnicode]] rewrite,
     * so downstream fingerprints see NFC-canonical bytes) →
     * URL-canonical dedup (optional) → content-fingerprint exact dedup
-    * → MinHash near-dedup → quality floor (optional) → linear
+    * → MinHash near-dedup → quality floor (optional) → Gopher
+    * line-rule floor (optional — drops docs breaching the published
+    * cuts: bullet lines > 0.9, ellipsis lines > 0.3, alpha words
+    * < 0.8, symbols/word > 0.1; empty docs drop too) → linear
     * classifier floor (optional — the CCNet/fastText wiki-vs-crawl
     * filter: docs scoring below `minClassifier` mean token log-odds
     * under the supplied [[graft.ops.Text.classifierWeights]] model
@@ -126,7 +129,8 @@ object Pipeline {
       classifier: Option[DataFrame] = None,
       minClassifier: Double = 0.0,
       sampleFraction: Double = 1.0,
-      normalize: Boolean = false): Seq[Stage] = {
+      normalize: Boolean = false,
+      gopher: Boolean = false): Seq[Stage] = {
     val b = Seq.newBuilder[Stage]
     // Unicode hygiene FIRST when asked: NFC makes visually-identical
     // texts byte-identical, so every later fingerprint/shingle stage
@@ -146,6 +150,12 @@ object Pipeline {
     if (minQuality > 0)
       b += Stage("quality", df =>
         df.filter(Text.qualityScore(col(textCol)) >= minQuality))
+    if (gopher) b += Stage("gopher", df =>
+      df.filter(Hof.bind(Text.gopherSignals(col(textCol)), g =>
+        g.getField("frac_bullet_lines") <= 0.9 &&
+        g.getField("frac_ellipsis_lines") <= 0.3 &&
+        g.getField("frac_alpha_words") >= 0.8 &&
+        g.getField("symbol_word_ratio") <= 0.1)))
     classifier.foreach { w =>
       b += Stage("classifier", df =>
         df.join(Text.classifierScore(df, idCol, textCol, w)

@@ -68,6 +68,55 @@ object Similarity {
     bind(qv, v =>
       transform(v.getField("q"), x => x.cast("double") * v.getField("scale")))
 
+  /** PCA basis of an embedding column: the top-`k` principal
+    * components as `k` rows of `d` doubles (row j = component j,
+    * descending explained variance), plus the column means. The
+    * standard dimensionality step before a billion-vector ANN build
+    * (half the dims ≈ half the index IO at minimal recall loss).
+    *
+    * Scale shape: one distributed pass builds the d×d Gram/covariance
+    * (mllib `RowMatrix` — map-side outer products, a single reduce of
+    * d² doubles), the eigendecomposition of that d×d matrix runs on
+    * the driver — exact, deterministic for a given corpus, and
+    * independent of partitioning. `d` is embedding width (≤ a few
+    * thousand), so driver work is trivial; nothing quadratic ever
+    * shuffles. Sign convention: each component is flipped so its
+    * largest-|coefficient| entry is positive — eigenvector sign is
+    * otherwise arbitrary and would differ across BLAS builds. */
+  def pcaBasis(df: DataFrame, vecCol: String, k: Int)
+      : (Array[Array[Double]], Array[Double]) = {
+    import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = df.select(col(vecCol).cast("array<double>"))
+      .na.drop().rdd.map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
+    val rm = new RowMatrix(rows)
+    val d = rm.numCols().toInt
+    require(k >= 1 && k <= d, s"k $k outside [1, $d]")
+    val means = rm.computeColumnSummaryStatistics().mean.toArray
+    val pc = rm.computePrincipalComponents(k) // d × k, column-major
+    val comps = Array.tabulate(k) { j =>
+      val v = Array.tabulate(d)(i => pc(i, j))
+      val m = v.maxBy(math.abs)
+      if (m < 0) v.map(-_) else v
+    }
+    (comps, means)
+  }
+
+  /** Project vectors onto a [[pcaBasis]]: `array<double>` of length
+    * `k`, entry j = dot(vec − mean, component j). The basis rides the
+    * plan as LITERAL arrays, so the projection is a narrow per-row
+    * stage: k fused [[dot]] kernels (codegen) per vector, no shuffle,
+    * no driver round-trips — exactly the shape that survives a 100-TB
+    * re-embedding pass. */
+  def pcaProject(vec: Column, basis: (Array[Array[Double]], Array[Double]))
+      : Column = {
+    val (comps, means) = basis
+    val meanLit = array(means.map(lit): _*)
+    bind(zip_with(vec.cast("array<double>"), meanLit, (x, m) => x - m),
+      centered => array(comps.map(c =>
+        dot(centered, array(c.map(lit): _*))): _*))
+  }
+
   /** Exact brute-force cosine top-k for one query vector. The global
     * top-k is a TakeOrderedAndProject — no full sort, map-side k. */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,

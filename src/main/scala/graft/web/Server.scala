@@ -239,6 +239,7 @@ final class Server(env: Env, port: Int = 0) {
     *    "clf_pos": "wiki", "clf_neg": "crawl", "min_clf": 0.0,
     *                                  // adds the classifier stage
     *    "normalize": true,            // prepends the Unicode rewrite
+    *    "gopher": true,               // adds the Gopher line-rule floor
     *    "out": "curated",             // write survivors to this table
     *    "keep_spills": true, "resume": 2}  // Pipeline.resume from N
     *   → {"stages": [{"stage": ..., "rows_out": n, "seconds": s}], "out": ...}
@@ -274,7 +275,8 @@ final class Server(env: Env, port: Int = 0) {
       bench = bench, benchTextCol = benchField,
       classifier = clf, minClassifier = dbl("min_clf", 0.0),
       sampleFraction = dbl("sample", 1.0),
-      normalize = body.get("normalize").exists(_.toString.toBoolean))
+      normalize = body.get("normalize").exists(_.toString.toBoolean),
+      gopher = body.get("gopher").exists(_.toString.toBoolean))
     val keep = body.get("keep_spills").exists(_.toString.toBoolean)
     val (survivors, reports) = body.get("resume").map(_.toString.toInt) match {
       case Some(n) =>

@@ -303,6 +303,17 @@ class CliSpec extends SparkSpec {
     val normRow = audit4.linesIterator.find(_.contains("normalize"))
     assert(normRow.isDefined, audit4)
     assert(normRow.get.trim.split("\\s+")(1).toLong == 8L, audit4)
+    // --gopher: the line-rule floor bites symbol spam — re-seed docs
+    // (purge) with one clean doc and one all-symbol doc
+    val gcsv = dir.resolve("gdocs.csv")
+    Files.writeString(gcsv, "doc_id,text\n" +
+      "1,good clean prose with words here\n" +
+      "2,#### #### ####\n")
+    run(conf.toString, "write", "docs", "-f", gcsv.toString, "-p")
+    val audit5 = run(conf.toString, "curate", "docs",
+      "--scratch", dir.resolve("gscratch").toString, "--gopher")
+    val gRow = audit5.linesIterator.find(_.contains("gopher")).get
+    assert(gRow.trim.split("\\s+")(1).toLong == 1L, audit5)
   }
 
   test("sample and shard actions: deterministic slices, bands partition") {
@@ -356,6 +367,12 @@ class CliSpec extends SparkSpec {
       run(conf.toString, "sample", "docs", "-H", "--sample", "0.5",
         "--by", "text"))
     assert(e.getMessage.contains("--by"), e.getMessage)
+    // read --explain: the formatted physical plan instead of rows,
+    // proving parquet pushdown reaches the scan
+    val plan = run(conf.toString, "read", "docs", "doc_id",
+      "--explain", "-F", "(= doc_id 5)")
+    assert(plan.contains("Scan parquet") && plan.contains("PushedFilters"),
+      plan)
     // backup action: the copy is a complete warehouse a config can
     // point at directly
     val bdir = dir.resolve("bak").toString

@@ -209,6 +209,42 @@ class OpsSpec extends SparkSpec {
     assert(top.map(_.head) == Seq(1L, 2L), top)
   }
 
+  test("pcaBasis/pcaProject: orthonormal sign-fixed basis, variance order, k=d isometry") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val d = emb.head().getSeq[Float](1).size
+    val basis @ (comps, _) = Similarity.pcaBasis(emb, "embedding", d)
+    // orthonormal basis
+    for (i <- comps.indices; j <- i until comps.length) {
+      val dp = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dp - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j)=$dp")
+    }
+    // sign convention: the max-|coefficient| entry is positive
+    comps.foreach(c => assert(c.maxBy(math.abs) > 0))
+    // k = d is a rotation: pairwise distances preserved exactly
+    val proj = emb.limit(10).select(
+      col("embedding").cast("array<double>").as("v"),
+      Similarity.pcaProject(col("embedding"), basis).as("p")).collect()
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    for (pair <- proj.toSeq.combinations(2)) {
+      val (r1, r2) = (pair.head, pair.last)
+      val dv = dist(r1.getSeq[Double](0), r2.getSeq[Double](0))
+      val dp = dist(r1.getSeq[Double](1), r2.getSeq[Double](1))
+      assert(math.abs(dv - dp) < 1e-6, s"$dv vs $dp")
+    }
+    // truncated basis: same leading components, descending variance
+    val b2 @ (c2, _) = Similarity.pcaBasis(emb, "embedding", 2)
+    assert(c2(0).zip(comps(0)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    val p2 = emb.select(Similarity.pcaProject(col("embedding"), b2).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    def varOf(i: Int) = {
+      val xs = p2.map(_(i)); val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    assert(varOf(0) >= varOf(1) - 1e-9, s"${varOf(0)} < ${varOf(1)}")
+  }
+
   test("LSH ANN recalls planted near-duplicates and actually prunes") {
     // sign-LSH recall targets genuinely-near vectors; the synthetic
     // embeddings' best pair is only cos~0.45 (indistinguishable from

@@ -267,9 +267,10 @@ class WebSpec extends SparkSpec {
       // the stage; one side alone refuses
       val (c2, b2) = post(port, "/_curate/member",
         """{"scratch": "run2", "id_col": "registration_code",
-          | "text_col": "name", "clf_pos": "team", "clf_neg": "country"}"""
-          .stripMargin)
-      assert(c2 == 200 && b2.contains("classifier"), s"$c2 $b2")
+          | "text_col": "name", "clf_pos": "team", "clf_neg": "country",
+          | "gopher": true}""".stripMargin)
+      assert(c2 == 200 && b2.contains("classifier") && b2.contains("gopher"),
+        s"$c2 $b2")
       assert(post(port, "/_curate/member",
         """{"scratch": "run3", "clf_pos": "team"}""")._1 == 400)
       // layout maintenance: plain compact returns zone metadata; a
