@@ -77,26 +77,75 @@ object Brin {
   }
 
   /** Conservative closed query bounds on the zone key: `None` end =
-    * unbounded. A zone `[zlo, zhi]` survives pruning iff it overlaps. */
-  final case class Bounds(lo: Option[Any], hi: Option[Any]) {
+    * unbounded. A zone `[zlo, zhi]` survives pruning iff it overlaps.
+    *
+    * `points`, when defined, is the EXACT value set the column may
+    * take (from `=` / `in` / equality-map conjuncts) — RAW coerced
+    * values in the column's Spark type (encoded on demand), kept
+    * sorted in [[cmp]] order and deduplicated, with `lo`/`hi` always
+    * their envelope. Point knowledge prunes strictly harder than the
+    * envelope: an IN-list of far-apart keys keeps only zones
+    * CONTAINING a point (not the whole min-max span), an empty
+    * surviving set is provably empty, and a bucketed read can hash
+    * the exact key tuples to their bucket ids driver-side
+    * ([[Warehouse.bucketIds]]). Range-only conjuncts leave `points`
+    * `None` — same conservative envelope behavior as before. */
+  final case class Bounds(lo: Option[Any], hi: Option[Any],
+      points: Option[Seq[Any]] = None) {
     def overlaps(zlo: Option[Any], zhi: Option[Any]): Boolean = {
       // a zone with null stats (all-null keys) is never prunable
       if (zlo.isEmpty || zhi.isEmpty) true
-      else lo.forall(l => cmp(zhi.get, l) >= 0) &&
-        hi.forall(h => cmp(zlo.get, h) <= 0)
+      else points match {
+        case Some(ps) => ps.exists { p =>
+          val e = encode(p)
+          cmp(e, zlo.get) >= 0 && cmp(e, zhi.get) <= 0
+        }
+        case None => lo.forall(l => cmp(zhi.get, l) >= 0) &&
+          hi.forall(h => cmp(zlo.get, h) <= 0)
+      }
     }
-    def isEmpty: Boolean =
-      lo.isDefined && hi.isDefined && cmp(lo.get, hi.get) > 0
-    /** Intersect with another closed interval. */
-    def tighten(nlo: Option[Any], nhi: Option[Any]): Bounds = Bounds(
-      (lo, nlo) match {
+    def isEmpty: Boolean = points.exists(_.isEmpty) ||
+      (lo.isDefined && hi.isDefined && cmp(lo.get, hi.get) > 0)
+    /** Intersect with another closed interval; surviving points are
+      * re-filtered so the exact set never outlives its range. */
+    def tighten(nlo: Option[Any], nhi: Option[Any]): Bounds = {
+      val rl = (lo, nlo) match {
         case (Some(a), Some(b)) => Some(if (cmp(a, b) >= 0) a else b)
         case (a, b) => a.orElse(b)
-      },
-      (hi, nhi) match {
+      }
+      val rh = (hi, nhi) match {
         case (Some(a), Some(b)) => Some(if (cmp(a, b) <= 0) a else b)
         case (a, b) => a.orElse(b)
-      })
+      }
+      Bounds(rl, rh, points.map(_.filter { p =>
+        val e = encode(p)
+        rl.forall(cmp(e, _) >= 0) && rh.forall(cmp(e, _) <= 0)
+      }))
+    }
+    /** Intersect with an exact value set (an `=` or `in` conjunct):
+      * keep values inside the current range AND — when a point set
+      * already exists — present in it; the envelope follows the
+      * survivors. An empty survivor set is provably empty. */
+    def tightenPoints(ps: Seq[Any]): Bounds = {
+      val within = ps.filter { p =>
+        val e = encode(p)
+        lo.forall(cmp(e, _) >= 0) && hi.forall(cmp(e, _) <= 0)
+      }
+      val merged0 = points match {
+        case Some(old) => within.filter(p =>
+          old.exists(q => cmp(encode(p), encode(q)) == 0))
+        case None => within
+      }
+      // canonical order + dedup by encoded equality
+      val merged = merged0.sortWith((a, b) => cmp(encode(a), encode(b)) < 0)
+        .foldLeft(Vector.empty[Any]) { (acc, p) =>
+          if (acc.nonEmpty && cmp(encode(acc.last), encode(p)) == 0) acc
+          else acc :+ p
+        }
+      if (merged.isEmpty) Bounds(lo, hi, Some(Nil))
+      else Bounds(Some(encode(merged.head)), Some(encode(merged.last)),
+        Some(merged))
+    }
   }
   object Bounds { val all: Bounds = Bounds(None, None) }
 }

@@ -360,6 +360,34 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     }
   }
 
+  /** Bucket ids of every combination of the given per-key-column
+    * point sets (ordered like `td.key`), evaluated through the SAME
+    * [[bucketExpr]] Catalyst expression the writer clusters with —
+    * one local one-row-per-combo job, so driver-side arithmetic can
+    * never drift from the executor hash. The read-side analogue of
+    * the write path's bucket pruning: a point read on a 1024-bucket
+    * table opens ONE bucket directory instead of 1024. Callers cap
+    * the combination count ([[graft.view.View]] uses 64). */
+  def bucketIds(t: String, keyPoints: Seq[Seq[Any]]): Set[Int] = {
+    val td = registry(t)
+    require(td.buckets > 0, s"Table '$t' is not bucketed")
+    require(keyPoints.size == td.key.size,
+      s"need one point set per key column (${td.key.size}), got ${keyPoints.size}")
+    val combos = keyPoints.foldLeft(Seq(Seq.empty[Any]))((acc, ps) =>
+      acc.flatMap(c => ps.map(c :+ _)))
+    if (combos.isEmpty || keyPoints.exists(_.isEmpty)) Set.empty
+    else {
+      val schema = org.apache.spark.sql.types.StructType(td.key.map(k =>
+        org.apache.spark.sql.types.StructField(k,
+          td.columnMap(k).ctype.spark.getOrElse(
+            org.apache.spark.sql.types.StringType), true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(combos.map(Row.fromSeq), 1), schema)
+      df.select(bucketExpr(td).cast("int").as("b"))
+        .collect().map(_.getInt(0)).toSet
+    }
+  }
+
   /** Surrogate-id high-water mark: manifest-tracked (no scan);
     * max-scan only for a legacy plain-string pointer. */
   def maxId(t: String): Long = {

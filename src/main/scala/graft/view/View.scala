@@ -122,7 +122,7 @@ final class View(val env: Env, tableName: String, fieldSpecs: Seq[(String, Strin
       (if (disableAcl) Nil
        else env.aclRead.getOrElse(table.name, Nil).map(FilterExpr.apply))
     val zoneBounds =
-      if (table.useIndex.equalsIgnoreCase("brin") && table.buckets == 0 &&
+      if ((table.useIndex.equalsIgnoreCase("brin") || table.buckets > 0) &&
           table.external.isEmpty) {
         val fieldPops =
           try ZonePrune.countPops(table, fieldEnv, fields.flatMap { f =>
@@ -138,9 +138,32 @@ final class View(val env: Env, tableName: String, fieldSpecs: Seq[(String, Strin
           fieldEnv, fieldPops))
           .filter(_.nonEmpty)
       } else None
+    // bucketed tables: when the filters pin EVERY key column to an
+    // exact point set (=, in, equality map), hash the key tuples to
+    // their bucket ids driver-side — the read-side analogue of the
+    // merge path's bucket pruning; a point read opens one bucket dir.
+    // Combination count capped (a huge IN-list reads all buckets,
+    // same as before). Like zone pruning this is pure IO elision —
+    // the compiled filter still applies in full.
+    val bucketIds: Option[Set[Int]] =
+      if (table.buckets > 0)
+        zoneBounds.flatMap { b =>
+          val pts = table.key.map(k => b.get(k).flatMap(_.points))
+          if (pts.exists(_.isEmpty)) None
+          else {
+            val sets = pts.map(_.get)
+            if (sets.map(_.size.toLong).product > 64L) None
+            else Some(env.warehouse.bucketIds(table.name, sets))
+          }
+        }
+      else None
     val qb = QueryBuilder(env, table, fieldEnv,
-      baseRead = zoneBounds.map(b =>
-        () => env.warehouse.readZones(table.name, Some(b))))
+      baseRead =
+        if (table.buckets > 0)
+          bucketIds.map(ids =>
+            () => env.warehouse.readBuckets(table.name, Some(ids)))
+        else zoneBounds.map(b =>
+          () => env.warehouse.readZones(table.name, Some(b))))
     val argv = Args(env, args, kwargs)
 
     // 1. compile select fields (before filters: join-alias order mirrors

@@ -101,15 +101,21 @@ object ZonePrune {
       try Option(Coerce.to(v, tracked(c))).map(Brin.encode)
       catch { case _: Exception => None }
 
+    // raw coerced value (the column's Spark type) for exact point
+    // sets — Bounds encodes on demand, bucket hashing needs the raw
+    def coer(c: String, v: Any): Option[Any] =
+      try Option(Coerce.to(v, tracked(c)))
+      catch { case _: Exception => None }
+
+    def eqPoints(c: String, ps: Seq[Any]): Unit =
+      acc = acc.updated(c, acc.getOrElse(c, Brin.Bounds.all).tightenPoints(ps))
+
     def eq(c: String, v: Any): Unit = v match {
       case null => () // isNull: outside any value range, but not provably empty
       case vs: Iterable[_] =>
-        val es = vs.toSeq.map(enc(c, _))
-        if (es.nonEmpty && es.forall(_.isDefined)) {
-          val sorted = es.flatten.sortWith(Brin.cmp(_, _) < 0)
-          tighten(c, Some(sorted.head), Some(sorted.last))
-        }
-      case other => enc(c, other).foreach(e => tighten(c, Some(e), Some(e)))
+        val rs = vs.toSeq.map(coer(c, _))
+        if (rs.nonEmpty && rs.forall(_.isDefined)) eqPoints(c, rs.flatten)
+      case other => coer(c, other).foreach(r => eqPoints(c, Seq(r)))
     }
 
     // bare-`{}` → positional index, assigned per filter in the
@@ -179,13 +185,13 @@ object ZonePrune {
         hit.foreach { case (c, v, effOp) =>
           v match {
             case Some(raw) if !raw.isInstanceOf[Iterable[_]] =>
-              enc(c, raw).foreach { e =>
-                effOp match {
-                  case "=" => tighten(c, Some(e), Some(e))
-                  // strict ops widen to closed bounds: conservative
-                  case ">" | ">=" => tighten(c, Some(e), None)
-                  case "<" | "<=" => tighten(c, None, Some(e))
-                }
+              effOp match {
+                case "=" => eq(c, raw) // exact point: prunes + hashes
+                // strict ops widen to closed bounds: conservative
+                case ">" | ">=" =>
+                  enc(c, raw).foreach(e => tighten(c, Some(e), None))
+                case "<" | "<=" =>
+                  enc(c, raw).foreach(e => tighten(c, None, Some(e)))
               }
             case _ => ()
           }

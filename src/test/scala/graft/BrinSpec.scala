@@ -237,19 +237,19 @@ class BrinSpec extends SparkSpec {
         : Map[String, Brin.Bounds] =
       ZonePrune.bounds(td, filters, Args(env, Nil, kwargs))
     assert(b(Seq(FilterExpr("(= seq 5)"))) ==
-      Map("seq" -> Brin.Bounds(Some(5L), Some(5L))))
+      Map("seq" -> Brin.Bounds(Some(5L), Some(5L), Some(Seq(5L)))))
     assert(b(Seq(FilterExpr("(and (> seq 3) (<= seq 9))"))) ==
       Map("seq" -> Brin.Bounds(Some(3L), Some(9L)))) // strict > widens
     assert(b(Seq(FilterExpr("(>= 10 seq)"))) == // operand order flips
       Map("seq" -> Brin.Bounds(None, Some(10L))))
     assert(b(Seq(FilterExpr("(in seq 4 8 2)"))) ==
-      Map("seq" -> Brin.Bounds(Some(2L), Some(8L))))
+      Map("seq" -> Brin.Bounds(Some(2L), Some(8L), Some(Seq(2L, 4L, 8L)))))
     assert(b(Seq(FilterExpr("(= seq {n})")), Map("n" -> 7)) ==
-      Map("seq" -> Brin.Bounds(Some(7L), Some(7L))))
+      Map("seq" -> Brin.Bounds(Some(7L), Some(7L), Some(Seq(7L)))))
     assert(b(Seq(FilterEq(Map("seq" -> 12)))) ==
-      Map("seq" -> Brin.Bounds(Some(12L), Some(12L))))
+      Map("seq" -> Brin.Bounds(Some(12L), Some(12L), Some(Seq(12L)))))
     assert(b(Seq(FilterEq(Map("seq" -> Seq(3, 1, 2))))) ==
-      Map("seq" -> Brin.Bounds(Some(1L), Some(3L))))
+      Map("seq" -> Brin.Bounds(Some(1L), Some(3L), Some(Seq(1L, 2L, 3L)))))
     // two filters intersect; unrelated conjuncts ignored
     assert(b(Seq(FilterExpr("(>= seq 5)"),
         FilterExpr("(and (< seq 20) (> val 0))"))) ==
@@ -269,10 +269,10 @@ class BrinSpec extends SparkSpec {
         Map.empty, off)
     assert(bp(Seq(FilterExpr("(= seq {})")), Seq(7), None).isEmpty)
     assert(bp(Seq(FilterExpr("(= seq {})")), Seq(7), Some(0)) ==
-      Map("seq" -> Brin.Bounds(Some(7L), Some(7L))))
+      Map("seq" -> Brin.Bounds(Some(7L), Some(7L), Some(Seq(7L)))))
     // offset skips the select fields' pops
     assert(bp(Seq(FilterExpr("(= seq {})")), Seq(99, 7), Some(1)) ==
-      Map("seq" -> Brin.Bounds(Some(7L), Some(7L))))
+      Map("seq" -> Brin.Bounds(Some(7L), Some(7L), Some(Seq(7L)))))
     // multiple bare params pop left-to-right, non-bounding ones count
     assert(bp(Seq(FilterExpr("(and (> val {}) (>= seq {}) (<= seq {}))")),
         Seq(0.5, 3, 9), Some(0)) ==
@@ -294,7 +294,7 @@ class BrinSpec extends SparkSpec {
     // ...while its pop still advances the cursor for later bare params
     assert(bp(Seq(FilterExpr("(and (> val {.v}) (= seq {}))")),
         Seq(Map("v" -> 0.5), 7), Some(0)) ==
-      Map("seq" -> Brin.Bounds(Some(7L), Some(7L))))
+      Map("seq" -> Brin.Bounds(Some(7L), Some(7L), Some(Seq(7L)))))
     // a subquery form makes the cursor unknowable from there on
     assert(bp(Seq(
         FilterExpr("(exists (from reading (select seq) (where (= val {}))))"),
@@ -435,6 +435,30 @@ class BrinSpec extends SparkSpec {
     // + parquet row-group stats must still apply (two pruning layers)
     assert(p.contains("PushedFilters: [IsNotNull(seq), GreaterThanOrEqual(seq,10)"),
       p)
+  }
+
+  test("IN-list reads prune zones per value, not by min-max envelope") {
+    val env = bEnv(zones = 8)
+    val v = env.view("reading", Seq("seq", "val"))
+    v.write((1 to 80).map(i => Seq(i.toLong, i.toDouble)))
+    val all = v.read().inputFiles.length
+    // two far-apart points: the envelope [2, 79] spans every zone, the
+    // point set keeps only the two zones that CONTAIN a point
+    val in2 = v.read(Seq("(in seq 2 79)"))
+    assert(rows(in2).map(_.head).toSet == Set(2L, 79L))
+    assert(in2.inputFiles.length <= all / 2,
+      s"per-point pruning failed: ${in2.inputFiles.length} of $all")
+    // equality-map list form prunes the same way
+    val eqm = v.read(Seq(FilterEq(Map("seq" -> Seq(2, 79)))))
+    assert(rows(eqm).map(_.head).toSet == Set(2L, 79L))
+    assert(eqm.inputFiles.length == in2.inputFiles.length)
+    // point sets intersect with ranges: the surviving point decides
+    val mixed = v.read(Seq("(and (in seq 2 79) (> seq 50))"))
+    assert(rows(mixed) == Seq(Seq(79L, 79.0)))
+    assert(mixed.inputFiles.length <= in2.inputFiles.length)
+    // disjoint point conjuncts are provably empty: zero files
+    val none = v.read(Seq("(and (= seq 2) (= seq 79))"))
+    assert(rows(none).isEmpty && none.inputFiles.isEmpty)
   }
 
   test("z-order compaction: secondary-key reads prune, content exact") {

@@ -85,6 +85,37 @@ class BucketSpec extends SparkSpec {
     assert(rows(v.read()).size == 1)
   }
 
+  test("read-side bucket pruning: point and IN-list reads open few buckets") {
+    val (env, _) = bEnv()
+    val v = env.view("fact", Seq("code", "val"))
+    v.write((1 to 200).map(i => Seq(s"c$i", i.toDouble)))
+    val all = v.read().inputFiles.length
+    assert(all >= 8, s"expected one file per bucket, got $all")
+    // equality on the full key: exactly one bucket dir opens
+    val pt = v.read(Seq("(= code {c})"), kwargs = Map("c" -> "c7"))
+    assert(rows(pt) == Seq(Seq("c7", 7.0)))
+    assert(pt.inputFiles.length < all / 2,
+      s"point read should prune buckets: ${pt.inputFiles.length} vs $all")
+    // IN-list: at most one bucket per value
+    val in3 = v.read(Seq("""(in code "c1" "c2" "c3")"""))
+    assert(rows(in3).map(_.head).toSet == Set("c1", "c2", "c3"))
+    assert(in3.inputFiles.length <= 3 * (all / 8))
+    // equality-map filter prunes the same way
+    val eqm = env.view("fact", Seq("code", "val"))
+      .read(Seq(graft.view.FilterEq(Map("code" -> "c9"))))
+    assert(rows(eqm) == Seq(Seq("c9", 9.0)))
+    assert(eqm.inputFiles.length < all / 2)
+    // range filters cannot hash: no pruning, still exact
+    val rng = v.read(Seq("""(>= code "c99")"""))
+    assert(rng.inputFiles.length == all)
+    // provably-empty intersection: zero files
+    val none = v.read(Seq("""(and (= code "c1") (= code "c2"))"""))
+    assert(rows(none).isEmpty && none.inputFiles.isEmpty)
+    // the compiled filter still applies IN FULL inside the bucket:
+    // same-bucket neighbors of c7 must not leak into the point read
+    assert(rows(pt).size == 1)
+  }
+
   test("schema yaml round-trips buckets") {
     val (env, root) = bEnv()
     val env2 = Env.introspect(spark, root)
