@@ -151,6 +151,12 @@ object Bench {
       .filter(pmod(hash(col("code")), lit(64)) < 2).limit(1000).cache()
     small.count()
     probe("bucketed_update_1k")(bv.write(small))
+    // read-side bucket pruning: a 3-key IN-list read should cost a
+    // couple of bucket dirs, a small fraction of the full scan
+    probe("bucketed_point_read")(
+      e.view("bench_bucketed", Seq("code", "x"))
+        .read(Seq(graft.view.FilterExpr("""(in code "1-1" "2-1" "3-1")""")))
+        .write.format("noop").mode("overwrite").save())
     allRows.unpersist(); small.unpersist()
 
     // BRIN probe: archive events into the range-clustered zoned table,

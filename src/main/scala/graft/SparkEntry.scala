@@ -962,6 +962,24 @@ object SparkEntry {
         .read(Seq("(and (>= event_id 100) (<= event_id 400))"))
     }),
 
+    // S1 extension: READ-SIDE BUCKET PRUNING — an IN-list pinning the
+    // full key of a bucketed table hashes to its bucket ids
+    // driver-side (Warehouse.bucketIds, the same Catalyst bucketExpr
+    // the writer clusters with) and the read opens only those bucket
+    // dirs; rows must match the oracle's plain scan exactly (pruning
+    // is IO elision — BucketSpec proves the file counts).
+    "q39_bucket_point" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.createTables()
+      val docs = e.view("documents",
+        Seq("doc_id", "text", "lang", "source", "n_chars")).read()
+      val v = e.view("compact_scratch",
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      v.write(docs)
+      e.view("compact_scratch", Seq("doc_id", "n_chars"))
+        .read(Seq("(in doc_id 7 77 177 377)"))
+    }),
+
     // S2: cross-write transaction — two tables commit together
     // (all-or-nothing pointer swaps behind a journal) and a failed
     // second txn leaves no trace; the result reads the committed
@@ -1908,6 +1926,9 @@ object SparkEntry {
     "q36_brin_range" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id BETWEEN 100 AND 400""".stripMargin,
+    "q39_bucket_point" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id IN (7, 77, 177, 377)""".stripMargin,
     "q37_txn_roundtrip" ->
       """SELECT n_name AS name, CAST(n_regionkey AS DOUBLE) AS total,
         |  n_regionkey AS regionkey,
