@@ -312,6 +312,17 @@ object Main {
       env.warehouse.backup(dest)
       out.write(s"warehouse backed up to $dest\n")
 
+    // restore = backup in reverse: a backup dir IS a warehouse root,
+    // so copy its live state into this config's (empty) warehouse via
+    // the same pinned-catalog machinery. Refuses loudly if the target
+    // already holds a catalog (no silent clobber).
+    case "restore" =>
+      val src = o.file.getOrElse(throw new IllegalArgumentException(
+        "restore needs -f/--file <backup dir>"))
+      new graft.store.Warehouse(env.spark, src, env.registry)
+        .backup(env.warehouse.root)
+      out.write(s"warehouse restored from $src\n")
+
     // layout maintenance: collapse fragmented snapshots/zones; with
     // --zorder a,b also (re)cluster a brin table on that z-order and
     // record it as the table property (--zorder "" clears it) — see

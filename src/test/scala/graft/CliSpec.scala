@@ -381,6 +381,17 @@ class CliSpec extends SparkSpec {
     Files.writeString(conf2, s"schema: $schema\nwarehouse: $bdir\n")
     val restored = run(conf2.toString, "read", "docs", "doc_id", "-H")
     assert(restored.trim.linesIterator.size == 40, restored)
+    // restore: pull the backup into a THIRD (empty) warehouse root
+    val conf3 = dir.resolve("tk3.yaml")
+    Files.writeString(conf3,
+      s"schema: $schema\nwarehouse: ${dir.resolve("wh3")}\n")
+    assert(run(conf3.toString, "restore", "-f", bdir).contains("restored"))
+    assert(run(conf3.toString, "read", "docs", "doc_id", "-H")
+      .trim.linesIterator.size == 40)
+    // restoring over a populated warehouse refuses loudly
+    val e2 = intercept[IllegalArgumentException](
+      run(conf.toString, "restore", "-f", bdir))
+    assert(e2.getMessage.contains("already holds"), e2.getMessage)
   }
 
   test("compact action: --zorder records the property; reads stay exact") {
