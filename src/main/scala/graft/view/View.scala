@@ -153,7 +153,11 @@ final class View(val env: Env, tableName: String, fieldSpecs: Seq[(String, Strin
           else {
             val sets = pts.map(_.get)
             if (sets.map(_.size.toLong).product > 64L) None
-            else Some(env.warehouse.bucketIds(table.name, sets))
+            // pruning is IO elision: any evaluation hiccup (an exotic
+            // key type the local Row build can't represent) must widen
+            // the read, never break it
+            else try Some(env.warehouse.bucketIds(table.name, sets))
+            catch { case scala.util.control.NonFatal(_) => None }
           }
         }
       else None

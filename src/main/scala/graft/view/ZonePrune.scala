@@ -6,9 +6,14 @@ import graft.store.Brin
 
 /** Extracts conservative per-column key bounds from read filters so
   * brin-table reads can prune zone directories
-  * ([[graft.store.Warehouse.readZones]]). Bounds are collected for
-  * every zone-tracked column — the full table key plus the surrogate
-  * `id` — and a zone must overlap ALL of them to be read.
+  * ([[graft.store.Warehouse.readZones]]) and bucketed-table reads can
+  * prune bucket dirs ([[graft.store.Warehouse.bucketIds]] — used by
+  * [[View.read]] when every key column lands on an exact point set).
+  * Bounds are collected for every zone-tracked column — the full
+  * table key plus the surrogate `id` — and a zone must overlap ALL
+  * of them to be read. Equality shapes (`=`, `in`, equality maps)
+  * additionally record the exact value set ([[Brin.Bounds]] points),
+  * which prunes zones per VALUE and feeds the bucket hash.
   *
   * Only shapes that PROVABLY bound a tracked column contribute:
   * top-level conjuncts of the form `(op col literal)` (either operand
