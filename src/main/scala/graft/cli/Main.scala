@@ -61,9 +61,11 @@ object Main {
       clfPos: String = "", clfNeg: String = "", minClf: Double = 0.0,
       normalize: Boolean = false, gopher: Boolean = false,
       explain: Boolean = false,
-      // sample/shard actions: id column (defaults to the table key),
-      // split band "lo,hi" and leakage-group column
+      // sample/shard/pack actions: id column (defaults to the table
+      // key), split band "lo,hi", leakage-group column, and the pack
+      // weight column + per-shard token budget
       by: String = "", band: String = "", group: String = "",
+      weight: String = "", budget: Long = 0L,
       // index options (see the `index` action); kOpt serves recall's
       // top-k (default 10) and the semantic build's cluster count
       // (default 64)
@@ -118,6 +120,8 @@ object Main {
         case "--by" => o = o.copy(by = argv(i + 1)); i += 2
         case "--band" => o = o.copy(band = argv(i + 1)); i += 2
         case "--group" => o = o.copy(group = argv(i + 1)); i += 2
+        case "--weight" => o = o.copy(weight = argv(i + 1)); i += 2
+        case "--budget" => o = o.copy(budget = argv(i + 1).toLong); i += 2
         case "--out" => o = o.copy(outTable = argv(i + 1)); i += 2
         case "--keep-spills" => o = o.copy(keepSpills = true); i += 1
         case "--resume" => o = o.copy(resumeFrom = argv(i + 1).toInt); i += 2
@@ -301,6 +305,27 @@ object Main {
       val df = env.view(o.table, fields).read(o.filters.map(FilterExpr.apply))
       graft.ops.Sample.writeShards(df, sampleId(o, env, df), o.shards, dir)
       out.write(s"wrote ${o.shards} shard(s) of ${o.table} to $dir\n")
+
+    // extension: token-budget packing on the CLI — Sample.packByBudget
+    // assigns contiguous ~--budget-weight runs of rows to shards
+    // (deterministic id order, two-phase prefix sum, no single-task
+    // window) and the writer lands one file per shard dir — the
+    // "shards balanced by tokens, not rows" training-export layout.
+    case "pack" =>
+      val dir = o.file.getOrElse(throw new IllegalArgumentException(
+        "pack needs -f/--file <dir>"))
+      require(o.weight.nonEmpty, "pack needs --weight <token-count column>")
+      require(o.budget > 0, "pack needs --budget <tokens per shard>")
+      val fields = if (o.fields.nonEmpty) o.fields else null
+      val df = env.view(o.table, fields).read(o.filters.map(FilterExpr.apply))
+      val idc = sampleId(o, env, df)
+      val packed = graft.ops.Sample.packByBudget(df, idc, o.weight, o.budget)
+      val sc = org.apache.spark.sql.functions.col("shard")
+      packed.repartition(sc)
+        .sortWithinPartitions(sc, org.apache.spark.sql.functions.col(idc))
+        .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      graft.ops.Sample.releaseLayouts()
+      out.write(s"packed ${o.table} by ${o.weight} into $dir\n")
 
     // extension: consistent whole-warehouse backup — the single-file
     // root catalog pins a transactionally consistent cross-table cut;

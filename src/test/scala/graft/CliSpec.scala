@@ -367,6 +367,20 @@ class CliSpec extends SparkSpec {
       run(conf.toString, "sample", "docs", "-H", "--sample", "0.5",
         "--by", "text"))
     assert(e.getMessage.contains("--by"), e.getMessage)
+    // pack: token-budget shard layout (weight column = doc_id here):
+    // shard of doc i must equal floor(sum-of-earlier-weights / budget)
+    val pdir = dir.resolve("packed").toString
+    run(conf.toString, "pack", "docs", "-f", pdir,
+      "--weight", "doc_id", "--budget", "100")
+    val pk = spark.read.parquet(pdir).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+    assert(pk.size == 40)
+    (1L to 40L).foreach { i =>
+      assert(pk(i) == (i * (i - 1) / 2) / 100, s"doc $i -> ${pk(i)}")
+    }
+    val e3 = intercept[IllegalArgumentException](
+      run(conf.toString, "pack", "docs", "-f", pdir, "--weight", "doc_id"))
+    assert(e3.getMessage.contains("--budget"), e3.getMessage)
     // read --explain: the formatted physical plan instead of rows,
     // proving parquet pushdown reaches the scan
     val plan = run(conf.toString, "read", "docs", "doc_id",
