@@ -1288,6 +1288,20 @@ object SparkEntry {
     // reproduces the exact document set); the per-source running sums
     // ride the packByBudget two-phase prefix machinery, no per-source
     // single-reducer window
+    // LLM-pipeline: deterministic UP-sampling — the mixing factors > 1
+    // case (epochs over low-resource sources): src0/src1 get whole +
+    // fractional repeats, src2 drops, everything else keeps one copy;
+    // the idHash rule resolves fractional parts so DuckDB replays the
+    // exact copy counts.
+    "sample_upsample" -> ((s, dir) => {
+      val docs = env(s, dir)
+        .view("documents", Seq("doc_id", "source")).read()
+      graft.ops.Sample.upsample(docs, "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.0))
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     "sample_mixture" -> ((s, dir) => {
       val docs = env(s, dir)
         .view("documents", Seq("doc_id", "text", "source")).read()
@@ -2439,6 +2453,20 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296
         |      < 1073741824""".stripMargin,
+    "sample_upsample" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(fac) AS BIGINT) + CASE
+        |      WHEN (doc_id % 2147483648) * 2654435761 % 4294967296
+        |           < CAST((fac - floor(fac)) * 4294967296.0 AS BIGINT)
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM (SELECT doc_id, source,
+        |          CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.25
+        |               WHEN 'src2' THEN 0.0 ELSE 1.0 END AS fac
+        |        FROM documents))
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, copies - 1)) AS INTEGER) AS copy
+        |FROM c ORDER BY doc_id, copy""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10""".stripMargin,

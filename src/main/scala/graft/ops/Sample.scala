@@ -517,6 +517,36 @@ object Sample {
         sum(col("__pw")).as("n_tokens"))
   }
 
+  /** Deterministic UP-sampling — the other half of the mixing story
+    * ([[temperatureSample]] and [[mixture]] only thin): repeat each
+    * row of source s `factors(s)` times, fractional parts resolved by
+    * the [[idHash]] membership rule (factor 2.3 → every row twice,
+    * and the first 30% of the hash space a third time) — the
+    * "epochs over low-resource sources" step of mT5/DoReMi-style
+    * recipes, reproducible on any cluster size. Emits a `copy`
+    * column (0-based) so downstream keys stay unique as (id, copy);
+    * sources absent from `factors` keep one copy. Scale shape: a
+    * broadcast factor join + a narrow per-row `sequence` explode —
+    * no shuffle, output size = Σ ceil-or-floor(f×n). */
+  def upsample(df: DataFrame, idCol: String, groupCol: String,
+      factors: Map[String, Double]): DataFrame = {
+    require(factors.values.forall(f => f >= 0 && f <= 1000),
+      s"factors must sit in [0, 1000]: $factors")
+    val f = coalesce(element_at(typedLit(factors), col(groupCol)), lit(1.0))
+    val whole = floor(f).cast("long")
+    val extra = when(
+      idHash(col(idCol)) < ((f - whole) * 4294967296.0).cast("long"),
+      lit(1L)).otherwise(lit(0L))
+    val copies = whole + extra
+    // guard the empty case explicitly: sequence(0, -1) would DESCEND
+    // (Spark infers step -1), not return empty — factor 0 (or a
+    // fractional-only factor missing the hash band) must drop the row
+    df.withColumn("copy", explode(
+        when(copies <= 0L, array().cast("array<long>"))
+          .otherwise(sequence(lit(0L), copies - 1L))))
+      .withColumn("copy", col("copy").cast("int")) // generators can't nest in cast
+  }
+
   /** Corpus MIXTURE sampling: greedily fill a per-source token budget
     * in a deterministic document order, keeping each row while its
     * source's running `weightCol` total stays within

@@ -233,6 +233,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("upsample: whole+fractional copies, factor-0 drop, unique (id, copy)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType)))
+    val df = s.createDataFrame((0 until 400).map(i =>
+      org.apache.spark.sql.Row(i.toLong, s"s${i % 4}")).asJava, schema)
+    val up = Sample.upsample(df, "doc_id", "src",
+      Map("s0" -> 3.0, "s1" -> 1.5, "s2" -> 0.0))
+    val counts = rows(up.groupBy("src").agg(count(lit(1)).as("n")))
+      .map(r => r.head -> r(1).asInstanceOf[Long]).toMap
+    assert(counts("s0") == 300L, counts)          // exactly 3 copies each
+    assert(!counts.contains("s2"), counts)        // factor 0 drops
+    assert(counts("s3") == 100L, counts)          // absent source: 1 copy
+    // fractional: 1.5 → between 1x and 2x, hash-rule deterministic
+    assert(counts("s1") > 100L && counts("s1") < 200L, counts)
+    assert(rows(up).map(r => (r.head, r.last)).distinct.size ==
+      counts.values.sum, "copy indices must make rows unique")
+    // partitioning-independent: identical selection at any layout
+    val again = Sample.upsample(df.repartition(13), "doc_id", "src",
+      Map("s0" -> 3.0, "s1" -> 1.5, "s2" -> 0.0))
+    assert(rows(again).map(r => (r.head, r.last)).toSet ==
+      rows(up).map(r => (r.head, r.last)).toSet)
+  }
+
   test("temperatureSample: flattens skew toward uniform, caps at full source") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
