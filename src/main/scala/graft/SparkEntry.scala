@@ -583,6 +583,51 @@ object SparkEntry {
           col("chunk_text"))
     }),
 
+    // LLM-pipeline: model-free hashing-trick embedding — emitted as
+    // the non-zero (doc_id, dim, signed count) entries of the
+    // UN-normalized vector, so the compare is exact-integer (bucket,
+    // sign, and accumulation all gated; normalization is the already-
+    // oracled l2Normalize). md5-derived buckets replay in DuckDB.
+    "text_hash_embed" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
+      Text.hashEmbed(docs, "text", dims = 64, outCol = "__e",
+          normalize = false)
+        .select(col("doc_id"), posexplode(col("__e")).as(Seq("dim", "__w")))
+        .filter(col("__w") =!= 0f)
+        .select(col("doc_id"), col("dim").cast("int").as("dim"),
+          col("__w").cast("int").as("w"))
+        .orderBy(col("doc_id"), col("dim"))
+    }),
+
+    // LLM-pipeline: semantic benchmark decontamination — a planted
+    // "bench" of scaled copies of the first 10 vectors (cosine 1.0
+    // with their originals; natural pairwise cosine maxes ~0.45) must
+    // knock exactly vec_id 0..9 out through the banded broadcast path.
+    "embed_decontaminate" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val dims = emb.head().getSeq[Float](1).size
+      val bench = emb.filter(col("vec_id") < 10).select(
+        transform(col("embedding"), x => x * lit(1.001f)).as("bv"))
+      Similarity.decontaminateSemantic(emb, "embedding", "vec_id",
+          bench, "bv", threshold = 0.9, dims = dims)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
+    // Same gate through the exact broadcast nested-loop branch (the
+    // guaranteed-recall mode) at a lower threshold
+    "embed_decontaminate_exact" -> ((s, dir) => {
+      val e = env(s, dir)
+      val emb = e.view("embeddings", Seq("vec_id", "embedding")).read()
+      val dims = emb.head().getSeq[Float](1).size
+      val bench = emb.filter(col("vec_id") < 10).select(
+        transform(col("embedding"), x => x * lit(1.001f)).as("bv"))
+      Similarity.decontaminateSemantic(emb, "embedding", "vec_id",
+          bench, "bv", threshold = 0.8, dims = dims, exact = true)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // LLM-pipeline: per-stratum top-fraction curation — keep the best
     // quarter of each source by quality score (score desc, id
     // tie-break: deterministic survivors on any cluster)
@@ -2204,6 +2249,32 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(b.grams, c.grams))) >= 0.5)
         |SELECT doc_id FROM batch
         |WHERE doc_id NOT IN (SELECT doc_id FROM doomed)""".stripMargin,
+    // signed hashing trick, replayed exactly: the 60-bit token hash is
+    // the simhash oracle's md5 convention; bucket = hv % 64, sign =
+    // bit 59; only non-zero signed counts compare (integer-exact)
+    "text_hash_embed" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents),
+        |h AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) AS BIGINT) AS hv FROM tok),
+        |f AS (SELECT doc_id, CAST(hv % 64 AS INTEGER) AS dim,
+        |  CAST(sum(CASE WHEN (hv >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS INTEGER) AS w
+        |  FROM h GROUP BY 1, 2)
+        |SELECT doc_id, dim, w FROM f WHERE w <> 0""".stripMargin,
+    "embed_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS bv
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT e.vec_id FROM embeddings e
+        |WHERE NOT EXISTS (SELECT 1 FROM bench b
+        |  WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(b.bv AS DOUBLE[])) >= 0.9)""".stripMargin,
+    "embed_decontaminate_exact" ->
+      """WITH bench AS (
+        |  SELECT list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS bv
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT e.vec_id FROM embeddings e
+        |WHERE NOT EXISTS (SELECT 1 FROM bench b
+        |  WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(b.bv AS DOUBLE[])) >= 0.8)""".stripMargin,
     "dedup_embedding_apply" ->
       """WITH pool AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -26,6 +26,58 @@ object TextKernels {
   def nfc(c: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(c.cast("string"))))
 
+  /** Hashing-trick document embedding over a token array: each token
+    * md5-hashes to a 60-bit value `hv`; `hv % dims` picks the bucket,
+    * bit 59 of `hv` picks the sign (+1/−1 — the signed hashing trick,
+    * Weinberger 2009, which keeps collisions zero-mean), and the
+    * signed counts accumulate into a `dims`-length `array<float>`.
+    * Composes with [[graft.ops.Similarity.l2Normalize]] and then the
+    * whole ANN / SemDeDup machinery — an embedding column with no
+    * model in the loop.
+    *
+    * md5 (not xxhash64) so the vector is engine-portable: the 60-bit
+    * value is exactly DuckDB's `CAST('0x' || substr(md5(t),1,15) AS
+    * UBIGINT)` — the same replayable-hash convention as the SimHash
+    * oracle. Per-row cost is O(tokens + dims) with zero shuffle; a
+    * HOF spelling would be O(tokens × dims) per row and fall out of
+    * codegen. */
+  def featureHash(tokens: Column, dims: Int): Column =
+    Bridge.column(FeatureHashEmbed(
+      Bridge.expression(tokens.cast("array<string>")), dims))
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Runtime for [[FeatureHashEmbed]] (also the codegen target). Null
+    * tokens are skipped; an all-null or empty array yields the zero
+    * vector. */
+  def featureHashEmbed(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+      dims: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val acc = new Array[Float](dims)
+    val md = md5Local.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        val dg = md.digest(tokens.getUTF8String(i).getBytes)
+        // first 15 hex digits of the digest = first 8 bytes big-endian,
+        // dropped low nibble — a non-negative 60-bit long
+        var top = 0L
+        var j = 0
+        while (j < 8) { top = (top << 8) | (dg(j) & 0xffL); j += 1 }
+        val hv = top >>> 4
+        val b = (hv % dims).toInt
+        acc(b) += (if (((hv >>> 59) & 1L) == 1L) 1f else -1f)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(acc)
+  }
+
   /** Runtime for [[NfcNormalize]] (also the codegen target — scalac
     * emits a static forwarder for it on the `TextKernels` class).
     * Fast paths: pure-ASCII bytes are NFC by definition; an
@@ -43,6 +95,32 @@ object TextKernels {
     }
     s
   }
+}
+
+/** Signed feature-hashing embedding of an `array<string>` token
+  * column; see [[TextKernels.featureHash]]. `dims` is a plan constant
+  * baked into the generated loop. */
+case class FeatureHashEmbed(child: Expression, dims: Int)
+    extends UnaryExpression {
+  require(dims > 0, s"featureHash dims must be positive, got $dims")
+  // input type is guaranteed array<string> by the TextKernels wrapper
+  // (explicit cast); direct construction must honor that
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "feature_hash"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.featureHashEmbed(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], dims)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.featureHashEmbed($c, $dims)")
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed =
+    copy(child = newChild)
 }
 
 case class NfcNormalize(child: Expression) extends UnaryExpression {

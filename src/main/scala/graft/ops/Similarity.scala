@@ -842,6 +842,54 @@ object Similarity {
     newDf.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Semantic benchmark DECONTAMINATION: drop every corpus row whose
+    * `vecCol` embedding has cosine ≥ `threshold` against ANY vector of
+    * `bench` — the embedding-level twin of
+    * [[Text.decontaminate]]'s n-gram overlap check. Paraphrased or
+    * reformatted eval questions share no 13-gram with the training
+    * text but sit next to it in embedding space; pipelines run both
+    * gates before a release. Returns the SURVIVORS.
+    *
+    * Scale shape (default): both sides band through the sign-LSH
+    * machinery — the corpus via the bulk [[signatures]] aggregate, the
+    * small bench side per-row — and candidates come from a BROADCAST
+    * band join (bench sets are thousands of rows; their banded explode
+    * stays trivially broadcastable). Exact cosine verifies candidates
+    * only, so the corpus never cross-joins the bench. Recall follows
+    * the LSH collision bound: certain at cosine ≈ 1 (identical
+    * signatures), decaying toward `threshold`; `exact = true` switches
+    * to a broadcast nested-loop over every (row, bench) pair scored by
+    * the codegen cosine kernel — a guaranteed gate, affordable when
+    * corpus × bench FLOPs are (it is still shuffle-free and
+    * embarrassingly parallel, just not sublinear in bench size). */
+  def decontaminateSemantic(corpus: DataFrame, vecCol: String,
+      idCol: String, bench: DataFrame, benchVecCol: String,
+      threshold: Double, dims: Int, exact: Boolean = false,
+      numPlanes: Int = 64, bandBits: Int = 16, seed: Long = 42L): DataFrame = {
+    val bv = bench.select(col(benchVecCol).cast("array<double>").as("__bv"))
+    val doomed =
+      if (exact)
+        corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+          .crossJoin(broadcast(bv))
+          .filter(cosine(col("__cv"), col("__bv")) >= threshold)
+          .select(idCol).distinct()
+      else {
+        val banded = signatures(corpus, vecCol, idCol, dims,
+            numPlanes, bandBits, seed)
+          .select(col("__id"), explode(col("__bands")).as("__band"))
+        val bandedB = bv.select(col("__bv"),
+          explode(lshBands(col("__bv"), dims, numPlanes, bandBits, seed))
+            .as("__band"))
+        banded.join(broadcast(bandedB), Seq("__band"))
+          .select(col("__id"), col("__bv")).distinct()
+          .join(corpus.select(col(idCol).as("__id"),
+            col(vecCol).cast("array<double>").as("__cv")), Seq("__id"))
+          .filter(cosine(col("__cv"), col("__bv")) >= threshold)
+          .select(col("__id").as(idCol)).distinct()
+      }
+    corpus.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dedup: drop the larger id of every verified
     * near-duplicate pair (greedy canonical-smallest, same policy as
     * [[Dedup.minhashDedup]]) — one anti-join over the mined pairs. */

@@ -382,6 +382,32 @@ object Text {
     * Documents with fewer than n tokens collapse to one whole-text
     * gram (the same fold over all tokens), so every doc has ≥1 gram
     * for every n. */
+  /** Model-free document embedding by the signed hashing trick: each
+    * whitespace token of `textCol` hashes into one of `dims` buckets
+    * with a ±1 sign (md5-derived, engine-replayable — see
+    * [[graft.functions.TextKernels.featureHash]]), and the per-bucket
+    * signed counts become an `array<float>` column named `outCol`,
+    * L2-normalized unless `normalize = false`.
+    *
+    * This is the bridge from the text world to the vector world when
+    * no encoder model is available (or affordable at 100 TB): the
+    * output column feeds [[Similarity.buildIndex]],
+    * [[Similarity.cosineDedup]], SemDeDup, and
+    * [[Similarity.decontaminateSemantic]] unchanged. Cosine of two
+    * hashed vectors estimates the cosine of the underlying bag-of-
+    * words TF vectors (collisions are zero-mean by the sign bit).
+    *
+    * Scale shape: one native codegen kernel per row — O(tokens + dims)
+    * CPU, no explode, no shuffle; embedding 100 TB is a scan. */
+  def hashEmbed(df: org.apache.spark.sql.DataFrame, textCol: String,
+      dims: Int, outCol: String = "embedding",
+      normalize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val raw = graft.functions.TextKernels.featureHash(
+      split(lower(trim(col(textCol))), "\\s+"), dims)
+    df.withColumn(outCol,
+      if (normalize) graft.ops.Similarity.l2Normalize(raw) else raw)
+  }
+
   private val gramP = lit(-7046029254386353131L) // 2^64 / golden ratio
   private def tokenHashes(text: Column): Column =
     transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))

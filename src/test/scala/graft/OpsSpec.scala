@@ -1948,4 +1948,72 @@ class OpsSpec extends SparkSpec {
     assert(rows(mm.select(VectorKernels.cosineI8(col("a"), col("b"))))
       == Seq(Seq(null)))
   }
+
+  test("hashEmbed: signed counts, linearity, normalization, null, codegen") {
+    // un-normalized: single token lands ±1 in exactly one bucket;
+    // repeating it doubles that entry (the accumulation is linear)
+    val one = rows(Text.hashEmbed(docsDf(Seq((1L, "alpha"))), "text",
+      dims = 16, outCol = "e", normalize = false)).head(2)
+      .asInstanceOf[scala.collection.Seq[Float]]
+    assert(one.count(_ != 0f) == 1 && one.exists(v => v == 1f || v == -1f), one)
+    val twice = rows(Text.hashEmbed(docsDf(Seq((1L, "alpha alpha"))), "text",
+      dims = 16, outCol = "e", normalize = false)).head(2)
+      .asInstanceOf[scala.collection.Seq[Float]]
+    assert(twice == one.map(_ * 2), twice)
+    // normalized: unit L2 norm, dims respected
+    val nrm = rows(Text.hashEmbed(docsDf(Seq((1L, "a b c d e"))), "text",
+      dims = 32, outCol = "e")).head(2).asInstanceOf[scala.collection.Seq[Double]]
+    assert(nrm.size == 32)
+    assert(math.abs(nrm.map(x => x * x).sum - 1.0) < 1e-9, nrm.toString)
+    // null text -> null embedding (nullIntolerant chain)
+    assert(rows(Text.hashEmbed(docsDf(Seq((1L, null))), "text", 8,
+      outCol = "e", normalize = false)).head(2) == null)
+    // the kernel stays inside whole-stage codegen on a real scan
+    val cg = s.range(3).select(graft.functions.TextKernels.featureHash(
+      split(concat(lit("tok"), col("id").cast("string")), " "), 8).as("e"))
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(rows(cg).forall(_.head.asInstanceOf[scala.collection.Seq[Float]]
+      .count(_ != 0f) == 1))
+  }
+
+  test("hashEmbed feeds the vector machinery: dedup finds hashed twins") {
+    // two documents with identical token bags embed identically; a
+    // third, disjoint one stays — the model-free text->vector bridge
+    // composes with cosineDedup unchanged
+    val docs = docsDf(Seq(
+      (1L, "spark shuffles partition the keyed data across executors " * 3),
+      (2L, "spark shuffles partition the keyed data across executors " * 3),
+      (3L, "entirely different vocabulary about cooking pasta tonight " * 3)))
+    val emb = Text.hashEmbed(docs, "text", dims = 64)
+    val kept = rows(Similarity.cosineDedup(emb, "embedding", "doc_id",
+      threshold = 0.99, dims = 64)).map(_.head).toSet
+    assert(kept == Set(1L, 3L), kept)
+  }
+
+  test("decontaminateSemantic: planted bench hit drops, both paths, empty bench") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val emb = env.view("embeddings", Seq("vec_id", "embedding")).read()
+    val dims = emb.head().getSeq[Float](1).size
+    val bench = emb.filter(col("vec_id") === 7L).select(
+      transform(col("embedding"), x => x * lit(1.001f)).as("bv"))
+    // LSH-banded broadcast path: exactly vec 7 is contaminated
+    val survivors = rows(Similarity.decontaminateSemantic(emb, "embedding",
+      "vec_id", bench, "bv", threshold = 0.9, dims = dims))
+      .map(_.head).toSet
+    val all = rows(emb.select("vec_id")).map(_.head).toSet
+    assert(survivors == all - 7L,
+      s"missing=${all -- survivors -- Set(7L)} extraDropped=${all -- survivors}")
+    // exact broadcast nested-loop path agrees
+    val exact = rows(Similarity.decontaminateSemantic(emb, "embedding",
+      "vec_id", bench, "bv", threshold = 0.9, dims = dims, exact = true))
+      .map(_.head).toSet
+    assert(exact == survivors, (exact -- survivors, survivors -- exact).toString)
+    // empty bench decontaminates nothing on either path
+    val none = bench.filter(lit(false))
+    assert(rows(Similarity.decontaminateSemantic(emb, "embedding", "vec_id",
+      none, "bv", 0.9, dims)).size == all.size)
+    assert(rows(Similarity.decontaminateSemantic(emb, "embedding", "vec_id",
+      none, "bv", 0.9, dims, exact = true)).size == all.size)
+  }
 }
