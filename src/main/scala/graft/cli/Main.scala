@@ -23,6 +23,8 @@ import graft.view.{Filter, FilterExpr, Order}
   *             | index (ANN index lifecycle: build/append/retrain/
   *                      recall/info over a vector table — --path dir,
   *                      --kind lsh|ivf|ivfpq|semantic, probe knobs)
+  *             | embed (model-free hashed embeddings: --dims N,
+  *                      --out <table> or -f <parquet dir>)
   *     --config <file>     .tk.yaml-style config: {schema: path, warehouse: path}
   *     -F/--filter <expr>  repeatable s-expression filter
   *     -s/--sort  <col[:DESC]> repeatable sort
@@ -74,7 +76,9 @@ object Main {
       queries: Int = 10, nprobe: Int = 4, probeLevel: Int = 1,
       // compact action: comma-separated z-order columns; None = plain
       // compaction, Some("") = clear the recorded z-order property
-      zorder: Option[String] = None)
+      zorder: Option[String] = None,
+      // embed action: hashed-embedding dimensionality
+      dims: Int = 0)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -114,6 +118,7 @@ object Main {
         case "--clf-neg" => o = o.copy(clfNeg = argv(i + 1)); i += 2
         case "--min-clf" => o = o.copy(minClf = argv(i + 1).toDouble); i += 2
         case "--zorder" => o = o.copy(zorder = Some(argv(i + 1))); i += 2
+        case "--dims" => o = o.copy(dims = argv(i + 1).toInt); i += 2
         case "--normalize" => o = o.copy(normalize = true); i += 1
         case "--gopher" => o = o.copy(gopher = true); i += 1
         case "--explain" => o = o.copy(explain = true); i += 1
@@ -458,12 +463,23 @@ object Main {
               org.apache.spark.sql.functions.col(vecCol))).head(1).headOption
             .map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
               s"no non-null vectors in ${o.table} to derive dims from"))
+          // --bench <table> adds the semantic eval-overlap gate: its
+          // vector column is --bench-field when given, else this
+          // table's vector column name
+          val bench = Option(o.bench).filter(_.nonEmpty).map { t =>
+            val bcol = if (o.benchField != "text") o.benchField else vecCol
+            env.view(t, Seq(bcol)).read()
+              .withColumn(bcol, org.apache.spark.sql.functions.col(bcol)
+                .cast("array<float>"))
+          }
+          val benchCol = if (o.benchField != "text") o.benchField else vecCol
           graft.ops.Pipeline.Stage("float32", df =>
             df.withColumn(vecCol, org.apache.spark.sql.functions.col(vecCol)
               .cast("array<float>"))) +:
             graft.ops.Pipeline.curateEmbeddings(idCol, vecCol, dims,
               nearThreshold = if (o.near >= 0) o.near else 0.99,
-              semanticK = if (o.kOpt > 0) o.kOpt else 64)
+              semanticK = if (o.kOpt > 0) o.kOpt else 64,
+              bench = bench, benchVecCol = benchCol)
         } else {
           val idCol = o.fields.headOption.getOrElse("doc_id")
           val textCol = o.fields.drop(1).headOption.getOrElse("text")
@@ -519,6 +535,31 @@ object Main {
     //   tk index info    --path d                      (meta, arrays summarized)
     // Vector dims derive from the table's first row at build; append /
     // retrain dispatch on the index's own metadata.
+    // extension: model-free hashed embeddings — Text.hashEmbed turns
+    // a text table into an L2-normalized vector table ready for
+    // `tk index build` / `tk curate --embeddings`. Positionals name
+    // the id and text columns (defaults doc_id/text); --out writes a
+    // managed table (declare it with a float[] column), -f exports a
+    // parquet dir.
+    case "embed" =>
+      require(o.dims > 0, "embed needs --dims <vector dimensions>")
+      val idCol = o.fields.headOption.getOrElse("doc_id")
+      val textCol = o.fields.drop(1).headOption.getOrElse("text")
+      val df = env.view(o.table, Seq(idCol, textCol))
+        .read(o.filters.map(FilterExpr.apply))
+      val emb = graft.ops.Text.hashEmbed(df, textCol, o.dims)
+        .select(idCol, "embedding")
+      (Option(o.outTable).filter(_.nonEmpty), o.file) match {
+        case (Some(t), _) =>
+          env.view(t, Seq(idCol, "embedding")).write(emb): Unit
+          out.write(s"embedded ${o.table} (${o.dims}d) into $t\n")
+        case (None, Some(dir)) =>
+          emb.write.mode("overwrite").parquet(dir)
+          out.write(s"embedded ${o.table} (${o.dims}d) into $dir\n")
+        case _ => throw new IllegalArgumentException(
+          "embed needs --out <table> or -f/--file <parquet dir>")
+      }
+
     case "index" =>
       import graft.ops.Similarity
       def path(): String = {

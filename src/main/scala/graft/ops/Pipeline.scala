@@ -183,11 +183,18 @@ object Pipeline {
     * stage's materialized survivors. */
   def curateEmbeddings(idCol: String = "vec_id", vecCol: String = "embedding",
       dims: Int, nearThreshold: Double = 0.99,
-      semanticThreshold: Double = 0.95, semanticK: Int = 64): Seq[Stage] = Seq(
+      semanticThreshold: Double = 0.95, semanticK: Int = 64,
+      bench: Option[DataFrame] = None, benchVecCol: String = "embedding",
+      decontamThreshold: Double = 0.9): Seq[Stage] = Seq(
     Stage("exact_dedup", df => Dedup.exact(df, Seq(vecCol), idCol)),
     Stage("near_dedup", df =>
       Similarity.cosineDedup(df, vecCol, idCol, nearThreshold, dims)),
     Stage("semantic_dedup", df =>
       Similarity.semanticDedupAuto(df, vecCol, idCol, semanticThreshold,
-        k = semanticK)))
+        k = semanticK))) ++
+    // mirror of the document recipe's decontaminate placement: the
+    // eval-overlap gate runs over the already-deduped survivors
+    bench.map(b => Stage("semantic_decontaminate", df =>
+      Similarity.decontaminateSemantic(df, vecCol, idCol, b, benchVecCol,
+        decontamThreshold, dims)))
 }

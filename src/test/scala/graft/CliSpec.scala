@@ -517,6 +517,92 @@ class CliSpec extends SparkSpec {
     assert(lastRows > 0 && lastRows < 22, cur)
   }
 
+  test("embed action: model-free vectors feed the index + curate chain") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-cli-embed-")
+    val schemaYaml =
+      """- table: docs
+        |  columns:
+        |    doc_id: bigint
+        |    text: varchar
+        |  key: [doc_id]
+        |- table: vectors
+        |  columns:
+        |    doc_id: bigint
+        |    embedding: float[]
+        |  key: [doc_id]
+        |""".stripMargin
+    val schema = dir.resolve("schema.yaml")
+    Files.writeString(schema, schemaYaml)
+    val conf = dir.resolve("tk.yaml")
+    Files.writeString(conf, s"schema: $schema\nwarehouse: ${dir.resolve("wh")}\n")
+    run(conf.toString, "init")
+    val env = graft.Env(spark,
+      graft.schema.Registry.fromYaml(schemaYaml), dir.resolve("wh").toString)
+    val dschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    env.view("docs", Seq("doc_id", "text")).write(spark.createDataFrame(Seq(
+      (1L, "spark shuffles keyed data across the executors " * 3),
+      (2L, "spark shuffles keyed data across the executors " * 3),
+      (3L, "totally different cooking vocabulary tonight " * 3))
+      .map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, dschema))
+    // embed into a managed table: unit-norm 16d vectors, one per doc
+    val emb = run(conf.toString, "embed", "docs", "--dims", "16",
+      "--out", "vectors")
+    assert(emb.contains("embedded docs (16d) into vectors"), emb)
+    val vecs = env.view("vectors", Seq("doc_id", "embedding")).read()
+    assert(vecs.count() == 3L)
+    import org.apache.spark.sql.functions._
+    val norms = vecs.select(sqrt(aggregate(col("embedding"), lit(0.0d),
+      (a, x) => a + x * x))).collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-6), norms.toSeq.toString)
+    // -f exports a parquet dir instead
+    val pq = dir.resolve("embpq").toString
+    run(conf.toString, "embed", "docs", "--dims", "16", "-f", pq)
+    assert(spark.read.parquet(pq).count() == 3L)
+    // the embedded table drives the index lifecycle unchanged
+    val idx = dir.resolve("idx").toString
+    val built = run(conf.toString, "index", "build", "vectors",
+      "doc_id", "embedding", "--path", idx, "--kind", "lsh")
+    assert(built.contains("built lsh index"), built)
+    // curate --embeddings --bench: doc 3's vector as the bench set
+    // decontaminates doc 3; docs 1/2 dedup to one survivor
+    env.view("vectors", Seq("doc_id", "embedding")).write(
+      spark.read.parquet(pq).filter(col("doc_id") === 3L)
+        .select((col("doc_id") + 100L).as("doc_id"), col("embedding")))
+    val benchSchema = schemaYaml +
+      """- table: bench
+        |  columns:
+        |    doc_id: bigint
+        |    embedding: float[]
+        |  key: [doc_id]
+        |""".stripMargin
+    Files.writeString(schema, benchSchema)
+    val env2 = graft.Env(spark,
+      graft.schema.Registry.fromYaml(benchSchema), dir.resolve("wh").toString)
+    env2.createTables()
+    env2.view("bench", Seq("doc_id", "embedding")).write(
+      spark.read.parquet(pq).filter(col("doc_id") === 3L))
+    val cur = run(conf.toString, "curate", "vectors", "doc_id", "embedding",
+      "--embeddings", "--scratch", dir.resolve("cscratch").toString,
+      "--k", "2", "--bench", "bench")
+    assert(cur.contains("semantic_decontaminate"), cur)
+    val lastRows = cur.linesIterator
+      .find(_.contains("semantic_decontaminate")).get
+      .trim.split("\\s+")(1).toLong
+    // 4 rows in: dup pair (1,2) collapses, 3 and 103 are bench hits
+    assert(lastRows == 1L, cur)
+    // loud errors: --dims required; somewhere to write required
+    assert(intercept[IllegalArgumentException](
+      run(conf.toString, "embed", "docs")).getMessage.contains("--dims"))
+    assert(intercept[IllegalArgumentException](
+      run(conf.toString, "embed", "docs", "--dims", "8"))
+      .getMessage.contains("--out"))
+  }
+
   test("yaml input and output") {
     val (conf, dir) = cfg()
     run(conf, "init")
