@@ -35,6 +35,7 @@ import graft.view.{Json, Order}
   *   → {"deleted": n}
   *   POST /_txn             {"actions": [...]}   // atomic batch, see txn
   *   POST /_compact/<table> [{"zorder": ["a","b"]}]  // layout maintenance
+  *   POST /_embed/<table>   {"dims": N, "out": "<table>"}  // hashed embeddings
   * }}}
   *
   * Audit side (storage-level, see [[graft.Env.diffSnapshots]]):
@@ -92,7 +93,7 @@ final class Server(env: Env, port: Int = 0) {
   private def handleTable(ex: HttpExchange, path: String): (Int, String) = {
         val mutation = path.startsWith("_write/") ||
           path.startsWith("_delete/") || path.startsWith("_curate/") ||
-          path.startsWith("_compact/")
+          path.startsWith("_compact/") || path.startsWith("_embed/")
         val prefixed = mutation || path.startsWith("_profile/") ||
           path.startsWith("_diff/") || path.startsWith("_snapshots/")
         val table = if (prefixed) path.substring(path.indexOf('/') + 1) else path
@@ -103,6 +104,7 @@ final class Server(env: Env, port: Int = 0) {
           (404, Json.write(Map("error" -> s"unknown table '$table'")))
         else if (path.startsWith("_write/")) (200, write(table, ex))
         else if (path.startsWith("_curate/")) (200, curate(table, ex))
+        else if (path.startsWith("_embed/")) (200, embed(table, ex))
         else if (path.startsWith("_compact/")) (200, compact(table, ex))
         else if (path.startsWith("_delete/"))
           (200, delete(table, params(ex.getRequestURI.getRawQuery)))
@@ -291,6 +293,33 @@ final class Server(env: Env, port: Int = 0) {
       "stages" -> reports.map(r => Map("stage" -> r.stage,
         "rows_out" -> r.rowsOut, "seconds" -> r.seconds)),
       "out" -> written.orNull))
+  }
+
+  /** `POST /_embed/<table>` — model-free hashed embeddings
+    * ([[graft.ops.Text.hashEmbed]]) of a managed text table into a
+    * managed vector table. Reads through the View layer (ACL read
+    * filters narrow the input) and writes through the ACL'd upsert —
+    * like `_curate`, HTTP clients never name a filesystem path.
+    * Body: `{"dims": 64, "out": "vectors",
+    *         "id_col": "doc_id", "text_col": "text"}`
+    * → `{"rows": n, "out": "vectors", "dims": 64}` */
+  private def embed(table: String, ex: HttpExchange): String = {
+    val body = jsonBody(ex)
+    def str(k: String, d: String) =
+      body.get(k).map(String.valueOf).filter(_.nonEmpty).getOrElse(d)
+    val dims = body.get("dims").map(_.toString.toInt).getOrElse(
+      throw new IllegalArgumentException("""embed needs "dims": N"""))
+    require(dims > 0, s"dims must be positive, got $dims")
+    val outTable = str("out", "")
+    require(outTable.nonEmpty, """embed needs "out": "<table>"""")
+    val idCol = str("id_col", "doc_id")
+    val textCol = str("text_col", "text")
+    val emb = graft.ops.Text.hashEmbed(
+        env.view(table, Seq(idCol, textCol)).read(), textCol, dims)
+      .select(idCol, "embedding")
+    val res = env.view(outTable, Seq(idCol, "embedding")).write(emb)
+    Json.write(Map("filtered" -> res.filtered,
+      "out" -> outTable, "dims" -> dims))
   }
 
   /** `POST /_compact/<table>` — small-file compaction

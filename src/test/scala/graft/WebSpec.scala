@@ -232,6 +232,41 @@ class WebSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("embed endpoint: hashed embeddings into a managed vector table") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wh-").toString
+    val yaml = SparkSpec.baseYaml +
+      """- table: vectors
+        |  columns:
+        |    registration_code: varchar
+        |    embedding: float[]
+        |  key: [registration_code]
+        |""".stripMargin
+    val env = Env(spark, graft.schema.Registry.fromYaml(yaml), root)
+    env.createTables()
+    env.view("member", Seq("registration_code", "name")).write(Seq(
+      Seq("A", "alpha beta gamma"), Seq("B", "alpha beta gamma"),
+      Seq("C", "one two three")))
+    val srv = new graft.web.Server(env)
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/_embed/member",
+        """{"dims": 16, "out": "vectors",
+          | "id_col": "registration_code", "text_col": "name"}""".stripMargin)
+      assert(code == 200, body)
+      assert(body.contains("\"dims\":16") || body.contains("\"dims\": 16"), body)
+      val vecs = env.view("vectors", Seq("registration_code", "embedding")).read()
+      assert(vecs.count() == 3L)
+      // identical texts embed identically; the distinct one differs
+      val byId = vecs.collect().map(r =>
+        r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(byId("A") == byId("B") && byId("A") != byId("C"), byId.toString)
+      // loud errors: missing dims / out; GET refused
+      assert(post(port, "/_embed/member", """{"out": "vectors"}""")._1 == 400)
+      assert(post(port, "/_embed/member", """{"dims": 8}""")._1 == 400)
+      assert(get(port, "/_embed/member")._1 == 405)
+    } finally srv.stop()
+  }
+
   test("curate endpoint: runs the pipeline, returns the stage audit") {
     val env = freshEnv(seedTeams = false)
     // B is an exact copy of A's text; the rest are all-distinct
