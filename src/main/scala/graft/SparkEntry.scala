@@ -1504,6 +1504,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: domain-blocklist filter — synthesized URLs (even
+    // docs live on a subdomain of <source>.com, odd docs on
+    // <source>.org) against a blocklist of the even-length sources'
+    // .com domains; the subdomain-suffix match must drop exactly the
+    // even docs of blocked sources
+    "text_domain_filter" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents", Seq("doc_id", "source")).read()
+      val url = when(col("doc_id") % 2 === 0,
+          concat(lit("https://sub."), col("source"), lit(".com/p/"),
+            col("doc_id")))
+        .otherwise(concat(lit("https://"), col("source"), lit(".org/x")))
+      val bl = docs.select(col("source")).distinct()
+        .filter(length(col("source")) % 2 === 0)
+        .select(concat(col("source"), lit(".com")).as("domain"))
+      Text.filterDomains(docs.withColumn("url", url), "url", "doc_id",
+          bl, "domain")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: Gopher-style repetition statistics — fraction of
     // content captured by the modal unigram/bigram/trigram per doc
     "text_repetition" -> ((s, dir) => {
@@ -2791,6 +2810,16 @@ object SparkEntry {
         |         WHEN 1 THEN 'https://' || source || '.com/p/' || grp || '?a=1&b=2'
         |         ELSE 'http://' || source || '.com/p/' || grp END AS url_norm
         |FROM d""".stripMargin,
+    "text_domain_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'sub.' || source || '.com'
+        |         ELSE source || '.org' END AS host
+        |  FROM documents),
+        |bl AS (SELECT DISTINCT source || '.com' AS domain FROM documents
+        |  WHERE length(source) % 2 = 0)
+        |SELECT doc_id FROM d WHERE NOT EXISTS (
+        |  SELECT 1 FROM bl WHERE d.host = bl.domain
+        |    OR d.host LIKE '%.' || bl.domain)""".stripMargin,
     // round-trips: the oracle is the untouched source table — any
     // byte lost or type bent in transit hash-mismatches
     "corpus_jsonl_roundtrip" ->

@@ -18,7 +18,8 @@ import graft.view.{Filter, FilterExpr, Order}
   *                                 --profile = per-column drift card)
   *             | curate (fused curation pipeline: --scratch <dir>,
   *                       --min-quality/--near/--url-col/--sample/--bench
-  *                       stage flags, --out <table> / -f <export dir>,
+  *                       /--blocklist [--block-field] stage flags,
+  *                       --out <table> / -f <export dir>,
   *                       --keep-spills + --resume N restartability)
   *             | index (ANN index lifecycle: build/append/retrain/
   *                      recall/info over a vector table — --path dir,
@@ -56,6 +57,7 @@ object Main {
       scratch: String = "", minQuality: Double = 0.0, near: Double = -1.0,
       urlCol: String = "", sample: Double = 1.0, bench: String = "",
       benchField: String = "text", outTable: String = "",
+      blocklist: String = "", blockField: String = "domain",
       keepSpills: Boolean = false, resumeFrom: Int = -1,
       embeddings: Boolean = false,
       // classifier stage: NB log-odds weights trained on two labeled
@@ -110,6 +112,8 @@ object Main {
           o = o.copy(minQuality = argv(i + 1).toDouble); i += 2
         case "--near" => o = o.copy(near = argv(i + 1).toDouble); i += 2
         case "--url-col" => o = o.copy(urlCol = argv(i + 1)); i += 2
+        case "--blocklist" => o = o.copy(blocklist = argv(i + 1)); i += 2
+        case "--block-field" => o = o.copy(blockField = argv(i + 1)); i += 2
         case "--sample" => o = o.copy(sample = argv(i + 1).toDouble); i += 2
         case "--bench" => o = o.copy(bench = argv(i + 1)); i += 2
         case "--bench-field" => o = o.copy(benchField = argv(i + 1)); i += 2
@@ -494,8 +498,13 @@ object Main {
               env.view(p, Seq(textCol)).read(), textCol,
               env.view(o.clfNeg, Seq(textCol)).read(), textCol)
           }
+          val block = Option(o.blocklist).filter(_.nonEmpty)
+            .map(t => env.view(t, Seq(o.blockField)).read())
+          require(block.isEmpty || o.urlCol.nonEmpty,
+            "curate --blocklist needs --url-col too")
           graft.ops.Pipeline.curateDocuments(idCol, textCol,
             urlCol = Option(o.urlCol).filter(_.nonEmpty),
+            blockDomains = block, blockDomainCol = o.blockField,
             nearThreshold = if (o.near >= 0) o.near else 0.2,
             minQuality = o.minQuality,
             bench = bench, benchTextCol = o.benchField,

@@ -108,6 +108,9 @@ object Pipeline {
   /** The canonical text-curation recipe, as a stage list for [[run]]:
     * Unicode hygiene (optional — [[Text.normalizeUnicode]] rewrite,
     * so downstream fingerprints see NFC-canonical bytes) →
+    * domain-blocklist filter (optional, needs `urlCol` too —
+    * [[Text.filterDomains]] against the curated list, the cheapest
+    * cut so it runs before any content stage) →
     * URL-canonical dedup (optional) → content-fingerprint exact dedup
     * → MinHash near-dedup → quality floor (optional) → Gopher
     * line-rule floor (optional — drops docs breaching the published
@@ -130,7 +133,9 @@ object Pipeline {
       minClassifier: Double = 0.0,
       sampleFraction: Double = 1.0,
       normalize: Boolean = false,
-      gopher: Boolean = false): Seq[Stage] = {
+      gopher: Boolean = false,
+      blockDomains: Option[DataFrame] = None,
+      blockDomainCol: String = "domain"): Seq[Stage] = {
     val b = Seq.newBuilder[Stage]
     // Unicode hygiene FIRST when asked: NFC makes visually-identical
     // texts byte-identical, so every later fingerprint/shingle stage
@@ -139,6 +144,12 @@ object Pipeline {
     if (normalize)
       b += Stage("normalize", df =>
         df.withColumn(textCol, Text.normalizeUnicode(col(textCol))))
+    // blocklist gate before everything content-level: the cheapest
+    // cut (host suffixes vs a broadcast list) shrinks every later
+    // miner's input, matching the published pipeline order
+    for (bd <- blockDomains; u <- urlCol)
+      b += Stage("domain_filter", df =>
+        Text.filterDomains(df, u, idCol, bd, blockDomainCol))
     urlCol.foreach { u =>
       b += Stage("url_dedup", df =>
         Dedup.exact(df.withColumn("__url", Text.normalizeUrl(col(u))),

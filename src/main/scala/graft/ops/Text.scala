@@ -673,6 +673,45 @@ object Text {
     * a trailing slash on a non-root path dropped. Scheme-less input
     * is assumed `http`. Pure regexp/HOF Column — per-row, codegen,
     * no shuffle, no UDF; NULL in, NULL out. */
+  /** Lowercased host of a URL: scheme/fragment/path dropped, any
+    * `:port` and a leading `www.` stripped (the [[normalizeUrl]] host
+    * rules, exposed standalone). Scheme-less input reads from the
+    * first character. NULL in, NULL out; pure regexp Column. */
+  def urlHost(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val rest = regexp_replace(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", "")
+    val auth = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    regexp_replace(regexp_replace(auth, ":\\d*$", ""), "^www\\.", "")
+  }
+
+  /** Domain-BLOCKLIST filter (the RefinedWeb/C4 URL-level gate: drop
+    * documents from curated adult/malware/boilerplate domain lists
+    * before any content-level stage runs). A document drops when its
+    * URL's host equals a blocked domain OR is a subdomain of one
+    * (`a.b.example.com` matches blocked `example.com`). Returns the
+    * SURVIVORS; rows with a NULL `urlCol` cannot match and survive.
+    *
+    * Scale shape: each row explodes only its host's label-suffix set
+    * (≤ label count, typically ≤ 5 short strings — the payload never
+    * moves) and equi-joins the normalized blocklist on the suffix;
+    * Spark broadcasts the blocklist when it is small (the usual ~1M-
+    * domain curated list) and shuffle-joins otherwise — no per-row
+    * scan of the list, no LIKE join, no UDF. */
+  def filterDomains(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      idCol: String, blocklist: org.apache.spark.sql.DataFrame,
+      domainCol: String = "domain"): org.apache.spark.sql.DataFrame = {
+    val labels = split(urlHost(col(urlCol)), "\\.")
+    val sufs = Hof.bind(labels, ls =>
+      transform(sequence(lit(0), size(ls) - 1), i =>
+        array_join(slice(ls, i + 1, size(ls)), ".")))
+    val cand = df.select(col(idCol).as("__id"), explode(sufs).as("__dom"))
+    val bl = blocklist
+      .select(lower(trim(col(domainCol))).as("__dom")).distinct()
+    val doomed = cand.join(bl, Seq("__dom"))
+      .select(col("__id").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   def normalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "#.*$", "")
     val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"

@@ -237,6 +237,8 @@ final class Server(env: Env, port: Int = 0) {
     *    "id_col": "doc_id", "text_col": "text",
     *    "min_quality": 0.5, "near": 0.2, "sample": 0.5,
     *    "url_col": "url",             // adds the url_dedup stage
+    *    "blocklist": "domains", "block_field": "domain",
+    *                                  // adds the domain_filter stage
     *    "bench": "benchtable", "bench_field": "text",  // decontaminate
     *    "clf_pos": "wiki", "clf_neg": "crawl", "min_clf": 0.0,
     *                                  // adds the classifier stage
@@ -270,9 +272,15 @@ final class Server(env: Env, port: Int = 0) {
         env.view(p, Seq(textCol)).read(), textCol,
         env.view(clfNeg, Seq(textCol)).read(), textCol)
     }
+    val blockField = str("block_field", "domain")
+    val block = Some(str("blocklist", "")).filter(_.nonEmpty)
+      .map(t => env.view(t, Seq(blockField)).read())
+    require(block.isEmpty || str("url_col", "").nonEmpty,
+      """curate "blocklist" needs "url_col" too""")
     val stages = graft.ops.Pipeline.curateDocuments(
       str("id_col", "doc_id"), textCol,
       urlCol = Some(str("url_col", "")).filter(_.nonEmpty),
+      blockDomains = block, blockDomainCol = blockField,
       nearThreshold = dbl("near", 0.2), minQuality = dbl("min_quality", 0.0),
       bench = bench, benchTextCol = benchField,
       classifier = clf, minClassifier = dbl("min_clf", 0.0),

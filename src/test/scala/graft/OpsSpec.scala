@@ -1949,6 +1949,25 @@ class OpsSpec extends SparkSpec {
       == Seq(Seq(null)))
   }
 
+  test("filterDomains: subdomain match, www/port strip, null url, no false drops") {
+    val urls = docsDf(Seq(
+      (1L, "https://bad.com/page"),              // exact match -> drop
+      (2L, "HTTP://WWW.Bad.com:80/x?q=1"),       // www/port/case -> drop
+      (3L, "https://deep.sub.bad.com/y"),        // subdomain -> drop
+      (4L, "https://notbad.com/z"),              // suffix of the NAME, not
+                                                 // a label suffix -> keep
+      (5L, "https://good.org/ok"),               // unrelated -> keep
+      (6L, null)))                               // null url -> keep
+      .withColumnRenamed("text", "url")
+    val bl = docsDf(Seq((1L, " BAD.com "))).select(col("text").as("domain"))
+    val kept = rows(Text.filterDomains(urls, "url", "doc_id", bl))
+      .map(_.head).toSet
+    assert(kept == Set(4L, 5L, 6L), kept)
+    // empty blocklist drops nothing
+    assert(rows(Text.filterDomains(urls, "url", "doc_id",
+      bl.filter(lit(false)))).size == 6)
+  }
+
   test("hashEmbed: signed counts, linearity, normalization, null, codegen") {
     // un-normalized: single token lands ±1 in exactly one bucket;
     // repeating it doubles that entry (the accumulation is linear)
