@@ -790,6 +790,42 @@ class PipelineOpsSpec extends SparkSpec {
       new java.io.File(scratch))
   }
 
+  test("curateDocuments: domain_filter stage gates on the blocklist before url_dedup") {
+    import graft.ops.Pipeline
+    val docs = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "alpha beta", "https://spam.bad.com/a"),
+      org.apache.spark.sql.Row(2L, "gamma delta", "https://ok.org/b"),
+      org.apache.spark.sql.Row(3L, "epsilon zeta", "https://fine.net/c")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType))))
+    val bl = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("bad.com")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("domain",
+          org.apache.spark.sql.types.StringType))))
+    val stages = Pipeline.curateDocuments(urlCol = Some("url"),
+      blockDomains = Some(bl))
+    assert(stages.map(_.name).take(2) == Seq("domain_filter", "url_dedup"),
+      stages.map(_.name))
+    val scratch = java.nio.file.Files.createTempDirectory("blk").toString
+    try {
+      val (out, reports) = Pipeline.run(docs, stages, scratch)
+      assert(reports.head.stage == "domain_filter" &&
+        reports.head.rowsOut == 2L, reports)
+      assert(rows(out.select("doc_id").orderBy("doc_id")).map(_.head)
+        == Seq(2L, 3L))
+      // without a urlCol the blocklist is inert (no stage to bind to)
+      assert(!Pipeline.curateDocuments(blockDomains = Some(bl))
+        .map(_.name).contains("domain_filter"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(scratch))
+  }
+
   test("Pipeline.resume over kept spills equals the uninterrupted run") {
     import graft.ops.Pipeline
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
