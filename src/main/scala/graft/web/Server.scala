@@ -247,7 +247,14 @@ final class Server(env: Env, port: Int = 0) {
     *    "out": "curated",             // write survivors to this table
     *    "keep_spills": true, "resume": 2}  // Pipeline.resume from N
     *   → {"stages": [{"stage": ..., "rows_out": n, "seconds": s}], "out": ...}
-    * }}} */
+    * }}}
+    *
+    * `"embeddings": true` switches to the vector recipe
+    * ([[graft.ops.Pipeline.curateEmbeddings]], the CLI `--embeddings`
+    * twin): `id_col`/`vec_col` name the columns (vec_id/embedding),
+    * `near` is the cosine near-dedup threshold (0.99), `k` the
+    * SemDeDup cluster count, and `bench`/`bench_field` an optional
+    * vector table for semantic decontamination. */
   private def curate(table: String, ex: HttpExchange): String = {
     val body = jsonBody(ex)
     def str(k: String, d: String) =
@@ -260,33 +267,61 @@ final class Server(env: Env, port: Int = 0) {
       scratchName != "." && scratchName != "..",
       s"scratch must be a plain name, got '$scratchName'")
     val scratch = s"${env.warehouse.root}/_scratch/$scratchName"
-    val benchField = str("bench_field", "text")
-    val bench = Some(str("bench", "")).filter(_.nonEmpty)
-      .map(t => env.view(t, Seq(benchField)).read())
-    val textCol = str("text_col", "text")
-    val (clfPos, clfNeg) = (str("clf_pos", ""), str("clf_neg", ""))
-    require(clfPos.isEmpty == clfNeg.isEmpty,
-      """curate needs BOTH "clf_pos" and "clf_neg" (or neither)""")
-    val clf = Some(clfPos).filter(_.nonEmpty).map { p =>
-      graft.ops.Text.classifierWeights(
-        env.view(p, Seq(textCol)).read(), textCol,
-        env.view(clfNeg, Seq(textCol)).read(), textCol)
-    }
-    val blockField = str("block_field", "domain")
-    val block = Some(str("blocklist", "")).filter(_.nonEmpty)
-      .map(t => env.view(t, Seq(blockField)).read())
-    require(block.isEmpty || str("url_col", "").nonEmpty,
-      """curate "blocklist" needs "url_col" too""")
-    val stages = graft.ops.Pipeline.curateDocuments(
-      str("id_col", "doc_id"), textCol,
-      urlCol = Some(str("url_col", "")).filter(_.nonEmpty),
-      blockDomains = block, blockDomainCol = blockField,
-      nearThreshold = dbl("near", 0.2), minQuality = dbl("min_quality", 0.0),
-      bench = bench, benchTextCol = benchField,
-      classifier = clf, minClassifier = dbl("min_clf", 0.0),
-      sampleFraction = dbl("sample", 1.0),
-      normalize = body.get("normalize").exists(_.toString.toBoolean),
-      gopher = body.get("gopher").exists(_.toString.toBoolean))
+    val stages =
+      if (body.get("embeddings").exists(_.toString.toBoolean)) {
+        // vector recipe (the CLI --embeddings twin): exact → cosine
+        // near-dedup → SemDeDup-auto → optional semantic
+        // decontamination against a bench vector table
+        val idCol = str("id_col", "vec_id")
+        val vecCol = str("vec_col", "embedding")
+        val input = env.view(table, Seq(idCol, vecCol)).read()
+          .filter(org.apache.spark.sql.functions.col(vecCol).isNotNull)
+        val dims = input.select(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col(vecCol))).head(1).headOption
+          .map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+            s"no non-null vectors in '$table' to derive dims from"))
+        val benchField = str("bench_field", vecCol)
+        val bench = Some(str("bench", "")).filter(_.nonEmpty)
+          .map(t => env.view(t, Seq(benchField)).read()
+            .withColumn(benchField, org.apache.spark.sql.functions
+              .col(benchField).cast("array<float>")))
+        graft.ops.Pipeline.Stage("float32", df =>
+          df.withColumn(vecCol, org.apache.spark.sql.functions.col(vecCol)
+            .cast("array<float>"))) +:
+          graft.ops.Pipeline.curateEmbeddings(idCol, vecCol, dims,
+            nearThreshold = dbl("near", 0.99),
+            semanticK = body.get("k").map(_.toString.toInt).getOrElse(64),
+            bench = bench, benchVecCol = benchField)
+      } else {
+        val benchField = str("bench_field", "text")
+        val bench = Some(str("bench", "")).filter(_.nonEmpty)
+          .map(t => env.view(t, Seq(benchField)).read())
+        val textCol = str("text_col", "text")
+        val (clfPos, clfNeg) = (str("clf_pos", ""), str("clf_neg", ""))
+        require(clfPos.isEmpty == clfNeg.isEmpty,
+          """curate needs BOTH "clf_pos" and "clf_neg" (or neither)""")
+        val clf = Some(clfPos).filter(_.nonEmpty).map { p =>
+          graft.ops.Text.classifierWeights(
+            env.view(p, Seq(textCol)).read(), textCol,
+            env.view(clfNeg, Seq(textCol)).read(), textCol)
+        }
+        val blockField = str("block_field", "domain")
+        val block = Some(str("blocklist", "")).filter(_.nonEmpty)
+          .map(t => env.view(t, Seq(blockField)).read())
+        require(block.isEmpty || str("url_col", "").nonEmpty,
+          """curate "blocklist" needs "url_col" too""")
+        graft.ops.Pipeline.curateDocuments(
+          str("id_col", "doc_id"), textCol,
+          urlCol = Some(str("url_col", "")).filter(_.nonEmpty),
+          blockDomains = block, blockDomainCol = blockField,
+          nearThreshold = dbl("near", 0.2),
+          minQuality = dbl("min_quality", 0.0),
+          bench = bench, benchTextCol = benchField,
+          classifier = clf, minClassifier = dbl("min_clf", 0.0),
+          sampleFraction = dbl("sample", 1.0),
+          normalize = body.get("normalize").exists(_.toString.toBoolean),
+          gopher = body.get("gopher").exists(_.toString.toBoolean))
+      }
     val keep = body.get("keep_spills").exists(_.toString.toBoolean)
     val (survivors, reports) = body.get("resume").map(_.toString.toInt) match {
       case Some(n) =>

@@ -264,6 +264,20 @@ class WebSpec extends SparkSpec {
       assert(post(port, "/_embed/member", """{"out": "vectors"}""")._1 == 400)
       assert(post(port, "/_embed/member", """{"dims": 8}""")._1 == 400)
       assert(get(port, "/_embed/member")._1 == 405)
+      // the embeddings curate recipe over the embedded table: A/B are
+      // identical vectors, so exact_dedup bites; the audit lists the
+      // vector stages
+      val (cc, cb) = post(port, "/_curate/vectors",
+        """{"embeddings": true, "scratch": "vrun",
+          | "id_col": "registration_code", "k": 2}""".stripMargin)
+      assert(cc == 200, cb)
+      assert(cb.contains("exact_dedup") && cb.contains("semantic_dedup"), cb)
+      val vstages = parse(cb)("stages")
+        .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.map(m => m.get("stage").toString ->
+          m.get("rows_out").toString.toLong)
+      assert(vstages.head._1 == "float32" && vstages.head._2 == 3L, vstages)
+      assert(vstages.find(_._1 == "exact_dedup").get._2 == 2L, vstages)
     } finally srv.stop()
   }
 
