@@ -752,6 +752,150 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Pure-JVM Ogg container probe (RFC 3533): sequential page walk —
+    * `OggS` capture pattern, 27-byte header, lacing table — reading
+    * each BOS page's first packet for the stream ident (Theora video:
+    * picture dims, frame rate, keyframe-granule shift; Vorbis: sample
+    * rate; Opus: pre-skip) and tracking the LAST granule position per
+    * stream. Duration comes from the granule semantics each codec
+    * defines: Theora granule = (keyframe << kfgshift) + offset →
+    * frame count / fps; Vorbis granule = PCM samples / rate; Opus
+    * granule = 48 kHz samples minus pre-skip. CRCs are not verified —
+    * a probe reports, it doesn't validate. Truncated or malformed
+    * pages end the walk with the facts gathered so far; payloads
+    * that aren't Ogg return None (same contract as [[Mp4Probe]]). */
+  private[graft] object OggProbe {
+    private def u32le(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    private def u64le(b: Array[Byte], o: Int): Long =
+      (0 until 8).map(i => (b(o + i) & 0xFFL) << (8 * i)).reduce(_ | _)
+    private def u16be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    private def u24be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xFF) << 16) | ((b(o + 1) & 0xFF) << 8) | (b(o + 2) & 0xFF)
+    private def u32be(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def has(b: Array[Byte], o: Int, s: String): Boolean =
+      o + s.length <= b.length &&
+        s.getBytes("US-ASCII").zipWithIndex.forall { case (c, i) => b(o + i) == c }
+
+    def looksLikeOgg(b: Array[Byte]): Boolean =
+      b != null && b.length >= 27 && has(b, 0, "OggS") && b(4) == 0
+
+    private final class Stream {
+      var kind: String = "other"
+      var width: Integer = null
+      var height: Integer = null
+      var frn = 0L; var frd = 0L; var kfgShift = 0
+      var rate = 0L; var preSkip = 0L
+      var lastGranule = -1L
+    }
+
+    def parse(b: Array[Byte]): Option[Row] = try {
+      if (!looksLikeOgg(b)) return None
+      val streams = scala.collection.mutable.LinkedHashMap[Long, Stream]()
+      var off = 0
+      while (off + 27 <= b.length && has(b, off, "OggS") && b(off + 4) == 0) {
+        val headerType = b(off + 5) & 0xFF
+        val granule = u64le(b, off + 6)
+        val serial = u32le(b, off + 14)
+        val nSegs = b(off + 26) & 0xFF
+        val lacingEnd = off + 27 + nSegs
+        if (lacingEnd > b.length) { off = b.length } else {
+          var payloadLen = 0
+          var i = 0
+          while (i < nSegs) { payloadLen += b(off + 27 + i) & 0xFF; i += 1 }
+          val p = lacingEnd // first packet starts at the payload head
+          val st = streams.getOrElseUpdate(serial, new Stream)
+          if ((headerType & 0x02) != 0 && payloadLen > 0) { // BOS page
+            if (p < b.length && b(p) == 0x80.toByte &&
+                has(b, p + 1, "theora") && p + 42 <= b.length) {
+              st.kind = "theora"
+              st.width = Int.box(u24be(b, p + 14))
+              st.height = Int.box(u24be(b, p + 17))
+              st.frn = u32be(b, p + 22); st.frd = u32be(b, p + 26)
+              st.kfgShift = (u16be(b, p + 40) >> 5) & 0x1F
+            } else if (p < b.length && b(p) == 0x01.toByte &&
+                has(b, p + 1, "vorbis") && p + 16 <= b.length) {
+              st.kind = "vorbis"
+              st.rate = u32le(b, p + 12)
+            } else if (has(b, p, "OpusHead") && p + 14 <= b.length) {
+              st.kind = "opus"
+              st.preSkip = (b(p + 10) & 0xFFL) | ((b(p + 11) & 0xFFL) << 8)
+            }
+          }
+          // granule -1 marks a continuation page with no packet end
+          if (granule != -1L && granule > st.lastGranule)
+            st.lastGranule = granule
+          off = lacingEnd + payloadLen
+        }
+      }
+      if (streams.isEmpty) return None
+      def durMs(s: Stream): Option[Double] = s.kind match {
+        case "theora" if s.lastGranule > 0 && s.frn > 0 && s.frd > 0 =>
+          val frames = (s.lastGranule >>> s.kfgShift) +
+            (s.lastGranule & ((1L << s.kfgShift) - 1))
+          Some(frames * 1000.0 * s.frd / s.frn)
+        case "vorbis" if s.lastGranule > 0 && s.rate > 0 =>
+          Some(s.lastGranule * 1000.0 / s.rate)
+        case "opus" if s.lastGranule > s.preSkip =>
+          Some((s.lastGranule - s.preSkip) * 1000.0 / 48000.0)
+        case _ => None
+      }
+      val video = streams.values.find(_.kind == "theora")
+      val first = video.orElse(streams.values.find(_.kind != "other"))
+      val duration = video.flatMap(durMs)
+        .orElse(streams.values.flatMap(durMs(_)).reduceOption(_ max _))
+      Some(Row("ogg", first.map(_.kind).orNull,
+        video.map(_.width).orNull, video.map(_.height).orNull,
+        duration.map(Double.box).orNull,
+        Int.box(streams.size), Boolean.box(true)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal Ogg container: a Theora BOS page (w×h
+    * picture dims, `fpsN`/1 fps, kfgshift 6), a Vorbis BOS page
+    * (44100 Hz), and a final Theora data page whose granule encodes
+    * exactly `frames` total frames — so durationMs = frames × 1000 /
+    * fpsN, exact arithmetic (the Ogg sibling of [[synthAvi]]). */
+  private[graft] def synthOgg(frames: Int, fpsN: Int, w: Int, h: Int): Array[Byte] = {
+    def le32(v: Long) = Array(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+      (v >> 24) & 0xFF).map(_.toByte)
+    def le64(v: Long) = (0 until 8).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be24(v: Int) = Array(((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def page(headerType: Int, granule: Long, serial: Long, seq: Long,
+        packet: Array[Byte]): Array[Byte] = {
+      require(packet.length < 255, "single-lace synth page")
+      "OggS".getBytes("US-ASCII") ++ Array(0.toByte, headerType.toByte) ++
+        le64(granule) ++ le32(serial) ++ le32(seq) ++ le32(0L) ++
+        Array(1.toByte, packet.length.toByte) ++ packet
+    }
+    val kfgShift = 6
+    val theoraIdent = Array(0x80.toByte) ++ "theora".getBytes("US-ASCII") ++
+      Array(3.toByte, 2.toByte, 1.toByte) ++                 // VMAJ VMIN VREV
+      be16((w + 15) / 16) ++ be16((h + 15) / 16) ++          // FMBW FMBH
+      be24(w) ++ be24(h) ++ Array(0.toByte, 0.toByte) ++     // PICW PICH PICX PICY
+      be32(fpsN.toLong) ++ be32(1L) ++                       // FRN FRD
+      be24(0) ++ be24(0) ++ Array(0.toByte) ++ be24(0) ++    // PAR CS NOMBR
+      be16(kfgShift << 5)                                    // QUAL/KFGSHIFT/PF
+    val vorbisIdent = Array(0x01.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      le32(0L) ++ Array(2.toByte) ++ le32(44100L) ++ le32(0L) ++
+      le32(0L) ++ le32(0L) ++ Array(0x01.toByte)
+    // granule encoding `frames` total: Theora 3.2.1+ granule frame
+    // numbers count from 1, so an all-keyframe stream's last granule
+    // is (frames << shift) — (g >>> shift) + (g & mask) = frames
+    val g = frames.toLong << kfgShift
+    page(0x02, 0L, 1L, 0L, theoraIdent) ++
+      page(0x02, 0L, 2L, 0L, vorbisIdent) ++
+      page(0x04, g, 1L, 1L, Array(0x00.toByte))
+  }
+
   /** Deterministic minimal AVI (RIFF) container: `RIFF(AVI LIST(hdrl
     * avih(1 ms/frame, durationMs frames, 1 stream, w×h) LIST(strl
     * strh('vids','MJPG'))))` — exact arithmetic, for the probe specs
@@ -807,8 +951,10 @@ object Multimodal {
   /** Video metadata prober: MP4-family payloads parse IN-JVM
     * ([[Mp4Probe]]), Matroska/WebM/MKV payloads parse IN-JVM
     * ([[EbmlProbe]] — DocType is read from the file, so `matroska`
-    * and `webm` both resolve), and RIFF/AVI payloads parse IN-JVM
-    * ([[RiffProbe]]) — no external process, the scale path for the
+    * and `webm` both resolve), RIFF/AVI payloads parse IN-JVM
+    * ([[RiffProbe]]), and Ogg payloads parse IN-JVM ([[OggProbe]] —
+    * Theora dims/fps, Vorbis/Opus rates, duration from the last
+    * granule) — no external process, the scale path for the
     * dominant containers; other formats fall to an OPTIONAL external
     * binary (ffprobe by default — the one tool every production video
     * pipeline already ships), the payload piped to its stdin and the
@@ -838,7 +984,7 @@ object Multimodal {
       if (bytes == null) return Row(null, null, null, null, null, null,
         Boolean.box(false))
       val jvm = Mp4Probe.parse(bytes).orElse(EbmlProbe.parse(bytes))
-        .orElse(RiffProbe.parse(bytes))
+        .orElse(RiffProbe.parse(bytes)).orElse(OggProbe.parse(bytes))
       // the JVM fast path answers only when the walk found real facts
       // (duration or dimensions). A magic-bearing payload with NO
       // facts — truncated after ftyp/the EBML header, or metadata

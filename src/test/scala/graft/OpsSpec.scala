@@ -1672,6 +1672,48 @@ class OpsSpec extends SparkSpec {
     assert(missing.probe(b) == r)
   }
 
+  test("Ogg probe: pure-JVM page walk, Theora/Vorbis idents, truncation, dispatch") {
+    val b = Multimodal.synthOgg(frames = 250, fpsN = 25, w = 320, h = 176)
+    val r = Multimodal.OggProbe.parse(b).get
+    assert(r.getString(0) == "ogg" && r.getString(1) == "theora", r)
+    assert(r.getInt(2) == 320 && r.getInt(3) == 176, r)
+    // 250 frames at 25 fps = 10000 ms exactly
+    assert(r.getDouble(4) == 10000.0, r)
+    assert(r.getInt(5) == 2 && r.getBoolean(6), r) // theora + vorbis streams
+    // not Ogg -> None; null-safe; families don't cross-match
+    assert(Multimodal.OggProbe.parse("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.OggProbe.parse(null).isEmpty)
+    assert(Multimodal.OggProbe.parse(Multimodal.synthAvi(1, 2, 2)).isEmpty)
+    assert(Multimodal.RiffProbe.parse(b).isEmpty)
+    assert(Multimodal.Mp4Probe.parse(b).isEmpty)
+    // vorbis-only stream: codec falls to the audio ident, duration
+    // from the sample-count granule (22050 samples at 44100 Hz)
+    val audio = {
+      val full = Multimodal.synthOgg(1, 1, 16, 16)
+      // keep only the vorbis BOS page (second page: offset = first
+      // page length; every synth page is 28 + packet bytes)
+      val p0 = 28 + 42 // theora BOS page length
+      val p1 = 28 + 29 // vorbis BOS page length
+      val vb = full.slice(p0, p0 + p1)
+      // append a vorbis data page carrying the closing granule
+      val tail = full.drop(p0 + p1) // theora EOS page, serial 1
+      tail(14) = 2 // rewrite serial to the vorbis stream
+      val g = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(22050L).array()
+      System.arraycopy(g, 0, tail, 6, 8)
+      vb ++ tail
+    }
+    val ra = Multimodal.OggProbe.parse(audio).get
+    assert(ra.getString(1) == "vorbis" && ra.isNullAt(2), ra)
+    assert(ra.getDouble(4) == 500.0 && ra.getInt(5) == 1, ra)
+    // truncated mid-lacing: the walk stops with the facts so far
+    val trunc = Multimodal.OggProbe.parse(b.take(30)).get
+    assert(trunc.getString(0) == "ogg" && trunc.isNullAt(4), trunc)
+    // end-to-end through the prober WITHOUT any external binary
+    val missing = new Multimodal.ExternalVideoProber("graft-no-such-binary")
+    assert(missing.probe(b) == r)
+  }
+
   test("asofJoin rejects reserved names, payload collisions, numeric ts tolerance") {
     val s2 = s
     import s2.implicits._
