@@ -1328,6 +1328,18 @@ object SparkEntry {
       graft.ops.Sample.packByBudget(toks, "doc_id", "n_tokens", 1000L)
     }),
 
+    // LLM-pipeline: curriculum sharding — global (n_chars, id) rank
+    // via the narrow-layout machinery, shard = rank % 8, position =
+    // rank / 8: every shard spans the difficulty spectrum and reads
+    // easy-to-hard in position order
+    "sample_curriculum" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
+      graft.ops.Sample.curriculumShards(docs, "n_chars", "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("position"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: corpus mixture sampling — greedy per-source token
     // budget fill in md5(id) order (engine-independent, so the oracle
     // reproduces the exact document set); the per-source running sums
@@ -2679,6 +2691,12 @@ object SparkEntry {
         |WHERE substr(md5(CAST(grpkey AS VARCHAR)), 1, 8) >= '00000000'
         |  AND substr(md5(CAST(grpkey AS VARCHAR)), 1, 8) < '80000000'
         |ORDER BY doc_id""".stripMargin,
+    "sample_curriculum" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+        |  FROM documents)
+        |SELECT doc_id, CAST(rk % 8 AS INTEGER) AS shard,
+        |  CAST(rk // 8 AS BIGINT) AS position FROM r""".stripMargin,
     "sample_pack" ->
       """SELECT doc_id, n_tokens,
         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id

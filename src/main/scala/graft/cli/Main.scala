@@ -69,7 +69,7 @@ object Main {
       // key), split band "lo,hi", leakage-group column, and the pack
       // weight column + per-shard token budget
       by: String = "", band: String = "", group: String = "",
-      weight: String = "", budget: Long = 0L,
+      weight: String = "", budget: Long = 0L, score: String = "",
       // index options (see the `index` action); kOpt serves recall's
       // top-k (default 10) and the semantic build's cluster count
       // (default 64)
@@ -130,6 +130,7 @@ object Main {
         case "--band" => o = o.copy(band = argv(i + 1)); i += 2
         case "--group" => o = o.copy(group = argv(i + 1)); i += 2
         case "--weight" => o = o.copy(weight = argv(i + 1)); i += 2
+        case "--score" => o = o.copy(score = argv(i + 1)); i += 2
         case "--budget" => o = o.copy(budget = argv(i + 1).toLong); i += 2
         case "--out" => o = o.copy(outTable = argv(i + 1)); i += 2
         case "--keep-spills" => o = o.copy(keepSpills = true); i += 1
@@ -312,8 +313,23 @@ object Main {
         "shard needs -f/--file <dir>"))
       val fields = if (o.fields.nonEmpty) o.fields else null
       val df = env.view(o.table, fields).read(o.filters.map(FilterExpr.apply))
-      graft.ops.Sample.writeShards(df, sampleId(o, env, df), o.shards, dir)
-      out.write(s"wrote ${o.shards} shard(s) of ${o.table} to $dir\n")
+      // --score <col> switches from the stateless global shuffle to
+      // CURRICULUM layout: shards balanced round-robin by (score, id)
+      // rank, each reading easy-to-hard in position order
+      if (o.score.nonEmpty) {
+        graft.ops.Sample.curriculumShards(df, o.score,
+            sampleId(o, env, df), o.shards, posCol = "pos")
+          .repartition(o.shards, org.apache.spark.sql.functions.col("shard"))
+          .sortWithinPartitions(org.apache.spark.sql.functions.col("shard"),
+            org.apache.spark.sql.functions.col("pos"))
+          .write.mode("overwrite").partitionBy("shard").parquet(dir)
+        graft.ops.Sample.releaseLayouts()
+        out.write(s"wrote ${o.shards} curriculum shard(s) of ${o.table} " +
+          s"by ${o.weight} to $dir\n")
+      } else {
+        graft.ops.Sample.writeShards(df, sampleId(o, env, df), o.shards, dir)
+        out.write(s"wrote ${o.shards} shard(s) of ${o.table} to $dir\n")
+      }
 
     // extension: token-budget packing on the CLI — Sample.packByBudget
     // assigns contiguous ~--budget-weight runs of rows to shards

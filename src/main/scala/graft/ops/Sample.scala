@@ -419,6 +419,60 @@ object Sample {
     * materializing results. Duplicate ids are rejected (checked inside
     * the subtotal job): they would fan out the payload join and
     * silently mis-assign shards. */
+  /** CURRICULUM sharding: rank every row by (`scoreCol` asc, `idCol`
+    * tie-break — pass a negated score for hardest-first) and assign
+    * `shard = rank % nShards`, `position = rank / nShards`. A
+    * dataloader reading any one shard in `position` order sees
+    * monotonically increasing difficulty, and the n shards span the
+    * difficulty spectrum identically — distributed curriculum
+    * ordering without a coordinator. Requires unique ids and non-NaN
+    * scores (same contract as [[topFractionPerStratum]]).
+    *
+    * Scale shape: the global rank comes from the same narrow-layout
+    * machinery as [[packByBudget]] — range-partition the (score, id)
+    * layout, per-partition row_number with driver prefix-sum offsets
+    * (no global window task), then one hash join back to the payload
+    * by id. */
+  def curriculumShards(df: DataFrame, scoreCol: String, idCol: String,
+      nShards: Int, shardCol: String = "shard",
+      posCol: String = "position"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = df.sparkSession
+    val key = struct(col(scoreCol).as("k0"), col(idCol).as("k1"))
+    val layout = df.select(col(idCol), key.as("__key"))
+      .repartitionByRange(col("__key"))
+      .withColumn("__p", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pin(layout)
+    val stats = layout.groupBy("__p").agg(count(lit(1)).as("__n"),
+      count_distinct(col(idCol)).as("__d")).collect()
+    require(stats.map(r => r.getLong(1) - r.getLong(2)).sum == 0L,
+      s"curriculumShards requires unique '$idCol' values")
+    val perPart = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nPart = perPart.keys.maxOption.map(_ + 1).getOrElse(0)
+    var acc = 0L
+    val offRows = (0 until nPart).map { p =>
+      val off = acc; acc += perPart.getOrElse(p, 0L); Row(p, off)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__p",
+          org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("__off", LongType, false))))
+    // range partitioning keeps the (score, id) order contiguous per
+    // partition: the window group = one layout partition — parallel,
+    // bounded, never single-task
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(col("__key"))
+    val ranked = layout.join(broadcast(offDf), Seq("__p"))
+      .withColumn("__rank", col("__off") + row_number().over(w) - 1L)
+      .select(col(idCol),
+        (col("__rank") % nShards).cast("int").as(shardCol),
+        expr(s"__rank div $nShards").as(posCol))
+    df.join(ranked, Seq(idCol))
+  }
+
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

@@ -362,6 +362,19 @@ class CliSpec extends SparkSpec {
     val back = spark.read.parquet(sdir)
     assert(back.count() == 40)
     assert(back.select("shard").distinct().count() == 4)
+    // shard --score: curriculum layout — rank by (score, id) with
+    // score = doc_id means rank i-1 for doc i: shard (i-1) % 4,
+    // position (i-1) / 4
+    val cdir = dir.resolve("cshards").toString
+    run(conf.toString, "shard", "docs", "-f", cdir, "--shards", "4",
+      "--score", "doc_id")
+    val cur = spark.read.parquet(cdir).select("doc_id", "shard", "pos")
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1).toString.toInt, r.getLong(2))).toMap
+    assert(cur.size == 40)
+    (1L to 40L).foreach { i =>
+      assert(cur(i) == (((i - 1) % 4).toInt, (i - 1) / 4), s"doc $i -> ${cur(i)}")
+    }
     // a string id column refuses loudly, pointing at --by
     val e = intercept[IllegalArgumentException](
       run(conf.toString, "sample", "docs", "-H", "--sample", "0.5",

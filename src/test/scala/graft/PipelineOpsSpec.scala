@@ -223,6 +223,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == expect, s"got $out")
   }
 
+  test("curriculumShards: round-robin rank, balance, order, dup refusal") {
+    // scores descending by id so rank order REVERSES id order
+    val df = s.createDataFrame((1 to 100).map(i => (i.toLong, 1000L - i)))
+      .toDF("doc_id", "score")
+    val out = rows(Sample.curriculumShards(df, "score", "doc_id", 8)
+      .select("doc_id", "shard", "position"))
+      .map(r => (r.head.asInstanceOf[Long],
+        r(1).asInstanceOf[Int], r(2).asInstanceOf[Long]))
+    assert(out.size == 100)
+    // rank of doc i = 100 - i (ascending score); shard/pos follow
+    out.foreach { case (id, sh, pos) =>
+      val rank = 100 - id
+      assert(sh == rank % 8 && pos == rank / 8, s"($id, $sh, $pos)")
+    }
+    // shard sizes differ by at most one; positions contiguous from 0
+    val byShard = out.groupBy(_._2)
+    assert(byShard.values.map(_.size).toSet.subsetOf(Set(12, 13)))
+    byShard.values.foreach { g =>
+      assert(g.map(_._3).sorted == (0L until g.size).toSeq) }
+    // within a shard, position order is score order (easy -> hard)
+    byShard.values.foreach { g =>
+      val scores = g.sortBy(_._3).map(t => 1000L - t._1)
+      assert(scores == scores.sorted, scores.toString) }
+    // partitioning independence
+    val many = rows(Sample.curriculumShards(df.repartition(13), "score",
+      "doc_id", 8).select("doc_id", "shard")).map(r => r.head -> r(1)).toMap
+    assert(many == out.map(t => (t._1: Any) -> (t._2: Any)).toMap)
+    // duplicate ids refuse loudly
+    intercept[IllegalArgumentException] {
+      Sample.curriculumShards(df.union(df.limit(1)), "score", "doc_id", 8)
+        .count()
+    }
+  }
+
   test("packByBudget shard ids are independent of input partitioning") {
     val df = s.createDataFrame((1 to 100).map(i => (i.toLong, 7L)))
       .toDF("doc_id", "w")
