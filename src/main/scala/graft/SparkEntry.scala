@@ -968,6 +968,16 @@ object SparkEntry {
         env(s, dir).view("documents", Seq("doc_id", "n_chars")).read(),
         "n_chars", Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))),
 
+    // LLM-pipeline: per-GROUP data cards — the per-source rows of a
+    // corpus datasheet (counts, nulls, exact distincts, native-ordered
+    // min/max per column, keyed by source)
+    "profile_by_group" -> ((s, dir) => {
+      val docs = env(s, dir)
+        .view("documents", Seq("doc_id", "lang", "source", "n_chars")).read()
+      graft.ops.Profile.columnsBy(docs, Seq("lang", "n_chars"), "source")
+        .orderBy(col("group"), col("column"))
+    }),
+
     // LLM-pipeline: per-column profile drift between two corpus
     // versions (doc_id parity halves): before/after counts + deltas —
     // the data-card diff printed next to the PSI score
@@ -2061,6 +2071,18 @@ object SparkEntry {
         |  unnest(quantile_cont(CAST(n_chars AS DOUBLE),
         |    [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])) AS value
         |FROM documents""".stripMargin,
+    "profile_by_group" ->
+      """SELECT source AS "group", 'lang' AS "column", count(*) AS n_rows,
+        |  count(*) - count(lang) AS n_nulls,
+        |  count(DISTINCT CAST(lang AS VARCHAR)) AS n_distinct,
+        |  CAST(min(lang) AS VARCHAR) AS min_value,
+        |  CAST(max(lang) AS VARCHAR) AS max_value
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT source, 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT CAST(n_chars AS VARCHAR)),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents GROUP BY source""".stripMargin,
     // the profile_columns derivation over each parity half, joined
     "profile_compare" ->
       """WITH pb AS (

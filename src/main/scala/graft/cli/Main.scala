@@ -399,13 +399,26 @@ object Main {
     // cardinality, range (ops/Profile) through the View/ACL layer
     case "profile" =>
       val td = env.registry(o.table)
-      val cols =
+      val cols0 =
         if (o.fields.nonEmpty) o.fields
         else td.physical.map(_.name).filterNot(_ == "id")
-      val base = env.view(o.table, cols)
-        .read(o.filters.map(FilterExpr.apply))
-      emit(graft.ops.Profile.columns(base, cols)
-        .orderBy(org.apache.spark.sql.functions.col("column")), o, out)
+      // --group <col>: per-group data cards (Profile.columnsBy) — the
+      // per-source/per-language rows of a corpus datasheet
+      if (o.group.nonEmpty) {
+        val cols = cols0.filterNot(_ == o.group)
+        require(cols.nonEmpty, s"profile --group ${o.group} needs " +
+          "at least one other column to profile")
+        val base = env.view(o.table, (cols :+ o.group).distinct)
+          .read(o.filters.map(FilterExpr.apply))
+        emit(graft.ops.Profile.columnsBy(base, cols, o.group)
+          .orderBy(org.apache.spark.sql.functions.col("group"),
+            org.apache.spark.sql.functions.col("column")), o, out)
+      } else {
+        val base = env.view(o.table, cols0)
+          .read(o.filters.map(FilterExpr.apply))
+        emit(graft.ops.Profile.columns(base, cols0)
+          .orderBy(org.apache.spark.sql.functions.col("column")), o, out)
+      }
 
     // extension: atomic multi-action batch — the CLI face of the web
     // /_txn endpoint (the reference bottle plugin's per-request commit,

@@ -71,6 +71,56 @@ object Profile {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** [[columns]] PER GROUP: the same data card keyed by `groupCol` —
+    * the per-source / per-language release stats a corpus datasheet
+    * tabulates. One row per (group, column):
+    * (group, column, n_rows, n_nulls, n_distinct, min_value,
+    * max_value); a NULL group value profiles as its own group (the
+    * rows exist, a datasheet must count them).
+    *
+    * Scale shape mirrors [[columns]] exactly — the wide aggregate
+    * gains a groupBy key (still map-side combinable, state ∝ groups ×
+    * columns) and the distinct melt dedupes (group, column, hash)
+    * triples, payloads never move. */
+  def columnsBy(df: DataFrame, cols: Seq[String], groupCol: String): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(!cols.contains(groupCol),
+      s"group column '$groupCol' cannot also be profiled")
+    val d = Par.spread(df)
+    val g = col(groupCol).as("group")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { cn =>
+      Seq(count(col(cn)).as(s"__c_$cn"),
+        min(col(cn)).cast("string").as(s"__mn_$cn"),
+        max(col(cn)).cast("string").as(s"__mx_$cn"))
+    }
+    val wide = d.groupBy(g).agg(aggs.head, aggs.tail: _*)
+      .select(col("group"), explode(array(cols.map { cn =>
+        struct(lit(cn).as("column"), col("__n").as("n_rows"),
+          (col("__n") - col(s"__c_$cn")).as("n_nulls"),
+          col(s"__mn_$cn").as("min_value"), col(s"__mx_$cn").as("max_value"))
+      }: _*)).as("__p")).select(col("group"), col("__p.*"))
+    val melted = d.select(g, explode(array(cols.map { cn =>
+      struct(lit(cn).as("__col"),
+        when(col(cn).isNotNull,
+          xxhash64(col(cn).cast("string"))).as("__val"))
+    }: _*)).as("__m")).select(col("group"),
+        col("__m.__col"), col("__m.__val"))
+      .filter(col("__val").isNotNull)
+    val distincts = melted
+      .groupBy(col("group"), col("__col"), col("__val")).agg(count(lit(1)))
+      .groupBy(col("group"), col("__col")).agg(count(lit(1)).as("n_distinct"))
+      .withColumnRenamed("__col", "column")
+    // null-safe group key: a NULL group's card must still pick up its
+    // distinct counts (plain equi-join would null them out)
+    wide.as("w").join(distincts.as("d"),
+        col("w.group") <=> col("d.group") &&
+          col("w.column") === col("d.column"), "left")
+      .select(col("w.group").as("group"), col("w.column").as("column"),
+        col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
+  }
+
   /** [[columns]] with SKETCHED distinct counts: the same data-card
     * schema, but `n_distinct` comes from `approx_count_distinct`
     * (HyperLogLog++, relative error `rsd`) computed inside the SAME

@@ -164,6 +164,16 @@ class CliSpec extends SparkSpec {
     val be = run(conf, "profile", "team", "name",
       "-F", """(= country.name "France")""")
     assert(be.contains("name,2,0,2,Ace,Red"), be)
+    // --group: per-group cards keyed by the group column
+    val gp = run(conf, "profile", "team", "name", "country", "--group",
+      "country")
+    val lines = gp.trim.linesIterator.toSeq
+    assert(lines.head == "group,column,n_rows,n_nulls,n_distinct," +
+      "min_value,max_value", gp)
+    // one country has two teams (Ace, Red), the other one (Blue)
+    assert(lines.tail.size == 2, gp)
+    assert(lines.tail.exists(_.endsWith(",name,2,0,2,Ace,Red")), gp)
+    assert(lines.tail.exists(_.endsWith(",name,1,0,1,Blue,Blue")), gp)
   }
 
   test("txn action applies a batch atomically; failure voids all") {

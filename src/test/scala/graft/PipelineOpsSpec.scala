@@ -689,6 +689,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(leaky.isEmpty, s"distinct pass shuffles payload strings: $leaky")
   }
 
+  test("profile per group: group keys incl. NULL, exact per-group stats") {
+    val df = s.createDataFrame(Seq(
+      ("web", "en", 10L), ("web", "fr", 20L), ("web", null, 30L),
+      ("wiki", "en", 5L),
+      (null.asInstanceOf[String], "de", 7L)))
+      .toDF("src", "lang", "n")
+    val p = rows(Profile.columnsBy(df, Seq("lang", "n"), "src"))
+      .map(r => (r.head, r(1)) -> r.drop(2)).toMap
+    assert(p.size == 6, p.keys.toString) // 3 groups x 2 columns
+    assert(p(("web", "lang")) == Seq(3L, 1L, 2L, "en", "fr"))
+    assert(p(("web", "n")) == Seq(3L, 0L, 3L, "10", "30"))
+    assert(p(("wiki", "lang")) == Seq(1L, 0L, 1L, "en", "en"))
+    // a NULL group is a real group: its card exists with real distincts
+    assert(p((null, "lang")) == Seq(1L, 0L, 1L, "de", "de"))
+    assert(p((null, "n")) == Seq(1L, 0L, 1L, "7", "7"))
+    // profiling the group column itself refuses
+    intercept[IllegalArgumentException] {
+      Profile.columnsBy(df, Seq("src", "lang"), "src")
+    }
+  }
+
   test("profile of an all-null column reports zero distincts, null range") {
     val df = s.createDataFrame(Seq(Tuple2(1L, null.asInstanceOf[String]),
       Tuple2(2L, null.asInstanceOf[String]))).toDF("id", "v")
