@@ -99,6 +99,30 @@ final class Env(
     graft.ops.Profile.compare(b, a, registry(table).own.map(_.name))
   }
 
+  /** [[diffSnapshots]]'s PSI twin: the population-stability score of
+    * one numeric column between two retained snapshots — the scalar
+    * release gate next to [[compareSnapshots]]'s per-column card. The
+    * histogram grid derives from the POOLED min/max of both snapshots
+    * (so both distributions bin on one scale); a constant column
+    * degenerates to a single effective bin and scores 0. Same
+    * snapshot resolution and storage-level contract as the other
+    * audit surfaces. */
+  def psiSnapshots(table: String, column: String,
+      from: Option[String] = None, to: Option[String] = None,
+      bins: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, min => mn, max => mx}
+    val (b, a) = snapshotPair(table, from, to)
+    val mm = b.select(c(column).cast("double").as("__v"))
+      .unionByName(a.select(c(column).cast("double").as("__v")))
+      .agg(mn(c("__v")), mx(c("__v"))).head()
+    require(!mm.isNullAt(0),
+      s"'$column' has no non-null values in either snapshot to bin")
+    val lo = mm.getDouble(0)
+    val hi0 = mm.getDouble(1)
+    val hi = if (hi0 > lo) hi0 else lo + 1.0
+    graft.ops.Profile.psi(b, a, column, lo, hi, bins)
+  }
+
   /** Shared snapshot resolution for the audit surfaces: `to` defaults
     * to the newest retained snapshot, `from` to the one just before
     * `to`; bucketed tables refuse up front (their snapshot dirs are

@@ -70,6 +70,7 @@ object Main {
       // weight column + per-shard token budget
       by: String = "", band: String = "", group: String = "",
       weight: String = "", budget: Long = 0L, score: String = "",
+      psiCol: String = "",
       // index options (see the `index` action); kOpt serves recall's
       // top-k (default 10) and the semantic build's cluster count
       // (default 64)
@@ -131,6 +132,7 @@ object Main {
         case "--group" => o = o.copy(group = argv(i + 1)); i += 2
         case "--weight" => o = o.copy(weight = argv(i + 1)); i += 2
         case "--score" => o = o.copy(score = argv(i + 1)); i += 2
+        case "--psi" => o = o.copy(psiCol = argv(i + 1)); i += 2
         case "--budget" => o = o.copy(budget = argv(i + 1).toLong); i += 2
         case "--out" => o = o.copy(outTable = argv(i + 1)); i += 2
         case "--keep-spills" => o = o.copy(keepSpills = true); i += 1
@@ -263,8 +265,13 @@ object Main {
     // per-kind counts, --profile switches to the per-column data-card
     // drift (Env.compareSnapshots) instead of key-level rows.
     case "diff" =>
+      // --psi <numeric col>: the scalar distribution-shift gate
+      // (Env.psiSnapshots) instead of rows; --profile: the per-column
+      // drift card; default: key-level change rows
       val d =
-        if (o.profileDiff) env.compareSnapshots(o.table,
+        if (o.psiCol.nonEmpty) env.psiSnapshots(o.table, o.psiCol,
+          Option(o.from).filter(_.nonEmpty), Option(o.to).filter(_.nonEmpty))
+        else if (o.profileDiff) env.compareSnapshots(o.table,
           Option(o.from).filter(_.nonEmpty), Option(o.to).filter(_.nonEmpty))
         else env.diffSnapshots(o.table,
           Option(o.from).filter(_.nonEmpty), Option(o.to).filter(_.nonEmpty),

@@ -42,7 +42,7 @@ import graft.view.{Json, Order}
   *
   * {{{
   *   GET /_snapshots/<table>          → {"snapshots": ["snap-1", ...]}
-  *   GET /_diff/<table>?from=&to=&summary=true&limit=n
+  *   GET /_diff/<table>?from=&to=&summary=true&psi=<numeric col>&limit=n
   *   → {"columns": [keys..., "change"], "rows": [[...], ...]}
   * }}}
   *
@@ -171,11 +171,15 @@ final class Server(env: Env, port: Int = 0) {
     * refuse (400). */
   private def diff(table: String, ps: Seq[(String, String)]): String = {
     val get = ps.toMap
-    val df =
-      if (get.get("profile").exists(_.toBoolean))
+    val df = get.get("psi").filter(_.nonEmpty) match {
+      // ?psi=<numeric col>: the scalar distribution-shift gate
+      case Some(c) => env.psiSnapshots(table, c,
+        get.get("from"), get.get("to"))
+      case None if get.get("profile").exists(_.toBoolean) =>
         env.compareSnapshots(table, get.get("from"), get.get("to"))
-      else env.diffSnapshots(table, get.get("from"), get.get("to"),
+      case None => env.diffSnapshots(table, get.get("from"), get.get("to"),
         summary = get.get("summary").exists(_.toBoolean))
+    }
     val ordered = df.orderBy(df.columns.toIndexedSeq.map(
       org.apache.spark.sql.functions.col): _*)
       .limit(get.get("limit").map(_.toInt).getOrElse(1000))

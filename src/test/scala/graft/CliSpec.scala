@@ -429,6 +429,23 @@ class CliSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       run(conf.toString, "restore", "-f", bdir))
     assert(e2.getMessage.contains("already holds"), e2.getMessage)
+      // diff --psi: the scalar distribution-shift gate between the last
+    // two snapshots — a second write extends doc_id 1..40 to 1..80,
+    // so the pooled-grid histogram visibly shifts (psi > 0)
+    val csv2 = dir.resolve("docs2.csv")
+    Files.writeString(csv2, "doc_id,text\n" +
+      (41 to 80).map(i => s"$i,doc number $i").mkString("\n"))
+    run(conf.toString, "write", "docs", "-f", csv2.toString)
+    val psiOut = run(conf.toString, "diff", "docs", "--psi", "doc_id")
+    val prow = psiOut.trim.linesIterator.toSeq
+    assert(prow.head == "psi,n_before,n_after", psiOut)
+    val pvals = prow(1).split(",")
+    assert(pvals(0).toDouble > 0.1 && pvals(1) == "40" && pvals(2) == "80",
+      psiOut)
+    // a non-numeric column refuses loudly
+    val epsi = intercept[IllegalArgumentException](
+      run(conf.toString, "diff", "docs", "--psi", "text"))
+    assert(epsi.getMessage.contains("non-null"), epsi.getMessage)
   }
 
   test("compact action: --zorder records the property; reads stay exact") {

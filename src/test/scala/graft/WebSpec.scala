@@ -226,6 +226,10 @@ class WebSpec extends SparkSpec {
         .asScala.map(_.toString)
       assert(pCols.head == "column" && pCols.contains("rows_before") &&
         pCols.contains("nulls_delta"), pCols)
+      // psi=<col>: the scalar shift gate (registration_code is
+      // non-numeric -> loud 400; created_at default timestamps are
+      // not comparable here, so the happy path lives in CliSpec)
+      assert(get(port, "/_diff/member?psi=registration_code")._1 == 400)
       // unknown snapshot name -> loud 400, unknown table -> 404
       assert(get(port, "/_diff/member?from=snap-999999")._1 == 400)
       assert(get(port, "/_diff/nosuch")._1 == 404)
