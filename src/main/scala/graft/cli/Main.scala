@@ -15,7 +15,8 @@ import graft.view.{Filter, FilterExpr, Order}
   *     action: info | read | write | delete | init | serve | version
   *             | export | import  (JSONL/CSV shard dirs, --format/--shards)
   *             | snapshots | diff (--from/--to snapshot names, --summary,
-  *                                 --profile = per-column drift card)
+  *                                 --profile = per-column drift card,
+  *                                 --psi <col> = scalar shift gate)
   *             | curate (fused curation pipeline: --scratch <dir>,
   *                       --min-quality/--near/--url-col/--sample/--bench
   *                       /--blocklist [--block-field] stage flags,
