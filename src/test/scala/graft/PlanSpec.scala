@@ -345,4 +345,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("hashEmbed plan: zero shuffles — embedding a corpus is a scan") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "text")).read()
+    val p = plan(graft.ops.Text.hashEmbed(docs, "text", dims = 64))
+    assert(!p.contains("Exchange"), p)
+    // and the kernel projection runs inside whole-stage codegen
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("filterDomains plan: blocklist broadcasts, no URL strings shuffle") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "source")).read()
+      .withColumn("url", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("https://x."),
+        col("source"), org.apache.spark.sql.functions.lit(".com/p")))
+    val bl = docs.select(org.apache.spark.sql.functions.concat(col("source"),
+      org.apache.spark.sql.functions.lit(".com")).as("domain")).distinct()
+    val out = graft.ops.Text.filterDomains(docs, "url", "doc_id", bl)
+    val p = plan(out)
+    // the small normalized blocklist side broadcasts into the
+    // suffix equi-join; no cartesian/nested-loop shapes
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // no exchange may carry the url column itself — only the short
+    // suffix strings and ids move (the payload never shuffles)
+    val exec = out.queryExecution.executedPlan
+    val leaky = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.filter(_.name == "url")
+    }.flatten
+    assert(leaky.isEmpty, s"url payload shuffles: $leaky")
+  }
+
+  test("curriculumShards plan: no global window, narrow layout ranks") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "n_chars")).read()
+    val out = graft.ops.Sample.curriculumShards(docs, "n_chars", "doc_id", 8)
+    // every Window line is grouped by the layout-partition stamp —
+    // never an empty partition spec (= one global single-task sort).
+    // String audit like the per-stratum test: AQE wrappers hide
+    // WindowExec from executedPlan.collect.
+    val p = plan(out)
+    val wins = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(wins.nonEmpty, p)
+    wins.foreach(l => assert(l.contains("__p#"),
+      s"window not partition-stamp-bounded: $l"))
+    graft.ops.Sample.releaseLayouts()
+  }
 }
