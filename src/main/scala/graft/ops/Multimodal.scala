@@ -855,6 +855,150 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Pure-JVM MPEG transport-stream probe (ISO 13818-1): fixed
+    * 188-byte packets (sync 0x47), PAT (PID 0) → PMT walk for the
+    * stream table — first video stream type names the codec, the
+    * entry count is `n_streams` — and duration from the PCR span
+    * (first vs last 33-bit 90 kHz program-clock base, any PCR PID;
+    * wrap-around and single-PCR streams yield null). Broadcast TS
+    * carries no dimensions outside the codec bitstream, so
+    * width/height stay null — the external prober (when present)
+    * still fills them via the usual fall-through for fact-less rows.
+    * Truncated tails (non-multiple of 188) parse up to the last whole
+    * packet. */
+  private[graft] object TsProbe {
+    private val Pkt = 188
+    def looksLikeTs(b: Array[Byte]): Boolean =
+      b != null && b.length >= 2 * Pkt &&
+        b(0) == 0x47.toByte && b(Pkt) == 0x47.toByte
+
+    private def streamName(t: Int): String = t match {
+      case 0x01 | 0x02 => "mpeg2video"
+      case 0x1B => "h264"
+      case 0x24 => "hevc"
+      case 0x10 => "mpeg4video"
+      case _ => null
+    }
+    private def isVideo(t: Int): Boolean = streamName(t) != null
+
+    def parse(b: Array[Byte]): Option[Row] = try {
+      if (!looksLikeTs(b)) return None
+      var pmtPid = -1
+      var codec: String = null
+      var nStreams: Integer = null
+      var firstPcr = -1L; var lastPcr = -1L
+      var off = 0
+      while (off + Pkt <= b.length && b(off) == 0x47.toByte) {
+        val pid = ((b(off + 1) & 0x1F) << 8) | (b(off + 2) & 0xFF)
+        val pusi = (b(off + 1) & 0x40) != 0
+        val afc = (b(off + 3) >> 4) & 0x3
+        var body = off + 4
+        if ((afc & 2) != 0) { // adaptation field
+          val afLen = b(body) & 0xFF
+          if (afLen >= 7 && (b(body + 1) & 0x10) != 0) { // PCR flag
+            var base = 0L
+            var i = 0
+            while (i < 4) { base = (base << 8) | (b(body + 2 + i) & 0xFFL); i += 1 }
+            base = (base << 1) | ((b(body + 6) & 0x80L) >> 7) // 33 bits
+            if (firstPcr < 0) firstPcr = base
+            lastPcr = base
+          }
+          body += 1 + afLen
+        }
+        if ((afc & 1) != 0 && pusi && body < off + Pkt) {
+          val section = body + 1 + (b(body) & 0xFF) // pointer_field skip
+          if (section + 12 <= off + Pkt) {
+            val tableId = b(section) & 0xFF
+            val secLen = ((b(section + 1) & 0x0F) << 8) | (b(section + 2) & 0xFF)
+            val secEnd = math.min(off + Pkt, section + 3 + secLen - 4) // -CRC
+            if (pid == 0 && tableId == 0 && pmtPid < 0) {
+              // PAT: (program_number, PMT PID) entries from offset 8
+              var e = section + 8
+              while (e + 4 <= secEnd && pmtPid < 0) {
+                val prog = ((b(e) & 0xFF) << 8) | (b(e + 1) & 0xFF)
+                if (prog != 0)
+                  pmtPid = ((b(e + 2) & 0x1F) << 8) | (b(e + 3) & 0xFF)
+                e += 4
+              }
+            } else if (pid == pmtPid && tableId == 2 && nStreams == null) {
+              // PMT: skip PCR PID + program descriptors, walk streams
+              val progInfoLen =
+                ((b(section + 10) & 0x0F) << 8) | (b(section + 11) & 0xFF)
+              var e = section + 12 + progInfoLen
+              var n = 0
+              while (e + 5 <= secEnd) {
+                val st = b(e) & 0xFF
+                if (codec == null && isVideo(st)) codec = streamName(st)
+                val esLen = ((b(e + 3) & 0x0F) << 8) | (b(e + 4) & 0xFF)
+                n += 1
+                e += 5 + esLen
+              }
+              nStreams = Int.box(n)
+            }
+          }
+        }
+        off += Pkt
+      }
+      val duration =
+        if (firstPcr >= 0 && lastPcr > firstPcr)
+          Double.box((lastPcr - firstPcr) * 1000.0 / 90000.0)
+        else null
+      Some(Row("mpegts", codec, null, null, duration, nStreams,
+        Boolean.box(true)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal transport stream: PAT (program 1 → PMT PID
+    * 0x100), PMT (one H.264 video + one AAC audio stream), and two
+    * PCR packets spanning exactly `durationMs` of 90 kHz clock — the
+    * TS sibling of [[synthOgg]], exact arithmetic. */
+  private[graft] def synthTs(durationMs: Int): Array[Byte] = {
+    def packet(pid: Int, pusi: Boolean, payload: Array[Byte]): Array[Byte] = {
+      val p = new Array[Byte](188)
+      p(0) = 0x47
+      p(1) = (((if (pusi) 0x40 else 0) | (pid >> 8)) & 0xFF).toByte
+      p(2) = (pid & 0xFF).toByte
+      p(3) = 0x10 // payload only, CC 0
+      System.arraycopy(payload, 0, p, 4, payload.length)
+      java.util.Arrays.fill(p, 4 + payload.length, 188, 0xFF.toByte)
+      p
+    }
+    def pcrPacket(pid: Int, base90k: Long): Array[Byte] = {
+      val p = new Array[Byte](188)
+      p(0) = 0x47
+      p(1) = (pid >> 8).toByte
+      p(2) = (pid & 0xFF).toByte
+      p(3) = 0x20 // adaptation only
+      p(4) = 183.toByte // AF length fills the packet
+      p(5) = 0x10 // PCR flag
+      p(6) = ((base90k >> 25) & 0xFF).toByte
+      p(7) = ((base90k >> 17) & 0xFF).toByte
+      p(8) = ((base90k >> 9) & 0xFF).toByte
+      p(9) = ((base90k >> 1) & 0xFF).toByte
+      p(10) = (((base90k & 1) << 7) | 0x7E).toByte // low bit + reserved
+      java.util.Arrays.fill(p, 12, 188, 0xFF.toByte)
+      p
+    }
+    def sec(tableId: Int, body: Array[Byte]): Array[Byte] = {
+      // pointer_field 0, header with section_length = body + 4-byte CRC
+      val len = body.length + 5 + 4
+      Array(0x00.toByte, tableId.toByte,
+        (0xB0 | ((len >> 8) & 0x0F)).toByte, (len & 0xFF).toByte,
+        0x00.toByte, 0x01.toByte, 0xC1.toByte, 0x00.toByte, 0x00.toByte) ++
+        body ++ Array.fill(4)(0x00.toByte) // CRC not verified
+    }
+    val pat = sec(0, Array(0x00.toByte, 0x01.toByte, // program 1
+      (0xE0 | 0x01).toByte, 0x00.toByte))            // PMT PID 0x100
+    val pmt = sec(2, Array(
+      0xE1.toByte, 0x00.toByte,       // PCR PID 0x100
+      0xF0.toByte, 0x00.toByte,       // program_info_length 0
+      0x1B.toByte, 0xE1.toByte, 0x01.toByte, 0xF0.toByte, 0x00.toByte, // h264
+      0x0F.toByte, 0xE1.toByte, 0x02.toByte, 0xF0.toByte, 0x00.toByte)) // aac
+    val span = durationMs.toLong * 90L
+    packet(0, pusi = true, pat) ++ packet(0x100, pusi = true, pmt) ++
+      pcrPacket(0x100, 0L) ++ pcrPacket(0x100, span)
+  }
+
   /** Deterministic minimal Ogg container: a Theora BOS page (w×h
     * picture dims, `fpsN`/1 fps, kfgshift 6), a Vorbis BOS page
     * (44100 Hz), and a final Theora data page whose granule encodes
@@ -985,6 +1129,7 @@ object Multimodal {
         Boolean.box(false))
       val jvm = Mp4Probe.parse(bytes).orElse(EbmlProbe.parse(bytes))
         .orElse(RiffProbe.parse(bytes)).orElse(OggProbe.parse(bytes))
+        .orElse(TsProbe.parse(bytes))
       // the JVM fast path answers only when the walk found real facts
       // (duration or dimensions). A magic-bearing payload with NO
       // facts — truncated after ftyp/the EBML header, or metadata

@@ -1714,6 +1714,29 @@ class OpsSpec extends SparkSpec {
     assert(missing.probe(b) == r)
   }
 
+  test("MPEG-TS probe: PAT->PMT walk, PCR-span duration, truncation, dispatch") {
+    val b = Multimodal.synthTs(durationMs = 12000)
+    val r = Multimodal.TsProbe.parse(b).get
+    assert(r.getString(0) == "mpegts" && r.getString(1) == "h264", r)
+    assert(r.isNullAt(2) && r.isNullAt(3), r) // TS carries no dims
+    assert(r.getDouble(4) == 12000.0, r)      // exact PCR-span ms
+    assert(r.getInt(5) == 2 && r.getBoolean(6), r) // h264 + aac entries
+    // not TS -> None; null-safe; families don't cross-match
+    assert(Multimodal.TsProbe.parse("x" * 400 getBytes "UTF-8").isEmpty)
+    assert(Multimodal.TsProbe.parse(null).isEmpty)
+    assert(Multimodal.TsProbe.parse(Multimodal.synthOgg(1, 1, 2, 2)).isEmpty)
+    assert(Multimodal.OggProbe.parse(b).isEmpty)
+    assert(Multimodal.Mp4Probe.parse(b).isEmpty)
+    // truncated after the first PCR packet: the stream table facts
+    // survive, duration needs two PCRs -> null
+    val trunc = Multimodal.TsProbe.parse(b.take(188 * 3)).get
+    assert(trunc.getString(1) == "h264" && trunc.getInt(5) == 2 &&
+      trunc.isNullAt(4), trunc)
+    // end-to-end through the prober WITHOUT any external binary
+    val missing = new Multimodal.ExternalVideoProber("graft-no-such-binary")
+    assert(missing.probe(b) == r)
+  }
+
   test("asofJoin rejects reserved names, payload collisions, numeric ts tolerance") {
     val s2 = s
     import s2.implicits._
