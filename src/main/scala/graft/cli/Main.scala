@@ -485,10 +485,23 @@ object Main {
     // vector recipe (curateEmbeddings: exact → cosine near-dedup at
     // --near, default 0.99 → SemDeDup with --k clusters) over
     // (vec_id, embedding) positionals.
+    // --from <snapshot> curates only the DELTA: rows whose key was
+    // added or changed since that retained snapshot (the incremental-
+    // ingest call, paired with --path <minhash index dir> which adds
+    // the cross_dedup probe against the already-released corpus and
+    // the index_update append of this run's survivors).
     case "curate" =>
       if (o.scratch.isEmpty)
         throw new IllegalArgumentException("curate needs --scratch <dir>")
-      val input = env.view(o.table).read(o.filters.map(FilterExpr.apply))
+      val full = env.view(o.table).read(o.filters.map(FilterExpr.apply))
+      val input = Option(o.from).filter(_.nonEmpty).map { snap =>
+        val keys = env.registry(o.table).key
+        val delta = env.diffSnapshots(o.table, from = Some(snap))
+          .filter(org.apache.spark.sql.functions.col("change") =!=
+            "removed")
+          .select(keys.map(org.apache.spark.sql.functions.col): _*)
+        full.join(delta, keys, "left_semi")
+      }.getOrElse(full)
       val stages =
         if (o.embeddings) {
           // vector recipe: exact → cosine near-dedup → SemDeDup. The
@@ -542,6 +555,7 @@ object Main {
           graft.ops.Pipeline.curateDocuments(idCol, textCol,
             urlCol = Option(o.urlCol).filter(_.nonEmpty),
             blockDomains = block, blockDomainCol = o.blockField,
+            corpusIndex = Option(o.path).filter(_.nonEmpty),
             nearThreshold = if (o.near >= 0) o.near else 0.2,
             minQuality = o.minQuality,
             bench = bench, benchTextCol = o.benchField,

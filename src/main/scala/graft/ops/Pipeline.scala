@@ -124,7 +124,17 @@ object Pipeline {
     * 13-gram with the eval suite) → deterministic hash downsample
     * (optional). The stages mirror the published curation pipelines
     * (C4 / RefinedWeb / FineWeb / CCNet shape): cheap exact passes
-    * first so the expensive miners see an already-shrunk corpus. */
+    * first so the expensive miners see an already-shrunk corpus.
+    *
+    * `corpusIndex` turns the recipe INCREMENTAL: a `cross_dedup`
+    * stage (after the within-batch near-dedup) drops docs near-dup
+    * with the already-released corpus via the persisted MinHash index
+    * at that path, and a final `index_update` stage folds this run's
+    * survivors back in — append when the index exists, full build on
+    * the bootstrap run (when `cross_dedup` passes everything
+    * through). Batch cost scales with the batch, never the corpus —
+    * the continuous-ingestion shape, batch twin of the streaming
+    * minhash-filtered sink. */
   def curateDocuments(idCol: String = "doc_id", textCol: String = "text",
       urlCol: Option[String] = None, nearThreshold: Double = 0.2,
       minQuality: Double = 0.0, bench: Option[DataFrame] = None,
@@ -135,8 +145,16 @@ object Pipeline {
       normalize: Boolean = false,
       gopher: Boolean = false,
       blockDomains: Option[DataFrame] = None,
-      blockDomainCol: String = "domain"): Seq[Stage] = {
+      blockDomainCol: String = "domain",
+      corpusIndex: Option[String] = None,
+      indexThreshold: Double = 0.8): Seq[Stage] = {
     val b = Seq.newBuilder[Stage]
+    def indexExists(df: DataFrame): Boolean = {
+      val meta = new org.apache.hadoop.fs.Path(corpusIndex.get,
+        "_graft_index_meta.json")
+      meta.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .exists(meta)
+    }
     // Unicode hygiene FIRST when asked: NFC makes visually-identical
     // texts byte-identical, so every later fingerprint/shingle stage
     // sees the canonical form (rows_out never shrinks here — the
@@ -158,6 +176,17 @@ object Pipeline {
     b += Stage("exact_dedup", df => Dedup.byFingerprint(df, textCol, idCol))
     b += Stage("near_dedup", df =>
       Dedup.minhashDedup(df, idCol, textCol, threshold = nearThreshold))
+    // cross-corpus dedup against a persisted minhash index: the
+    // incremental-ingest gate (batch cost ∝ batch, never the corpus).
+    // On the FIRST run the index does not exist yet — the stage
+    // passes everything through and index_update below bootstraps it
+    // from this run's survivors.
+    corpusIndex.foreach { p =>
+      b += Stage("cross_dedup", df =>
+        if (indexExists(df))
+          Dedup.dedupAgainstIndex(df, idCol, textCol, p, indexThreshold)
+        else df)
+    }
     if (minQuality > 0)
       b += Stage("quality", df =>
         df.filter(Text.qualityScore(col(textCol)) >= minQuality))
@@ -181,6 +210,19 @@ object Pipeline {
     }
     if (sampleFraction < 1.0)
       b += Stage("sample", df => Sample.byHash(df, idCol, sampleFraction))
+    // LAST, so only the released survivors enter the corpus index —
+    // append on an existing index, full build on the bootstrap run.
+    // The side effect runs while the stage materializes (the input is
+    // the previous stage's spill, so a crash mid-append re-runs from
+    // a durable point; appends are at-least-once safe by the
+    // appendToMinhashIndex contract).
+    corpusIndex.foreach { p =>
+      b += Stage("index_update", df => {
+        if (indexExists(df)) Dedup.appendToMinhashIndex(df, idCol, textCol, p)
+        else Dedup.buildMinhashIndex(df, idCol, textCol, p)
+        df
+      })
+    }
     b.result()
   }
 

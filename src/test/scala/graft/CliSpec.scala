@@ -324,6 +324,39 @@ class CliSpec extends SparkSpec {
       "--scratch", dir.resolve("gscratch").toString, "--gopher")
     val gRow = audit5.linesIterator.find(_.contains("gopher")).get
     assert(gRow.trim.split("\\s+")(1).toLong == 1L, audit5)
+    // incremental curation: --path builds the corpus index on the
+    // first run; after a second write, --from <snapshot> narrows the
+    // input to the delta and cross_dedup drops the doc that
+    // near-duplicates the indexed corpus
+    val idx = dir.resolve("mhidx").toString
+    val base = ("alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau") // 19 toks
+    val icsv = dir.resolve("idocs.csv")
+    Files.writeString(icsv, "doc_id,text\n" +
+      s"1,$base\n2,completely different words entirely here now\n")
+    run(conf.toString, "write", "docs", "-f", icsv.toString, "-p")
+    val auditA = run(conf.toString, "curate", "docs",
+      "--scratch", dir.resolve("iscratchA").toString, "--path", idx)
+    assert(auditA.contains("cross_dedup") && auditA.contains("index_update"),
+      auditA)
+    assert(new java.io.File(idx, "_graft_index_meta.json").exists())
+    val snapA = run(conf.toString, "snapshots", "docs")
+      .trim.linesIterator.toSeq.last
+    // batch 2: doc 10 near-duplicates indexed doc 1 (one token
+    // appended), doc 11 is fresh
+    val icsv2 = dir.resolve("idocs2.csv")
+    Files.writeString(icsv2, "doc_id,text\n" +
+      s"10,$base extra\n11,utterly novel material nothing shared\n")
+    run(conf.toString, "write", "docs", "-f", icsv2.toString)
+    val auditB = run(conf.toString, "curate", "docs",
+      "--scratch", dir.resolve("iscratchB").toString, "--path", idx,
+      "--from", snapA, "--out", "curated")
+    // the delta is 2 docs; cross_dedup drops the near-dup of doc 1
+    val xRow = auditB.linesIterator.find(_.contains("cross_dedup")).get
+    assert(xRow.trim.split("\\s+")(1).toLong == 1L, auditB)
+    val inc = run(conf.toString, "read", "curated", "doc_id", "-H",
+      "-s", "doc_id", "-F", "(>= doc_id 10)")
+    assert(inc.trim == "11", inc)
   }
 
   test("sample and shard actions: deterministic slices, bands partition") {

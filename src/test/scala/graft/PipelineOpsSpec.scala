@@ -881,6 +881,51 @@ class PipelineOpsSpec extends SparkSpec {
       new java.io.File(scratch))
   }
 
+  test("curateDocuments incremental: bootstrap builds the index, batch 2 cross-dedups") {
+    import graft.ops.Pipeline
+    def mk(rows: Seq[(Long, String)]) = s.createDataFrame(rows.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val base = "the quick brown fox jumps over the lazy dog and far away " * 5
+    val dir = java.nio.file.Files.createTempDirectory("inc-curate-")
+    val idx = dir.resolve("idx").toString
+    // 0.5 verify threshold: the repeated base text collapses to ~13
+    // distinct shingles, so a one-token edit sits at Jaccard ~0.6
+    val stages = Pipeline.curateDocuments(corpusIndex = Some(idx),
+      indexThreshold = 0.5)
+    assert(stages.map(_.name) ==
+      Seq("exact_dedup", "near_dedup", "cross_dedup", "index_update"),
+      stages.map(_.name))
+    try {
+      // batch 1: two distinct docs — cross_dedup is a pass-through
+      // (no index yet), index_update bootstraps the build
+      val b1 = mk(Seq((1L, base),
+        (2L, "completely different content about spark engines " * 5)))
+      val (out1, rep1) = Pipeline.run(b1, stages,
+        dir.resolve("s1").toString)
+      assert(rep1.map(_.rowsOut) == Seq(2L, 2L, 2L, 2L), rep1)
+      assert(out1.count() == 2L)
+      val indexed1 = s.read.parquet(s"$idx/docs").count()
+      assert(indexed1 == 2L)
+      // batch 2: a near-copy of doc 1 plus a fresh doc — cross_dedup
+      // drops the near-copy against the index; only the fresh doc
+      // appends
+      val b2 = mk(Seq((10L, base.replace("lazy", "sleepy")),
+        (11L, "entirely novel vocabulary about cooking pasta " * 5)))
+      val (out2, rep2) = Pipeline.run(b2, stages,
+        dir.resolve("s2").toString)
+      val byStage = rep2.map(r => r.stage -> r.rowsOut).toMap
+      assert(byStage("near_dedup") == 2L && byStage("cross_dedup") == 1L,
+        rep2)
+      assert(rows(out2.select("doc_id")).map(_.head) == Seq(11L))
+      assert(s.read.parquet(s"$idx/docs").count() == 3L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("Pipeline.resume over kept spills equals the uninterrupted run") {
     import graft.ops.Pipeline
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
