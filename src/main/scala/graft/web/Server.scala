@@ -243,6 +243,10 @@ final class Server(env: Env, port: Int = 0) {
     *    "url_col": "url",             // adds the url_dedup stage
     *    "blocklist": "domains", "block_field": "domain",
     *                                  // adds the domain_filter stage
+    *    "index": "corpus",            // NAME under <root>/_index/ —
+    *                                  // cross_dedup + index_update
+    *    "since": "snap-...",          // delta input: keys added or
+    *                                  // changed after that snapshot
     *    "bench": "benchtable", "bench_field": "text",  // decontaminate
     *    "clf_pos": "wiki", "clf_neg": "crawl", "min_clf": 0.0,
     *                                  // adds the classifier stage
@@ -314,10 +318,19 @@ final class Server(env: Env, port: Int = 0) {
           .map(t => env.view(t, Seq(blockField)).read())
         require(block.isEmpty || str("url_col", "").nonEmpty,
           """curate "blocklist" needs "url_col" too""")
+        // "index": a NAME resolved under <root>/_index/ — same
+        // no-raw-paths trust rule as scratch — adding the
+        // cross_dedup + index_update incremental stages
+        val indexName = str("index", "")
+        require(indexName.isEmpty || (indexName.matches("[A-Za-z0-9._-]+") &&
+          indexName != "." && indexName != ".."),
+          s"index must be a plain name, got '$indexName'")
         graft.ops.Pipeline.curateDocuments(
           str("id_col", "doc_id"), textCol,
           urlCol = Some(str("url_col", "")).filter(_.nonEmpty),
           blockDomains = block, blockDomainCol = blockField,
+          corpusIndex = Some(indexName).filter(_.nonEmpty)
+            .map(n => s"${env.warehouse.root}/_index/$n"),
           nearThreshold = dbl("near", 0.2),
           minQuality = dbl("min_quality", 0.0),
           bench = bench, benchTextCol = benchField,
@@ -327,11 +340,22 @@ final class Server(env: Env, port: Int = 0) {
           gopher = body.get("gopher").exists(_.toString.toBoolean))
       }
     val keep = body.get("keep_spills").exists(_.toString.toBoolean)
+    // "since": narrow the input to keys added/changed after that
+    // retained snapshot (delta curation). Keys only — the rows still
+    // come through the ACL'd view read, so nothing hidden surfaces.
+    val fullInput = env.view(table).read()
+    val input = Some(str("since", "")).filter(_.nonEmpty).map { snap =>
+      val keys = env.registry(table).key
+      val delta = env.diffSnapshots(table, from = Some(snap))
+        .filter(org.apache.spark.sql.functions.col("change") =!= "removed")
+        .select(keys.map(org.apache.spark.sql.functions.col): _*)
+      fullInput.join(delta, keys, "left_semi")
+    }.getOrElse(fullInput)
     val (survivors, reports) = body.get("resume").map(_.toString.toInt) match {
       case Some(n) =>
         graft.ops.Pipeline.resume(env.spark, stages, scratch, n, keep)
       case None =>
-        graft.ops.Pipeline.run(env.view(table).read(), stages, scratch, keep)
+        graft.ops.Pipeline.run(input, stages, scratch, keep)
     }
     val written = Some(str("out", "")).filter(_.nonEmpty).map { t =>
       env.view(t, survivors.columns.toSeq).write(survivors); t

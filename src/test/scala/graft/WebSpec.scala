@@ -326,6 +326,19 @@ class WebSpec extends SparkSpec {
         s"$c2 $b2")
       assert(post(port, "/_curate/member",
         """{"scratch": "run3", "clf_pos": "team"}""")._1 == 400)
+      // incremental: "index" is a plain NAME resolved under
+      // <root>/_index/; first run bootstraps the corpus index there,
+      // a path-shaped name refuses
+      val (ic, ib) = post(port, "/_curate/member",
+        """{"scratch": "run4", "id_col": "registration_code",
+          | "text_col": "name", "index": "corpus1"}""".stripMargin)
+      assert(ic == 200 && ib.contains("cross_dedup") &&
+        ib.contains("index_update"), s"$ic $ib")
+      assert(new java.io.File(
+        s"${env.warehouse.root}/_index/corpus1/_graft_index_meta.json")
+        .exists())
+      assert(post(port, "/_curate/member",
+        """{"scratch": "run5", "index": "../evil"}""")._1 == 400)
       // layout maintenance: plain compact returns zone metadata; a
       // z-order body on a non-brin table refuses; GET refused
       val (cpc, cpb) = post(port, "/_compact/member", "")
