@@ -227,6 +227,24 @@ object Bench {
     }
     graft.ops.Dedup.clearMaterializedSlots()
 
+    // Incremental-ingest probe: index the 10x corpus ONCE, then gate
+    // a 1x batch against it — the batch-proportional claim behind
+    // curateDocuments' cross_dedup stage, measured at scale. Healthy =
+    // the probe tracks the 1x cold miner, NOT sf1_dedup_minhash_pairs
+    // (probing a 10x corpus must not cost 10x).
+    val incIdx = java.nio.file.Files
+      .createTempDirectory("bench-mhidx-").toString
+    probeOnce("sf1_curate_index_build")(
+      graft.ops.Dedup.buildMinhashIndex(docs10, "doc_id", "text", incIdx))
+    probe("sf1_dedup_incremental_batch") {
+      graft.ops.Dedup.clearMaterializedSlots()
+      graft.ops.Dedup.dedupAgainstIndex(
+        docs1.select((col("doc_id") + 99000000L).as("doc_id"), col("text")),
+        "doc_id", "text", incIdx, threshold = 0.8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    graft.ops.Dedup.clearMaterializedSlots()
+
     // sf1 probes for the OTHER shuffle-heavy miners (r9 verdict #4):
     // span mining, simhash banding, and the profiling melt — so the
     // next scale cliff surfaces here, not in a judge re-run. The 10x
