@@ -533,7 +533,8 @@ object Main {
             graft.ops.Pipeline.curateEmbeddings(idCol, vecCol, dims,
               nearThreshold = if (o.near >= 0) o.near else 0.99,
               semanticK = if (o.kOpt > 0) o.kOpt else 64,
-              bench = bench, benchVecCol = benchCol)
+              bench = bench, benchVecCol = benchCol,
+              corpusIndex = Option(o.path).filter(_.nonEmpty))
         } else {
           val idCol = o.fields.headOption.getOrElse("doc_id")
           val textCol = o.fields.drop(1).headOption.getOrElse("text")

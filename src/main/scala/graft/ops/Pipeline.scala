@@ -238,16 +238,41 @@ object Pipeline {
       dims: Int, nearThreshold: Double = 0.99,
       semanticThreshold: Double = 0.95, semanticK: Int = 64,
       bench: Option[DataFrame] = None, benchVecCol: String = "embedding",
-      decontamThreshold: Double = 0.9): Seq[Stage] = Seq(
-    Stage("exact_dedup", df => Dedup.exact(df, Seq(vecCol), idCol)),
-    Stage("near_dedup", df =>
-      Similarity.cosineDedup(df, vecCol, idCol, nearThreshold, dims)),
-    Stage("semantic_dedup", df =>
-      Similarity.semanticDedupAuto(df, vecCol, idCol, semanticThreshold,
-        k = semanticK))) ++
+      decontamThreshold: Double = 0.9,
+      corpusIndex: Option[String] = None): Seq[Stage] = {
+    def indexExists(df: DataFrame): Boolean = {
+      val meta = new org.apache.hadoop.fs.Path(corpusIndex.get,
+        "_graft_index_meta.json")
+      meta.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .exists(meta)
+    }
+    Seq(
+      Stage("exact_dedup", df => Dedup.exact(df, Seq(vecCol), idCol)),
+      Stage("near_dedup", df =>
+        Similarity.cosineDedup(df, vecCol, idCol, nearThreshold, dims)),
+      Stage("semantic_dedup", df =>
+        Similarity.semanticDedupAuto(df, vecCol, idCol, semanticThreshold,
+          k = semanticK))) ++
+    // cross-corpus vector dedup against the persisted SemDeDup
+    // cluster index — the document recipe's cross_dedup twin:
+    // pass-through on the bootstrap run, probe after
+    corpusIndex.map(p => Stage("cross_dedup", df =>
+      if (indexExists(df))
+        Similarity.semanticDedupAgainstIndex(df, vecCol, idCol, p,
+          semanticThreshold)
+      else df)) ++
     // mirror of the document recipe's decontaminate placement: the
     // eval-overlap gate runs over the already-deduped survivors
     bench.map(b => Stage("semantic_decontaminate", df =>
       Similarity.decontaminateSemantic(df, vecCol, idCol, b, benchVecCol,
-        decontamThreshold, dims)))
+        decontamThreshold, dims))) ++
+    // LAST: released survivors fold into the cluster index (bootstrap
+    // build with semanticK clusters, append + drift retrain after)
+    corpusIndex.map(p => Stage("index_update", df => {
+      if (indexExists(df))
+        Similarity.appendToSemanticIndex(df, vecCol, idCol, p)
+      else Similarity.buildSemanticIndex(df, vecCol, idCol, p, k = semanticK)
+      df
+    }))
+  }
 }

@@ -293,13 +293,20 @@ final class Server(env: Env, port: Int = 0) {
           .map(t => env.view(t, Seq(benchField)).read()
             .withColumn(benchField, org.apache.spark.sql.functions
               .col(benchField).cast("array<float>")))
+        val vIndexName = str("index", "")
+        require(vIndexName.isEmpty ||
+          (vIndexName.matches("[A-Za-z0-9._-]+") &&
+            vIndexName != "." && vIndexName != ".."),
+          s"index must be a plain name, got '$vIndexName'")
         graft.ops.Pipeline.Stage("float32", df =>
           df.withColumn(vecCol, org.apache.spark.sql.functions.col(vecCol)
             .cast("array<float>"))) +:
           graft.ops.Pipeline.curateEmbeddings(idCol, vecCol, dims,
             nearThreshold = dbl("near", 0.99),
             semanticK = body.get("k").map(_.toString.toInt).getOrElse(64),
-            bench = bench, benchVecCol = benchField)
+            bench = bench, benchVecCol = benchField,
+            corpusIndex = Some(vIndexName).filter(_.nonEmpty)
+              .map(n => s"${env.warehouse.root}/_index/$n"))
       } else {
         val benchField = str("bench_field", "text")
         val bench = Some(str("bench", "")).filter(_.nonEmpty)

@@ -926,6 +926,48 @@ class PipelineOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("curateEmbeddings incremental: bootstrap builds the cluster index, batch 2 cross-dedups") {
+    import graft.ops.Pipeline
+    val vschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def mk(rows: Seq[(Long, Seq[Float])]) = s.createDataFrame(rows.map(r =>
+      org.apache.spark.sql.Row(r._1, r._2)).asJava, vschema)
+    val dir = java.nio.file.Files.createTempDirectory("inc-vcurate-")
+    val idx = dir.resolve("semidx").toString
+    val stages = Pipeline.curateEmbeddings("vec_id", "embedding", dims = 4,
+      semanticK = 2, corpusIndex = Some(idx))
+    assert(stages.map(_.name) == Seq("exact_dedup", "near_dedup",
+      "semantic_dedup", "cross_dedup", "index_update"), stages.map(_.name))
+    try {
+      // batch 1: two orthogonal axis clusters (5 distinct each)
+      val b1 = mk((0 until 5).map(i =>
+        (i.toLong, Seq(1f, 0.01f * i, 0f, 0f))) ++
+        (0 until 5).map(i => (100L + i, Seq(0.01f * i, 1f, 0f, 0f))))
+      val (out1, rep1) = Pipeline.run(b1, stages, dir.resolve("s1").toString)
+      // within-batch stages may or may not bite; cross_dedup must
+      // pass everything through (no index yet)
+      val by1 = rep1.map(r => r.stage -> r.rowsOut).toMap
+      assert(by1("cross_dedup") == by1("semantic_dedup"), rep1)
+      assert(new java.io.File(idx, "_graft_index_meta.json").exists())
+      val n1 = out1.count()
+      // batch 2: a scaled copy of vec 0 (cosine 1.0 with the indexed
+      // original) plus a genuinely new direction
+      val b2 = mk(Seq(
+        (200L, Seq(1.001f, 0f, 0f, 0f)),
+        (201L, Seq(0f, 0f, 1f, 0f))))
+      val (out2, rep2) = Pipeline.run(b2, stages, dir.resolve("s2").toString)
+      val by2 = rep2.map(r => r.stage -> r.rowsOut).toMap
+      assert(by2("cross_dedup") == 1L, rep2)
+      assert(rows(out2.select("vec_id")).map(_.head) == Seq(201L))
+      // the new direction appended into the cluster partitions
+      assert(s.read.parquet(idx).count() == n1 + 1L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("Pipeline.resume over kept spills equals the uninterrupted run") {
     import graft.ops.Pipeline
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
