@@ -24,7 +24,7 @@ import graft.view.{Filter, FilterExpr, Order}
   *                       --keep-spills + --resume N restartability)
   *             | index (ANN index lifecycle: build/append/retrain/
   *                      recall/info over a vector table — --path dir,
-  *                      --kind lsh|ivf|ivfpq|semantic, probe knobs)
+  *                      --kind lsh|ivf|ivfpq|semantic|minhash, probe knobs)
   *             | embed (model-free hashed embeddings: --dims N,
   *                      --out <table> or -f <parquet dir>)
   *     --config <file>     .tk.yaml-style config: {schema: path, warehouse: path}
@@ -587,7 +587,7 @@ object Main {
 
     // extension: ANN index lifecycle over a managed vector table — the
     // CLI face of ops/Similarity's index families. Sub-actions:
-    //   tk index build   <table> <id> <vec> --path d --kind lsh|ivf|ivfpq|semantic
+    //   tk index build   <table> <id> <vec|text> --path d --kind lsh|ivf|ivfpq|semantic|minhash
     //                    [--nlist N] [--m M] [--k K] [--quantized]
     //   tk index append  <table> <id> <vec> --path d   (-F narrows the batch)
     //   tk index retrain <id> <vec> --path d           (kind from the meta)
@@ -641,6 +641,14 @@ object Main {
           .withColumn(v, org.apache.spark.sql.functions.col(v)
             .cast("array<float>"))
       o.table match {
+        // --kind minhash: the TEXT corpus index (Dedup.buildMinhashIndex)
+        // — third positional is the text column, no dims to derive
+        case "build" if o.kind == "minhash" =>
+          val (t, id, tc) = tiv()
+          graft.ops.Dedup.buildMinhashIndex(
+            env.view(t, Seq(id, tc)).read(o.filters.map(FilterExpr.apply)),
+            id, tc, path())
+          out.write(s"built minhash index at ${o.path}\n")
         case "build" =>
           val (t, id, v) = tiv()
           val df = vecs(t, id, v)
@@ -657,19 +665,21 @@ object Main {
             case "semantic" => Similarity.buildSemanticIndex(df, v, id,
               path(), k = if (o.kOpt > 0) o.kOpt else 64)
             case other => throw new IllegalArgumentException(
-              s"unknown --kind '$other' (lsh|ivf|ivfpq|semantic)")
+              s"unknown --kind '$other' (lsh|ivf|ivfpq|semantic|minhash)")
           }
           out.write(s"built ${o.kind} index at ${o.path} ($dims dims)\n")
         case "append" =>
           val (t, id, v) = tiv()
-          val df = vecs(t, id, v)
           val kind = Similarity.indexKind(env.spark, path())
           kind match {
-            case "lsh" => Similarity.appendToIndex(df, v, id, o.path)
-            case "ivf" => Similarity.appendToIvfIndex(df, v, id, o.path)
-            case "ivfpq" => Similarity.appendToIvfPqIndex(df, v, id, o.path)
+            case "minhash" => graft.ops.Dedup.appendToMinhashIndex(
+              env.view(t, Seq(id, v)).read(o.filters.map(FilterExpr.apply)),
+              id, v, o.path)
+            case "lsh" => Similarity.appendToIndex(vecs(t, id, v), v, id, o.path)
+            case "ivf" => Similarity.appendToIvfIndex(vecs(t, id, v), v, id, o.path)
+            case "ivfpq" => Similarity.appendToIvfPqIndex(vecs(t, id, v), v, id, o.path)
             case "semantic" =>
-              Similarity.appendToSemanticIndex(df, v, id, o.path)
+              Similarity.appendToSemanticIndex(vecs(t, id, v), v, id, o.path)
           }
           out.write(s"appended into $kind index at ${o.path}\n")
         case "retrain" =>

@@ -357,6 +357,24 @@ class CliSpec extends SparkSpec {
     val inc = run(conf.toString, "read", "curated", "doc_id", "-H",
       "-s", "doc_id", "-F", "(>= doc_id 10)")
     assert(inc.trim == "11", inc)
+    // tk index lifecycle over the TEXT corpus index: kind-dispatched
+    // append + meta card, and a fresh --kind minhash build
+    val beforeN = spark.read.parquet(s"$idx/docs").count()
+    val icsv3 = dir.resolve("idocs3.csv")
+    Files.writeString(icsv3,
+      "doc_id,text\n20,yet more fresh prose tokens appear\n")
+    run(conf.toString, "write", "docs", "-f", icsv3.toString)
+    val app = run(conf.toString, "index", "append", "docs",
+      "doc_id", "text", "--path", idx, "-F", "(>= doc_id 20)")
+    assert(app.contains("appended into minhash index"), app)
+    assert(spark.read.parquet(s"$idx/docs").count() == beforeN + 1)
+    val minfo = run(conf.toString, "index", "info", "--path", idx)
+    assert(minfo.contains("kind: minhash"), minfo)
+    val idx2 = dir.resolve("mhidx2").toString
+    val built = run(conf.toString, "index", "build", "docs",
+      "doc_id", "text", "--path", idx2, "--kind", "minhash")
+    assert(built.contains("built minhash index"), built)
+    assert(new java.io.File(idx2, "_graft_index_meta.json").exists())
   }
 
   test("sample and shard actions: deterministic slices, bands partition") {
