@@ -82,7 +82,9 @@ object Main {
       // compaction, Some("") = clear the recorded z-order property
       zorder: Option[String] = None,
       // embed action: hashed-embedding dimensionality
-      dims: Int = 0)
+      dims: Int = 0,
+      // profile action: histogram bin count (0 = data card)
+      bins: Int = 0)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -125,6 +127,7 @@ object Main {
         case "--min-clf" => o = o.copy(minClf = argv(i + 1).toDouble); i += 2
         case "--zorder" => o = o.copy(zorder = Some(argv(i + 1))); i += 2
         case "--dims" => o = o.copy(dims = argv(i + 1).toInt); i += 2
+        case "--bins" => o = o.copy(bins = argv(i + 1).toInt); i += 2
         case "--normalize" => o = o.copy(normalize = true); i += 1
         case "--gopher" => o = o.copy(gopher = true); i += 1
         case "--explain" => o = o.copy(explain = true); i += 1
@@ -405,6 +408,33 @@ object Main {
 
     // extension: one-shot data card — per-column completeness,
     // cardinality, range (ops/Profile) through the View/ACL layer
+    // --bins N renders the fixed-width histogram of ONE column (grid
+    // derived from its min/max; pair with --vbar for the ascii plot);
+    // --k N prints its top-N frequent values. Default: the data card.
+    case "profile" if o.bins > 0 || o.kOpt > 0 =>
+      val colName = o.fields.headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "profile --bins/--k needs a column"))
+      // dotted FK fields read as literal dotted column names, which
+      // col() would parse as a struct path — rename before the op
+      val base = env.view(o.table, Seq(colName))
+        .read(o.filters.map(FilterExpr.apply))
+        .withColumnRenamed(colName, "__pcol")
+      val d =
+        if (o.kOpt > 0) graft.ops.Profile.topValues(base, "__pcol", o.kOpt)
+        else {
+          import org.apache.spark.sql.functions.{col => c, min => mn, max => mx}
+          val mm = base.agg(mn(c("__pcol").cast("double")),
+            mx(c("__pcol").cast("double"))).head()
+          require(!mm.isNullAt(0),
+            s"'$colName' has no non-null values to bin")
+          val lo = mm.getDouble(0)
+          val hi0 = mm.getDouble(1)
+          val hi = if (hi0 > lo) hi0 else lo + 1.0
+          graft.ops.Profile.histogram(base, "__pcol", lo, hi, o.bins)
+            .orderBy(c("bin"))
+        }
+      emit(d, o, out)
     case "profile" =>
       val td = env.registry(o.table)
       val cols0 =

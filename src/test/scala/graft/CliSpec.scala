@@ -164,6 +164,15 @@ class CliSpec extends SparkSpec {
     val be = run(conf, "profile", "team", "name",
       "-F", """(= country.name "France")""")
     assert(be.contains("name,2,0,2,Ace,Red"), be)
+    // --k: top frequent values of one column (France has two teams)
+    val tk = run(conf, "profile", "team", "country.name", "--k", "2")
+    assert(tk.trim.linesIterator.toSeq ==
+      Seq("value,n", "France,2", "Belgium,1"), tk)
+    // --bins: fixed-width histogram over a derived min/max grid
+    val hg = run(conf, "profile", "team", "country", "--bins", "2")
+    val hLines = hg.trim.linesIterator.toSeq
+    assert(hLines.head == "bin,bin_lo,bin_hi,n", hg)
+    assert(hLines.tail.map(_.split(",")(3).toLong).sum == 3L, hg)
     // --group: per-group cards keyed by the group column
     val gp = run(conf, "profile", "team", "name", "country", "--group",
       "country")
