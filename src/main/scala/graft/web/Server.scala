@@ -202,10 +202,24 @@ final class Server(env: Env, port: Int = 0) {
     val cols = get.get("fields").map(_.split(",").toSeq.map(_.trim))
       .getOrElse(td.physical.map(_.name).filterNot(_ == "id"))
     val filters = ps.filter(_._1 == "filter").map(_._2)
-    val base = env.view(table, cols)
-      .read(filters = filters.map(graft.view.FilterExpr.apply))
-    val df = graft.ops.Profile.columns(base, cols)
-      .orderBy(org.apache.spark.sql.functions.col("column"))
+    // ?group=<col>: per-group data cards (Profile.columnsBy), the
+    // CLI --group twin
+    val df = get.get("group").filter(_.nonEmpty) match {
+      case Some(g) =>
+        val pcols = cols.filterNot(_ == g)
+        require(pcols.nonEmpty,
+          s"profile group=$g needs at least one other column")
+        val base = env.view(table, (pcols :+ g).distinct)
+          .read(filters = filters.map(graft.view.FilterExpr.apply))
+        graft.ops.Profile.columnsBy(base, pcols, g)
+          .orderBy(org.apache.spark.sql.functions.col("group"),
+            org.apache.spark.sql.functions.col("column"))
+      case None =>
+        val base = env.view(table, cols)
+          .read(filters = filters.map(graft.view.FilterExpr.apply))
+        graft.ops.Profile.columns(base, cols)
+          .orderBy(org.apache.spark.sql.functions.col("column"))
+    }
     val rows = df.collect().toSeq.map(_.toSeq.map {
       case null => null
       case n: Number => n

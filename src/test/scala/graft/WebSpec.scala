@@ -63,6 +63,19 @@ class WebSpec extends SparkSpec {
       val r2 = parse(b2)("rows").asInstanceOf[java.util.List[java.util.List[_]]]
         .asScala.map(_.asScala.toSeq)
       assert(r2 == Seq(Seq("name", 1, 0, 1, "Blue", "Blue")), r2)
+      // ?group=<col>: per-group cards (the CLI --group twin)
+      val (gc, gb) = get(port, "/_profile/team?fields=name,country&group=country")
+      assert(gc == 200, gb)
+      val gm = parse(gb)
+      assert(gm("columns").asInstanceOf[java.util.List[_]].asScala.head
+        == "group", gm)
+      val gr = gm("rows").asInstanceOf[java.util.List[java.util.List[_]]]
+        .asScala.map(_.asScala.toSeq)
+      // two countries, one profiled column each
+      assert(gr.size == 2 && gr.forall(_(1) == "name"), gr)
+      // profiling only the group column refuses
+      assert(get(port, "/_profile/team?fields=country&group=country")._1
+        == 400)
     } finally srv.stop()
   }
 
