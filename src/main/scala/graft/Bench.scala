@@ -110,6 +110,20 @@ object Bench {
       if (n == 1) singleRun += name
     }
     def probeOnce(name: String)(body: => Unit): Unit = probe(name, 1)(body)
+    // r12 verdict #4: the five load/insert probes were single-shot
+    // (a rerun would change semantics: insert becomes update) and so
+    // invisible to the drift sentinel — exactly where the round's only
+    // bench ambiguity lived (driver 28.6s vs isolated 9.1s on
+    // sf1_write_roundtrip). They now re-create their target per rep
+    // via an UNTIMED setup (delete-all / index-dir wipe), so the timed
+    // body stays a true cold load and the median/min pair reaches the
+    // artifact like every other probe.
+    def probeSetup(name: String)(setup: => Unit)(body: => Unit): Unit = {
+      val runs = Seq.fill(probeReps) { setup; time(body) }
+      mins(name) = if (runs.forall(_ < 0)) -1.0 else runs.filter(_ >= 0).min
+      results(name) =
+        if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(probeReps / 2)
+    }
 
     // Write-path probe (BASELINE.md): 100k-row upsert, insert then
     // re-write as update, through the full View.write machinery.
@@ -127,8 +141,8 @@ object Bench {
       .cache()
     batch.count() // materialize outside the timed sections
     val wv = e.view("bench_scratch", Seq("code", "ts", "n", "x"))
-    // a repeated insert would be an update — single-shot by semantics
-    probeOnce("write_100k_insert")(wv.write(batch))
+    // delete-all (untimed) before each rep keeps the insert an insert
+    probeSetup("write_100k_insert")(wv.delete())(wv.write(batch))
     // re-updating the same batch is idempotent work: repeatable
     probe("write_100k_update")(wv.write(batch))
     batch.unpersist()
@@ -144,8 +158,8 @@ object Bench {
       .cache()
     allRows.count()
     val bv = e.view("bench_bucketed", Seq("code", "x"))
-    // rerunning the load would merge against the loaded table
-    probeOnce("bucketed_load_full")(bv.write(allRows))
+    // delete-all per rep so every load is a cold full load
+    probeSetup("bucketed_load_full")(bv.delete())(bv.write(allRows))
     // batch confined to 2 of 64 buckets -> only those rewrite
     val small = allRows
       .filter(pmod(hash(col("code")), lit(64)) < 2).limit(1000).cache()
@@ -168,7 +182,7 @@ object Bench {
       .read().cache()
     ev.count()
     val av = e.view("event_archive", Seq("event_id", "ts", "event_type", "value"))
-    probeOnce("brin_load_full")(av.write(ev))
+    probeSetup("brin_load_full")(av.delete())(av.write(ev))
     val recent = ev.orderBy(col("event_id").desc).limit(1000).cache()
     recent.count()
     probe("brin_update_recent_1k")(av.write(recent))
@@ -196,9 +210,23 @@ object Bench {
       .reduce(_ unionByName _).cache()
     li10.count()
     val sv = e.view("bench_sf1", Seq("code", "x"))
-    // rerun would be a full-table update, not a round-trip
-    probeOnce("sf1_write_roundtrip")(sv.write(li10))
+    // delete-all per rep keeps every round-trip a cold full write
+    probeSetup("sf1_write_roundtrip")(sv.delete())(sv.write(li10))
     li10.unpersist()
+    // whole-warehouse backup at this point covers bench_scratch +
+    // bench_bucketed + event_archive + the 10x bench_sf1 table — the
+    // executor-parallel (distcp-shape) copy path, measured; healthy =
+    // bounded by bytes/width, not by the file count the old
+    // sequential driver loop scaled with
+    val bkDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-bench-backup-${ProcessHandle.current().pid()}").getAbsolutePath
+    probeSetup("sf1_backup") {
+      try org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(bkDir))
+      catch { case _: Exception => }
+    }(e.warehouse.backup(bkDir))
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bkDir))
+    catch { case _: Exception => }
     val docs1 = e.view("documents", Seq("doc_id", "text")).read()
     val abc = "abcdefghijklmnopqrstuvwxyz"
     val docs10 = (0 until 10).map(k =>
@@ -234,8 +262,11 @@ object Bench {
     // (probing a 10x corpus must not cost 10x).
     val incIdx = java.nio.file.Files
       .createTempDirectory("bench-mhidx-").toString
-    probeOnce("sf1_curate_index_build")(
-      graft.ops.Dedup.buildMinhashIndex(docs10, "doc_id", "text", incIdx))
+    probeSetup("sf1_curate_index_build") {
+      try org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(incIdx))
+      catch { case _: Exception => }
+    }(graft.ops.Dedup.buildMinhashIndex(docs10, "doc_id", "text", incIdx))
     probe("sf1_dedup_incremental_batch") {
       graft.ops.Dedup.clearMaterializedSlots()
       graft.ops.Dedup.dedupAgainstIndex(

@@ -1092,8 +1092,15 @@ object SparkEntry {
       val emb = graft.ops.Par.spread(
         env(s, dir).view("embeddings", Seq("vec_id", "embedding")).read())
       val basis = Similarity.pcaBasis(emb, "embedding", 8)
+      // The raw array<double> projection is not hashable by the driver
+      // harness; reduce to scalar columns (norm + leading components).
       emb.select(col("vec_id"),
         Similarity.pcaProject(col("embedding"), basis).as("reduced"))
+        .select(col("vec_id"),
+          round(Similarity.norm(col("reduced")), 6).as("pnorm"),
+          round(element_at(col("reduced"), 1), 6).as("p0"),
+          round(element_at(col("reduced"), 2), 6).as("p1"))
+        .orderBy(col("vec_id"))
     }),
 
     "embed_quantize" -> ((s, dir) => {

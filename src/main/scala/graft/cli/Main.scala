@@ -84,7 +84,9 @@ object Main {
       // embed action: hashed-embedding dimensionality
       dims: Int = 0,
       // profile action: histogram bin count (0 = data card)
-      bins: Int = 0)
+      bins: Int = 0,
+      // backup action: also copy persisted index dirs under the root
+      indexes: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -147,6 +149,7 @@ object Main {
         case "--m" => o = o.copy(subM = argv(i + 1).toInt); i += 2
         case "--k" => o = o.copy(kOpt = argv(i + 1).toInt); i += 2
         case "--quantized" => o = o.copy(quantized = true); i += 1
+        case "--indexes" => o = o.copy(indexes = true); i += 1
         case "--queries" => o = o.copy(queries = argv(i + 1).toInt); i += 2
         case "--nprobe" => o = o.copy(nprobe = argv(i + 1).toInt); i += 2
         case "--probe-level" =>
@@ -336,7 +339,7 @@ object Main {
           .write.mode("overwrite").partitionBy("shard").parquet(dir)
         graft.ops.Sample.releaseLayouts()
         out.write(s"wrote ${o.shards} curriculum shard(s) of ${o.table} " +
-          s"by ${o.weight} to $dir\n")
+          s"by ${o.score} to $dir\n")
       } else {
         graft.ops.Sample.writeShards(df, sampleId(o, env, df), o.shards, dir)
         out.write(s"wrote ${o.shards} shard(s) of ${o.table} to $dir\n")
@@ -370,8 +373,13 @@ object Main {
     case "backup" =>
       val dest = o.file.getOrElse(throw new IllegalArgumentException(
         "backup needs -f/--file <dest dir>"))
-      env.warehouse.backup(dest)
+      val leftBehind = env.warehouse.backup(dest, includeIndexes = o.indexes)
       out.write(s"warehouse backed up to $dest\n")
+      // loud, not silent: a restore without these re-bootstraps every
+      // index from the full corpus — pass --indexes to copy them too
+      if (leftBehind.nonEmpty)
+        out.write("indexes left behind (use --indexes to include):\n" +
+          leftBehind.map(p => s"  $p\n").mkString)
 
     // restore = backup in reverse: a backup dir IS a warehouse root,
     // so copy its live state into this config's (empty) warehouse via
@@ -380,8 +388,10 @@ object Main {
     case "restore" =>
       val src = o.file.getOrElse(throw new IllegalArgumentException(
         "restore needs -f/--file <backup dir>"))
+      // indexes present in the backup were requested at backup time —
+      // restore always brings them back (no-op when none were copied)
       new graft.store.Warehouse(env.spark, src, env.registry)
-        .backup(env.warehouse.root)
+        .backup(env.warehouse.root, includeIndexes = true)
       out.write(s"warehouse restored from $src\n")
 
     // layout maintenance: collapse fragmented snapshots/zones; with
@@ -710,6 +720,9 @@ object Main {
             case "ivfpq" => Similarity.appendToIvfPqIndex(vecs(t, id, v), v, id, o.path)
             case "semantic" =>
               Similarity.appendToSemanticIndex(vecs(t, id, v), v, id, o.path)
+            case other => throw new IllegalArgumentException(
+              s"index at ${o.path} has unsupported kind '$other' " +
+                "(minhash|lsh|ivf|ivfpq|semantic)")
           }
           out.write(s"appended into $kind index at ${o.path}\n")
         case "retrain" =>

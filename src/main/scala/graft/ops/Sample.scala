@@ -444,11 +444,14 @@ object Sample {
       .withColumn("__p", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pin(layout)
-    val stats = layout.groupBy("__p").agg(count(lit(1)).as("__n"),
-      count_distinct(col(idCol)).as("__d")).collect()
-    require(stats.map(r => r.getLong(1) - r.getLong(2)).sum == 0L,
-      s"curriculumShards requires unique '$idCol' values")
+    val stats = layout.groupBy("__p").agg(count(lit(1)).as("__n")).collect()
     val perPart = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the layout range-partitions by (score, id), so duplicate ids with
+    // DIFFERENT scores land in different partitions — the uniqueness
+    // check must be global, not per-partition (packByBudget's per-
+    // partition variant is valid only because it partitions by id)
+    require(layout.select(idCol).distinct().count() == perPart.values.sum,
+      s"curriculumShards requires unique '$idCol' values")
     val nPart = perPart.keys.maxOption.map(_ + 1).getOrElse(0)
     var acc = 0L
     val offRows = (0 until nPart).map { p =>

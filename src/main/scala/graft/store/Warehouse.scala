@@ -134,8 +134,18 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
               val parsed =
                 if (y == null) Map[String, String]()
                 else y.asScala.map { case (k, v) => k -> v.toString }.toMap
+              // a re-read that finds the SAME (mtime, length) keeps the
+              // original install time, so the entry ages into
+              // servability even under sustained sub-freshness-interval
+              // reads (resetting `seen` would re-parse forever)
+              val seen0 = rootMemo.get() match {
+                case Some((mt0, len0, _, _, s0))
+                    if mt0 == st.getModificationTime &&
+                      len0 == st.getLen => s0
+                case _ => System.currentTimeMillis
+              }
               rootMemo.set(Some((st.getModificationTime, st.getLen, parsed,
-                false, System.currentTimeMillis)))
+                false, seen0)))
               parsed
             } catch { case scala.util.control.NonFatal(_) => Map() }
         }
@@ -221,7 +231,18 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       case Some((h, age)) if h == me && age <= Warehouse.LeaseTtlMs / 2 =>
         () // ours and fresh — skip the heartbeat write
       case Some((h, _)) if h != me => // stale foreign: steal
-        fsys.delete(f, false); take()
+        // steal by RENAMING the stale file out of the way: rename is
+        // atomic, so of two stealers exactly one succeeds — a plain
+        // delete-then-create pair lets B delete A's freshly created
+        // lease in the window between A's delete and A's create
+        val tomb = new Path(f.getParent,
+          s"_LEASE.stale-${System.nanoTime()}-${Thread.currentThread.getId}")
+        if (fsys.rename(f, tomb)) { fsys.delete(tomb, false); take() }
+        else readHolder() match { // lost the steal race
+          case Some((h2, age2)) if h2 != me => refuse(h2, age2)
+          case Some(_) => () // we already hold it
+          case None => take() // winner vanished between rename and create
+        }
       case Some(_) => // ours but aging: heartbeat (we own it — plain write)
         val out = fsys.create(f, true)
         try out.write(me.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -930,9 +951,24 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * a superseded snapshot mid-copy, which surfaces as a loud
     * missing-path error (re-run the backup), never a silent hole.
     * Backups also prune by construction: only LIVE state copies —
-    * superseded snapshots, scratch spills and external/ANN-index data
-    * (not part of the catalog's transactional state) stay behind. */
-  def backup(destRoot: String): Unit = {
+    * superseded snapshots and scratch spills stay behind.
+    *
+    * The COPY itself is the distcp shape: the driver only enumerates
+    * the pinned file list; the bytes move on EXECUTORS via one
+    * `parallelize(files).foreachPartition` job, so wall-clock scales
+    * with cluster width, not file count — a sequential driver loop
+    * over a 100-TB warehouse would run for days.
+    *
+    * Persisted ANN/text index directories (marked by their
+    * `_graft_index_meta.json` sidecar) are not part of the catalog's
+    * transactional state; with `includeIndexes = true` every index
+    * dir found under the warehouse root is copied too (meta sidecar
+    * written LAST so a torn index copy is never silently probed).
+    * Returns the index directories LEFT BEHIND — callers print them
+    * loudly so a later restore's full-corpus re-bootstrap is never a
+    * surprise. Indexes living outside the root cannot be discovered
+    * and are always the caller's to copy. */
+  def backup(destRoot: String, includeIndexes: Boolean = false): Seq[String] = {
     recoverTransactions() // fold any journaled commit before pinning
     val destP = new Path(destRoot)
     val dfs = fs(destP)
@@ -946,19 +982,39 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     val pinned: Map[String, String] =
       if (cat.nonEmpty) cat
       else registry.names.flatMap(t => readPointer(t).map(t -> _)).toMap
-    pinned.foreach { case (t, ptr) =>
+    val snapDirs: Seq[(Path, Path)] = pinned.toSeq.flatMap { case (t, ptr) =>
       val m = if (ptr.startsWith("{")) parseManifest(ptr)
         else Manifest(ptr, -1L, Map())
       val snaps = (Seq(m.snap) ++
         m.buckets.values.map(_.split("/")(0)) ++
         m.zones.map(_.dir.split("/")(0))).distinct
-      snaps.foreach { s =>
-        val src = new Path(tableDir(t), s)
-        val dst = new Path(new Path(destP, t), s)
-        if (!org.apache.hadoop.fs.FileUtil.copy(fs(src), src, dfs, dst,
-            false, hadoopConf))
-          throw new java.io.IOException(s"backup copy failed: $src")
+      snaps.map(s => (new Path(tableDir(t), s), new Path(new Path(destP, t), s)))
+    }
+    val idxDirs = discoverIndexDirs()
+    val idxCopied = if (includeIndexes) idxDirs else Nil
+    val idxPairs: Seq[(Path, Path)] = idxCopied.map { d =>
+      val rel = relativize(new Path(root), d)
+      (d, new Path(destP, rel))
+    }
+    // enumerate every file driver-side (cheap: metadata only), split
+    // out the index meta sidecars (those must land last), then one
+    // executor-parallel job moves all the bytes
+    val filePairs = (snapDirs ++ idxPairs).flatMap { case (src, dst) =>
+      listFilesUnder(src).map { f =>
+        (f.toString, new Path(dst, relativize(src, f)).toString)
       }
+    }
+    val (metaFiles, bulkFiles) = filePairs.partition(
+      _._1.endsWith("/_graft_index_meta.json"))
+    parallelCopy(bulkFiles)
+    snapDirs.foreach { case (_, dst) => dfs.mkdirs(dst) } // zero-file snaps
+    metaFiles.foreach { case (s, d) => // meta LAST: torn index ≠ probeable
+      val sp = new Path(s); val dp = new Path(d)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs(sp), sp, fs(dp), dp,
+          false, hadoopConf))
+        throw new java.io.IOException(s"backup copy failed: $s")
+    }
+    pinned.foreach { case (t, ptr) =>
       val cf = new Path(new Path(destP, t), "_CURRENT")
       val out = dfs.create(cf, true)
       try out.write(ptr.getBytes(StandardCharsets.UTF_8))
@@ -972,6 +1028,78 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     val out = dfs.create(rf, true)
     try out.write(Json.write(pinned).getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    (idxDirs diff idxCopied).map(_.toString)
+  }
+
+  /** Every regular file under `dir`, recursively; empty when the
+    * directory is missing (the caller decides whether that's a race
+    * or a zero-file table). */
+  private def listFilesUnder(dir: Path): Seq[Path] = {
+    val fsys = fs(dir)
+    if (!fsys.exists(dir)) return Nil
+    val it = fsys.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) buf += it.next().getPath
+    buf.toSeq
+  }
+
+  /** `child`'s path relative to `base` (both resolved through their
+    * FileSystem so scheme/authority differences don't break prefix
+    * matching). */
+  private def relativize(base: Path, child: Path): String = {
+    val b = fs(base).makeQualified(base).toString.stripSuffix("/") + "/"
+    val c = fs(child).makeQualified(child).toString
+    require(c.startsWith(b), s"$child is not under $base")
+    c.stripPrefix(b)
+  }
+
+  /** Move a list of (src, dst) file URIs on EXECUTORS — the distcp
+    * shape. The Hadoop conf travels as a plain key/value Vector (the
+    * Configuration object itself is not serializable); each partition
+    * rebuilds it once. A file deleted mid-copy (concurrent gc)
+    * surfaces as a loud task failure, never a silent hole. */
+  private def parallelCopy(pairs: Seq[(String, String)]): Unit = {
+    if (pairs.isEmpty) return
+    val confKv: Vector[(String, String)] =
+      hadoopConf.asScala.map(e => e.getKey -> e.getValue).toVector
+    val slices = math.max(1, math.min(pairs.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(pairs, slices).foreachPartition {
+      (it: Iterator[(String, String)]) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confKv.foreach { case (k, v) => conf.set(k, v) }
+        it.foreach { case (s, d) =>
+          val sp = new Path(s); val dp = new Path(d)
+          if (!org.apache.hadoop.fs.FileUtil.copy(
+              sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
+              false, conf))
+            throw new java.io.IOException(s"backup copy failed: $s")
+        }
+    }
+  }
+
+  /** Persisted index directories under the warehouse root, found by
+    * the `_graft_index_meta.json` sidecar every index family writes
+    * (MinHash corpus, LSH/IVF/IVF-PQ/semantic). Bounded walk: three
+    * levels, skipping snapshot dirs and `_`-prefixed internals. */
+  def discoverIndexDirs(): Seq[Path] = {
+    val rootP = new Path(root)
+    val fsys = fs(rootP)
+    if (!fsys.exists(rootP)) return Nil
+    def scan(dir: Path, depth: Int): Seq[Path] = {
+      val st =
+        try fsys.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return Nil }
+      if (st.exists(s => s.isFile &&
+          s.getPath.getName == "_graft_index_meta.json")) Seq(dir)
+      else if (depth >= 3) Nil
+      else st.toSeq
+        .filter(s => s.isDirectory &&
+          !s.getPath.getName.startsWith("snap-") &&
+          !s.getPath.getName.startsWith("_"))
+        .flatMap(s => scan(s.getPath, depth + 1))
+    }
+    scan(rootP, 0)
   }
 
   /** Retained snapshot names for a managed table, oldest first. GC

@@ -722,4 +722,58 @@ class CliSpec extends SparkSpec {
     assert(plot.contains("|") && plot.contains("•"), plot)
     assert(Render.parseCsvRow("""a,"b,c",d""") == Seq("a", "b,c", "d"))
   }
+
+  test("backup --indexes: round-trips persisted indexes, loud listing otherwise") {
+    val dir = Files.createTempDirectory("graft-cli-bakidx-")
+    val schema = dir.resolve("schema.yaml")
+    Files.writeString(schema,
+      """- table: docs
+        |  columns:
+        |    doc_id: bigint
+        |    text: varchar
+        |  key: [doc_id]
+        |""".stripMargin)
+    val wh = dir.resolve("wh").toString
+    val conf = dir.resolve("tk.yaml")
+    Files.writeString(conf, s"schema: $schema\nwarehouse: $wh\n")
+    run(conf.toString, "init")
+    val csv = dir.resolve("docs.csv")
+    Files.writeString(csv, "doc_id,text\n" +
+      (1 to 20).map(i => s"$i,unique prose tokens for document $i").mkString("\n"))
+    run(conf.toString, "write", "docs", "-f", csv.toString)
+    // a persisted corpus index UNDER the warehouse root — discoverable
+    val idx = s"$wh/mhidx"
+    run(conf.toString, "index", "build", "docs", "doc_id", "text",
+      "--path", idx, "--kind", "minhash")
+    // default backup leaves the index behind and SAYS SO (a restore
+    // without it silently re-bootstraps from the full corpus)
+    val bdir = dir.resolve("bak").toString
+    val o1 = run(conf.toString, "backup", "-f", bdir)
+    assert(o1.contains("indexes left behind"), o1)
+    assert(o1.contains("mhidx"), o1)
+    assert(!new java.io.File(bdir, "mhidx").exists())
+    // --indexes copies the index dir too, meta sidecar included
+    val bdir2 = dir.resolve("bak2").toString
+    val o2 = run(conf.toString, "backup", "-f", bdir2, "--indexes")
+    assert(!o2.contains("left behind"), o2)
+    assert(new java.io.File(s"$bdir2/mhidx", "_graft_index_meta.json").exists())
+    // restore into an empty root brings the index back: probe it with
+    // a kind-dispatched append + info straight against the restored dir
+    val wh3 = dir.resolve("wh3").toString
+    val conf3 = dir.resolve("tk3.yaml")
+    Files.writeString(conf3, s"schema: $schema\nwarehouse: $wh3\n")
+    assert(run(conf3.toString, "restore", "-f", bdir2).contains("restored"))
+    val rIdx = s"$wh3/mhidx"
+    val before = spark.read.parquet(s"$rIdx/docs").count()
+    assert(before == spark.read.parquet(s"$idx/docs").count())
+    assert(run(conf3.toString, "index", "info", "--path", rIdx)
+      .contains("kind: minhash"))
+    val csv2 = dir.resolve("docs2.csv")
+    Files.writeString(csv2, "doc_id,text\n21,fresh appended document body\n")
+    run(conf3.toString, "write", "docs", "-f", csv2.toString)
+    val app = run(conf3.toString, "index", "append", "docs",
+      "doc_id", "text", "--path", rIdx, "-F", "(>= doc_id 21)")
+    assert(app.contains("appended into minhash index"), app)
+    assert(spark.read.parquet(s"$rIdx/docs").count() == before + 1)
+  }
 }

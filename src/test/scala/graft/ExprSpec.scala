@@ -445,4 +445,54 @@ class ExprSpec extends SparkSpec {
       df.queryExecution.optimizedPlan.toString).size
     assert(joins == 2, df.queryExecution.optimizedPlan.toString)
   }
+
+  test("remaining correlation limits raise pinned goldens") {
+    // SURVEY §8's three documented expression-language limits, pinned
+    // as exact raise contracts (r12 verdict #5): each shape must fail
+    // LOUDLY with its documented message, never return a wrong answer.
+    val env = freshEnv()
+    def msg(q: String): String =
+      intercept[UnsupportedOperationException] {
+        env.view("country", Seq("name")).read(Seq(q)).collect()
+      }.getMessage
+
+    // 1. the negated dual-scope hoist combined with OTHER correlation
+    //    (here a non-equi conjunct) in the same exists
+    val m1 = msg(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (> id _parent.id)
+        |       (not (exists (from member (select 1) (where
+        |         (and (= team _parent.id)
+        |              (> id _parent._parent.id))))))))))""".stripMargin)
+    assert(m1 == "A negated dual-scope subquery cannot combine with " +
+      "other carried or non-equi correlation in the same exists", m1)
+
+    // 2. a subquery nested INSIDE a negated dual-scope sub that
+    //    references scopes outside the negated sub
+    val m2 = msg(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (not (exists (from member (select 1) (where
+        |         (and (= team _parent.id)
+        |              (> id _parent._parent.id)
+        |              (exists (from member (select 1) (where
+        |                (= id _parent._parent.id)))))))))))))""".stripMargin)
+    assert(m2.startsWith("a subquery nested inside a negated dual-scope " +
+      "subquery cannot reference outer scopes:"), m2)
+
+    // 3. correlation deeper than the grandparent inside a negated sub
+    val m3 = msg(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (exists (from member (select 1) (where
+        |         (and (= team _parent.id)
+        |              (not (exists (from member (select 1) (where
+        |                (and (= id _parent.id)
+        |                     (> id _parent._parent._parent.id))))))))))))))"""
+        .stripMargin)
+    assert(m3.startsWith("a negated dual-scope subquery supports " +
+      "correlation to its own parent and comparisons to the " +
+      "grandparent only"), m3)
+  }
 }

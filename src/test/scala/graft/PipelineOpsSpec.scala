@@ -255,6 +255,16 @@ class PipelineOpsSpec extends SparkSpec {
       Sample.curriculumShards(df.union(df.limit(1)), "score", "doc_id", 8)
         .count()
     }
+    // duplicate ids with DIFFERENT scores land in different range
+    // partitions of the (score, id) layout — the per-partition
+    // distinct check missed them (r12 advice); the global check must
+    // refuse instead of silently fanning out conflicting assignments
+    intercept[IllegalArgumentException] {
+      Sample.curriculumShards(
+        df.union(df.limit(1).select(col("doc_id"),
+          (col("score") + 5000L).as("score"))),
+        "score", "doc_id", 8).count()
+    }
   }
 
   test("packByBudget shard ids are independent of input partitioning") {
