@@ -893,6 +893,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: MPEG-audio (Layer III) header-walk probe — pure
+    // JVM, no codec: frame count x 36 ms (1152 samples at 32 kHz,
+    // 64 kbps CBR = 288-byte frames) is exact integer arithmetic the
+    // oracle replays; odd doc ids carry a Xing tag so the VBR
+    // stored-count path probes the same answer as the walk
+    "multimodal_audio_mp3" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
+      val mp3 = udf((id: Long, n: Long) => graft.ops.Multimodal.synthMp3(
+        (4 + (n % 32)).toInt, xing = id % 2 == 1))
+      val media = docs.select(col("doc_id"),
+        graft.ops.Multimodal.asMedia(mp3(col("doc_id"), col("n_chars")),
+          "audio/mpeg", concat(lit("doc://"), col("doc_id"))).as("media"))
+      graft.ops.Multimodal.audioFeatures(media, "media")
+        .select(col("doc_id"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.channels").as("channels"),
+          col("audio.n_frames").as("n_frames"),
+          round(col("audio.duration_ms"), 3).as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline: FLAC STREAMINFO probe — rate/channels/total
+    // samples from the mandatory first metadata block, duration =
+    // samples/16 ms at 16 kHz (binary-exact)
+    "multimodal_audio_flac" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
+      val flac = udf((n: Long) =>
+        graft.ops.Multimodal.synthFlac(1000L + (n % 9000)))
+      val media = docs.select(col("doc_id"),
+        graft.ops.Multimodal.asMedia(flac(col("n_chars")), "audio/flac",
+          concat(lit("doc://"), col("doc_id"))).as("media"))
+      graft.ops.Multimodal.audioFeatures(media, "media")
+        .select(col("doc_id"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.channels").as("channels"),
+          col("audio.n_frames").as("n_frames"),
+          round(col("audio.duration_ms"), 3).as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // AS-OF join: per user, the latest click value at-or-before each
     // error event — the point-in-time lookup via union + ordered
     // window (one key shuffle, no range-join explosion); oracle is
@@ -2190,6 +2232,18 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(range(0, n),
         |    k -> CAST((((k * 37) % 1001) - 500) * 60 AS DOUBLE)
         |       * ((((k * 37) % 1001) - 500) * 60))) / n) / 32768.0, 6) AS rms
+        |FROM d""".stripMargin,
+    "multimodal_audio_mp3" ->
+      """WITH d AS (SELECT doc_id, 4 + (n_chars % 32) AS f FROM documents)
+        |SELECT doc_id, 32000 AS sample_rate, 1 AS channels,
+        |  CAST(f * 1152 AS BIGINT) AS n_frames,
+        |  round(f * 36.0, 3) AS duration_ms
+        |FROM d""".stripMargin,
+    "multimodal_audio_flac" ->
+      """WITH d AS (SELECT doc_id, 1000 + (n_chars % 9000) AS sm FROM documents)
+        |SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
+        |  CAST(sm AS BIGINT) AS n_frames,
+        |  round(sm / 16.0, 3) AS duration_ms
         |FROM d""".stripMargin,
     "multimodal_frames" ->
       """WITH d AS (SELECT doc_id,

@@ -293,7 +293,146 @@ object Multimodal {
           } else null
         Row(Int.box(fmt.getSampleRate.toInt), Int.box(fmt.getChannels),
           n, dur, rms)
-      } catch { case _: Exception => Row(null, null, null, null, null) }
+      } catch { case _: Exception =>
+        // formats the JDK can't read but every audio corpus contains:
+        // FLAC STREAMINFO and MPEG-audio header walks, pure JVM
+        FlacProbe.parse(bytes).orElse(Mp3Probe.parse(bytes))
+          .getOrElse(Row(null, null, null, null, null))
+      }
+    }
+  }
+
+  /** Pure-JVM FLAC container probe: `fLaC` magic + the mandatory
+    * STREAMINFO metadata block (always first, 34 bytes) carry sample
+    * rate (20 bits), channels (3 bits), bits-per-sample (5 bits) and
+    * total samples (36 bits) in one packed 64-bit field — no codec
+    * needed for the corpus facts. Truncated payloads return None;
+    * a zero total-samples field (unknown length, streamed FLAC)
+    * yields null frames/duration rather than a wrong zero. RMS stays
+    * null (facts only, no decode) — same [[audioType]] contract as
+    * [[WavDecoder]]. */
+  private[graft] object FlacProbe {
+    def parse(b: Array[Byte]): Option[Row] = {
+      if (b == null || b.length < 8 + 34) return None
+      if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'))
+        return None
+      if ((b(4) & 0x7F) != 0) return None // first block must be STREAMINFO
+      val blockLen = ((b(5) & 0xFF) << 16) | ((b(6) & 0xFF) << 8) | (b(7) & 0xFF)
+      if (blockLen < 34) return None
+      // STREAMINFO at 8: min/max blocksize (4) + min/max framesize (6),
+      // then the packed rate/channels/bps/samples long at offset 18
+      var packed = 0L
+      var i = 0
+      while (i < 8) { packed = (packed << 8) | (b(18 + i) & 0xFFL); i += 1 }
+      val rate = (packed >>> 44).toInt
+      val channels = (((packed >>> 41) & 0x7L) + 1).toInt
+      val samples = packed & ((1L << 36) - 1)
+      if (rate <= 0) return None // 0 is invalid per spec
+      val n: java.lang.Long = if (samples == 0L) null else Long.box(samples)
+      val dur: java.lang.Double =
+        if (samples == 0L) null else Double.box(samples * 1000.0 / rate)
+      Some(Row(Int.box(rate), Int.box(channels), n, dur, null))
+    }
+  }
+
+  /** Pure-JVM MPEG-audio (Layer III) probe: sequential frame-header
+    * walk — 11-bit sync, version/layer/bitrate/samplerate/padding per
+    * frame, each header giving the exact frame byte length, so the
+    * walk counts frames without decoding. Duration = frames ×
+    * samples-per-frame / rate. A `Xing`/`Info` tag in the first
+    * frame's side-info gap (VBR files — the walk would still work,
+    * but the tag is authoritative and O(1)) overrides the counted
+    * total with its stored AUDIO-frame count, the header frame
+    * excluded. Leading ID3v2 tags are skipped via their syncsafe
+    * length. Truncated tails end the walk with the complete frames
+    * counted so far; payloads that aren't MPEG audio (fewer than two
+    * valid chained frames) return None. */
+  private[graft] object Mp3Probe {
+    private val BitrateV1L3 =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val BitrateV2L3 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    private val RateV1 = Array(44100, 48000, 32000)
+    private val RateV2 = Array(22050, 24000, 16000)
+    private val RateV25 = Array(11025, 12000, 8000)
+
+    def parse(b: Array[Byte]): Option[Row] = {
+      if (b == null || b.length < 4) return None
+      var off = 0
+      // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4)
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+          ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+        off = 10 + size
+      }
+      var frames = 0L
+      var rate = 0
+      var channels = 0
+      var spf = 0
+      var xingFrames = -1L
+      var done = false
+      while (!done && off + 4 <= b.length) {
+        header(b, off) match {
+          case Some((fRate, fChannels, fSpf, fLen))
+              if off + fLen <= b.length => // complete frame only
+            if (frames == 0) {
+              rate = fRate; channels = fChannels; spf = fSpf
+              xingFrames = readXing(b, off, fChannels, fSpf)
+            }
+            frames += 1
+            off += fLen
+          case _ => done = true // bad sync or truncated tail
+        }
+      }
+      if (frames < 2) return None
+      // Xing stores the audio-frame count; its carrier frame is not audio
+      val audioFrames = if (xingFrames >= 0) xingFrames else frames
+      val n = audioFrames * spf
+      Some(Row(Int.box(rate), Int.box(channels), Long.box(n),
+        Double.box(n * 1000.0 / rate), null))
+    }
+
+    /** (sampleRate, channels, samplesPerFrame, frameBytes) for a valid
+      * Layer III header at `off`, None otherwise. */
+    private def header(b: Array[Byte], off: Int): Option[(Int, Int, Int, Int)] = {
+      if ((b(off) & 0xFF) != 0xFF || (b(off + 1) & 0xE0) != 0xE0) return None
+      val version = (b(off + 1) >> 3) & 0x3 // 0=2.5 1=res 2=2 3=1
+      val layer = (b(off + 1) >> 1) & 0x3   // 1 = Layer III
+      if (version == 1 || layer != 1) return None
+      val brIdx = (b(off + 2) >> 4) & 0xF
+      val srIdx = (b(off + 2) >> 2) & 0x3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val v1 = version == 3
+      val rate = (if (v1) RateV1 else if (version == 2) RateV2 else RateV25)(srIdx)
+      val bitrate = (if (v1) BitrateV1L3 else BitrateV2L3)(brIdx) * 1000
+      val padding = (b(off + 2) >> 1) & 0x1
+      val channels = if (((b(off + 3) >> 6) & 0x3) == 3) 1 else 2
+      val spf = if (v1) 1152 else 576
+      val len = (spf / 8) * bitrate / rate + padding
+      if (len < 4) None else Some((rate, channels, spf, len))
+    }
+
+    /** Stored frame count from a `Xing`/`Info` tag in the first
+      * frame, or -1: the tag sits right after the side info (whose
+      * size depends on version and channel mode), flags bit 0 gates
+      * the big-endian count field. */
+    private def readXing(b: Array[Byte], off: Int, channels: Int,
+        spf: Int): Long = {
+      val side = (spf, channels) match {
+        case (1152, 1) => 17
+        case (1152, _) => 32
+        case (_, 1) => 9
+        case _ => 17
+      }
+      val p = off + 4 + side
+      if (p + 12 > b.length) return -1L
+      val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tag != "Xing" && tag != "Info") return -1L
+      val flags = ((b(p + 4) & 0xFF) << 24) | ((b(p + 5) & 0xFF) << 16) |
+        ((b(p + 6) & 0xFF) << 8) | (b(p + 7) & 0xFF)
+      if ((flags & 1) == 0) return -1L
+      (((b(p + 8) & 0xFFL) << 24) | ((b(p + 9) & 0xFFL) << 16) |
+        ((b(p + 10) & 0xFFL) << 8) | (b(p + 11) & 0xFFL))
     }
   }
 
@@ -326,6 +465,56 @@ object Multimodal {
       out.putShort(((((k * 37) % 1001) - 500) * 60).toShort)
       k += 1
     }
+    out.array()
+  }
+
+  /** Deterministic MPEG1 Layer III payload: mono, 32 kHz (sr index 2),
+    * 64 kbps (br index 5), padding 0 — the one (rate, bitrate) pair
+    * where the frame length (144 × 64000 / 32000 = 288 bytes) and the
+    * per-frame duration (1152/32000 s = 36 ms) are BOTH exact integer
+    * arithmetic, so the oracle replays frames/duration with no float
+    * drift. With `xing` an extra leading frame carries a Xing tag
+    * whose stored count is `frames` (the audio frames that follow). */
+  private[graft] def synthMp3(frames: Int, xing: Boolean = false): Array[Byte] = {
+    val frameLen = 288
+    val total = if (xing) frames + 1 else frames
+    val out = new Array[Byte](total * frameLen)
+    var f = 0
+    while (f < total) {
+      val p = f * frameLen
+      out(p) = 0xFF.toByte; out(p + 1) = 0xFB.toByte // MPEG1 L3 no-CRC
+      out(p + 2) = 0x58.toByte                       // br 5, sr 2, pad 0
+      out(p + 3) = 0xC0.toByte                       // mono
+      f += 1
+    }
+    if (xing) {
+      val p = 4 + 17 // MPEG1 mono side-info gap
+      "Xing".getBytes("US-ASCII").copyToArray(out, p)
+      out(p + 7) = 1 // flags: FRAMES present
+      out(p + 8) = ((frames >> 24) & 0xFF).toByte
+      out(p + 9) = ((frames >> 16) & 0xFF).toByte
+      out(p + 10) = ((frames >> 8) & 0xFF).toByte
+      out(p + 11) = (frames & 0xFF).toByte
+    }
+    out
+  }
+
+  /** Deterministic minimal FLAC: `fLaC` magic + one last-flagged
+    * STREAMINFO block — rate/channels/bps/total-samples packed
+    * big-endian exactly as [[FlacProbe]] reads them; zero MD5 (probe
+    * never checks it). Default 16 kHz so duration_ms = samples/16 is
+    * binary-exact. */
+  private[graft] def synthFlac(totalSamples: Long, rate: Int = 16000,
+      channels: Int = 1): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + 34)
+    out.put("fLaC".getBytes("US-ASCII"))
+    out.put(0x80.toByte) // last-metadata-block flag | type 0
+    out.put(0.toByte).put(0.toByte).put(34.toByte)
+    out.putShort(4096.toShort).putShort(4096.toShort) // min/max blocksize
+    out.put(new Array[Byte](6)) // min/max framesize: unknown
+    out.putLong((rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      (15L << 36) | totalSamples) // bps-1 = 15 (16-bit)
+    out.put(new Array[Byte](16)) // md5: zeros
     out.array()
   }
 

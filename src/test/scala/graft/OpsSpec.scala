@@ -2100,4 +2100,48 @@ class OpsSpec extends SparkSpec {
     assert(rows(Similarity.decontaminateSemantic(emb, "embedding", "vec_id",
       none, "bv", 0.9, dims, exact = true)).size == all.size)
   }
+
+  test("Mp3Probe and FlacProbe: header walks, Xing override, truncation-safe") {
+    // CBR walk: 10 frames x 288 bytes, 36 ms each — exact arithmetic
+    val b = Multimodal.synthMp3(10)
+    val r = Multimodal.Mp3Probe.parse(b).get
+    assert(r.getInt(0) == 32000 && r.getInt(1) == 1, r.toString)
+    assert(r.getLong(2) == 10L * 1152 && r.getDouble(3) == 360.0)
+    assert(r.get(4) == null) // facts only, no rms
+    // Xing tag: the stored count (audio frames) overrides the walk,
+    // which also sees the carrier frame
+    val x = Multimodal.Mp3Probe.parse(Multimodal.synthMp3(10, xing = true)).get
+    assert(x.getLong(2) == 10L * 1152 && x.getDouble(3) == 360.0, x.toString)
+    // leading ID3v2 tag skipped via its syncsafe length
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10) ++ b
+    assert(Multimodal.Mp3Probe.parse(id3).get.getLong(2) == 10L * 1152)
+    // truncated tail: only COMPLETE frames count
+    assert(Multimodal.Mp3Probe.parse(b.take(288 * 3 + 100)).get
+      .getLong(2) == 3L * 1152)
+    // under two chained frames / non-audio / null -> None
+    assert(Multimodal.Mp3Probe.parse(b.take(288)).isEmpty)
+    assert(Multimodal.Mp3Probe.parse("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.Mp3Probe.parse(null).isEmpty)
+    // FLAC STREAMINFO: packed rate/channels/samples big-endian
+    val fb = Multimodal.synthFlac(48000L)
+    val fr = Multimodal.FlacProbe.parse(fb).get
+    assert(fr.getInt(0) == 16000 && fr.getInt(1) == 1, fr.toString)
+    assert(fr.getLong(2) == 48000L && fr.getDouble(3) == 3000.0)
+    // streamed FLAC (total samples 0 = unknown) -> null facts, not zero
+    val sf = Multimodal.FlacProbe.parse(Multimodal.synthFlac(0L)).get
+    assert(sf.get(2) == null && sf.get(3) == null)
+    assert(Multimodal.FlacProbe.parse(fb.take(20)).isEmpty)
+    assert(Multimodal.FlacProbe.parse(null).isEmpty)
+    // stereo 44.1 kHz flac reads its own fields, not the synth defaults
+    val st = Multimodal.FlacProbe.parse(
+      Multimodal.synthFlac(44100L, rate = 44100, channels = 2)).get
+    assert(st.getInt(0) == 44100 && st.getInt(1) == 2 &&
+      st.getDouble(3) == 1000.0)
+    // WavDecoder routes both through the same audioType fallback,
+    // and real WAV still decodes through javax.sound (rms present)
+    assert(Multimodal.WavDecoder.decode(fb).getInt(0) == 16000)
+    assert(Multimodal.WavDecoder.decode(b).getInt(0) == 32000)
+    assert(Multimodal.WavDecoder.decode(Multimodal.synthPcmWav(100)).get(4) != null)
+  }
 }
