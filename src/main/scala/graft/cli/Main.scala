@@ -86,7 +86,9 @@ object Main {
       // profile action: histogram bin count (0 = data card)
       bins: Int = 0,
       // backup action: also copy persisted index dirs under the root
-      indexes: Boolean = false)
+      indexes: Boolean = false,
+      // fsck action: delete provable garbage (orphans + stale tmp)
+      reclaim: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -150,6 +152,7 @@ object Main {
         case "--k" => o = o.copy(kOpt = argv(i + 1).toInt); i += 2
         case "--quantized" => o = o.copy(quantized = true); i += 1
         case "--indexes" => o = o.copy(indexes = true); i += 1
+        case "--reclaim" => o = o.copy(reclaim = true); i += 1
         case "--queries" => o = o.copy(queries = argv(i + 1).toInt); i += 2
         case "--nprobe" => o = o.copy(nprobe = argv(i + 1).toInt); i += 2
         case "--probe-level" =>
@@ -288,6 +291,25 @@ object Main {
 
     case "snapshots" =>
       env.warehouse.snapshots(o.table).foreach(sn => out.write(sn + "\n"))
+
+    // extension: warehouse integrity + space audit (Warehouse.fsck) —
+    // broken catalog references, orphaned snapshots with reclaimable
+    // bytes, torn swaps, unapplied journals, foreign lease. --reclaim
+    // deletes the provable garbage (orphans + stale tmp only).
+    case "fsck" =>
+      val issues = env.warehouse.fsck(reclaim = o.reclaim)
+      if (issues.isEmpty) out.write("warehouse clean\n")
+      else {
+        issues.foreach { i =>
+          val tbl = if (i.table.isEmpty) "-" else i.table
+          val sz = if (i.bytes > 0) s" [${i.bytes} B]" else ""
+          out.write(s"${i.kind}  $tbl  ${i.path}$sz  ${i.detail}\n")
+        }
+        val rb = issues.filter(i =>
+          i.kind == "orphan-snapshot" || i.kind == "stale-tmp")
+        out.write(s"${issues.size} issue(s); ${rb.map(_.bytes).sum} B " +
+          (if (o.reclaim) "reclaimed\n" else "reclaimable (tk fsck --reclaim)\n"))
+      }
 
     // extension: the deterministic sampler family on the CLI — the
     // "reproducible slice / leakage-safe split" steps of a

@@ -1115,6 +1115,114 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       .sortBy(_.stripPrefix("snap-").toLong)
   }
 
+  /** One [[fsck]] finding. `kind`: `missing-snapshot` / `missing-bucket`
+    * / `missing-zone` / `unparseable-pointer` (broken references —
+    * reads WILL fail), `orphan-snapshot` / `stale-tmp` (reclaimable
+    * garbage, `bytes` = its size), `unapplied-journal` (a crash before
+    * the root swap; the next open rolls it forward), `foreign-lease`
+    * (another live writer). */
+  final case class FsckIssue(table: String, kind: String, path: String,
+      detail: String, bytes: Long)
+
+  /** Integrity + space audit — the operator's fsck for a long-lived
+    * warehouse. Verifies every pointer in the live catalog resolves to
+    * an existing snapshot / bucket / zone directory, reports snapshot
+    * dirs NOTHING references (crashed writes, or gc a crash
+    * suppressed) with their reclaimable bytes, and surfaces torn
+    * `_CURRENT.tmp-*` mirror swaps, lease-steal tombstones, unapplied
+    * `_TXN-*` journals and a live foreign `_LEASE` holder. Read-only
+    * by default — it REPORTS unapplied journals rather than folding
+    * them, so auditing never mutates a warehouse it may not own.
+    * Metadata-only: listStatus walks + one content summary per orphan,
+    * no data bytes read — cost scales with snapshot/file counts
+    * (bounded by retention), never data size, so it runs in seconds
+    * against 100 TB.
+    *
+    * `reclaim = true` deletes what is provably garbage — orphan
+    * snapshots (same never-the-2-newest grace as gc) and stale tmp
+    * files — and never touches journals, leases, or referenced state.
+    * Returns the findings; empty = clean. */
+  def fsck(reclaim: Boolean = false): Seq[FsckIssue] = {
+    val issues = scala.collection.mutable.ArrayBuffer.empty[FsckIssue]
+    val rootP = new Path(root)
+    val rfs = fs(rootP)
+    if (!rfs.exists(rootP)) return Nil
+    rfs.listStatus(rootP).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_TXN-"))
+        issues += FsckIssue("", "unapplied-journal", st.getPath.toString,
+          "journaled commit not rolled forward yet (the next open heals it)",
+          0L)
+      else if (n.startsWith("_LEASE.stale-")) {
+        issues += FsckIssue("", "stale-tmp", st.getPath.toString,
+          "lease-steal tombstone", st.getLen)
+        if (reclaim) rfs.delete(st.getPath, false)
+      }
+    }
+    val leaseF = new Path(rootP, "_LEASE")
+    try {
+      val st = rfs.getFileStatus(leaseF)
+      val in = rfs.open(leaseF)
+      val h = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim finally in.close()
+      val age = System.currentTimeMillis - st.getModificationTime
+      if (h != Warehouse.processId && age <= Warehouse.LeaseTtlMs)
+        issues += FsckIssue("", "foreign-lease", leaseF.toString,
+          s"write-leased by process '$h' (heartbeat $age ms ago)", 0L)
+    } catch { case _: java.io.FileNotFoundException => }
+    val cat = readRoot()
+    val pinned: Map[String, String] =
+      if (cat.nonEmpty) cat
+      else registry.names.flatMap(t => readPointer(t).map(t -> _)).toMap
+    pinned.toSeq.sortBy(_._1).foreach { case (t, ptr) =>
+      val td = tableDir(t)
+      val tfs = fs(td)
+      val keep = scala.collection.mutable.Set.empty[String]
+      val parsed =
+        try Some(
+          if (ptr.startsWith("{")) parseManifest(ptr)
+          else Manifest(ptr, -1L, Map()))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            issues += FsckIssue(t, "unparseable-pointer", td.toString,
+              s"catalog pointer does not parse: ${e.getMessage}", 0L)
+            None
+        }
+      parsed.foreach { m =>
+        def need(rel: String, kind: String): Unit =
+          if (!tfs.exists(new Path(td, rel)))
+            issues += FsckIssue(t, kind, new Path(td, rel).toString,
+              "referenced by the live catalog but missing on storage", 0L)
+        need(m.snap, "missing-snapshot")
+        m.buckets.values.foreach(need(_, "missing-bucket"))
+        m.zones.foreach(z => need(z.dir, "missing-zone"))
+        keep += m.snap
+        keep ++= m.buckets.values.map(_.split("/")(0))
+        keep ++= m.zones.map(_.dir.split("/")(0))
+      }
+      if (tfs.exists(td)) {
+        val entries = tfs.listStatus(td).map(_.getPath)
+        val snaps = entries.filter(_.getName.startsWith("snap-"))
+          .sortBy(_.getName.stripPrefix("snap-").toLong)
+        val newest = snaps.takeRight(2).map(_.getName).toSet
+        snaps.foreach { p =>
+          if (!keep(p.getName) && !newest(p.getName)) {
+            issues += FsckIssue(t, "orphan-snapshot", p.toString,
+              "referenced by nothing (crashed write or suppressed gc)",
+              tfs.getContentSummary(p).getLength)
+            if (reclaim) tfs.delete(p, true)
+          }
+        }
+        entries.filter(_.getName.startsWith("_CURRENT.tmp-")).foreach { p =>
+          issues += FsckIssue(t, "stale-tmp", p.toString,
+            "torn mirror swap leftover", tfs.getFileStatus(p).getLen)
+          if (reclaim) tfs.delete(p, false)
+        }
+      }
+    }
+    issues.toSeq
+  }
+
   /** Time travel: read one retained snapshot of an unbucketed table.
     * Snapshot dirs are immutable once written, but NOT immortal: gc on
     * a concurrent write may delete all but the two newest, so

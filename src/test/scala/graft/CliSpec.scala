@@ -776,4 +776,26 @@ class CliSpec extends SparkSpec {
     assert(app.contains("appended into minhash index"), app)
     assert(spark.read.parquet(s"$rIdx/docs").count() == before + 1)
   }
+
+  test("fsck action: clean report, orphan listing, --reclaim") {
+    val (conf, dir) = cfg()
+    run(conf, "init")
+    val csv = java.nio.file.Paths.get(dir, "c.csv")
+    Files.writeString(csv, "name\nBelgium\n")
+    run(conf, "write", "country", "-f", csv.toString)
+    assert(run(conf, "fsck").trim == "warehouse clean")
+    // plant an orphan snapshot + torn swap, then audit and reclaim
+    val wh = java.nio.file.Paths.get(dir, "wh")
+    val orphan = wh.resolve("country/snap-0")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("junk.parquet"), new Array[Byte](64))
+    Files.createFile(wh.resolve("country/_CURRENT.tmp-7"))
+    val rep = run(conf, "fsck")
+    assert(rep.contains("orphan-snapshot") && rep.contains("stale-tmp") &&
+      rep.contains("reclaimable"), rep)
+    val rec = run(conf, "fsck", "--reclaim")
+    assert(rec.contains("reclaimed"), rec)
+    assert(run(conf, "fsck").trim == "warehouse clean")
+    assert(!Files.exists(orphan))
+  }
 }

@@ -319,4 +319,44 @@ class TxnSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](env.warehouse.backup(dest))
     assert(e.getMessage.contains("already holds"), e.getMessage)
   }
+
+  test("fsck: clean on healthy state; flags orphans/tmp/journal/missing; reclaim") {
+    import org.apache.hadoop.fs.Path
+    val env = freshEnv()
+    env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+    env.view("country", Seq("name")).write(Seq(Seq("Spain")))
+    assert(env.warehouse.fsck().isEmpty)
+    val root = new Path(env.warehouse.root)
+    val fs = root.getFileSystem(env.spark.sparkContext.hadoopConfiguration)
+    // orphan: numbered BELOW every live snap so the 2-newest grace
+    // never shields it; referenced by nothing
+    val orphan = new Path(root, "country/snap-0")
+    fs.mkdirs(orphan)
+    val of = fs.create(new Path(orphan, "part-junk.parquet"), true)
+    of.write(new Array[Byte](128)); of.close()
+    fs.create(new Path(root, "country/_CURRENT.tmp-1"), true).close()
+    val jf = fs.create(new Path(root, "_TXN-999"), true)
+    jf.write("~garbage".getBytes("UTF-8")); jf.close()
+    val found = env.warehouse.fsck()
+    assert(found.count(_.kind == "orphan-snapshot") == 1, found.toString)
+    assert(found.find(_.kind == "orphan-snapshot").get.bytes >= 128)
+    assert(found.exists(_.kind == "stale-tmp") &&
+      found.exists(_.kind == "unapplied-journal"), found.toString)
+    assert(!found.exists(_.kind == "foreign-lease"), found.toString)
+    // reclaim removes the provable garbage, reports it one last time,
+    // and never touches the journal (recovery owns that)
+    val rec = env.warehouse.fsck(reclaim = true)
+    assert(rec.map(_.kind).toSet ==
+      Set("orphan-snapshot", "stale-tmp", "unapplied-journal"), rec.toString)
+    assert(!fs.exists(orphan))
+    val again = env.warehouse.fsck()
+    assert(again.map(_.kind) == Seq("unapplied-journal"), again.toString)
+    fs.delete(new Path(root, "_TXN-999"), false)
+    // a referenced snapshot missing on storage is a broken reference
+    val live = env.warehouse.snapshots("country").last
+    fs.delete(new Path(root, s"country/$live"), true)
+    val broken = env.warehouse.fsck()
+    assert(broken.exists(i => i.kind == "missing-snapshot" &&
+      i.table == "country"), broken.toString)
+  }
 }
