@@ -1220,6 +1220,27 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
         }
       }
     }
+    // persisted index dirs: the meta sidecar must at least parse —
+    // a structural check only (kind/parameter semantics belong to the
+    // index families); an unreadable meta means every probe of that
+    // index will fail or silently misread parameters
+    discoverIndexDirs().foreach { d =>
+      val mf = new Path(d, "_graft_index_meta.json")
+      val ifs = fs(mf)
+      try {
+        val in = ifs.open(mf)
+        val text = try new String(org.apache.commons.io.IOUtils
+          .toByteArray(in), StandardCharsets.UTF_8) finally in.close()
+        if (new org.yaml.snakeyaml.Yaml()
+            .load[java.util.Map[String, Object]](text) == null)
+          issues += FsckIssue("", "index-meta", mf.toString,
+            "index metadata is empty", 0L)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          issues += FsckIssue("", "index-meta", mf.toString,
+            s"index metadata unreadable: ${e.getMessage}", 0L)
+      }
+    }
     issues.toSeq
   }
 

@@ -352,6 +352,16 @@ class TxnSpec extends SparkSpec {
     val again = env.warehouse.fsck()
     assert(again.map(_.kind) == Seq("unapplied-journal"), again.toString)
     fs.delete(new Path(root, "_TXN-999"), false)
+    // an index dir under the root with a corrupt meta sidecar is
+    // flagged (structural parse check; torn/garbled metadata means
+    // every probe of the index fails or misreads parameters)
+    val idxDir = new Path(root, "someidx")
+    fs.mkdirs(idxDir)
+    val mf = fs.create(new Path(idxDir, "_graft_index_meta.json"), true)
+    mf.write("{unterminated".getBytes("UTF-8")); mf.close()
+    val im = env.warehouse.fsck()
+    assert(im.exists(_.kind == "index-meta"), im.toString)
+    fs.delete(idxDir, true)
     // a referenced snapshot missing on storage is a broken reference
     val live = env.warehouse.snapshots("country").last
     fs.delete(new Path(root, s"country/$live"), true)
