@@ -215,6 +215,8 @@ object Main {
             if (m.zorder.nonEmpty)
               out.write(s"zorder: ${m.zorder.mkString(",")}\n")
           }
+        td.compression.foreach(c => out.write(s"compression: $c\n"))
+        if (td.bloom) out.write(s"bloom: ${td.key.mkString(",")}\n")
       } else env.registry.names.sorted.foreach(n => out.write(n + "\n"))
 
     case "read" =>

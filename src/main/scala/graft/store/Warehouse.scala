@@ -463,6 +463,22 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * skip the read-back; otherwise the id column of the just-written
     * snapshot is re-read (column-pruned, fresh files — cheap, and
     * never the pre-existing table). */
+  /** DataFrameWriter for a table's snapshot files, carrying the
+    * table's STORAGE properties: `compression:` picks the parquet
+    * codec (zstd buys ~25-35% over snappy on text corpora — at 100 TB
+    * that is disk AND network), `bloom: true` writes parquet bloom
+    * filters on the key columns so point reads skip row groups INSIDE
+    * the files that bucket/zone dir pruning already selected. Both
+    * ride the standard parquet write options — no custom writer. */
+  private def snapWriter(td: TableDef, df: DataFrame)
+      : org.apache.spark.sql.DataFrameWriter[Row] = {
+    var w = df.write.mode("overwrite")
+    td.compression.foreach(c => w = w.option("compression", c))
+    if (td.bloom) td.key.foreach(k =>
+      w = w.option(s"parquet.bloom.filter.enabled#$k", "true"))
+    w
+  }
+
   def write(t: String, df: DataFrame, knownMaxId: Option[Long] = None): Unit = {
     val td = registry(t)
     require(td.external.isEmpty, s"Table '$t' is external (read-only)")
@@ -471,7 +487,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     else {
       val next = nextSnapName(t)
       val dir = new Path(tableDir(t), next)
-      aligned(td, df).write.mode("overwrite").parquet(dir.toString)
+      snapWriter(td, aligned(td, df)).parquet(dir.toString)
       val maxIdNow = knownMaxId.getOrElse {
         if (!td.columnMap.contains("id")) 0L
         else Option(spark.read.schema(td.sparkSchema).parquet(dir.toString)
@@ -571,10 +587,10 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     // z-order cluster key first, leading key second: within one
     // z-value run the leading-key stats stay as tight as possible
     val ck: Seq[Column] = cluster.map(c => Seq(c, zc)).getOrElse(Seq(zc))
-    aligned(td, df)
+    snapWriter(td, aligned(td, df)
       .repartitionByRange(nZones, ck: _*).sortWithinPartitions(ck: _*)
-      .withColumn("__z", expr("spark_partition_id()"))
-      .write.mode("overwrite").partitionBy("__z").parquet(dir.toString)
+      .withColumn("__z", expr("spark_partition_id()")))
+      .partitionBy("__z").parquet(dir.toString)
     // zone stats from the WRITTEN files (column-pruned read-back of
     // the key + id: exact, and immune to any plan re-evaluation)
     val fsys = fs(dir)
@@ -677,7 +693,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     val next = nextSnapName(t)
     val dir = new Path(tableDir(t), next)
     val out = aligned(td, df).withColumn("__b", bucketExpr(td))
-    out.write.mode("overwrite").partitionBy("__b").parquet(dir.toString)
+    snapWriter(td, out).partitionBy("__b").parquet(dir.toString)
     // which bucket dirs did this snapshot produce?
     val fsys = fs(dir)
     val written: Map[Int, String] =

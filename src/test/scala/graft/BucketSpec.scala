@@ -121,4 +121,59 @@ class BucketSpec extends SparkSpec {
     val env2 = Env.introspect(spark, root)
     assert(env2.registry("fact").buckets == 8)
   }
+
+  test("compression and bloom table properties reach the parquet files") {
+    import scala.jdk.CollectionConverters._
+    val propYaml =
+      """- table: zfact
+        |  columns:
+        |    code: varchar
+        |    val: float
+        |  key: [code]
+        |  buckets: 4
+        |  compression: zstd
+        |  bloom: true
+        |""".stripMargin
+    val root = Files.createTempDirectory("graft-zstd-").toString
+    val env = Env(spark, Registry.fromYaml(propYaml), root)
+    env.createTables()
+    val v = env.view("zfact", Seq("code", "val"))
+    v.write((1 to 200).map(i => Seq(s"c$i", i.toDouble)))
+    assert(rows(v.read()).size == 200)
+    // a merge through the bucketed path keeps the properties too
+    v.write(Seq(Seq("c1", 999.0)))
+    // inspect a written file footer: zstd codec + bloom on the KEY
+    // column only (id gets none — bloom bytes cost space per column)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(root, "zfact")
+    val hfs = dir.getFileSystem(conf)
+    val it = hfs.listFiles(dir, true)
+    var file: org.apache.hadoop.fs.Path = null
+    while (it.hasNext && file == null) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) file = f
+    }
+    assert(file != null)
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val block = rd.getFooter.getBlocks.get(0)
+      val cols = block.getColumns.asScala
+      val codeMeta = cols.find(_.getPath.toDotString == "code").get
+      assert(codeMeta.getCodec.toString == "ZSTD", codeMeta.getCodec.toString)
+      assert(rd.getBloomFilterDataReader(block).readBloomFilter(codeMeta) != null,
+        "no bloom filter on the key column")
+      val idMeta = cols.find(_.getPath.toDotString == "id").get
+      assert(rd.getBloomFilterDataReader(block).readBloomFilter(idMeta) == null,
+        "bloom filter leaked onto a non-key column")
+    } finally rd.close()
+    // an unknown codec refuses loudly at DDL time
+    val e = intercept[IllegalArgumentException](Registry.fromYaml(
+      "- table: x\n  columns:\n    a: varchar\n  key: [a]\n  compression: rar\n"))
+    assert(e.getMessage.contains("compression"), e.getMessage)
+    // introspection round-trips the properties
+    val y = Registry.toYaml(env.registry)
+    assert(y.contains("compression: zstd") && y.contains("bloom: true"), y)
+  }
 }

@@ -369,4 +369,49 @@ class TxnSpec extends SparkSpec {
     assert(broken.exists(i => i.kind == "missing-snapshot" &&
       i.table == "country"), broken.toString)
   }
+
+  test("backup round-trips bucketed and zoned layouts after partial merges") {
+    import graft.schema.Registry
+    val yaml =
+      """- table: fact
+        |  columns:
+        |    code: varchar
+        |    val: float
+        |  key: [code]
+        |  buckets: 8
+        |- table: reading
+        |  columns:
+        |    seq: bigint
+        |    val: float
+        |  key: [seq]
+        |  use-index: brin
+        |""".stripMargin
+    val root = java.nio.file.Files.createTempDirectory("graft-bkz-").toString
+    val env = Env(spark, Registry.fromYaml(yaml), root)
+    env.createTables()
+    val fv = env.view("fact", Seq("code", "val"))
+    fv.write((1 to 60).map(i => Seq(s"c$i", i.toDouble)))
+    // partial merge: the manifest now references buckets across TWO
+    // snapshots — the multi-snap shape the file enumeration must chase
+    fv.write(Seq(Seq("c1", 99.0), Seq("x61", 61.0)))
+    val rv = env.view("reading", Seq("seq", "val"))
+    rv.write((1L to 500L).map(i => Seq(i, i.toDouble)))
+    rv.write((480L to 520L).map(i => Seq(i, i * 2.0))) // zone overlap merge
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-bkz-dst-").toString + "/wh"
+    env.warehouse.backup(dest)
+    val back = Env(spark, Registry.fromYaml(yaml), dest)
+    assert(rows(back.view("fact", Seq("code", "val")).read()).toSet ==
+      rows(fv.read()).toSet)
+    assert(rows(back.view("reading", Seq("seq", "val")).read()).toSet ==
+      rows(rv.read()).toSet)
+    // the restored bucketed manifest still prunes: a point read on the
+    // copy opens bucket dirs, proving the relative layout survived
+    assert(rows(back.view("fact", Seq("val"))
+      .read(Seq(graft.view.FilterExpr("""(= code "c1")""")))).map(_.head)
+      == Seq(99.0f))
+    // zone map survives too
+    assert(back.warehouse.currentManifest("reading").get.zones.nonEmpty)
+    assert(back.warehouse.fsck().isEmpty)
+  }
 }
