@@ -227,6 +227,9 @@ object Bench {
     }(e.warehouse.backup(bkDir))
     try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bkDir))
     catch { case _: Exception => }
+    // integrity audit over the same (sf1-bearing) warehouse: fsck is
+    // metadata-only, so this must track file COUNTS, never data size
+    probe("warehouse_fsck")(e.warehouse.fsck())
     val docs1 = e.view("documents", Seq("doc_id", "text")).read()
     val abc = "abcdefghijklmnopqrstuvwxyz"
     val docs10 = (0 until 10).map(k =>

@@ -88,7 +88,10 @@ object Main {
       // backup action: also copy persisted index dirs under the root
       indexes: Boolean = false,
       // fsck action: delete provable garbage (orphans + stale tmp)
-      reclaim: Boolean = false)
+      reclaim: Boolean = false,
+      // backup action: refresh an existing backup dir in place,
+      // copying only snapshots it doesn't already hold
+      incremental: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Opts = {
     var o = Opts()
@@ -153,6 +156,7 @@ object Main {
         case "--quantized" => o = o.copy(quantized = true); i += 1
         case "--indexes" => o = o.copy(indexes = true); i += 1
         case "--reclaim" => o = o.copy(reclaim = true); i += 1
+        case "--incremental" => o = o.copy(incremental = true); i += 1
         case "--queries" => o = o.copy(queries = argv(i + 1).toInt); i += 2
         case "--nprobe" => o = o.copy(nprobe = argv(i + 1).toInt); i += 2
         case "--probe-level" =>
@@ -397,7 +401,8 @@ object Main {
     case "backup" =>
       val dest = o.file.getOrElse(throw new IllegalArgumentException(
         "backup needs -f/--file <dest dir>"))
-      val leftBehind = env.warehouse.backup(dest, includeIndexes = o.indexes)
+      val leftBehind = env.warehouse.backup(dest,
+        includeIndexes = o.indexes, incremental = o.incremental)
       out.write(s"warehouse backed up to $dest\n")
       // loud, not silent: a restore without these re-bootstraps every
       // index from the full corpus — pass --indexes to copy them too

@@ -983,13 +983,27 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * Returns the index directories LEFT BEHIND — callers print them
     * loudly so a later restore's full-corpus re-bootstrap is never a
     * surprise. Indexes living outside the root cannot be discovered
-    * and are always the caller's to copy. */
-  def backup(destRoot: String, includeIndexes: Boolean = false): Seq[String] = {
+    * and are always the caller's to copy.
+    *
+    * `incremental = true` REFRESHES an existing backup in place (a
+    * standby warehouse): snapshot dirs are immutable once written and
+    * snap numbers never reuse (the name counter only grows), so any
+    * destination file already present under the same relative path
+    * with the same length IS the same bytes and is skipped — a
+    * nightly refresh copies only the snapshots the day added. The
+    * destination `_ROOT` still swaps LAST, so standby readers see the
+    * old consistent cut until the refresh lands atomically. Snapshots
+    * the refresh strands (no longer referenced) are exactly what
+    * `fsck(reclaim = true)` on the standby deletes. Index meta
+    * sidecars append in place (tallies), so they always recopy. */
+  def backup(destRoot: String, includeIndexes: Boolean = false,
+      incremental: Boolean = false): Seq[String] = {
     recoverTransactions() // fold any journaled commit before pinning
     val destP = new Path(destRoot)
     val dfs = fs(destP)
-    require(!dfs.exists(new Path(destP, "_ROOT")),
-      s"'$destRoot' already holds a warehouse root")
+    require(incremental || !dfs.exists(new Path(destP, "_ROOT")),
+      s"'$destRoot' already holds a warehouse root " +
+        "(incremental refresh is opt-in)")
     dfs.mkdirs(destP)
     val cat = readRoot()
     // legacy (pre-catalog) layouts fall back to per-table mirrors:
@@ -1013,11 +1027,20 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       (d, new Path(destP, rel))
     }
     // enumerate every file driver-side (cheap: metadata only), split
-    // out the index meta sidecars (those must land last), then one
-    // executor-parallel job moves all the bytes
+    // out the index meta sidecars (those must land last and, unlike
+    // snapshot files, mutate in place — never skipped incrementally),
+    // then one executor-parallel job moves all the bytes
     val filePairs = (snapDirs ++ idxPairs).flatMap { case (src, dst) =>
-      listFilesUnder(src).map { f =>
-        (f.toString, new Path(dst, relativize(src, f)).toString)
+      val already: Map[String, Long] =
+        if (!incremental) Map.empty
+        else listFilesUnder(dst)
+          .map { case (f, len) => relativize(dst, f) -> len }.toMap
+      listFilesUnder(src).flatMap { case (f, len) =>
+        val rel = relativize(src, f)
+        val skip = already.get(rel).contains(len) &&
+          !rel.endsWith("_graft_index_meta.json")
+        if (skip) None
+        else Some((f.toString, new Path(dst, rel).toString))
       }
     }
     val (metaFiles, bulkFiles) = filePairs.partition(
@@ -1047,15 +1070,15 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     (idxDirs diff idxCopied).map(_.toString)
   }
 
-  /** Every regular file under `dir`, recursively; empty when the
-    * directory is missing (the caller decides whether that's a race
-    * or a zero-file table). */
-  private def listFilesUnder(dir: Path): Seq[Path] = {
+  /** Every regular file under `dir` with its length, recursively;
+    * empty when the directory is missing (the caller decides whether
+    * that's a race or a zero-file table). */
+  private def listFilesUnder(dir: Path): Seq[(Path, Long)] = {
     val fsys = fs(dir)
     if (!fsys.exists(dir)) return Nil
     val it = fsys.listFiles(dir, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (it.hasNext) buf += it.next().getPath
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+    while (it.hasNext) { val st = it.next(); buf += ((st.getPath, st.getLen)) }
     buf.toSeq
   }
 

@@ -66,6 +66,11 @@ class ConcurrencySpec extends SparkSpec {
     assert(rows(env.view("country", Seq("name")).read()).size == 4)
     assert(new String(java.nio.file.Files.readAllBytes(lease), "UTF-8")
       == mine)
+    // the rename-based steal (r13: atomic vs racing stealers) leaves
+    // no tombstone residue behind
+    assert(new java.io.File(root).listFiles().forall(
+      !_.getName.startsWith("_LEASE.stale-")),
+      "steal tombstone left behind")
     // read-only access never needed the lease: a foreign fresh lease
     // does not block reads
     java.nio.file.Files.delete(lease)

@@ -414,4 +414,55 @@ class TxnSpec extends SparkSpec {
     assert(back.warehouse.currentManifest("reading").get.zones.nonEmpty)
     assert(back.warehouse.fsck().isEmpty)
   }
+
+  test("incremental backup refreshes a standby in place, copying only deltas") {
+    import org.apache.hadoop.fs.Path
+    val env = freshEnv()
+    env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-standby-").toString + "/wh"
+    env.warehouse.backup(dest)
+    def standby() = Env(env.spark,
+      graft.schema.Registry.fromYaml(SparkSpec.baseYaml), dest)
+    def names(e: Env) =
+      rows(e.view("country", Seq("name")).read()).map(_.head).toSet
+    assert(names(standby()) == names(env))
+    // record every standby file's mtime: the refresh must not rewrite
+    // bytes it already holds
+    val dfs = new Path(dest).getFileSystem(
+      env.spark.sparkContext.hadoopConfiguration)
+    def mtimes(): Map[String, Long] = {
+      val it = dfs.listFiles(new Path(dest), true)
+      val b = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) { val st = it.next()
+        b(st.getPath.toString) = st.getModificationTime }
+      b.toMap
+    }
+    val before = mtimes()
+    Thread.sleep(1100) // local-fs mtime granularity
+    // source moves on; the standby refresh picks up ONLY the delta
+    env.view("country", Seq("name")).write(Seq(Seq("Spain")))
+    env.warehouse.backup(dest, incremental = true)
+    assert(names(standby()) == names(env))
+    val after = mtimes()
+    val rewritten = before.keys.filter(k =>
+      after.contains(k) && after(k) != before(k) &&
+        k.contains("/snap-")).toSeq
+    assert(rewritten.isEmpty, s"pre-existing snapshot files rewritten: $rewritten")
+    // plain (non-incremental) backup into the standby still refuses
+    val e = intercept[IllegalArgumentException](env.warehouse.backup(dest))
+    assert(e.getMessage.contains("already holds"), e.getMessage)
+    // stranded standby snapshots age out of the 2-newest grace and
+    // become fsck-reclaimable garbage — the documented lifecycle
+    env.view("country", Seq("name")).write(Seq(Seq("Malta")))
+    env.view("country", Seq("name")).write(Seq(Seq("Kenya")))
+    env.warehouse.backup(dest, incremental = true)
+    assert(names(standby()) == names(env))
+    val sb = standby()
+    val orphans = sb.warehouse.fsck().filter(_.kind == "orphan-snapshot")
+    assert(orphans.nonEmpty, "expected stranded standby snapshots")
+    sb.warehouse.fsck(reclaim = true)
+    assert(sb.warehouse.fsck().isEmpty)
+    assert(names(standby()) == names(env))
+  }
 }
