@@ -225,6 +225,21 @@ object Bench {
         new java.io.File(bkDir))
       catch { case _: Exception => }
     }(e.warehouse.backup(bkDir))
+    // standby refresh: each rep's (untimed) setup lands a 1k-row
+    // snapshot on the source; the timed refresh must copy THAT delta
+    // only — healthy = a small fraction of sf1_backup, tracking the
+    // delta, not the warehouse
+    val inc1k = e.view("lineitem",
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")).read()
+      .limit(1000)
+      .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("code"),
+        col("l_shipdate").as("ts"),
+        col("l_orderkey").cast("int").as("n"),
+        col("l_quantity").cast("double").as("x")).cache()
+    inc1k.count()
+    probeSetup("sf1_backup_incremental")(wv.write(inc1k))(
+      e.warehouse.backup(bkDir, incremental = true))
+    inc1k.unpersist()
     try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bkDir))
     catch { case _: Exception => }
     // integrity audit over the same (sf1-bearing) warehouse: fsck is

@@ -1072,13 +1072,23 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
 
   /** Every regular file under `dir` with its length, recursively;
     * empty when the directory is missing (the caller decides whether
-    * that's a race or a zero-file table). */
+    * that's a race or a zero-file table). A manual listStatus walk,
+    * NOT `listFiles(recursive)`: the located-status iterator resolves
+    * block locations per FILE (~ms each on a checksummed local fs —
+    * profiled at 4.5 ms/file, which made enumeration dominate the
+    * whole backup), while listStatus is one round trip per DIRECTORY
+    * and carries the lengths already. */
   private def listFilesUnder(dir: Path): Seq[(Path, Long)] = {
     val fsys = fs(dir)
-    if (!fsys.exists(dir)) return Nil
-    val it = fsys.listFiles(dir, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
-    while (it.hasNext) { val st = it.next(); buf += ((st.getPath, st.getLen)) }
+    def walk(d: Path): Unit =
+      (try fsys.listStatus(d)
+       catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] })
+        .foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else buf += ((st.getPath, st.getLen))
+        }
+    walk(dir)
     buf.toSeq
   }
 
