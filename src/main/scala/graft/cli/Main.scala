@@ -418,9 +418,12 @@ object Main {
       val src = o.file.getOrElse(throw new IllegalArgumentException(
         "restore needs -f/--file <backup dir>"))
       // indexes present in the backup were requested at backup time —
-      // restore always brings them back (no-op when none were copied)
+      // restore always brings them back (no-op when none were copied).
+      // --incremental = failback catch-up: refresh a stale primary
+      // from the standby in place, copying only the missing snapshots
       new graft.store.Warehouse(env.spark, src, env.registry)
-        .backup(env.warehouse.root, includeIndexes = true)
+        .backup(env.warehouse.root, includeIndexes = true,
+          incremental = o.incremental)
       out.write(s"warehouse restored from $src\n")
 
     // layout maintenance: collapse fragmented snapshots/zones; with

@@ -1035,8 +1035,25 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
         if (!incremental) Map.empty
         else listFilesUnder(dst)
           .map { case (f, len) => relativize(dst, f) -> len }.toMap
-      listFilesUnder(src).flatMap { case (f, len) =>
-        val rel = relativize(src, f)
+      val srcFiles = listFilesUnder(src).map { case (f, len) =>
+        (relativize(src, f), f, len) }
+      // DIVERGENCE guard: a referenced snapshot dir is immutable in
+      // ONE timeline, so the destination holding files the source
+      // lacks under it means src and dst created the same snap name
+      // independently (e.g. both kept writing after a restore).
+      // Copying alongside would UNION two different snapshots into
+      // one directory — silent duplicate rows. Refuse loudly; the
+      // remedy is a fresh full backup into an empty destination.
+      if (incremental) {
+        val srcRels = srcFiles.iterator.map(_._1).toSet
+        val foreign = already.keysIterator.filterNot(srcRels).toSeq
+        if (foreign.nonEmpty) throw new IllegalStateException(
+          s"incremental backup: destination '$dst' holds files the " +
+            s"source snapshot does not (${foreign.take(3).mkString(", ")}" +
+            s"${if (foreign.size > 3) ", …" else ""}) — the two roots " +
+            "have diverged; take a full backup into an empty destination")
+      }
+      srcFiles.flatMap { case (rel, f, len) =>
         val skip = already.get(rel).contains(len) &&
           !rel.endsWith("_graft_index_meta.json")
         if (skip) None

@@ -506,6 +506,23 @@ class CliSpec extends SparkSpec {
     val epsi = intercept[IllegalArgumentException](
       run(conf.toString, "diff", "docs", "--psi", "text"))
     assert(epsi.getMessage.contains("non-null"), epsi.getMessage)
+    // --incremental failback: wh3 is a stale but UN-diverged copy of
+    // the standby (restored above, never written since), so after the
+    // standby moves on, an incremental restore catches wh3 up in place
+    val csvX = dir.resolve("docsX.csv")
+    Files.writeString(csvX, "doc_id,text\n99,late standby-side doc\n")
+    run(conf2.toString, "write", "docs", "-f", csvX.toString) // standby moved on
+    run(conf3.toString, "restore", "-f", bdir, "--incremental")
+    val caught = run(conf3.toString, "read", "docs", "doc_id", "-H",
+      "-F", "(= doc_id 99)")
+    assert(caught.trim == "99", caught)
+    // the PRIMARY diverged (it wrote 41..80 after the backup): both
+    // timelines minted the same snap names independently, so an
+    // incremental copy would union two different snapshots into one
+    // dir — it must refuse loudly, never merge
+    val ediv = intercept[IllegalStateException](
+      run(conf.toString, "restore", "-f", bdir, "--incremental"))
+    assert(ediv.getMessage.contains("diverged"), ediv.getMessage)
   }
 
   test("compact action: --zorder records the property; reads stay exact") {
