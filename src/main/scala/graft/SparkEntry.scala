@@ -1126,22 +1126,21 @@ object SparkEntry {
     // basis from ONE distributed covariance pass (map-side outer
     // products, a d² reduce) + driver eigen of the d×d matrix;
     // the projection rides as literal arrays through the codegen dot
-    // kernel, a narrow per-row stage. Eigendecomposition is not
-    // SQL-expressible → rows-only driver check; exactness is pinned
-    // by OpsSpec property goldens (orthonormal sign-fixed basis,
-    // descending variance, k=d distance preservation).
+    // kernel, a narrow per-row stage. Eigendecomposition itself is not
+    // SQL-expressible, so the oracle checks the rotation INVARIANT:
+    // at k = d the basis is a pure rotation, so ‖project(x)‖ equals
+    // the centered norm ‖x − μ‖, which DuckDB replays exactly from
+    // per-dimension means. The k<d properties (orthonormal sign-fixed
+    // basis, descending variance, isometry) stay pinned in OpsSpec.
     "embed_pca" -> ((s, dir) => {
       val emb = graft.ops.Par.spread(
         env(s, dir).view("embeddings", Seq("vec_id", "embedding")).read())
-      val basis = Similarity.pcaBasis(emb, "embedding", 8)
-      // The raw array<double> projection is not hashable by the driver
-      // harness; reduce to scalar columns (norm + leading components).
+      val d = emb.select(size(col("embedding"))).head().getInt(0)
+      val basis = Similarity.pcaBasis(emb, "embedding", d)
       emb.select(col("vec_id"),
         Similarity.pcaProject(col("embedding"), basis).as("reduced"))
         .select(col("vec_id"),
-          round(Similarity.norm(col("reduced")), 6).as("pnorm"),
-          round(element_at(col("reduced"), 1), 6).as("p0"),
-          round(element_at(col("reduced"), 2), 6).as("p1"))
+          round(Similarity.norm(col("reduced")), 6).as("pnorm"))
         .orderBy(col("vec_id"))
     }),
 
@@ -2210,6 +2209,16 @@ object SparkEntry {
         |SELECT vec_id, round(nm, 6) AS norm,
         |  round(CASE WHEN nm = 0 THEN v[1] ELSE v[1] / nm END, 6) AS c0
         |FROM n""".stripMargin,
+    // k = d PCA projection is a pure rotation of the centered vector,
+    // so its norm replays as sqrt(sum((x_i − avg_i)²)) — no eigen in
+    // the oracle, exact iff centering + orthonormal projection are.
+    "embed_pca" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+        |m AS (SELECT i, avg(x) AS mu FROM u GROUP BY i),
+        |c AS (SELECT u.vec_id, sum((u.x - m.mu) * (u.x - m.mu)) AS ss
+        |      FROM u JOIN m ON m.i = u.i GROUP BY u.vec_id)
+        |SELECT vec_id, round(sqrt(ss), 6) AS pnorm FROM c""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
