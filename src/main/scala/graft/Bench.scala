@@ -119,7 +119,14 @@ object Bench {
     // body stays a true cold load and the median/min pair reaches the
     // artifact like every other probe.
     def probeSetup(name: String)(setup: => Unit)(body: => Unit): Unit = {
-      val runs = Seq.fill(probeReps) { setup; time(body) }
+      // a setup failure (transient FS error, lease refusal) records -1
+      // for that rep like any body failure — it must never abort the
+      // whole bench process
+      val runs = Seq.fill(probeReps) {
+        val ok = try { setup; true } catch { case e: Throwable =>
+          System.err.println(s"[bench] setup failed: ${e.getMessage}"); false }
+        if (ok) time(body) else -1.0
+      }
       mins(name) = if (runs.forall(_ < 0)) -1.0 else runs.filter(_ >= 0).min
       results(name) =
         if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(probeReps / 2)

@@ -163,13 +163,8 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       val fsys = fs(f)
       ensureLease(fsys)
       val merged = readRoot() ++ entries
-      val tmp = new Path(root, s"_ROOT.tmp-${System.nanoTime()}")
-      val out = fsys.create(tmp, true)
-      try out.write(Json.write(merged).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      if (fsys.exists(f)) fsys.delete(f, false)
-      if (!fsys.rename(tmp, f))
-        throw new java.io.IOException(s"Failed to swap $f")
+      atomicWrite(fsys, f,
+        Json.write(merged).getBytes(StandardCharsets.UTF_8))
       // refresh the memo under the lock: same-process readers see the
       // new catalog without re-parsing (and never a stale one)
       try {
@@ -252,15 +247,7 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
 
   private def writeMirror(t: String, content: String): Unit = {
     val f = currentFile(t)
-    val fsys = fs(f)
-    val tmp = new Path(tableDir(t), s"_CURRENT.tmp-${System.nanoTime()}")
-    val out = fsys.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // HDFS/local rename onto an existing file: delete-then-rename is the
-    // portable swap; the tiny race window only exposes old-or-new.
-    if (fsys.exists(f)) fsys.delete(f, false)
-    if (!fsys.rename(tmp, f))
-      throw new java.io.IOException(s"Failed to swap $f")
+    atomicWrite(fs(f), f, content.getBytes(StandardCharsets.UTF_8))
   }
 
   private def readPointer(t: String): Option[String] = {
@@ -991,11 +978,20 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     * destination file already present under the same relative path
     * with the same length IS the same bytes and is skipped — a
     * nightly refresh copies only the snapshots the day added. The
-    * destination `_ROOT` still swaps LAST, so standby readers see the
-    * old consistent cut until the refresh lands atomically. Snapshots
-    * the refresh strands (no longer referenced) are exactly what
-    * `fsck(reclaim = true)` on the standby deletes. Index meta
-    * sidecars append in place (tallies), so they always recopy. */
+    * destination `_ROOT` (and each `_CURRENT` mirror) is written to a
+    * tmp name and RENAMED over the target, so a standby reader
+    * resolving the catalog mid-refresh sees the old consistent cut or
+    * the new one, never a truncated file. Snapshots the refresh
+    * strands (no longer referenced) are exactly what
+    * `fsck(reclaim = true)` on the standby deletes.
+    *
+    * Index dirs are NOT immutable (a drift retrain rename-swaps the
+    * whole directory; tally appends rewrite the meta sidecar in
+    * place), so neither the same-length skip nor the divergence guard
+    * applies to them: an incremental refresh always recopies each
+    * index dir in full, staged into a `.inc-tmp-*` sibling and
+    * rename-swapped in — a standby prober mid-refresh sees the old
+    * index or the new one, never a torn mix of the two. */
   def backup(destRoot: String, includeIndexes: Boolean = false,
       incremental: Boolean = false): Seq[String] = {
     recoverTransactions() // fold any journaled commit before pinning
@@ -1026,24 +1022,30 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       val rel = relativize(new Path(root), d)
       (d, new Path(destP, rel))
     }
-    // enumerate every file driver-side (cheap: metadata only), split
-    // out the index meta sidecars (those must land last and, unlike
-    // snapshot files, mutate in place — never skipped incrementally),
-    // then one executor-parallel job moves all the bytes
-    val filePairs = (snapDirs ++ idxPairs).flatMap { case (src, dst) =>
+    // enumerate every file driver-side (cheap: metadata only), then
+    // one executor-parallel job moves all the bytes.
+    //
+    // SNAPSHOT dirs first: a pinned snapshot that cannot be listed has
+    // been reclaimed by a concurrent writer's gc mid-backup — fail
+    // LOUD (re-run the backup) rather than write an empty snapshot
+    // dir and report success while holding a hole.
+    val snapFilePairs = snapDirs.flatMap { case (src, dst) =>
+      if (!fs(src).exists(src)) throw new java.io.IOException(
+        s"backup copy failed: pinned snapshot '$src' vanished " +
+          "mid-backup (concurrent gc from another writer?) — re-run")
       val already: Map[String, Long] =
         if (!incremental) Map.empty
         else listFilesUnder(dst)
           .map { case (f, len) => relativize(dst, f) -> len }.toMap
-      val srcFiles = listFilesUnder(src).map { case (f, len) =>
-        (relativize(src, f), f, len) }
-      // DIVERGENCE guard: a referenced snapshot dir is immutable in
-      // ONE timeline, so the destination holding files the source
-      // lacks under it means src and dst created the same snap name
-      // independently (e.g. both kept writing after a restore).
-      // Copying alongside would UNION two different snapshots into
-      // one directory — silent duplicate rows. Refuse loudly; the
-      // remedy is a fresh full backup into an empty destination.
+      val srcFiles = listFilesUnder(src, strict = true).map {
+        case (f, len) => (relativize(src, f), f, len) }
+      // DIVERGENCE guard (snapshot dirs ONLY — index dirs mutate): a
+      // referenced snapshot dir is immutable in ONE timeline, so the
+      // destination holding files the source lacks under it means src
+      // and dst created the same snap name independently (e.g. both
+      // kept writing after a restore). Copying alongside would UNION
+      // two different snapshots into one directory — silent duplicate
+      // rows. Refuse loudly; the remedy is a fresh full backup.
       if (incremental) {
         val srcRels = srcFiles.iterator.map(_._1).toSet
         val foreign = already.keysIterator.filterNot(srcRels).toSeq
@@ -1054,14 +1056,39 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
             "have diverged; take a full backup into an empty destination")
       }
       srcFiles.flatMap { case (rel, f, len) =>
-        val skip = already.get(rel).contains(len) &&
-          !rel.endsWith("_graft_index_meta.json")
-        if (skip) None
+        if (already.get(rel).contains(len)) None
         else Some((f.toString, new Path(dst, rel).toString))
       }
     }
-    val (metaFiles, bulkFiles) = filePairs.partition(
-      _._1.endsWith("/_graft_index_meta.json"))
+    // INDEX dirs: never skipped, never divergence-checked (retrains
+    // and tally appends mutate them legitimately). A fresh backup
+    // copies them in place (meta sidecar LAST, split out below); an
+    // incremental refresh stages the full recopy in a temp sibling
+    // and rename-swaps it in, so the standby's old index serves until
+    // the new one lands whole.
+    val idxSwaps = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    val idxFilePairs = idxPairs.flatMap { case (src, dst) =>
+      val srcFiles = listFilesUnder(src)
+      if (srcFiles.isEmpty) throw new java.io.IOException(
+        s"backup copy failed: index dir '$src' vanished mid-backup " +
+          "(concurrent retrain swap?) — re-run")
+      val stageTo =
+        if (!incremental) dst
+        else {
+          val tmp = new Path(dst.getParent,
+            dst.getName + s".inc-tmp-${System.nanoTime()}")
+          idxSwaps += ((tmp, dst))
+          tmp
+        }
+      srcFiles.map { case (f, _) =>
+        (f.toString, new Path(stageTo, relativize(src, f)).toString) }
+    }
+    // meta-last applies only to in-place index copies; files staged
+    // into a swap sibling are invisible until the rename, so they
+    // ride the bulk job whole
+    val (metaFiles, bulkFiles) = (snapFilePairs ++ idxFilePairs)
+      .partition(p => p._1.endsWith("/_graft_index_meta.json") &&
+        !idxSwaps.exists { case (tmp, _) => p._2.startsWith(tmp.toString) })
     parallelCopy(bulkFiles)
     snapDirs.foreach { case (_, dst) => dfs.mkdirs(dst) } // zero-file snaps
     metaFiles.foreach { case (s, d) => // meta LAST: torn index ≠ probeable
@@ -1070,43 +1097,77 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
           false, hadoopConf))
         throw new java.io.IOException(s"backup copy failed: $s")
     }
+    idxSwaps.foreach { case (tmp, dst) => // old-or-new, never torn
+      if (dfs.exists(dst)) {
+        val old = new Path(dst.getParent,
+          dst.getName + s".inc-old-${System.nanoTime()}")
+        if (!dfs.rename(dst, old))
+          throw new java.io.IOException(s"failed to retire old index $dst")
+        if (!dfs.rename(tmp, dst))
+          throw new java.io.IOException(s"failed to swap index dir $dst")
+        dfs.delete(old, true)
+      } else if (!dfs.rename(tmp, dst))
+        throw new java.io.IOException(s"failed to swap index dir $dst")
+    }
     pinned.foreach { case (t, ptr) =>
-      val cf = new Path(new Path(destP, t), "_CURRENT")
-      val out = dfs.create(cf, true)
-      try out.write(ptr.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      atomicWrite(dfs, new Path(new Path(destP, t), "_CURRENT"),
+        ptr.getBytes(StandardCharsets.UTF_8))
     }
     val sf = new Path(root, "_SCHEMA.yaml")
     if (fs(sf).exists(sf))
       org.apache.hadoop.fs.FileUtil.copy(fs(sf), sf, dfs,
         new Path(destP, "_SCHEMA.yaml"), false, hadoopConf)
-    val rf = new Path(destP, "_ROOT")
-    val out = dfs.create(rf, true)
-    try out.write(Json.write(pinned).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    atomicWrite(dfs, new Path(destP, "_ROOT"),
+      Json.write(pinned).getBytes(StandardCharsets.UTF_8))
     (idxDirs diff idxCopied).map(_.toString)
   }
 
   /** Every regular file under `dir` with its length, recursively;
     * empty when the directory is missing (the caller decides whether
-    * that's a race or a zero-file table). A manual listStatus walk,
+    * that's a race or a zero-file table), unless `strict` — then a
+    * path vanishing DURING the walk (a pinned snapshot reclaimed by a
+    * concurrent writer's gc) throws instead of silently shortening
+    * the list. A manual listStatus walk,
     * NOT `listFiles(recursive)`: the located-status iterator resolves
     * block locations per FILE (~ms each on a checksummed local fs —
     * profiled at 4.5 ms/file, which made enumeration dominate the
     * whole backup), while listStatus is one round trip per DIRECTORY
     * and carries the lengths already. */
-  private def listFilesUnder(dir: Path): Seq[(Path, Long)] = {
+  private def listFilesUnder(dir: Path, strict: Boolean = false)
+      : Seq[(Path, Long)] = {
     val fsys = fs(dir)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
     def walk(d: Path): Unit =
       (try fsys.listStatus(d)
-       catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] })
+       catch {
+         case e: java.io.FileNotFoundException =>
+           if (strict) throw new java.io.IOException(
+             s"backup copy failed: '$d' vanished mid-enumeration " +
+               "(concurrent gc from another writer?) — re-run", e)
+           Array.empty[org.apache.hadoop.fs.FileStatus]
+       })
         .foreach { st =>
           if (st.isDirectory) walk(st.getPath)
           else buf += ((st.getPath, st.getLen))
         }
     walk(dir)
     buf.toSeq
+  }
+
+  /** Write `bytes` to `f` atomically: tmp sibling + rename, the same
+    * old-or-new (never truncated-in-place) swap as [[commitPointers]]
+    * — a concurrent reader of `f` sees the previous content or the
+    * new one, never a torn file. */
+  private def atomicWrite(fsys: FileSystem, f: Path,
+      bytes: Array[Byte]): Unit = {
+    val tmp = new Path(f.getParent, f.getName + s".tmp-${System.nanoTime()}")
+    val out = fsys.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    // HDFS/local rename onto an existing file: delete-then-rename is
+    // the portable swap; the tiny window only exposes old-or-new.
+    if (fsys.exists(f)) fsys.delete(f, false)
+    if (!fsys.rename(tmp, f))
+      throw new java.io.IOException(s"Failed to swap $f")
   }
 
   /** `child`'s path relative to `base` (both resolved through their
@@ -1162,7 +1223,11 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       else st.toSeq
         .filter(s => s.isDirectory &&
           !s.getPath.getName.startsWith("snap-") &&
-          !s.getPath.getName.startsWith("_"))
+          !s.getPath.getName.startsWith("_") &&
+          // incremental-refresh staging/retired siblings hold a meta
+          // sidecar too but are mid-swap state, not live indexes
+          !s.getPath.getName.contains(".inc-tmp-") &&
+          !s.getPath.getName.contains(".inc-old-"))
         .flatMap(s => scan(s.getPath, depth + 1))
     }
     scan(rootP, 0)
@@ -1224,7 +1289,32 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
           "lease-steal tombstone", st.getLen)
         if (reclaim) rfs.delete(st.getPath, false)
       }
+      else if (n.startsWith("_ROOT.tmp-")) {
+        issues += FsckIssue("", "stale-tmp", st.getPath.toString,
+          "torn root swap leftover", st.getLen)
+        if (reclaim) rfs.delete(st.getPath, false)
+      }
     }
+    // crashed incremental index-refresh staging/retired dirs — same
+    // bounded depth as discoverIndexDirs (they are siblings of index
+    // dirs); provably garbage: a completed refresh deletes both
+    def sweepStaging(dir: Path, depth: Int): Unit = {
+      val st = try rfs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return }
+      st.foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && (n.contains(".inc-tmp-") ||
+            n.contains(".inc-old-"))) {
+          issues += FsckIssue("", "stale-tmp", s.getPath.toString,
+            "crashed incremental index-refresh staging dir",
+            rfs.getContentSummary(s.getPath).getLength)
+          if (reclaim) rfs.delete(s.getPath, true)
+        } else if (s.isDirectory && depth < 3 &&
+            !n.startsWith("snap-") && !n.startsWith("_"))
+          sweepStaging(s.getPath, depth + 1)
+      }
+    }
+    sweepStaging(rootP, 0)
     val leaseF = new Path(rootP, "_LEASE")
     try {
       val st = rfs.getFileStatus(leaseF)
@@ -1286,10 +1376,10 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
         }
       }
     }
-    // persisted index dirs: the meta sidecar must at least parse —
-    // a structural check only (kind/parameter semantics belong to the
-    // index families); an unreadable meta means every probe of that
-    // index will fail or silently misread parameters
+    // persisted index dirs: the meta sidecar must parse AND satisfy
+    // each family's cheap structural invariants (dims present,
+    // centroid count == nlist/k, codebook shape) — a half-written or
+    // hand-edited meta is caught at audit time, not at first probe
     discoverIndexDirs().foreach { d =>
       val mf = new Path(d, "_graft_index_meta.json")
       val ifs = fs(mf)
@@ -1297,10 +1387,67 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
         val in = ifs.open(mf)
         val text = try new String(org.apache.commons.io.IOUtils
           .toByteArray(in), StandardCharsets.UTF_8) finally in.close()
-        if (new org.yaml.snakeyaml.Yaml()
-            .load[java.util.Map[String, Object]](text) == null)
+        val m = new org.yaml.snakeyaml.Yaml()
+          .load[java.util.Map[String, Object]](text)
+        if (m == null)
           issues += FsckIssue("", "index-meta", mf.toString,
             "index metadata is empty", 0L)
+        else {
+          def bad(msg: String): Unit =
+            issues += FsckIssue("", "index-meta", mf.toString, msg, 0L)
+          def intOf(k: String): Option[Int] = Option(m.get(k))
+            .flatMap(v => scala.util.Try(v.toString.toInt).toOption)
+          def vecsOf(k: String): Option[Seq[Int]] = m.get(k) match {
+            // the outer list's per-entry SIZES (each entry a vector)
+            case l: java.util.List[_] => Some(l.asScala.toSeq.map {
+              case e: java.util.List[_] => e.size
+              case _ => -1
+            })
+            case _ => None
+          }
+          val dims = intOf("dims")
+          def needCentroids(expectKey: String): Unit =
+            (vecsOf("centroids"), intOf(expectKey)) match {
+              case (None, _) => bad("centroids missing or not a list")
+              case (_, None) => bad(s"'$expectKey' missing")
+              case (Some(cs), Some(n)) =>
+                if (cs.size != n)
+                  bad(s"centroid count ${cs.size} != $expectKey $n")
+                if (dims.exists(dd => cs.exists(_ != dd)))
+                  bad(s"a centroid's width differs from dims ${dims.get}")
+            }
+          Option(m.get("kind")).map(_.toString) match {
+            case None => bad("missing 'kind'")
+            case Some("minhash") =>
+              if (!intOf("numHashes").exists(_ > 0))
+                bad("minhash meta: numHashes missing or non-positive")
+              if (!intOf("numBands").exists(_ > 0))
+                bad("minhash meta: numBands missing or non-positive")
+            case Some("lsh") =>
+              if (!dims.exists(_ > 0)) bad("lsh meta: dims missing")
+              if (!intOf("numPlanes").exists(_ > 0))
+                bad("lsh meta: numPlanes missing or non-positive")
+            case Some("ivf") =>
+              if (!dims.exists(_ > 0)) bad("ivf meta: dims missing")
+              needCentroids("nlist")
+            case Some("semantic") =>
+              if (!dims.exists(_ > 0)) bad("semantic meta: dims missing")
+              needCentroids("k")
+            case Some("ivfpq") =>
+              if (!dims.exists(_ > 0)) bad("ivfpq meta: dims missing")
+              needCentroids("nlist")
+              (vecsOf("codebooks"), intOf("m"), dims) match {
+                case (None, _, _) => bad("codebooks missing or not a list")
+                case (_, None, _) => bad("'m' missing")
+                case (Some(cb), Some(mm), dd) =>
+                  if (cb.size != mm)
+                    bad(s"codebook count ${cb.size} != m $mm")
+                  if (dd.exists(_ % math.max(mm, 1) != 0))
+                    bad(s"dims ${dd.get} not divisible by m $mm")
+              }
+            case Some(k0) => bad(s"unknown index kind '$k0'")
+          }
+        }
       } catch {
         case scala.util.control.NonFatal(e) =>
           issues += FsckIssue("", "index-meta", mf.toString,

@@ -794,6 +794,78 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$rIdx/docs").count() == before + 1)
   }
 
+  test("incremental backup --indexes survives a retrain; standby serves") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-cli-bakret-")
+    val schemaYaml =
+      """- table: vectors
+        |  columns:
+        |    vec_id: bigint
+        |    embedding: float[]
+        |  key: [vec_id]
+        |""".stripMargin
+    val schema = dir.resolve("schema.yaml")
+    Files.writeString(schema, schemaYaml)
+    val wh = dir.resolve("wh").toString
+    val conf = dir.resolve("tk.yaml")
+    Files.writeString(conf, s"schema: $schema\nwarehouse: $wh\n")
+    run(conf.toString, "init")
+    val env = graft.Env(spark,
+      graft.schema.Registry.fromYaml(schemaYaml), wh)
+    val vschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def vdf(rows: Seq[(Long, Seq[Float])]) = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, vschema)
+    env.view("vectors", Seq("vec_id", "embedding")).write(vdf(
+      (0 until 10).map(i => (i.toLong, Seq(1f, 0.01f * i, 0f, 0f))) ++
+      (0 until 10).map(i => (100L + i, Seq(0.01f * i, 1f, 0f, 0f)))))
+    val idx = s"$wh/ividx"
+    run(conf.toString, "index", "build", "vectors", "vec_id", "embedding",
+      "--path", idx, "--kind", "ivf", "--nlist", "2")
+    val bdir = dir.resolve("bak").toString
+    assert(run(conf.toString, "backup", "-f", bdir, "--indexes")
+      .contains("backed up"))
+    // source moves on: new rows appended into the index, then a
+    // RETRAIN rename-swaps the whole index dir — every part file under
+    // it now has a name the standby's copy doesn't hold. The refresh
+    // must NOT read that as divergence (index dirs mutate legitimately)
+    env.view("vectors", Seq("vec_id", "embedding")).write(vdf(Seq(
+      (200L, Seq(1f, 0.2f, 0f, 0f)), (201L, Seq(0.2f, 1f, 0f, 0f)))))
+    run(conf.toString, "index", "append", "vectors", "vec_id", "embedding",
+      "--path", idx, "-F", "(>= vec_id 200)")
+    run(conf.toString, "index", "retrain", "vec_id", "embedding",
+      "--path", idx)
+    val o = run(conf.toString, "backup", "-f", bdir,
+      "--indexes", "--incremental")
+    assert(o.contains("backed up"), o)
+    // the swap cleaned up after itself — no staging/retired siblings
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(bdir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.contains(".inc-tmp-") || n.contains(".inc-old-")).toSeq
+    assert(leftovers.isEmpty, leftovers.toString)
+    // the operator story end-to-end on the standby: fsck --reclaim,
+    // then a table read AND an index probe against the refreshed root
+    val conf2 = dir.resolve("tk2.yaml")
+    Files.writeString(conf2, s"schema: $schema\nwarehouse: $bdir\n")
+    run(conf2.toString, "fsck", "--reclaim")
+    val got = run(conf2.toString, "read", "vectors", "vec_id", "-H")
+    assert(got.trim.linesIterator.size == 22, got)
+    val sIdx = s"$bdir/ividx"
+    // the standby index holds the RETRAINED state (22 trained rows)
+    assert(run(conf2.toString, "index", "info", "--path", sIdx)
+      .contains("trainedCount: 22"))
+    val rec = run(conf2.toString, "index", "recall", "vectors",
+      "vec_id", "embedding", "--path", sIdx, "--k", "5", "--queries", "4",
+      "--nprobe", "2")
+    val recalls = rec.trim.linesIterator.drop(1)
+      .map(_.split(",")(1).toDouble).toSeq
+    assert(recalls.size == 4 && recalls.forall(_ == 1.0), rec)
+  }
+
   test("fsck action: clean report, orphan listing, --reclaim") {
     val (conf, dir) = cfg()
     run(conf, "init")

@@ -465,4 +465,49 @@ class TxnSpec extends SparkSpec {
     assert(sb.warehouse.fsck().isEmpty)
     assert(names(standby()) == names(env))
   }
+
+  test("backup refuses loudly when a pinned snapshot vanished (gc race)") {
+    val env = freshEnv()
+    env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+    // simulate a concurrent writer's gc reclaiming the pinned snapshot
+    // between the catalog pin and the copy: the backup must throw, not
+    // write an empty snapshot dir and report success over a hole
+    val snap = env.warehouse.snapshots("country").last
+    val snapDir = java.nio.file.Paths.get(
+      env.warehouse.root.stripPrefix("file:"), "country", snap)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(snapDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-holebak-").toString + "/wh"
+    val e = intercept[java.io.IOException](env.warehouse.backup(dest))
+    assert(e.getMessage.contains("vanished"), e.getMessage)
+    // nothing half-written was promoted to a catalog
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dest, "_ROOT")))
+  }
+
+  test("fsck flags an index meta violating its family's invariants") {
+    val env = freshEnv()
+    env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+    // plant a structurally valid JSON meta whose ivf invariants are
+    // broken: 2 centroids against nlist 3, one centroid 3-wide vs dims 4
+    val bad = java.nio.file.Paths.get(
+      env.warehouse.root.stripPrefix("file:"), "badidx")
+    java.nio.file.Files.createDirectories(bad)
+    java.nio.file.Files.writeString(
+      bad.resolve("_graft_index_meta.json"),
+      """{"kind": "ivf", "dims": 4, "nlist": 3,
+        |"centroids": [[0,0,0,0],[1,1,1]]}""".stripMargin)
+    val metaIssues = env.warehouse.fsck().filter(_.kind == "index-meta")
+    assert(metaIssues.exists(_.detail.contains("centroid count 2 != nlist 3")),
+      metaIssues.toString)
+    assert(metaIssues.exists(_.detail.contains("width differs from dims")),
+      metaIssues.toString)
+    // an unknown kind is flagged too (a probe would dispatch nowhere)
+    java.nio.file.Files.writeString(
+      bad.resolve("_graft_index_meta.json"), """{"kind": "hnsw"}""")
+    assert(env.warehouse.fsck().exists(i =>
+      i.kind == "index-meta" && i.detail.contains("unknown index kind")))
+  }
 }
