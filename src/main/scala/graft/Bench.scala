@@ -454,11 +454,66 @@ object Bench {
       System.err.println(s"[bench] WARN in-run drift: $k median=${results(k)} " +
         s"min=${mins(k)} ratio=$r")
     }
+    // A/B-under-drift: day-over-day container latency has twice made
+    // this code read 1.5-2.5x slower on small queries than the prior
+    // round's RECORD while measuring equal-or-faster than the prior
+    // round's CODE on the same box, same day. With
+    // SPARK_GRAFT_AB_COMMIT=<sha> set, the same-day control is
+    // automatic: after the main run, that commit is checked out into a
+    // /tmp worktree (own target/, safe beside this build) and the
+    // SparkEntry-query bench reruns there; the side-by-side lands in
+    // the full record's "ab" block. SPARK_GRAFT_ONLY-style probes
+    // (sf1_*, write_*) are skipped in the control, as in any scoped
+    // run. SPARK_GRAFT_AB_ONLY narrows the control's query list.
+    val abBlock: Option[String] = sys.env.get("SPARK_GRAFT_AB_COMMIT")
+      .filter(_.nonEmpty).flatMap { sha =>
+        try {
+          spark.stop() // free this JVM's executors before the child bench
+          val repo = new java.io.File(".").getCanonicalFile
+          val safe = sha.replaceAll("[^A-Za-z0-9._-]", "-")
+          val wt = new java.io.File(s"/tmp/graft-ab-$safe")
+          import scala.sys.process._
+          if (!wt.exists()) {
+            val rc = Process(
+              Seq("git", "worktree", "add", wt.toString, sha), repo).!
+            if (rc != 0) throw new RuntimeException(
+              s"git worktree add $sha exited $rc")
+          }
+          val abOut = new java.io.File(wt, "BENCH_AB.json")
+          val only = sys.env.getOrElse("SPARK_GRAFT_AB_ONLY",
+            results.keys.toSeq.sorted.mkString(","))
+          val rc = Process(Seq("sbt", "-batch", "runMain graft.Bench"), wt,
+            "SPARK_GRAFT_SF_DIR" -> sfDir,
+            "SPARK_GRAFT_ONLY" -> only,
+            "SPARK_GRAFT_AB_COMMIT" -> "", // the control must not recurse
+            "SPARK_GRAFT_BENCH_OUT" -> abOut.toString).!
+          if (rc != 0) throw new RuntimeException(s"control bench exited $rc")
+          val text = new String(
+            java.nio.file.Files.readAllBytes(abOut.toPath), "UTF-8")
+          // our own writer's flat format: the first "queries" object
+          val qObj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text)
+            .map(_.group(1)).getOrElse("")
+          val abQ = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+            .findAllMatchIn(qObj)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val both = results.keys.filter(abQ.contains).toSeq.sorted
+          both.foreach { k =>
+            System.err.println(f"[bench] A/B $k%-30s this=${results(k)}%.3f " +
+              f"control@$safe=${abQ(k)}%.3f")
+          }
+          Some(s""""ab":{"commit":"$sha","queries":${
+            mapJson(both.map(k => k -> s"[${results(k)},${abQ(k)}]"))}}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] A/B control failed: ${e.getMessage}")
+          None
+        }
+      }
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_min":${
         mapJson(mins.map { case (k, v) => k -> v.toString })},"drift":${
         mapJson(drift)},"single_run":${
-        singleRun.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+        singleRun.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"${
+        abBlock.map("," + _).getOrElse("")}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LATEST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       fullLine.getBytes("UTF-8"))
