@@ -398,6 +398,21 @@ object SparkEntry {
             |              (> (* l_quantity 2000) _parent.o_totalprice)
             |              (> l_extendedprice _parent._parent.c_acctbal))))))))))""".stripMargin))),
 
+    // R15 round 14: the negated dual-scope sub's outer comparison
+    // targets the GREAT-grandparent (customer, three scopes up) — the
+    // collected witness arrays nest through a second flag frame and
+    // the test lands where c_acctbal lives
+    "q40_deep_neg_scope" -> ((s, dir) =>
+      env(s, dir).view("customer", Seq("c_custkey", "c_name"))
+        .read(Seq(
+          """(exists (from orders (select 1) (where
+            |  (and (= o_custkey _parent.c_custkey)
+            |       (exists (from lineitem (select 1) (where
+            |         (and (= l_orderkey _parent.o_orderkey)
+            |              (not (exists (from lineitem (select 1) (where
+            |                (and (= l_orderkey _parent.l_orderkey)
+            |                     (> l_extendedprice _parent._parent._parent.c_acctbal))))))))))))))""".stripMargin))),
+
     // LLM-pipeline: exact dedup (hash-groupBy, keep smallest id)
     "dedup_exact" -> ((s, dir) => {
       val docs = env(s, dir).view("documents",
@@ -1804,6 +1819,13 @@ object SparkEntry {
         |      WHERE l_orderkey = o_orderkey
         |        AND l_quantity * 2000 > o_totalprice
         |        AND l_extendedprice > c_acctbal))""".stripMargin,
+    "q40_deep_neg_scope" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l.l_orderkey
+        |        AND l2.l_extendedprice > c.c_acctbal)))""".stripMargin,
     "q13_dates" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,

@@ -180,7 +180,17 @@ final case class ExistsSpec(sub: QueryBuilder, pairs: Seq[(Column, Column)],
   * absorb rides the struct this way). */
 final case class NegTest(flag: String,
     tests: Seq[(String, Either[Column, String], Int)],
-    rowCols: Seq[(String, Column)] = Nil)
+    rowCols: Seq[(String, Column)] = Nil,
+    /** Descent chain for correlation DEEPER than the grandparent
+      * (round 14): names of nested `<flag>_nts` struct fields to step
+      * through, outermost first, before the row holding this test's
+      * `<flag>_ts` leaf array. Empty = the test evaluates against the
+      * rows of the spec it rides directly (the depth-2 case). Each
+      * scope a test defers through prepends the field under which the
+      * lower spec's collected array rides its row struct; the
+      * predicate at the landing scope walks the chain with one nested
+      * `exists` HOF per element. */
+    path: Seq[String] = Nil)
 
 /** Compiles s-expression ASTs to Spark [[Column]]s over a "wide frame":
   * the base table left-joined with every table reached by a dotted
@@ -216,6 +226,13 @@ final class QueryBuilder(
     * key column the nested flag join leaves in this scope's frame,
     * remaining levels). */
   private val pendingCarries = mutable.ArrayBuffer[(Column, String, Int)]()
+  /** Negated dual-scope tests whose outer columns live ABOVE the scope
+    * that built them (correlation deeper than the grandparent): each
+    * waits here with the number of scopes still to climb; the
+    * enclosing exists consumes them, nesting the collected `_nts`
+    * array through its own flag frame until the count reaches zero at
+    * the scope that owns the compared columns. */
+  private val pendingNegTests = mutable.ArrayBuffer[(NegTest, Int)]()
   parent.foreach(_.children += this)
 
   private def nbJoins(up: Boolean = true): Int =
@@ -649,6 +666,7 @@ final class QueryBuilder(
     val pulledUp = mutable.Buffer[Column]()
     val nonEquis = mutable.Buffer[(String, Column, Column)]() // (op, parent, sub)
     val negTests = mutable.Buffer[NegTest]()
+    val negDefer = mutable.Buffer[(NegTest, Int)]() // tests landing higher
     extraPair.foreach(pairs += _)
     conjuncts(sub.whereAsts).foreach { c =>
       val d = topDepth(c)
@@ -682,16 +700,20 @@ final class QueryBuilder(
       } else if (negDual.isDefined && referencesScope(c, 0) &&
           escapesScope(c, 0)) {
         val (fromAst, lhsAst) = negDual.get
-        negTests += hoistNegatedSub(qb, fromAst, lhsAst, args)
-        // contributes no predicate at THIS scope: the witness-free
-        // test completes where the outer columns live
+        val (nt, hops) = hoistNegatedSub(qb, fromAst, lhsAst, args)
+        // hops = 0: the witness-free test completes at THIS scope
+        // (grandparent comparisons); hops > 0: the outer columns live
+        // higher still — the test defers, nesting through flag frames
+        if (hops == 0) negTests += nt else negDefer += ((nt, hops))
       } else if (d == 0) {
         // May contain nested exists/in whose subs register carries on
         // qb; only a bare subquery conjunct keeps the nested flag
         // conjunctive, which the hoisting depends on.
         val before = qb.pendingCarries.size
+        val beforeNeg = qb.pendingNegTests.size
         residual += qb.one(qb.compile(c, args))
-        if (qb.pendingCarries.size > before && !isSubqueryNode(c))
+        if ((qb.pendingCarries.size > before ||
+            qb.pendingNegTests.size > beforeNeg) && !isSubqueryNode(c))
           throw new UnsupportedOperationException(
             "Multi-level _parent correlation must sit in a bare (exists ...)" +
             s" / (in ...) conjunct, not under or/not: $c")
@@ -735,9 +757,19 @@ final class QueryBuilder(
       else { carried += kn -> col(kn); pendingCarries += ((pc, kn, lvl - 1)) }
     }
     qb.pendingCarries.clear()
+    // Consume deferred negated-dual-scope tests nested subs registered
+    // on the sub: hop 0 evaluates here (its descent path already walks
+    // the nested _nts fields); deeper hops keep riding up.
+    qb.pendingNegTests.foreach { case (nt, hops) =>
+      if (hops == 0) negTests += nt else negDefer += ((nt, hops))
+    }
+    qb.pendingNegTests.clear()
     if (negate && carried.nonEmpty) throw new UnsupportedOperationException(
       "NOT EXISTS / notin cannot carry multi-level _parent correlation " +
       "through an intermediate scope")
+    if (negate && negDefer.nonEmpty) throw new UnsupportedOperationException(
+      "NOT EXISTS / notin cannot defer a negated dual-scope test past an " +
+        "intermediate scope")
     if (nonEquis.nonEmpty && carried.nonEmpty)
       throw new UnsupportedOperationException(
         "Non-equi correlation cannot combine with multi-level carries")
@@ -745,37 +777,71 @@ final class QueryBuilder(
       throw new UnsupportedOperationException(
         "A negated dual-scope subquery cannot combine with other carried " +
         "or non-equi correlation in the same exists")
+    if (negDefer.nonEmpty && (negTests.nonEmpty || carried.nonEmpty ||
+        nonEquis.nonEmpty))
+      throw new UnsupportedOperationException(
+        "A deferred dual-scope test cannot combine with tests, carries or " +
+          "non-equi correlation landing at this scope in the same exists")
     existsSpecs += ExistsSpec(qb, pairs.toSeq, residual.reduceOption(_ && _),
       flag, carried.toSeq,
       reduceCol = if (nonEquis.size == 1) Some(nonEquis.head._3) else None,
       tupleSpecs = if (nonEquis.size >= 2)
         nonEquis.toSeq.map { case (op, _, sc) => (op, sc) } else Nil,
-      negTests = negTests.toSeq)
-    val c =
-      if (negTests.nonEmpty) {
-        // ∃ sub row whose every hoisted negated sub is witness-free.
-        // Inner: a null tuple array (no inner rows for that sub row)
-        // or an all-null HOF result (null outer column — SQL unknown)
-        // coalesces to "no witness" = the ¬∃ is TRUE; outer: a missing
-        // equi-group (null _nts) coalesces to EXISTS = false, like SQL
-        coalesce(exists(col(s"${flag}_nts"), row =>
-          negTests.toSeq.map { nt =>
-            !coalesce(exists(row.getField(s"${nt.flag}_ts"), t =>
-              nt.tests.map { case (op, side, i) =>
-                val tv = t.getField(s"t$i")
-                // Left: outer-scope column, resolvable here; Right: an
-                // enclosing-sub value riding the carried struct
-                val pc = side.fold(identity, f => row.getField(f))
-                op match {
-                  case "=" => pc === tv
-                  case "!=" => pc =!= tv
-                  case ">" => pc > tv
-                  case ">=" => pc >= tv
-                  case "<" => pc < tv
-                  case "<=" => pc <= tv
-                }
-              }.reduce(_ && _)), lit(false))
+      // deferred tests ride along so the flag frame collects their
+      // descent-path heads (nested _nts / leaf _ts arrays) per sub
+      // row; only hop-0 tests contribute to THIS scope's predicate
+      negTests = negTests.toSeq ++ negDefer.map(_._1))
+    // re-register deferred tests one scope up: descending from the
+    // NEXT frame's rows, the first step is this spec's collected array
+    negDefer.foreach { case (nt, hops) =>
+      pendingNegTests += ((nt.copy(path = s"${flag}_nts" +: nt.path),
+        hops - 1))
+    }
+    // ∃ sub row whose every hoisted negated sub is witness-free,
+    // recursively: a test with a descent path first walks the nested
+    // `_nts` arrays (one exists HOF per level — correlation deeper
+    // than the grandparent), then runs the leaf witness-free test.
+    // Inner: a null tuple array (no inner rows for that sub row)
+    // or an all-null HOF result (null outer column — SQL unknown)
+    // coalesces to "no witness" = the ¬∃ is TRUE; outer: a missing
+    // equi-group (null _nts, or a null nested array: no rows one
+    // level down) coalesces to EXISTS = false, like SQL
+    def negPredicate(tests: Seq[NegTest], row: Column): Column = {
+      val (leaves, deeper) = tests.partition(_.path.isEmpty)
+      val leafConds = leaves.map { nt =>
+        !coalesce(exists(row.getField(s"${nt.flag}_ts"), t =>
+          nt.tests.map { case (op, side, i) =>
+            val tv = t.getField(s"t$i")
+            // Left: outer-scope column, resolvable here; Right: an
+            // enclosing-sub value riding the carried struct
+            val pc = side.fold(identity, f => row.getField(f))
+            op match {
+              case "=" => pc === tv
+              case "!=" => pc =!= tv
+              case ">" => pc > tv
+              case ">=" => pc >= tv
+              case "<" => pc < tv
+              case "<=" => pc <= tv
+            }
           }.reduce(_ && _)), lit(false))
+      }
+      val deepConds = deeper.groupBy(_.path.head).toSeq.sortBy(_._1)
+        .map { case (h, ts) =>
+          coalesce(exists(row.getField(h), r2 =>
+            negPredicate(ts.map(t => t.copy(path = t.path.tail)), r2)),
+            lit(false))
+        }
+      (leafConds ++ deepConds).reduce(_ && _)
+    }
+    val c =
+      if (negDefer.nonEmpty) {
+        // every test of this exists lands higher: undecidable here —
+        // contribute no filter; the landing scope walks the chain
+        // (a sub row group missing at ANY level reads false there)
+        lit(true)
+      } else if (negTests.nonEmpty) {
+        coalesce(exists(col(s"${flag}_nts"), row =>
+          negPredicate(negTests.toSeq, row)), lit(false))
       }
       else if (nonEquis.isEmpty) col(flag).isNotNull
       else if (nonEquis.size == 1) {
@@ -838,13 +904,24 @@ final class QueryBuilder(
     * fine when the distinct compared tuples are bounded, documented
     * here because nothing prunes it.
     *
+    * Outer refs DEEPER than the grandparent (round 14): the tests
+    * cannot evaluate at the scope compiling the enclosing exists —
+    * the compared columns live higher. The returned hop count tells
+    * [[existsSubquery]] how many scopes to defer: each deferral nests
+    * the collected `_nts` array through the next flag frame (the test
+    * rides [[QueryBuilder.pendingNegTests]] with its descent path
+    * growing one field per level) until the landing scope runs the
+    * witness-free test through one nested `exists` HOF per level.
+    *
     * Scale shape: same contract as tupleSpecs — array sizes bounded by
     * distinct compared-value tuples per group, all joins equi, no
     * row-explosion (the outer flag frame groups before joining).
-    * Restrictions (loud): outer refs must sit at scope 2 exactly, and
+    * Restrictions (loud): every outer comparison in one negated sub
+    * must target the SAME outer scope (a mixed-depth test would need
+    * intermediate-frame columns inside the landing scope's HOF), and
     * the negated sub may not itself nest further subqueries. */
   private def hoistNegatedSub(qb: QueryBuilder, fromAst: Ast,
-      lhsAst: Option[Ast], args: Args): NegTest = {
+      lhsAst: Option[Ast], args: Args): (NegTest, Int) = {
     val isub = qb.compile(fromAst, args) match {
       case s: CSub => s
       case other => throw new IllegalArgumentException(
@@ -854,7 +931,7 @@ final class QueryBuilder(
     val flag = s"__nexists_${root.existsCounter.getAndIncrement()}"
     val pairs = mutable.Buffer[(Column, Column)]()
     val residual = mutable.Buffer[Column]()
-    val outerTests = mutable.Buffer[(String, Column, Column)]()
+    val outerTests = mutable.Buffer[(String, Column, Column, Int)]()
     val innerTests = mutable.Buffer[(String, Column, Column)]()
     lhsAst.foreach { l =>
       if (topDepth(l) != 0) throw new UnsupportedOperationException(
@@ -885,40 +962,43 @@ final class QueryBuilder(
               // non-equi to the own parent: the sub column becomes a
               // tuple dim, the parent value a carried-struct field
               innerTests += ((normOp, pc, sc))
-            case 2 => outerTests += ((normOp, pc, sc))
-            case _ => throw new UnsupportedOperationException(
-              "a negated dual-scope subquery supports correlation to " +
-                "its own parent and comparisons to the grandparent only, " +
-                s"got: $c")
+            case d => outerTests += ((normOp, pc, sc, d))
           }
         case _ => throw new UnsupportedOperationException(
           "Only equi or single-comparison correlation against _parent is " +
             s"supported in exists/in, got: $c")
       }
     }
-    if (iqb.pendingCarries.nonEmpty) {
+    if (iqb.pendingCarries.nonEmpty || iqb.pendingNegTests.nonEmpty) {
       iqb.pendingCarries.clear()
+      iqb.pendingNegTests.clear()
       throw new UnsupportedOperationException(
         "NOT EXISTS / notin cannot carry correlation deeper than the " +
           "grandparent scope")
     }
     if (outerTests.isEmpty) throw new UnsupportedOperationException(
       "negated dual-scope subquery found no supported outer-scope comparison")
+    val depths = outerTests.map(_._4).distinct
+    if (depths.size > 1) throw new UnsupportedOperationException(
+      "outer comparisons in one negated subquery must target a single " +
+        s"outer scope, got depths ${depths.sorted.mkString(", ")}")
     // tuple dims: outer-compared columns first, then own-parent
     // non-equi-compared columns — both reduced to their distinct
     // tuples per equi-group by the tupleSpecs machinery
-    val dims = outerTests.toSeq ++ innerTests.toSeq
+    val dims = outerTests.toSeq.map { case (op, _, sc, _) => (op, sc) } ++
+      innerTests.toSeq.map { case (op, _, sc) => (op, sc) }
     qb.existsSpecs += ExistsSpec(iqb, pairs.toSeq,
       residual.reduceOption(_ && _), flag,
-      tupleSpecs = dims.map { case (op, _, sc) => (op, sc) })
-    NegTest(flag,
-      outerTests.toSeq.zipWithIndex.map { case ((op, pc, _), i) =>
+      tupleSpecs = dims)
+    (NegTest(flag,
+      outerTests.toSeq.zipWithIndex.map { case ((op, pc, _, _), i) =>
         (op, Left(pc): Either[Column, String], i) } ++
       innerTests.toSeq.zipWithIndex.map { case ((op, _, _), j) =>
         (op, Right(s"${flag}_p$j"): Either[Column, String],
           outerTests.size + j) },
       rowCols = innerTests.toSeq.zipWithIndex.map { case ((_, pc, _), j) =>
-        (s"${flag}_p$j", pc) })
+        (s"${flag}_p$j", pc) }),
+      depths.head - 2)
   }
 
   private def inSubquery(lhs: Column, sub: CSub, negate: Boolean, args: Args): CV = {
@@ -952,9 +1032,16 @@ final class QueryBuilder(
         // fan-out — and the predicate's nested HOFs run the
         // witness-free tests at the outer scope.
         val keyNames = spec.pairs.indices.map(i => s"${spec.flag}_k$i")
-        val rowStruct = struct(spec.negTests.flatMap { nt =>
-          col(s"${nt.flag}_ts").as(s"${nt.flag}_ts") +:
-            nt.rowCols.map { case (n, c) => c.as(n) } }: _*)
+        // a leaf test (empty path) carries its tuple array + captured
+        // parent values; a deferred test carries the nested `_nts`
+        // array its descent path enters next — deduped by field name
+        // (several tests may defer through the same nested spec)
+        val rowFields: Seq[(String, Column)] = spec.negTests.flatMap { nt =>
+          if (nt.path.isEmpty)
+            (s"${nt.flag}_ts" -> col(s"${nt.flag}_ts")) +: nt.rowCols
+          else Seq(nt.path.head -> col(nt.path.head))
+        }.distinctBy(_._1)
+        val rowStruct = struct(rowFields.map { case (n, c) => c.as(n) }: _*)
         val sel = spec.pairs.zip(keyNames).map { case ((_, s), n) =>
           s.as(n) } :+ rowStruct.as("__nrow")
         val tf = filtered.select(sel: _*)

@@ -349,20 +349,10 @@ class ExprSpec extends SparkSpec {
         |              (> id (* _parent.id 3))
         |              (> id _parent._parent.id))))))))))""".stripMargin)))
 
-    // still loud: correlation deeper than the grandparent from inside
-    // the negated sub (scope 3 = country seen from a sub nested two
-    // levels down)
-    intercept[UnsupportedOperationException] {
-      env.view("country", Seq("name")).read(Seq(
-        """(exists (from team (select 1) (where
-          |  (and (= country _parent.id)
-          |       (exists (from member (select 1) (where
-          |         (and (= team _parent.id)
-          |              (not (exists (from member (select 1) (where
-          |                (and (= id _parent.id)
-          |                     (> id _parent._parent._parent.id))))))))))))))"""
-          .stripMargin)).collect()
-    }
+    // correlation deeper than the grandparent from inside the negated
+    // sub is supported since round 14 — correctness covered by the
+    // dedicated "negated dual-scope correlation DEEPER than the
+    // grandparent" test below
   }
 
   test("multi-non-equi exists matches brute force on a dense dominated cluster") {
@@ -481,7 +471,9 @@ class ExprSpec extends SparkSpec {
     assert(m2.startsWith("a subquery nested inside a negated dual-scope " +
       "subquery cannot reference outer scopes:"), m2)
 
-    // 3. correlation deeper than the grandparent inside a negated sub
+    // 3. outer comparisons at MIXED depths inside one negated sub:
+    //    the landing scope's HOF cannot resolve intermediate-frame
+    //    columns, so the shape stays a loud raise
     val m3 = msg(
       """(exists (from team (select 1) (where
         |  (and (= country _parent.id)
@@ -489,10 +481,52 @@ class ExprSpec extends SparkSpec {
         |         (and (= team _parent.id)
         |              (not (exists (from member (select 1) (where
         |                (and (= id _parent.id)
+        |                     (> id _parent._parent.id)
         |                     (> id _parent._parent._parent.id))))))))))))))"""
         .stripMargin)
-    assert(m3.startsWith("a negated dual-scope subquery supports " +
-      "correlation to its own parent and comparisons to the " +
-      "grandparent only"), m3)
+    assert(m3.startsWith("outer comparisons in one negated subquery must " +
+      "target a single outer scope"), m3)
+  }
+
+  test("negated dual-scope correlation DEEPER than the grandparent") {
+    // round 14: the formerly-raising depth-3 shape — a NOT EXISTS
+    // whose outer comparison targets the great-grandparent — now
+    // decorrelates by nesting the collected _nts array through a
+    // second flag frame. Oracle: ids are unique, so
+    // ¬∃m2(m2.id = m.id ∧ m2.id > c.id) ⟺ m.id ≤ c.id, replayed
+    // driver-side over the raw rows.
+    val env = freshEnv()
+    val got = rows(env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (exists (from member (select 1) (where
+        |         (and (= team _parent.id)
+        |              (not (exists (from member (select 1) (where
+        |                (and (= id _parent.id)
+        |                     (> id _parent._parent._parent.id))))))))))))))"""
+        .stripMargin))).map(_.head.toString).sorted
+    val countries = rows(env.view("country", Seq("id", "name")).read())
+      .map(r => (r(0).toString.toLong, r(1).toString))
+    val teams = rows(env.view("team", Seq("id", "country")).read())
+      .map(r => (r(0).toString.toLong, r(1).toString.toLong))
+    val members = rows(env.view("member", Seq("id", "team")).read())
+      .map(r => (r(0).toString.toLong, r(1).toString.toLong))
+    val expected = countries.collect { case (cid, cname)
+      if teams.exists { case (tid, tc) => tc == cid &&
+        members.exists { case (mid, mt) => mt == tid && mid <= cid } } =>
+      cname }.sorted
+    assert(got == expected, s"got=$got expected=$expected")
+
+    // the same deep comparison written as notin (the hoist's other
+    // entry shape) agrees
+    val gotNotin = rows(env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (exists (from member (select 1) (where
+        |         (and (= team _parent.id)
+        |              (notin id (from member (select id) (where
+        |                (> id _parent._parent._parent.id))))))))))))"""
+        .stripMargin))).map(_.head.toString).sorted
+    assert(gotNotin == expected, s"notin got=$gotNotin expected=$expected")
   }
 }
