@@ -528,5 +528,33 @@ class ExprSpec extends SparkSpec {
         |                (> id _parent._parent._parent.id))))))))))))"""
         .stripMargin))).map(_.head.toString).sorted
     assert(gotNotin == expected, s"notin got=$gotNotin expected=$expected")
+
+    // depth 4 — TWO deferral hops: the recursion, not a special case.
+    // licensee(country, member) adds the fourth scope; the negated
+    // sub equi-joins its own parent (li.member) and compares to the
+    // great-great-grandparent country
+    env.view("licensee",
+      Seq("country.name", "member.registration_code")).write(Seq(
+      Seq("Belgium", "001"), Seq("Belgium", "002"), Seq("France", "003")))
+    val lis = rows(env.view("licensee", Seq("member")).read())
+      .map(r => r.head.toString.toLong)
+    val got4 = rows(env.view("country", Seq("name")).read(Seq(
+      """(exists (from team (select 1) (where
+        |  (and (= country _parent.id)
+        |       (exists (from member (select 1) (where
+        |         (and (= team _parent.id)
+        |              (exists (from licensee (select 1) (where
+        |                (and (= member _parent.id)
+        |                     (not (exists (from member (select 1) (where
+        |                       (and (= id _parent.member)
+        |                            (> id _parent._parent._parent._parent.id)
+        |                       )))))))))))))))))"""
+        .stripMargin))).map(_.head.toString).sorted
+    val expected4 = countries.collect { case (cid, cname)
+      if teams.exists { case (tid, tc) => tc == cid &&
+        members.exists { case (mid, mt) => mt == tid &&
+          lis.exists(lm => lm == mid && !(lm > cid)) } } =>
+      cname }.sorted
+    assert(got4 == expected4, s"depth4 got=$got4 expected=$expected4")
   }
 }
