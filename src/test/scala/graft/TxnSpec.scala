@@ -510,4 +510,33 @@ class TxnSpec extends SparkSpec {
     assert(env.warehouse.fsck().exists(i =>
       i.kind == "index-meta" && i.detail.contains("unknown index kind")))
   }
+
+  test("fsck reclaims crashed incremental index-refresh staging dirs") {
+    val env = freshEnv()
+    env.view("country", Seq("name")).write(Seq(Seq("Italy")))
+    val root = java.nio.file.Paths.get(env.warehouse.root.stripPrefix("file:"))
+    // a refresh that died between the staged copy and the rename swap
+    // leaves a .inc-tmp sibling (holding a meta sidecar of its own);
+    // a crash between the two renames leaves a .inc-old retiree
+    val tmp = root.resolve("myidx.inc-tmp-42")
+    val old = root.resolve("myidx.inc-old-43")
+    for (d <- Seq(tmp, old)) {
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("_graft_index_meta.json"),
+        """{"kind": "lsh", "dims": 4, "numPlanes": 8}""")
+      java.nio.file.Files.write(d.resolve("part-0.parquet"),
+        new Array[Byte](32))
+    }
+    // mid-swap state must NOT read as a live index (backup --indexes
+    // would otherwise copy the torn staging dir as an index)
+    assert(env.warehouse.discoverIndexDirs().isEmpty)
+    val found = env.warehouse.fsck().filter(i =>
+      i.kind == "stale-tmp" && i.detail.contains("index-refresh"))
+    assert(found.size == 2, found.toString)
+    assert(found.forall(_.bytes > 0), found.toString)
+    env.warehouse.fsck(reclaim = true)
+    assert(!java.nio.file.Files.exists(tmp) &&
+      !java.nio.file.Files.exists(old))
+    assert(env.warehouse.fsck().isEmpty)
+  }
 }
