@@ -930,6 +930,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: ADTS AAC header-walk probe — pure JVM, no codec:
+    // frames x 1024 samples at 16 kHz = frames x 64 ms, exact integer
+    // arithmetic the oracle replays; odd doc ids use the CRC-protected
+    // 9-byte header variant so both header sizes walk the same answer
+    "multimodal_audio_aac" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
+      val aac = udf((id: Long, n: Long) => graft.ops.Multimodal.synthAdts(
+        (3 + (n % 24)).toInt, crc = id % 2 == 1))
+      val media = docs.select(col("doc_id"),
+        graft.ops.Multimodal.asMedia(aac(col("doc_id"), col("n_chars")),
+          "audio/aac", concat(lit("doc://"), col("doc_id"))).as("media"))
+      graft.ops.Multimodal.audioFeatures(media, "media")
+        .select(col("doc_id"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.channels").as("channels"),
+          col("audio.n_frames").as("n_frames"),
+          round(col("audio.duration_ms"), 3).as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: FLAC STREAMINFO probe — rate/channels/total
     // samples from the mandatory first metadata block, duration =
     // samples/16 ms at 16 kHz (binary-exact)
@@ -2269,6 +2290,12 @@ object SparkEntry {
         |SELECT doc_id, 32000 AS sample_rate, 1 AS channels,
         |  CAST(f * 1152 AS BIGINT) AS n_frames,
         |  round(f * 36.0, 3) AS duration_ms
+        |FROM d""".stripMargin,
+    "multimodal_audio_aac" ->
+      """WITH d AS (SELECT doc_id, 3 + (n_chars % 24) AS f FROM documents)
+        |SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
+        |  CAST(f * 1024 AS BIGINT) AS n_frames,
+        |  round(f * 64.0, 3) AS duration_ms
         |FROM d""".stripMargin,
     "multimodal_audio_flac" ->
       """WITH d AS (SELECT doc_id, 1000 + (n_chars % 9000) AS sm FROM documents)

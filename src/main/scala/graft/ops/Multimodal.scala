@@ -295,8 +295,11 @@ object Multimodal {
           n, dur, rms)
       } catch { case _: Exception =>
         // formats the JDK can't read but every audio corpus contains:
-        // FLAC STREAMINFO and MPEG-audio header walks, pure JVM
+        // FLAC STREAMINFO, MPEG-audio and ADTS AAC header walks, pure
+        // JVM (the walks are mutually exclusive: MPEG audio requires
+        // layer III bits, ADTS requires layer 00)
         FlacProbe.parse(bytes).orElse(Mp3Probe.parse(bytes))
+          .orElse(AdtsProbe.parse(bytes))
           .getOrElse(Row(null, null, null, null, null))
       }
     }
@@ -434,6 +437,96 @@ object Multimodal {
       (((b(p + 8) & 0xFFL) << 24) | ((b(p + 9) & 0xFFL) << 16) |
         ((b(p + 10) & 0xFFL) << 8) | (b(p + 11) & 0xFFL))
     }
+  }
+
+  /** Pure-JVM ADTS AAC probe: sequential 7/9-byte frame-header walk —
+    * 12-bit sync with layer bits 00 (which is exactly what
+    * distinguishes it from an MPEG-audio sync), sampling-frequency
+    * index, channel configuration and the 13-bit frame length that
+    * chains the walk; each frame carries (rdbs+1) × 1024 samples, so
+    * counting frames gives exact totals without an AAC decoder.
+    * Raw AAC-in-MP4 (M4A) is served by the MP4 container walk; this
+    * covers the self-framing .aac transport stream form. Channel
+    * config 0 (layout deferred to an in-band PCE) yields a null
+    * channel count, never a wrong zero. Leading ID3v2 tags skip via
+    * their syncsafe length; a truncated tail ends the walk with the
+    * complete frames counted so far; payloads without two valid
+    * chained frames return None. */
+  private[graft] object AdtsProbe {
+    private val Rates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+    def parse(b: Array[Byte]): Option[Row] = {
+      if (b == null || b.length < 7) return None
+      var off = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+          ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+        off = 10 + size
+      }
+      var frames = 0L
+      var samples = 0L
+      var rate = 0
+      var chanCfg = -1
+      var done = false
+      while (!done && off + 7 <= b.length) {
+        header(b, off) match {
+          case Some((fRate, cfg, rdbs, fLen)) if off + fLen <= b.length =>
+            if (frames == 0) { rate = fRate; chanCfg = cfg }
+            samples += 1024L * (rdbs + 1)
+            frames += 1
+            off += fLen
+          case _ => done = true // bad sync or truncated tail
+        }
+      }
+      if (frames < 2) return None
+      val ch: java.lang.Integer =
+        if (chanCfg == 0) null // layout lives in a PCE: unknown, not 0
+        else Int.box(if (chanCfg == 7) 8 else chanCfg)
+      Some(Row(Int.box(rate), ch, Long.box(samples),
+        Double.box(samples * 1000.0 / rate), null))
+    }
+
+    /** (sampleRate, channelConfig, rawDataBlocks, frameBytes) for a
+      * valid ADTS header at `off`, None otherwise. */
+    private def header(b: Array[Byte], off: Int)
+        : Option[(Int, Int, Int, Int)] = {
+      // 0xFFF sync + layer bits 00 (mask 0x06)
+      if ((b(off) & 0xFF) != 0xFF || (b(off + 1) & 0xF6) != 0xF0) return None
+      val srIdx = (b(off + 2) >> 2) & 0xF
+      if (srIdx > 12) return None
+      val cfg = ((b(off + 2) & 0x1) << 2) | ((b(off + 3) >> 6) & 0x3)
+      val len = ((b(off + 3) & 0x3) << 11) | ((b(off + 4) & 0xFF) << 3) |
+        ((b(off + 5) >> 5) & 0x7)
+      val rdbs = b(off + 6) & 0x3
+      val hdr = if ((b(off + 1) & 0x1) == 1) 7 else 9 // CRC adds 2
+      if (len < hdr) None else Some((Rates(srIdx), cfg, rdbs, len))
+    }
+  }
+
+  /** Deterministic minimal ADTS AAC: `frames` chained 39-byte frames
+    * (7-byte header + zero payload bytes), AAC-LC, 16 kHz (sr index
+    * 8), mono, one raw data block per frame — so n_frames =
+    * frames × 1024 and duration_ms = frames × 64 exactly, pure
+    * integer arithmetic the oracle replays. `crc = true` emits the
+    * 9-byte protected-header variant (two CRC bytes inside the same
+    * frame length) to exercise both header sizes. */
+  private[graft] def synthAdts(frames: Int, crc: Boolean = false): Array[Byte] = {
+    val frameLen = 39
+    val out = new Array[Byte](frames * frameLen)
+    var f = 0
+    while (f < frames) {
+      val p = f * frameLen
+      out(p) = 0xFF.toByte
+      out(p + 1) = (if (crc) 0xF0 else 0xF1).toByte // MPEG-4, layer 00
+      out(p + 2) = 0x60.toByte // AAC-LC, sr idx 8 (16 kHz), cfg hi 0
+      out(p + 3) = (0x40 | ((frameLen >> 11) & 0x3)).toByte // mono, len hi
+      out(p + 4) = ((frameLen >> 3) & 0xFF).toByte
+      out(p + 5) = (((frameLen & 0x7) << 5) | 0x1F).toByte
+      out(p + 6) = 0xFC.toByte // fullness low, 1 raw data block
+      f += 1
+    }
+    out
   }
 
   /** Deterministic 16-bit mono PCM WAV payload (8 kHz, integer

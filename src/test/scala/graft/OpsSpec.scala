@@ -2144,4 +2144,33 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.WavDecoder.decode(b).getInt(0) == 32000)
     assert(Multimodal.WavDecoder.decode(Multimodal.synthPcmWav(100)).get(4) != null)
   }
+
+  test("AdtsProbe: AAC frame walk, CRC variant, truncation-safe") {
+    // 5 frames x 39 bytes, 1024 samples each at 16 kHz = 64 ms/frame
+    val a = Multimodal.synthAdts(5)
+    val r = Multimodal.AdtsProbe.parse(a).get
+    assert(r.getInt(0) == 16000 && r.getInt(1) == 1, r.toString)
+    assert(r.getLong(2) == 5L * 1024 && r.getDouble(3) == 320.0)
+    assert(r.get(4) == null) // facts only, no rms
+    // the CRC-protected 9-byte header walks to the same answer
+    val c = Multimodal.AdtsProbe.parse(Multimodal.synthAdts(5, crc = true)).get
+    assert(c.getLong(2) == 5L * 1024 && c.getDouble(3) == 320.0, c.toString)
+    // leading ID3v2 tag skipped via its syncsafe length
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10) ++ a
+    assert(Multimodal.AdtsProbe.parse(id3).get.getLong(2) == 5L * 1024)
+    // truncated tail: only COMPLETE frames count
+    assert(Multimodal.AdtsProbe.parse(a.take(39 * 3 + 20)).get
+      .getLong(2) == 3L * 1024)
+    // under two chained frames / non-audio / null -> None
+    assert(Multimodal.AdtsProbe.parse(a.take(39)).isEmpty)
+    assert(Multimodal.AdtsProbe.parse("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.AdtsProbe.parse(null).isEmpty)
+    // an MP3 payload is NOT misread as ADTS (layer bits differ), and
+    // vice versa — the two walks are mutually exclusive
+    assert(Multimodal.AdtsProbe.parse(Multimodal.synthMp3(5)).isEmpty)
+    assert(Multimodal.Mp3Probe.parse(a).isEmpty)
+    // the decode fallback routes ADTS through the same audioType row
+    assert(Multimodal.WavDecoder.decode(a).getInt(0) == 16000)
+  }
 }
