@@ -951,6 +951,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: M4A container audio facts — the sound trak's mdhd
+    // (timescale = rate, duration in samples) + the mp4a sample
+    // entry's channelcount, pure box walk, duration = samples/16 ms
+    // at 16 kHz (binary-exact)
+    "multimodal_audio_m4a" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
+      val m4a = udf((n: Long) =>
+        graft.ops.Multimodal.synthM4a(1000L + (n % 8000)))
+      val media = docs.select(col("doc_id"),
+        graft.ops.Multimodal.asMedia(m4a(col("n_chars")), "audio/mp4",
+          concat(lit("doc://"), col("doc_id"))).as("media"))
+      graft.ops.Multimodal.audioFeatures(media, "media")
+        .select(col("doc_id"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.channels").as("channels"),
+          col("audio.n_frames").as("n_frames"),
+          round(col("audio.duration_ms"), 3).as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: FLAC STREAMINFO probe — rate/channels/total
     // samples from the mandatory first metadata block, duration =
     // samples/16 ms at 16 kHz (binary-exact)
@@ -2296,6 +2317,12 @@ object SparkEntry {
         |SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
         |  CAST(f * 1024 AS BIGINT) AS n_frames,
         |  round(f * 64.0, 3) AS duration_ms
+        |FROM d""".stripMargin,
+    "multimodal_audio_m4a" ->
+      """WITH d AS (SELECT doc_id, 1000 + (n_chars % 8000) AS sm FROM documents)
+        |SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
+        |  CAST(sm AS BIGINT) AS n_frames,
+        |  round(sm / 16.0, 3) AS duration_ms
         |FROM d""".stripMargin,
     "multimodal_audio_flac" ->
       """WITH d AS (SELECT doc_id, 1000 + (n_chars % 9000) AS sm FROM documents)

@@ -300,6 +300,7 @@ object Multimodal {
         // layer III bits, ADTS requires layer 00)
         FlacProbe.parse(bytes).orElse(Mp3Probe.parse(bytes))
           .orElse(AdtsProbe.parse(bytes))
+          .orElse(Mp4Probe.parseAudio(bytes)) // M4A container audio facts
           .getOrElse(Row(null, null, null, null, null))
       }
     }
@@ -663,6 +664,50 @@ object Multimodal {
     ftyp ++ moov
   }
 
+  /** Deterministic minimal M4A: ftyp('M4A ') + moov(mvhd; one sound
+    * trak whose mdhd carries timescale = `rate` and duration =
+    * `samples` (so duration_ms = samples×1000/rate exactly), hdlr
+    * 'soun', and an stsd with one `mp4a` AudioSampleEntry holding
+    * channelcount + 16.16 sample rate). Container metadata only —
+    * everything [[Mp4Probe.parseAudio]] reads, all integer
+    * arithmetic. */
+  private[graft] def synthM4a(samples: Long, rate: Int = 16000,
+      channels: Int = 1): Array[Byte] = {
+    def be(ints: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(ints.size * 4)
+      ints.foreach(bb.putInt)
+      bb.array()
+    }
+    def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(tpe.getBytes("US-ASCII"))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "M4A ".getBytes("US-ASCII"), be(0),
+      "M4A ".getBytes("US-ASCII"))
+    val durMs = (samples * 1000 / rate).toInt
+    val unity = be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val mvhd = box("mvhd", be(0, 0, 0, 1000, durMs, 0x10000),
+      Array[Byte](0x01, 0x00, 0, 0), be(0, 0), unity,
+      be(0, 0, 0, 0, 0, 0), be(2))
+    val mdhd = box("mdhd", be(0, 0, 0, rate, samples.toInt),
+      be(0)) // v0: ver/flags, ctime, mtime, TIMESCALE, duration; lang+rsvd
+    val hdlr = box("hdlr", be(0, 0),
+      "soun".getBytes("US-ASCII"), be(0, 0, 0))
+    // AudioSampleEntry: rsvd(6)+dri(2), ver/rev/vendor(8),
+    // channelcount(2)+samplesize(2), predef+rsvd(4), rate 16.16(4)
+    val mp4a = box("mp4a", Array.fill[Byte](6)(0), Array[Byte](0, 1),
+      be(0, 0),
+      Array[Byte]((channels >> 8).toByte, channels.toByte, 0, 16),
+      be(0), be(rate << 16))
+    val stsd = box("stsd", be(0, 1), mp4a)
+    val moov = box("moov", mvhd, box("trak",
+      box("mdia", mdhd, hdlr, box("minf", box("stbl", stsd)))))
+    ftyp ++ moov
+  }
+
   /** Partition-wise audio decode: appends an `audio` struct column
     * ([[audioType]]) extracted from the media payload by
     * [[WavDecoder]]. Same batched `mapPartitions` plumbing as
@@ -792,6 +837,64 @@ object Multimodal {
           Double.box(duration * 1000.0 / timescale) else null,
         if (nTraks > 0) Int.box(nTraks) else null,
         Boolean.box(true)))
+    } catch { case _: Exception => None }
+
+    /** AUDIO facts for an M4A/MP4 audio payload ([[audioType]] row):
+      * the first sound track's `mdhd` carries timescale (= the sample
+      * rate for audio tracks) and duration IN SAMPLES; the `mp4a`
+      * (or alac/ac-3/samr) sample entry carries channelcount and a
+      * 16.16 sample rate. Container metadata only — the published
+      * ISO/IEC 14496-12 AudioSampleEntry layout, no codec. A track is
+      * audio when its handler says `soun` or its sample entry is an
+      * audio 4CC; video-only MP4s return None (the video prober owns
+      * them). RMS stays null — facts only, same contract as the other
+      * walks. */
+    def parseAudio(b: Array[Byte]): Option[Row] = try {
+      if (!looksLikeMp4(b)) return None
+      var out: Option[Row] = None
+      boxes(b, 0, b.length) {
+        case ("moov", s, e) => boxes(b, s, e) {
+          case ("trak", s2, e2) if out.isEmpty =>
+            var tTs = 0L; var tDur = -1L
+            var tCh = -1; var tRate = 0L; var soun = false
+            boxes(b, s2, e2) {
+              case ("mdia", s3, e3) => boxes(b, s3, e3) {
+                case ("mdhd", s4, e4) if e4 - s4 >= 20 =>
+                  if ((b(s4) & 0xFF) == 1 && e4 - s4 >= 32) {
+                    tTs = u32(b, s4 + 20); tDur = u64(b, s4 + 24)
+                  } else { tTs = u32(b, s4 + 12); tDur = u32(b, s4 + 16) }
+                case ("hdlr", s4, e4) if e4 - s4 >= 12 =>
+                  soun = soun || fourcc(b, s4 + 8) == "soun"
+                case ("minf", s4, e4) => boxes(b, s4, e4) {
+                  case ("stbl", s5, e5) => boxes(b, s5, e5) {
+                    case ("stsd", s6, e6) if e6 - s6 >= 16 =>
+                      val ec = fourcc(b, s6 + 12)
+                      if (Set("mp4a", "alac", "ac-3", "samr")(ec)) {
+                        val p = s6 + 16 // first entry's payload
+                        if (e6 - p >= 28) {
+                          tCh = ((b(p + 16) & 0xFF) << 8) | (b(p + 17) & 0xFF)
+                          tRate = u32(b, p + 24) >> 16
+                        }
+                      }
+                    case _ => ()
+                  }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+            if ((soun || tCh > 0) && tTs > 0 && tDur >= 0) {
+              val rate = if (tRate > 0) tRate else tTs
+              out = Some(Row(Int.box(rate.toInt),
+                if (tCh > 0) Int.box(tCh) else null,
+                Long.box(tDur), Double.box(tDur * 1000.0 / tTs), null))
+            }
+          case _ => ()
+        }
+        case _ => ()
+      }
+      out
     } catch { case _: Exception => None }
   }
 

@@ -2173,4 +2173,28 @@ class OpsSpec extends SparkSpec {
     // the decode fallback routes ADTS through the same audioType row
     assert(Multimodal.WavDecoder.decode(a).getInt(0) == 16000)
   }
+
+  test("Mp4Probe.parseAudio: M4A sound-trak facts, video MP4 is None") {
+    val m = Multimodal.synthM4a(32000L)
+    val r = Multimodal.Mp4Probe.parseAudio(m).get
+    assert(r.getInt(0) == 16000 && r.getInt(1) == 1, r.toString)
+    assert(r.getLong(2) == 32000L && r.getDouble(3) == 2000.0)
+    assert(r.get(4) == null) // facts only, no rms
+    // stereo 44.1 kHz reads its own mp4a fields
+    val st = Multimodal.Mp4Probe.parseAudio(
+      Multimodal.synthM4a(44100L, rate = 44100, channels = 2)).get
+    assert(st.getInt(0) == 44100 && st.getInt(1) == 2 &&
+      st.getDouble(3) == 1000.0, st.toString)
+    // a VIDEO-only MP4 has no sound trak: the audio prober declines
+    assert(Multimodal.Mp4Probe.parseAudio(
+      Multimodal.synthMp4(2000, 320, 240)).isEmpty)
+    // truncated / non-BMFF / null -> None
+    assert(Multimodal.Mp4Probe.parseAudio(m.take(40)).isEmpty)
+    assert(Multimodal.Mp4Probe.parseAudio("junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.Mp4Probe.parseAudio(null).isEmpty)
+    // the audio decode fallback chain reaches the container walk
+    assert(Multimodal.WavDecoder.decode(m).getInt(0) == 16000)
+    // the VIDEO prober still owns the same bytes' container facts
+    assert(Multimodal.Mp4Probe.parse(m).get.getString(0) == "M4A")
+  }
 }
