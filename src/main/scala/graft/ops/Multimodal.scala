@@ -1245,14 +1245,22 @@ object Multimodal {
     * stream table — first video stream type names the codec, the
     * entry count is `n_streams` — and duration from the PCR span
     * (first vs last 33-bit 90 kHz program-clock base, any PCR PID;
-    * wrap-around and single-PCR streams yield null). Broadcast TS
-    * carries no dimensions outside the codec bitstream, so
-    * width/height stay null — the external prober (when present)
-    * still fills them via the usual fall-through for fact-less rows.
+    * wrap-around and single-PCR streams yield null). TS framing
+    * carries no dimensions, but the codec BITSTREAM does: the walk
+    * accumulates the first video stream's PES payloads (PID learned
+    * from the PMT, so pre-PMT video packets are skipped — in
+    * broadcast TS the tables repeat every ~100 ms and the SPS /
+    * sequence header repeats at every IDR/GOP, so the probed prefix
+    * still yields one) and a post-pass parses an MPEG-2 sequence
+    * header (ISO 13818-2 §6.2.2.1: 12-bit width/height after start
+    * code 0xB3) or an H.264 SPS ([[H264Sps]]) for width/height;
+    * HEVC/MPEG-4 dims stay null — the external prober (when
+    * present) still fills them via the usual fall-through.
     * Truncated tails (non-multiple of 188) parse up to the last whole
     * packet. */
   private[graft] object TsProbe {
     private val Pkt = 188
+    private val EsCap = 1 << 16 // dims live in the first GOP's headers
     def looksLikeTs(b: Array[Byte]): Boolean =
       b != null && b.length >= 2 * Pkt &&
         b(0) == 0x47.toByte && b(Pkt) == 0x47.toByte
@@ -1269,9 +1277,11 @@ object Multimodal {
     def parse(b: Array[Byte]): Option[Row] = try {
       if (!looksLikeTs(b)) return None
       var pmtPid = -1
+      var videoPid = -1
       var codec: String = null
       var nStreams: Integer = null
       var firstPcr = -1L; var lastPcr = -1L
+      val es = new java.io.ByteArrayOutputStream()
       var off = 0
       while (off + Pkt <= b.length && b(off) == 0x47.toByte) {
         val pid = ((b(off + 1) & 0x1F) << 8) | (b(off + 2) & 0xFF)
@@ -1289,6 +1299,17 @@ object Multimodal {
             lastPcr = base
           }
           body += 1 + afLen
+        }
+        if ((afc & 1) != 0 && pid == videoPid && body < off + Pkt &&
+            es.size < EsCap) {
+          // video PES: a unit-start packet opens with the 6-byte PES
+          // prefix + flags + header_data_length; continuations are
+          // raw elementary-stream bytes
+          var p = body
+          if (pusi && p + 9 <= off + Pkt && b(p) == 0 && b(p + 1) == 0 &&
+              b(p + 2) == 1)
+            p += 9 + (b(p + 8) & 0xFF)
+          if (p < off + Pkt) es.write(b, p, off + Pkt - p)
         }
         if ((afc & 1) != 0 && pusi && body < off + Pkt) {
           val section = body + 1 + (b(body) & 0xFF) // pointer_field skip
@@ -1313,7 +1334,10 @@ object Multimodal {
               var n = 0
               while (e + 5 <= secEnd) {
                 val st = b(e) & 0xFF
-                if (codec == null && isVideo(st)) codec = streamName(st)
+                if (codec == null && isVideo(st)) {
+                  codec = streamName(st)
+                  videoPid = ((b(e + 1) & 0x1F) << 8) | (b(e + 2) & 0xFF)
+                }
                 val esLen = ((b(e + 3) & 0x0F) << 8) | (b(e + 4) & 0xFF)
                 n += 1
                 e += 5 + esLen
@@ -1328,16 +1352,167 @@ object Multimodal {
         if (firstPcr >= 0 && lastPcr > firstPcr)
           Double.box((lastPcr - firstPcr) * 1000.0 / 90000.0)
         else null
-      Some(Row("mpegts", codec, null, null, duration, nStreams,
+      var width: Integer = null
+      var height: Integer = null
+      val esB = es.toByteArray
+      if (codec == "mpeg2video") {
+        // sequence_header: 00 00 01 B3, then width(12) height(12)
+        var i = 0
+        while (i + 7 <= esB.length && width == null) {
+          if (esB(i) == 0 && esB(i + 1) == 0 && esB(i + 2) == 1 &&
+              (esB(i + 3) & 0xFF) == 0xB3) {
+            val w0 = ((esB(i + 4) & 0xFF) << 4) | ((esB(i + 5) & 0xF0) >> 4)
+            val h0 = ((esB(i + 5) & 0x0F) << 8) | (esB(i + 6) & 0xFF)
+            if (w0 > 0 && h0 > 0) { width = w0; height = h0 }
+          }
+          i += 1
+        }
+      } else if (codec == "h264") {
+        H264Sps.findAndParse(esB).foreach { case (w0, h0) =>
+          width = w0; height = h0
+        }
+      }
+      Some(Row("mpegts", codec, width, height, duration, nStreams,
         Boolean.box(true)))
     } catch { case _: Exception => None }
+  }
+
+  /** H.264 sequence-parameter-set decoder for picture dimensions
+    * (ITU-T H.264 §7.3.2.1.1): scans an elementary-stream byte run
+    * for an SPS NAL (start code 00 00 01, forbidden bit clear,
+    * nal_unit_type 7), strips emulation-prevention bytes
+    * (00 00 03 → 00 00), and Exp-Golomb-decodes through the
+    * profile-conditional prefix (chroma format, bit depths, scaling
+    * lists), the pic-order-cnt block, and the cropping window:
+    * width = mbs×16 − cropUnitX×(left+right), height analogous with
+    * the frame/field doubling. Malformed bits → None (dims stay
+    * null, the external-prober fall-through is preserved). */
+  private[graft] object H264Sps {
+    private val HighProfiles = Set(100, 110, 122, 244, 44, 83, 86,
+      118, 128, 138, 139, 134, 135)
+
+    private final class Bits(b: Array[Byte]) {
+      private var pos = 0
+      def u1(): Int = {
+        val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; v
+      }
+      def u(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { v = (v << 1) | u1(); i += 1 }
+        v
+      }
+      def ue(): Int = {
+        var z = 0
+        while (u1() == 0) {
+          z += 1
+          if (z > 31) throw new IllegalArgumentException("ue overflow")
+        }
+        if (z == 0) 0 else ((1 << z) - 1) + u(z)
+      }
+      def se(): Int = {
+        val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+      }
+    }
+
+    private def skipScalingList(r: Bits, size: Int): Unit = {
+      var lastScale = 8; var nextScale = 8; var j = 0
+      while (j < size) {
+        if (nextScale != 0) nextScale = (lastScale + r.se() + 256) % 256
+        if (nextScale != 0) lastScale = nextScale
+        j += 1
+      }
+    }
+
+    private def dims(rbsp: Array[Byte]): (Int, Int) = {
+      val r = new Bits(rbsp)
+      val profile = r.u(8)
+      r.u(8); r.u(8); r.ue() // constraints, level, sps_id
+      var chroma = 1; var sep = false
+      if (HighProfiles(profile)) {
+        chroma = r.ue()
+        if (chroma == 3) sep = r.u1() == 1
+        r.ue(); r.ue(); r.u1() // bit depths, transform bypass
+        if (r.u1() == 1) { // seq_scaling_matrix_present
+          val n = if (chroma != 3) 8 else 12
+          var i = 0
+          while (i < n) {
+            if (r.u1() == 1) skipScalingList(r, if (i < 6) 16 else 64)
+            i += 1
+          }
+        }
+      }
+      r.ue() // log2_max_frame_num_minus4
+      r.ue() match {
+        case 0 => r.ue() // log2_max_pic_order_cnt_lsb_minus4
+        case 1 =>
+          r.u1(); r.se(); r.se()
+          val n = r.ue(); var i = 0
+          while (i < n) { r.se(); i += 1 }
+        case _ =>
+      }
+      r.ue(); r.u1() // max_num_ref_frames, gaps_allowed
+      val mbW = r.ue() + 1
+      val mapH = r.ue() + 1
+      val frameMbsOnly = r.u1()
+      if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field
+      r.u1() // direct_8x8_inference
+      var cl = 0; var cr = 0; var ct = 0; var cb = 0
+      if (r.u1() == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+      val (subW, subH) = chroma match {
+        case 1 => (2, 2); case 2 => (2, 1); case _ => (1, 1)
+      }
+      val cux = if (chroma == 0 || sep) 1 else subW
+      val cuy = (if (chroma == 0 || sep) 1 else subH) * (2 - frameMbsOnly)
+      (mbW * 16 - cux * (cl + cr),
+        (2 - frameMbsOnly) * mapH * 16 - cuy * (ct + cb))
+    }
+
+    def findAndParse(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 0
+      while (i + 5 <= b.length) {
+        if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1 &&
+            (b(i + 3) & 0x80) == 0 && (b(i + 3) & 0x1F) == 7) {
+          // slice to the next start code (or a bounded tail), unescape
+          var end = i + 4
+          while (end + 3 <= b.length && end < i + 4 + 512 &&
+              !(b(end) == 0 && b(end + 1) == 0 && b(end + 2) == 1)) end += 1
+          if (end + 3 > b.length) end = b.length
+          val out = new java.io.ByteArrayOutputStream()
+          var zeros = 0
+          var j = i + 4
+          while (j < end) {
+            val x = b(j)
+            if (zeros >= 2 && x == 3) zeros = 0 // emulation-prevention byte
+            else { out.write(x); zeros = if (x == 0) zeros + 1 else 0 }
+            j += 1
+          }
+          try {
+            val (w, h) = dims(out.toByteArray)
+            if (w > 0 && h > 0) return Some((w, h))
+          } catch { case _: Exception => } // malformed SPS: keep scanning
+        }
+        i += 1
+      }
+      None
+    }
   }
 
   /** Deterministic minimal transport stream: PAT (program 1 → PMT PID
     * 0x100), PMT (one H.264 video + one AAC audio stream), and two
     * PCR packets spanning exactly `durationMs` of 90 kHz clock — the
-    * TS sibling of [[synthOgg]], exact arithmetic. */
-  private[graft] def synthTs(durationMs: Int): Array[Byte] = {
+    * TS sibling of [[synthOgg]], exact arithmetic. Framing only:
+    * no video PES, so probed dims stay null. */
+  private[graft] def synthTs(durationMs: Int): Array[Byte] =
+    synthTs(durationMs, "h264", 0, 0)
+
+  /** TS with a real video elementary stream: one PES packet on the
+    * PMT-declared video PID carrying an H.264 SPS NAL (bit-written
+    * per §7.3.2.1.1, emulation-prevention escaped, cropping encodes
+    * non-multiple-of-16 dims) or an MPEG-2 sequence header (12-bit
+    * packed dims) — so [[TsProbe]]'s bitstream dims parse is
+    * exercised with exact w×h arithmetic. w == 0 omits the PES. */
+  private[graft] def synthTs(durationMs: Int, codec: String, w: Int,
+      h: Int): Array[Byte] = {
     def packet(pid: Int, pusi: Boolean, payload: Array[Byte]): Array[Byte] = {
       val p = new Array[Byte](188)
       p(0) = 0x47
@@ -1374,14 +1549,75 @@ object Multimodal {
     }
     val pat = sec(0, Array(0x00.toByte, 0x01.toByte, // program 1
       (0xE0 | 0x01).toByte, 0x00.toByte))            // PMT PID 0x100
+    val vType = if (codec == "mpeg2video") 0x02 else 0x1B
     val pmt = sec(2, Array(
       0xE1.toByte, 0x00.toByte,       // PCR PID 0x100
       0xF0.toByte, 0x00.toByte,       // program_info_length 0
-      0x1B.toByte, 0xE1.toByte, 0x01.toByte, 0xF0.toByte, 0x00.toByte, // h264
+      vType.toByte, 0xE1.toByte, 0x01.toByte, 0xF0.toByte, 0x00.toByte, // video
       0x0F.toByte, 0xE1.toByte, 0x02.toByte, 0xF0.toByte, 0x00.toByte)) // aac
     val span = durationMs.toLong * 90L
+    val pes: Array[Byte] =
+      if (w <= 0) Array.emptyByteArray
+      else {
+        val esB =
+          if (codec == "mpeg2video") mpeg2SeqHeader(w, h) else spsNal(w, h)
+        packet(0x101, pusi = true,
+          Array[Byte](0, 0, 1, 0xE0.toByte, 0, 0,        // unbounded length
+            0x80.toByte, 0, 0) ++ esB)                   // no PTS/DTS
+      }
     packet(0, pusi = true, pat) ++ packet(0x100, pusi = true, pmt) ++
-      pcrPacket(0x100, 0L) ++ pcrPacket(0x100, span)
+      pcrPacket(0x100, 0L) ++ pes ++ pcrPacket(0x100, span)
+  }
+
+  /** ISO 13818-2 sequence_header: start code 0xB3, horizontal(12) +
+    * vertical(12) size, square aspect, frame_rate_code 2 (24 fps);
+    * the trailing bit-rate/vbv bytes are well-formed filler. */
+  private def mpeg2SeqHeader(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0, 0, 1, 0xB3.toByte,
+      (w >> 4).toByte, (((w & 0xF) << 4) | (h >> 8)).toByte, (h & 0xFF).toByte,
+      0x12.toByte, 0xFF.toByte, 0xFF.toByte, 0xE0.toByte, 0x20.toByte, 0x00)
+
+  /** Bit-written H.264 baseline SPS NAL for exact w×h (even dims):
+    * macroblock-rounded picture size with a right/bottom cropping
+    * window in 4:2:0 crop units (÷2), emulation-prevention escaped.
+    * This is the inverse of [[H264Sps]]'s decode path, so the
+    * round-trip pins both bit layouts. */
+  private[graft] def spsNal(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      s"even dims required, got ${w}x$h")
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val n = 32 - Integer.numberOfLeadingZeros(k)
+      u(0, n - 1); u(k, n)
+    }
+    u(66, 8); u(0, 8); u(30, 8) // baseline profile, level 3.0
+    ue(0); ue(0)                // sps_id, log2_max_frame_num_minus4
+    ue(0); ue(0)                // poc type 0, log2_max_poc_lsb_minus4
+    ue(1); u(0, 1)              // max_num_ref_frames, gaps flag
+    val mbW = (w + 15) / 16; val mapH = (h + 15) / 16
+    ue(mbW - 1); ue(mapH - 1)
+    u(1, 1); u(1, 1)            // frame_mbs_only, direct_8x8
+    val cr = (mbW * 16 - w) / 2; val cb = (mapH * 16 - h) / 2
+    if (cr == 0 && cb == 0) u(0, 1)
+    else { u(1, 1); ue(0); ue(cr); ue(0); ue(cb) }
+    u(0, 1)                     // vui_parameters_present
+    u(1, 1)                     // rbsp stop bit
+    while (bits.size % 8 != 0) u(0, 1)
+    val raw = bits.grouped(8)
+      .map(_.foldLeft(0)((a, bit) => (a << 1) | bit).toByte).toArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0, 0, 1, 0x67), 0, 4)
+    var zeros = 0
+    for (x <- raw) {
+      if (zeros >= 2 && (x & 0xFF) <= 3) { out.write(3); zeros = 0 }
+      out.write(x); zeros = if (x == 0) zeros + 1 else 0
+    }
+    out.toByteArray
   }
 
   /** Deterministic minimal Ogg container: a Theora BOS page (w×h

@@ -1737,6 +1737,78 @@ class OpsSpec extends SparkSpec {
     assert(missing.probe(b) == r)
   }
 
+  test("MPEG-TS dims: H.264 SPS + MPEG-2 sequence header from the video PES") {
+    // h264, multiple-of-16 dims (no cropping window)
+    val a = Multimodal.TsProbe.parse(
+      Multimodal.synthTs(5000, "h264", 640, 480)).get
+    assert(a.getString(1) == "h264" && a.getInt(2) == 640 &&
+      a.getInt(3) == 480 && a.getDouble(4) == 5000.0, a)
+    // h264 with cropping on both axes (1918x1080 rounds to 120x68 MBs)
+    val c = Multimodal.TsProbe.parse(
+      Multimodal.synthTs(1000, "h264", 1918, 1080)).get
+    assert(c.getInt(2) == 1918 && c.getInt(3) == 1080, c)
+    // mpeg2 sequence header: packed 12-bit dims, PMT type 0x02
+    val m = Multimodal.TsProbe.parse(
+      Multimodal.synthTs(2000, "mpeg2video", 720, 576)).get
+    assert(m.getString(1) == "mpeg2video" && m.getInt(2) == 720 &&
+      m.getInt(3) == 576, m)
+    // encoder/decoder round-trip sweep; the escaped NAL payload must
+    // never contain a raw 00 00 0x<=3 triple (emulation prevention)
+    for (w <- 2 to 4098 by 202; h <- Seq(2, 302, 1080, 2160)) {
+      assert(Multimodal.H264Sps.findAndParse(
+        Multimodal.spsNal(w, h)).contains((w, h)), s"${w}x$h")
+      val nal = Multimodal.spsNal(w, h).drop(4)
+      for (i <- 0 until nal.length - 2)
+        assert(!(nal(i) == 0 && nal(i + 1) == 0 && (nal(i + 2) & 0xFF) <= 2),
+          s"unescaped triple in SPS for ${w}x$h at $i")
+    }
+    // hand-built HIGH-profile SPS: chroma/bit-depth prefix, a present
+    // scaling matrix with one listed entry, poc type 1 with a ref
+    // cycle -- every conditional branch the baseline writer skips
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u(v: Int, n: Int): Unit = {
+      var i = n - 1; while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val k = v + 1; val n = 32 - Integer.numberOfLeadingZeros(k)
+      u(0, n - 1); u(k, n)
+    }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    u(100, 8); u(0, 8); u(40, 8) // high profile, level 4.0
+    ue(0)        // sps_id
+    ue(1)        // chroma_format_idc 4:2:0
+    ue(0); ue(0) // bit depths
+    u(0, 1)      // transform bypass
+    u(1, 1)      // seq_scaling_matrix_present
+    u(1, 1)      // list 0 present: three deltas then a zero-scale stop
+    for (_ <- 0 until 3) se(1) // scales 9, 10, 11
+    se(-11)      // nextScale hits 0 -> remaining entries use defaults
+    for (_ <- 1 until 8) u(0, 1) // lists 1-7 absent
+    ue(0)        // log2_max_frame_num_minus4
+    ue(1)        // pic_order_cnt_type 1
+    u(0, 1); se(2); se(-2)
+    ue(2); se(3); se(-3) // two-entry ref cycle
+    ue(1); u(0, 1)
+    ue(79); ue(44)  // 1280x720 in MBs
+    u(1, 1); u(1, 1)
+    u(0, 1)      // no cropping
+    u(0, 1); u(1, 1)
+    while (bits.size % 8 != 0) u(0, 1)
+    val raw = bits.grouped(8)
+      .map(_.foldLeft(0)((x, bit) => (x << 1) | bit).toByte).toArray
+    val esc = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros = 0
+    for (x <- raw) { // same emulation-prevention discipline as spsNal
+      if (zeros >= 2 && (x & 0xFF) <= 3) { esc += 3; zeros = 0 }
+      esc += x; zeros = if (x == 0) zeros + 1 else 0
+    }
+    val hi = Array[Byte](0, 0, 1, 0x67) ++ esc
+    assert(Multimodal.H264Sps.findAndParse(hi).contains((1280, 720)))
+    // malformed SPS (truncated mid-field) -> None, never a throw
+    assert(Multimodal.H264Sps.findAndParse(hi.take(8)).isEmpty)
+    assert(Multimodal.H264Sps.findAndParse(Array[Byte](0, 0, 1, 0x67)).isEmpty)
+  }
+
   test("asofJoin rejects reserved names, payload collisions, numeric ts tolerance") {
     val s2 = s
     import s2.implicits._
