@@ -992,6 +992,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: MPEG-TS bitstream dims — H.264 SPS (even ids; the
+    // cropping window encodes non-multiple-of-16 sizes) or an MPEG-2
+    // sequence header (odd ids; packed 12-bit dims) parsed from the
+    // video PES the PMT names, duration from the PCR span — all pure
+    // arithmetic of n_chars the oracle replays
+    "multimodal_video_ts" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
+      val ts = udf((id: Long, n: Long) => graft.ops.Multimodal.synthTs(
+        (1000 + (n % 9000)).toInt,
+        if (id % 2 == 0) "h264" else "mpeg2video",
+        (320 + (n % 160) * 2).toInt,
+        (240 + ((n / 7) % 120) * 2).toInt))
+      val media = docs.select(col("doc_id"),
+        graft.ops.Multimodal.asMedia(ts(col("doc_id"), col("n_chars")),
+          "video/mp2t", concat(lit("doc://"), col("doc_id"))).as("media"))
+      graft.ops.Multimodal.videoFeatures(media, "media")
+        .filter(col("video.probed")) // a parse regression empties rows
+        .select(col("doc_id"),
+          col("video.codec").as("codec"),
+          col("video.width").as("width"),
+          col("video.height").as("height"),
+          round(col("video.duration_ms"), 3).as("duration_ms"),
+          col("video.n_streams").as("n_streams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // AS-OF join: per user, the latest click value at-or-before each
     // error event — the point-in-time lookup via union + ordered
     // window (one key shuffle, no range-join explosion); oracle is
@@ -1512,6 +1539,27 @@ object SparkEntry {
       val out = scratchDir("corpus_jsonl")
       graft.sources.Corpus.exportJsonl(docs, out, shards = 8)
       graft.sources.Corpus.importJsonl(s, out).orderBy(col("doc_id"))
+    }),
+
+    // LLM-pipeline: WARC crawl-archive round-trip — the corpus
+    // exported as gzipped WARC response records (one gzip member per
+    // record, warcinfo header, the Common Crawl layout) and read back
+    // through the streaming record walk; the oracle is the untouched
+    // source table, so framing + HTTP split + per-member gzip must be
+    // byte-exact
+    "corpus_warc_roundtrip" -> ((s, dir) => {
+      val docs = env(s, dir).view("documents",
+        Seq("doc_id", "text", "source")).read()
+      val out = scratchDir("corpus_warc")
+      graft.sources.Warc.write(
+        docs.select(concat(lit("http://"), col("source"), lit("/doc/"),
+          col("doc_id")).as("url"), encode(col("text"), "UTF-8").as("p")),
+        out, "url", "p", shards = 8)
+      graft.sources.Warc.read(s, out)
+        .select(col("target_uri"),
+          decode(col("payload"), "UTF-8").as("text"),
+          col("http_status"), col("http_content_type"))
+        .orderBy(col("target_uri"))
     }),
 
     // LLM-pipeline: CSV interchange round-trip on the events table —
@@ -2330,6 +2378,14 @@ object SparkEntry {
         |  CAST(sm AS BIGINT) AS n_frames,
         |  round(sm / 16.0, 3) AS duration_ms
         |FROM d""".stripMargin,
+    "multimodal_video_ts" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'h264' ELSE 'mpeg2video' END AS codec,
+        |  CAST(320 + (n_chars % 160) * 2 AS INTEGER) AS width,
+        |  CAST(240 + ((n_chars // 7) % 120) * 2 AS INTEGER) AS height,
+        |  round(CAST(1000 + (n_chars % 9000) AS DOUBLE), 3) AS duration_ms,
+        |  CAST(2 AS INTEGER) AS n_streams
+        |FROM documents""".stripMargin,
     "multimodal_frames" ->
       """WITH d AS (SELECT doc_id,
         |    500.0 + (n_chars % 2000) AS dur,
@@ -3010,6 +3066,11 @@ object SparkEntry {
     // byte lost or type bent in transit hash-mismatches
     "corpus_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "corpus_warc_roundtrip" ->
+      """SELECT 'http://' || source || '/doc/' || doc_id AS target_uri,
+        |  text, CAST(200 AS INTEGER) AS http_status,
+        |  'text/plain; charset=utf-8' AS http_content_type
+        |FROM documents""".stripMargin,
     "corpus_csv_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events",
     // the planted edits make the expected verdict closed-form
