@@ -503,6 +503,27 @@ object SparkEntry {
         Text.normalizeUnicode(planted).as("text"))
     }),
 
+    // LLM-pipeline: HTML -> visible text (the WET-extraction step
+    // between a crawl archive and the text pipeline; native codegen
+    // kernel). The planted page exercises script/style raw-text skip,
+    // head suppression, quoted '>' attributes, comments, block/inline
+    // structure, and entity decode — the oracle rebuilds the expected
+    // extraction from the untouched text column
+    "text_html_extract" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
+      val html = concat(
+        lit("<html><head><title>T</title>" +
+          "<script>var x = \"<p>junk</p>\";</script>" +
+          "<style>p > a { color: red }</style></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><div class=\"x>y\"><p>"), col("text"),
+        lit("</p><p>&amp; &lt;tail&gt; &#65;&#x42;</p></div>" +
+          "<!-- <p>gone</p> --></body></html>"))
+      docs.select(col("doc_id"), Text.htmlToText(html).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: Gopher line-level quality signals (Rae 2021 —
     // bullet/ellipsis line shares, duplicate-line fractions, alpha
     // word share, symbol ratio). Bullets/dups/ellipses/symbols are
@@ -2467,6 +2488,16 @@ object SparkEntry {
         |                    || chr(1) || ' ' || text),
         |      '\r\n|\r', chr(10), 'g'),
         |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS text
+        |FROM documents""".stripMargin,
+    // the extractor's whitespace discipline on the planted <p> body:
+    // collapse space runs + trim; an all-space body drops its line
+    "text_html_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) ||
+        |  CASE WHEN len(trim(regexp_replace(text, ' +', ' ', 'g'))) > 0
+        |       THEN trim(regexp_replace(text, ' +', ' ', 'g')) || chr(10)
+        |       ELSE '' END ||
+        |  '& <tail> AB' AS extracted
         |FROM documents""".stripMargin,
     // subwords: the lookbehind-split count equals (# alphanumeric
     // runs) + (# non-alnum non-space chars) — lookbehind-free algebra

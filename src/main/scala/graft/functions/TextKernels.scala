@@ -78,6 +78,152 @@ object TextKernels {
       .fromPrimitiveArray(acc)
   }
 
+  /** Visible-text extraction from an HTML string column — the
+    * WET step between a crawl archive ([[graft.sources.Warc]]) and
+    * the text pipeline (langId → quality → dedup). Like [[nfc]], a
+    * `doGenCode` expression calling one static method, so a
+    * 100-TB extract stays inside whole-stage codegen. Null in,
+    * null out. Semantics (deterministic, oracle-replayable):
+    * `script`/`style` bodies skip by HTML5 raw-text rules (their
+    * content may contain `<`), `head`/`noscript`/`template`/`svg`
+    * subtrees suppress, comments and declarations drop, block-level
+    * tags become line breaks and inline tags disappear, the named
+    * core entities + numeric character references decode, and
+    * whitespace normalizes to single-spaced trimmed lines. */
+  def htmlText(c: Column): Column =
+    Bridge.column(HtmlExtract(Bridge.expression(c.cast("string"))))
+
+  private val BlockTags = java.util.Set.of(
+    "p", "div", "br", "hr", "li", "ul", "ol", "dl", "dt", "dd",
+    "tr", "td", "th", "table", "thead", "tbody", "tfoot", "caption",
+    "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "aside",
+    "header", "footer", "nav", "main", "blockquote", "pre", "form",
+    "fieldset", "figure", "figcaption", "address", "title", "body", "html")
+  private val SuppressTags =
+    java.util.Set.of("head", "noscript", "template", "svg", "iframe")
+  private val RawTextTags = java.util.Set.of("script", "style")
+
+  private def indexOfIgnoreCase(h: String, needle: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val last = h.length - needle.length
+    while (i <= last) {
+      if (h.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Runtime for [[HtmlExtract]] (also the codegen target). */
+  def htmlExtractText(u: UTF8String): UTF8String = {
+    val h = u.toString
+    val n = h.length
+    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var i = 0
+    var suppress = 0
+    while (i < n) {
+      val c = h.charAt(i)
+      if (c == '<') {
+        if (h.regionMatches(i + 1, "!--", 0, 3)) {
+          val e = h.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && (h.charAt(i + 1) == '!' || h.charAt(i + 1) == '?')) {
+          val e = h.indexOf('>', i + 1) // <!DOCTYPE ...>, <?xml ...>
+          i = if (e < 0) n else e + 1
+        } else {
+          var j = i + 1
+          val closing = j < n && h.charAt(j) == '/'
+          if (closing) j += 1
+          val ns = j
+          while (j < n && (h.charAt(j).isLetterOrDigit || h.charAt(j) == '-')) j += 1
+          if (j == ns) { // stray '<' (e.g. "a < b" prose)
+            if (suppress == 0) out.append('<')
+            i += 1
+          } else {
+            val name = h.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+            // to tag end, honoring '>' inside quoted attribute values
+            var k = j
+            var q = 0.toChar
+            while (k < n && (q != 0.toChar || h.charAt(k) != '>')) {
+              val ck = h.charAt(k)
+              if (q == 0.toChar && (ck == '"' || ck == '\'')) q = ck
+              else if (ck == q) q = 0.toChar
+              k += 1
+            }
+            val selfClose = k > j && h.charAt(k - 1) == '/' && q == 0.toChar
+            val tagEnd = if (k < n) k + 1 else n
+            if (!closing && RawTextTags.contains(name)) {
+              // HTML5 raw text: body may contain '<'; only the literal
+              // close tag ends it
+              val e = indexOfIgnoreCase(h, "</" + name, tagEnd)
+              if (e < 0) i = n
+              else { val gt = h.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
+            } else if (SuppressTags.contains(name)) {
+              if (closing) { if (suppress > 0) suppress -= 1 }
+              else if (!selfClose) suppress += 1
+              i = tagEnd
+            } else {
+              if (suppress == 0 && BlockTags.contains(name)) out.append('\n')
+              i = tagEnd
+            }
+          }
+        }
+      } else if (suppress > 0) {
+        i += 1
+      } else if (c == '&') {
+        val sc = h.indexOf(';', i + 1)
+        var rep: String = null
+        if (sc > i && sc <= i + 10) {
+          val ent = h.substring(i + 1, sc)
+          rep = ent match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case e if e.length > 1 && e.charAt(0) == '#' =>
+              try {
+                val cp =
+                  if (e.charAt(1) == 'x' || e.charAt(1) == 'X')
+                    Integer.parseInt(e.substring(2), 16)
+                  else Integer.parseInt(e.substring(1))
+                if (cp > 0 && Character.isValidCodePoint(cp))
+                  new String(Character.toChars(cp))
+                else null
+              } catch { case _: NumberFormatException => null }
+            case _ => null // unknown entity: keep the literal '&...'
+          }
+        }
+        if (rep != null) { out.append(rep); i = sc + 1 }
+        else { out.append('&'); i += 1 }
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    // whitespace discipline: runs containing a line break -> '\n',
+    // other runs -> one space; lines arrive trimmed, empties dropped
+    val res = new java.lang.StringBuilder(out.length)
+    var p = 0
+    val m = out.length
+    var pendingNl = false
+    var pendingSp = false
+    while (p < m) {
+      val ch = out.charAt(p)
+      if (ch == '\n') { pendingNl = true; pendingSp = false }
+      else if (ch == ' ' || ch == '\t' || ch == '\r' || ch == '\f' ||
+          ch == '\u00A0') { if (!pendingNl) pendingSp = true }
+      else {
+        if (pendingNl) { if (res.length > 0) res.append('\n') }
+        else if (pendingSp && res.length > 0) res.append(' ')
+        pendingNl = false; pendingSp = false
+        res.append(ch)
+      }
+      p += 1
+    }
+    UTF8String.fromString(res.toString)
+  }
+
   /** Runtime for [[NfcNormalize]] (also the codegen target — scalac
     * emits a static forwarder for it on the `TextKernels` class).
     * Fast paths: pure-ASCII bytes are NFC by definition; an
@@ -120,6 +266,25 @@ case class FeatureHashEmbed(child: Expression, dims: Int)
       c => s"graft.functions.TextKernels.featureHashEmbed($c, $dims)")
 
   override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed =
+    copy(child = newChild)
+}
+
+/** Visible-text extraction from HTML; see [[TextKernels.htmlText]]. */
+case class HtmlExtract(child: Expression) extends UnaryExpression {
+  // input type is guaranteed string by the TextKernels.htmlText
+  // wrapper (explicit cast); direct construction must honor that
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_text"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.htmlExtractText(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.htmlExtractText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtract =
     copy(child = newChild)
 }
 

@@ -644,6 +644,17 @@ object Text {
     array_join(kept, "\n")
   }
 
+  /** Visible text from raw HTML — the extraction step between a
+    * crawl archive ([[graft.sources.Warc]] payloads) and everything
+    * else in this module; the stage WET files are made of. Native
+    * codegen kernel ([[graft.functions.TextKernels.htmlText]]):
+    * script/style raw-text skip, head/template/svg suppression,
+    * block tags → line breaks, entity decode, trimmed single-spaced
+    * lines. Typically followed by [[normalizeUnicode]] →
+    * [[cleanLines]] → quality/dedup. NULL in, NULL out. */
+  def htmlToText(html: Column): Column =
+    graft.functions.TextKernels.htmlText(html)
+
   /** Unicode text hygiene — the canonical FIRST stage of a web-corpus
     * cleaner: NFC normalization (native codegen kernel,
     * [[graft.functions.TextKernels.nfc]] — decomposed `e`+U+0301 and

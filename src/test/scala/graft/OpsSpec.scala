@@ -2133,6 +2133,49 @@ class OpsSpec extends SparkSpec {
       .count(_ != 0f) == 1))
   }
 
+  test("htmlToText: raw-text skip, suppression, entities, whitespace, codegen") {
+    def x(html: String): String =
+      rows(docsDf(Seq((1L, html))).select(
+        Text.htmlToText(col("text")).as("t"))).head.head.asInstanceOf[String]
+    // blocks become lines, inline tags vanish, head suppresses
+    assert(x("<html><head><title>T</title></head><body>" +
+      "<h1>Hi</h1><p>one <b>two</b> three</p><p>four</p></body></html>") ==
+      "Hi\none two three\nfour")
+    // script/style are raw text: '<p>' inside them is NOT a tag;
+    // case-insensitive close, attributes on the opener
+    assert(x("<SCRIPT type=\"a\">var s = '<p>no</p>';</SCRIPT>after") == "after")
+    assert(x("<style>p > a { color: red }</style><p>kept</p>") == "kept")
+    // '>' inside a quoted attribute doesn't close the tag
+    assert(x("<div class=\"x>y\">in</div>") == "in")
+    // comments drop even when they contain tags; doctype drops
+    assert(x("<!DOCTYPE html>a<!-- <p>hidden</p> -->b") == "ab")
+    // entities: named, numeric dec/hex, unknown kept literal
+    assert(x("&amp;&lt;tag&gt; &#65;&#x42; &unknown; a&b") ==
+      "&<tag> AB &unknown; a&b")
+    // nbsp entity and literal nbsp both collapse as spaces
+    assert(x("a&nbsp;&nbsp;b c d") == "a b c d")
+    // stray '<' in prose survives
+    assert(x("<p>1 < 2 and 3 > 2</p>") == "1 < 2 and 3 > 2")
+    // nested suppression with depth; self-closing doesn't push depth
+    assert(x("<template><div><p>no</p></div></template><template/>yes") == "yes")
+    assert(x("<svg><text>chart label</text></svg>visible") == "visible")
+    // unclosed raw-text tag swallows the tail; truncated tag too
+    assert(x("a<script>var x = 1;") == "a")
+    assert(x("a<p>b</p") == "a\nb")
+    // whitespace: runs collapse, lines trim, empties drop
+    assert(x("<p>  a \t b  </p>\n\n  <p>   </p> <p>c</p>") == "a b\nc")
+    // br is a line break; null propagates
+    assert(x("one<br/>two") == "one\ntwo")
+    assert(rows(docsDf(Seq((1L, null))).select(
+      Text.htmlToText(col("text")).as("t"))).head.head == null)
+    // the kernel stays inside whole-stage codegen on a real scan
+    val cg = s.range(3).select(Text.htmlToText(
+      concat(lit("<p>doc "), col("id").cast("string"), lit("</p>"))).as("t"))
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(rows(cg).map(_.head) == Seq("doc 0", "doc 1", "doc 2"))
+  }
+
   test("hashEmbed feeds the vector machinery: dedup finds hashed twins") {
     // two documents with identical token bags embed identically; a
     // third, disjoint one stays — the model-free text->vector bridge
