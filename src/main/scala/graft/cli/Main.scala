@@ -13,7 +13,12 @@ import graft.view.{Filter, FilterExpr, Order}
   * {{{
   *   graft.cli.Main <action> [table [fields...]] [options]
   *     action: info | read | write | delete | init | serve | version
-  *             | export | import  (JSONL/CSV shard dirs, --format/--shards)
+  *             | export | import  (JSONL/CSV shard dirs or WARC crawl
+  *                                 archives, --format/--shards; warc
+  *                                 export takes <url> <payload> fields,
+  *                                 warc import yields url/text/status/
+  *                                 content_type/fetched_at with HTML
+  *                                 payloads extracted to visible text)
   *             | snapshots | diff (--from/--to snapshot names, --summary,
   *                                 --profile = per-column drift card,
   *                                 --psi <col> = scalar shift gate)
@@ -252,24 +257,46 @@ object Main {
         .delete(filters = o.filters.map(FilterExpr.apply): Seq[Filter], data = data)
 
     // extension: corpus interchange — dump a (filtered) table as
-    // JSONL/CSV shards + schema sidecar (sources/Corpus), or merge
-    // such a directory back in through the full upsert path
+    // JSONL/CSV shards + schema sidecar (sources/Corpus) or as WARC
+    // response records (sources/Warc, exactly two fields: url +
+    // payload), or merge such a directory back in through the full
+    // upsert path. `import --format warc` is the crawl-ingest shape:
+    // response records become (url, text, status, content_type,
+    // fetched_at) rows, HTML payloads extracted to visible text
     case "export" =>
-      requireFormat(o)
+      requireFormat(o, Set("jsonl", "csv", "warc"))
       val dir = o.file.getOrElse(throw new IllegalArgumentException(
         "export needs -f/--file <dir>"))
       val fields = if (o.fields.nonEmpty) o.fields else null
       val df = env.view(o.table, fields).read(o.filters.map(FilterExpr.apply))
-      if (o.format == "csv") graft.sources.Corpus.exportCsv(df, dir, o.shards)
+      if (o.format == "warc") {
+        if (o.fields.size != 2) throw new IllegalArgumentException(
+          "export --format warc needs exactly two fields: <url> <payload>")
+        graft.sources.Warc.write(df, dir, o.fields.head, o.fields(1),
+          shards = math.max(1, o.shards))
+      }
+      else if (o.format == "csv") graft.sources.Corpus.exportCsv(df, dir, o.shards)
       else graft.sources.Corpus.exportJsonl(df, dir, o.shards)
       out.write(s"exported ${o.table} to $dir (${o.format})\n")
 
     case "import" =>
-      requireFormat(o)
+      requireFormat(o, Set("jsonl", "csv", "warc"))
       val dir = o.file.getOrElse(throw new IllegalArgumentException(
         "import needs -f/--file <dir>"))
       val df =
-        if (o.format == "csv") graft.sources.Corpus.importCsv(env.spark, dir)
+        if (o.format == "warc") {
+          import org.apache.spark.sql.functions.{coalesce, col, decode, lit, lower, when}
+          val txt = decode(col("payload"), "UTF-8")
+          graft.sources.Warc.read(env.spark, dir).select(
+            col("target_uri").as("url"),
+            when(lower(coalesce(col("http_content_type"), lit("")))
+                .contains("html"), graft.ops.Text.htmlToText(txt))
+              .otherwise(txt).as("text"),
+            col("http_status").as("status"),
+            col("http_content_type").as("content_type"),
+            col("warc_date").as("fetched_at"))
+        }
+        else if (o.format == "csv") graft.sources.Corpus.importCsv(env.spark, dir)
         else graft.sources.Corpus.importJsonl(env.spark, dir)
       val res = env.view(o.table, df.columns.toSeq).write(df, purge = o.purge)
       out.write(s"imported $dir into ${o.table}\n")
@@ -796,10 +823,11 @@ object Main {
   /** An unknown --format must fail loudly, not silently fall back to
     * JSONL (a typo'd `--format josnl` would otherwise produce a shard
     * dir in a different format than the operator asked for). */
-  private def requireFormat(o: Opts): Unit =
-    if (!Set("jsonl", "csv").contains(o.format))
+  private def requireFormat(o: Opts,
+      allowed: Set[String] = Set("jsonl", "csv")): Unit =
+    if (!allowed.contains(o.format))
       throw new IllegalArgumentException(
-        s"unknown --format '${o.format}' (expected jsonl or csv)")
+        s"unknown --format '${o.format}' (expected ${allowed.mkString(" or ")})")
 
   /** Shared result rendering: csv (default), --yaml, --ascii-table or
     * --vbar, to stdout or --file. */

@@ -85,6 +85,70 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("export/import --format warc: crawl round-trip with HTML extraction") {
+    val dir = Files.createTempDirectory("graft-cli-warc-")
+    val schema = dir.resolve("schema.yaml")
+    Files.writeString(schema,
+      """- table: pages
+        |  columns:
+        |    url: varchar
+        |    text: varchar
+        |    status: bigint
+        |    content_type: varchar
+        |    fetched_at: timestamp
+        |  key: [url]
+        |""".stripMargin)
+    val conf = dir.resolve("tk.yaml").toString
+    Files.writeString(dir.resolve("tk.yaml"),
+      s"schema: $schema\nwarehouse: ${dir.resolve("wh")}\n")
+    run(conf, "init")
+    // a hand-framed archive: the writer in this repo is NOT used, so
+    // the import path is proven against foreign bytes; text/plain
+    // passes through raw, text/html extracts to visible text
+    def rec(uri: String, ctype: String, body: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n" + body)
+        .getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+        http ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val arch = dir.resolve("crawl"); Files.createDirectories(arch)
+    Files.write(arch.resolve("seg-0.warc"),
+      rec("http://x.example/a", "text/html; charset=utf-8",
+        "<html><body><h1>Title</h1><p>body text</p></body></html>") ++
+      rec("http://x.example/b", "text/plain", "plain <kept> text"))
+    val msg = run(conf, "import", "pages", "-f", arch.toString,
+      "--format", "warc")
+    assert(msg.contains("imported"), msg)
+    val got = run(conf, "read", "pages", "url", "text", "status", "-s", "url")
+    assert(got == "url,text,status\n" +
+      "http://x.example/a,\"Title\nbody text\",200\n" +
+      "http://x.example/b,plain <kept> text,200\n", got)
+    // export two fields back out as a fresh archive and re-ingest it
+    val out2 = dir.resolve("recrawl").toString
+    run(conf, "export", "pages", "url", "text", "-f", out2,
+      "--format", "warc", "--shards", "1")
+    val dir2 = Files.createTempDirectory("graft-cli-warc2-")
+    Files.writeString(dir2.resolve("tk.yaml"),
+      s"schema: $schema\nwarehouse: ${dir2.resolve("wh")}\n")
+    val conf2 = dir2.resolve("tk.yaml").toString
+    run(conf2, "init")
+    run(conf2, "import", "pages", "-f", out2, "--format", "warc")
+    // the re-export serves text/plain, so the extracted text (already
+    // plain) survives verbatim, including the line break
+    val again = run(conf2, "read", "pages", "url", "text", "-s", "url")
+    assert(again == "url,text\nhttp://x.example/a,\"Title\nbody text\"\n" +
+      "http://x.example/b,plain <kept> text\n", again)
+    // field-count guard on warc export
+    val err = intercept[IllegalArgumentException] {
+      run(conf, "export", "pages", "url", "-f",
+        dir.resolve("bad").toString, "--format", "warc")
+    }
+    assert(err.getMessage.contains("exactly two fields"), err.getMessage)
+  }
+
   test("snapshot diff: last-two default, explicit --from/--to, summary, bucketed refusal") {
     val (conf, dir) = cfg()
     run(conf, "init")
