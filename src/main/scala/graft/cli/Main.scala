@@ -69,6 +69,7 @@ object Main {
       // classifier stage: NB log-odds weights trained on two labeled
       // tables' text columns, survivors need mean token weight >= min
       clfPos: String = "", clfNeg: String = "", minClf: Double = 0.0,
+      html: Boolean = false,
       normalize: Boolean = false, gopher: Boolean = false,
       explain: Boolean = false,
       // sample/shard/pack actions: id column (defaults to the table
@@ -140,6 +141,7 @@ object Main {
         case "--zorder" => o = o.copy(zorder = Some(argv(i + 1))); i += 2
         case "--dims" => o = o.copy(dims = argv(i + 1).toInt); i += 2
         case "--bins" => o = o.copy(bins = argv(i + 1).toInt); i += 2
+        case "--html" => o = o.copy(html = true); i += 1
         case "--normalize" => o = o.copy(normalize = true); i += 1
         case "--gopher" => o = o.copy(gopher = true); i += 1
         case "--explain" => o = o.copy(explain = true); i += 1
@@ -567,7 +569,8 @@ object Main {
 
     // extension: fused curation over a managed table — the CLI face of
     // ops/Pipeline's curateDocuments recipe. Stages are flag-selected
-    // (--normalize prepends the Unicode-hygiene rewrite,
+    // (--html prepends visible-text extraction for raw-crawl corpora,
+    // --normalize prepends the Unicode-hygiene rewrite,
     // --url-col adds url_dedup, --min-quality > 0 adds the quality
     // floor, --gopher adds the published Gopher line-rule floor,
     // --clf-pos/--clf-neg train the NB log-odds classifier on
@@ -660,8 +663,8 @@ object Main {
             minQuality = o.minQuality,
             bench = bench, benchTextCol = o.benchField,
             classifier = clf, minClassifier = o.minClf,
-            sampleFraction = o.sample, normalize = o.normalize,
-            gopher = o.gopher)
+            sampleFraction = o.sample, html = o.html,
+            normalize = o.normalize, gopher = o.gopher)
         }
       val (survivors, reports) =
         if (o.resumeFrom >= 0)

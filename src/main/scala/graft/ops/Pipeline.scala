@@ -142,6 +142,7 @@ object Pipeline {
       classifier: Option[DataFrame] = None,
       minClassifier: Double = 0.0,
       sampleFraction: Double = 1.0,
+      html: Boolean = false,
       normalize: Boolean = false,
       gopher: Boolean = false,
       blockDomains: Option[DataFrame] = None,
@@ -155,7 +156,14 @@ object Pipeline {
       meta.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
         .exists(meta)
     }
-    // Unicode hygiene FIRST when asked: NFC makes visually-identical
+    // HTML extraction FIRST of all when the corpus is raw crawl
+    // markup (Warc payloads): every later stage — normalize,
+    // fingerprints, shingles, quality — must see visible text, not
+    // tag soup (rewrites, doesn't filter)
+    if (html)
+      b += Stage("html_extract", df =>
+        df.withColumn(textCol, Text.htmlToText(col(textCol))))
+    // Unicode hygiene next when asked: NFC makes visually-identical
     // texts byte-identical, so every later fingerprint/shingle stage
     // sees the canonical form (rows_out never shrinks here — the
     // stage rewrites, it doesn't filter)

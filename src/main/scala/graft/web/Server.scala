@@ -264,6 +264,7 @@ final class Server(env: Env, port: Int = 0) {
     *    "bench": "benchtable", "bench_field": "text",  // decontaminate
     *    "clf_pos": "wiki", "clf_neg": "crawl", "min_clf": 0.0,
     *                                  // adds the classifier stage
+    *    "html": true,                 // prepends visible-text extraction
     *    "normalize": true,            // prepends the Unicode rewrite
     *    "gopher": true,               // adds the Gopher line-rule floor
     *    "out": "curated",             // write survivors to this table
@@ -357,6 +358,7 @@ final class Server(env: Env, port: Int = 0) {
           bench = bench, benchTextCol = benchField,
           classifier = clf, minClassifier = dbl("min_clf", 0.0),
           sampleFraction = dbl("sample", 1.0),
+          html = body.get("html").exists(_.toString.toBoolean),
           normalize = body.get("normalize").exists(_.toString.toBoolean),
           gopher = body.get("gopher").exists(_.toString.toBoolean))
       }

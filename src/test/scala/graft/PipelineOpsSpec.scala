@@ -1008,6 +1008,34 @@ class PipelineOpsSpec extends SparkSpec {
       new java.io.File(scratch))
   }
 
+  test("curate html stage: raw-crawl markup extracts before every miner") {
+    import graft.ops.Pipeline
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    // wrap each doc's text in markup with per-doc script junk: without
+    // extraction the junk defeats exact dedup of the planted twin
+    val docs = env.view("documents", Seq("doc_id", "text")).read()
+      .filter(col("doc_id") < 20)
+      .withColumn("text", concat(
+        lit("<html><head><script>var v="), col("doc_id"),
+        lit(";</script></head><body><p>"),
+        when(col("doc_id") === 1, lit("twin body text"))
+          .when(col("doc_id") === 2, lit("twin body text"))
+          .otherwise(col("text")),
+        lit("</p></body></html>")))
+    val stages = Pipeline.curateDocuments(html = true)
+    assert(stages.map(_.name) ==
+      Seq("html_extract", "exact_dedup", "near_dedup"), stages.map(_.name))
+    val scratch = java.nio.file.Files.createTempDirectory("pipehtml").toString
+    val (out, reports) = Pipeline.run(docs, stages, scratch)
+    // extraction rewrites (no shrink), then exact dedup drops the twin
+    assert(reports.head.stage == "html_extract" && reports.head.rowsOut == 20)
+    val kept = rows(out.select("doc_id").orderBy("doc_id")).map(_.head)
+    assert(kept.contains(1L) && !kept.contains(2L), kept)
+    // survivors carry extracted text, not markup
+    val t = rows(out.filter(col("doc_id") === 1).select("text")).head.head
+    assert(t == "twin body text", t)
+  }
+
   test("Pipeline.run: corpus in, curated JSONL shards out, bounded scratch") {
     import graft.ops.Pipeline
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
