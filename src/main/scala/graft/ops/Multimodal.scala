@@ -1371,6 +1371,10 @@ object Multimodal {
         H264Sps.findAndParse(esB).foreach { case (w0, h0) =>
           width = w0; height = h0
         }
+      } else if (codec == "hevc") {
+        H265Sps.findAndParse(esB).foreach { case (w0, h0) =>
+          width = w0; height = h0
+        }
       }
       Some(Row("mpegts", codec, width, height, duration, nStreams,
         Boolean.box(true)))
@@ -1387,11 +1391,11 @@ object Multimodal {
     * width = mbs×16 − cropUnitX×(left+right), height analogous with
     * the frame/field doubling. Malformed bits → None (dims stay
     * null, the external-prober fall-through is preserved). */
-  private[graft] object H264Sps {
-    private val HighProfiles = Set(100, 110, 122, 244, 44, 83, 86,
-      118, 128, 138, 139, 134, 135)
-
-    private final class Bits(b: Array[Byte]) {
+  /** Shared NAL-bitstream plumbing for the SPS decoders: an MSB-first
+    * bit reader with Exp-Golomb, and the emulation-prevention strip
+    * (00 00 03 → 00 00) over a bounded NAL slice. */
+  private[graft] object Nal {
+    final class Bits(b: Array[Byte]) {
       private var pos = 0
       def u1(): Int = {
         val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; v
@@ -1401,6 +1405,7 @@ object Multimodal {
         while (i < n) { v = (v << 1) | u1(); i += 1 }
         v
       }
+      def skip(n: Int): Unit = { var i = 0; while (i < n) { u1(); i += 1 } }
       def ue(): Int = {
         var z = 0
         while (u1() == 0) {
@@ -1413,6 +1418,31 @@ object Multimodal {
         val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
       }
     }
+
+    /** RBSP bytes of `b(from until bound)` up to the next start code,
+      * emulation-prevention bytes removed. */
+    def rbspSlice(b: Array[Byte], from: Int, maxLen: Int): Array[Byte] = {
+      var end = from
+      while (end + 3 <= b.length && end < from + maxLen &&
+          !(b(end) == 0 && b(end + 1) == 0 && b(end + 2) == 1)) end += 1
+      if (end + 3 > b.length) end = b.length
+      val out = new java.io.ByteArrayOutputStream()
+      var zeros = 0
+      var j = from
+      while (j < end) {
+        val x = b(j)
+        if (zeros >= 2 && x == 3) zeros = 0 // emulation-prevention byte
+        else { out.write(x); zeros = if (x == 0) zeros + 1 else 0 }
+        j += 1
+      }
+      out.toByteArray
+    }
+  }
+
+  private[graft] object H264Sps {
+    import Nal.Bits
+    private val HighProfiles = Set(100, 110, 122, 244, 44, 83, 86,
+      118, 128, 138, 139, 134, 135)
 
     private def skipScalingList(r: Bits, size: Int): Unit = {
       var lastScale = 8; var nextScale = 8; var j = 0
@@ -1472,22 +1502,69 @@ object Multimodal {
       while (i + 5 <= b.length) {
         if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1 &&
             (b(i + 3) & 0x80) == 0 && (b(i + 3) & 0x1F) == 7) {
-          // slice to the next start code (or a bounded tail), unescape
-          var end = i + 4
-          while (end + 3 <= b.length && end < i + 4 + 512 &&
-              !(b(end) == 0 && b(end + 1) == 0 && b(end + 2) == 1)) end += 1
-          if (end + 3 > b.length) end = b.length
-          val out = new java.io.ByteArrayOutputStream()
-          var zeros = 0
-          var j = i + 4
-          while (j < end) {
-            val x = b(j)
-            if (zeros >= 2 && x == 3) zeros = 0 // emulation-prevention byte
-            else { out.write(x); zeros = if (x == 0) zeros + 1 else 0 }
-            j += 1
-          }
           try {
-            val (w, h) = dims(out.toByteArray)
+            val (w, h) = dims(Nal.rbspSlice(b, i + 4, 512))
+            if (w > 0 && h > 0) return Some((w, h))
+          } catch { case _: Exception => } // malformed SPS: keep scanning
+        }
+        i += 1
+      }
+      None
+    }
+  }
+
+  /** H.265/HEVC SPS decoder for picture dimensions (ITU-T H.265
+    * §7.3.2.2.1): scans for an SPS NAL (two-byte NAL header,
+    * nal_unit_type 33), skips the fixed-size profile_tier_level
+    * (96 bits + per-sub-layer blocks), then reads
+    * `pic_width/height_in_luma_samples` and subtracts the
+    * conformance window in chroma-subsampling units. Malformed
+    * bits → None (the external-prober fall-through is preserved). */
+  private[graft] object H265Sps {
+    import Nal.Bits
+
+    private def dims(rbsp: Array[Byte]): (Int, Int) = {
+      val r = new Bits(rbsp)
+      r.u(4) // sps_video_parameter_set_id
+      val maxSubM1 = r.u(3)
+      r.u(1) // sps_temporal_id_nesting_flag
+      r.skip(96) // general profile_tier_level incl. level_idc
+      if (maxSubM1 > 0) {
+        val profPresent = new Array[Boolean](maxSubM1)
+        val levelPresent = new Array[Boolean](maxSubM1)
+        var i = 0
+        while (i < maxSubM1) {
+          profPresent(i) = r.u1() == 1; levelPresent(i) = r.u1() == 1
+          i += 1
+        }
+        r.skip(2 * (8 - maxSubM1)) // reserved_zero_2bits alignment
+        i = 0
+        while (i < maxSubM1) {
+          if (profPresent(i)) r.skip(88)
+          if (levelPresent(i)) r.skip(8)
+          i += 1
+        }
+      }
+      r.ue() // sps_seq_parameter_set_id
+      val chroma = r.ue()
+      val sep = chroma == 3 && r.u1() == 1
+      val w = r.ue() // pic_width_in_luma_samples
+      val h = r.ue()
+      var cl = 0; var cr = 0; var ct = 0; var cb = 0
+      if (r.u1() == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+      // conformance offsets are in SubWidthC/SubHeightC luma units
+      val subW = if (sep || chroma == 0 || chroma == 3) 1 else 2
+      val subH = if (sep || chroma == 0 || chroma >= 2) 1 else 2
+      (w - subW * (cl + cr), h - subH * (ct + cb))
+    }
+
+    def findAndParse(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 0
+      while (i + 6 <= b.length) {
+        if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1 &&
+            (b(i + 3) & 0x80) == 0 && ((b(i + 3) >> 1) & 0x3F) == 33) {
+          try {
+            val (w, h) = dims(Nal.rbspSlice(b, i + 5, 512))
             if (w > 0 && h > 0) return Some((w, h))
           } catch { case _: Exception => } // malformed SPS: keep scanning
         }
@@ -1549,7 +1626,11 @@ object Multimodal {
     }
     val pat = sec(0, Array(0x00.toByte, 0x01.toByte, // program 1
       (0xE0 | 0x01).toByte, 0x00.toByte))            // PMT PID 0x100
-    val vType = if (codec == "mpeg2video") 0x02 else 0x1B
+    val vType = codec match {
+      case "mpeg2video" => 0x02
+      case "hevc" => 0x24
+      case _ => 0x1B
+    }
     val pmt = sec(2, Array(
       0xE1.toByte, 0x00.toByte,       // PCR PID 0x100
       0xF0.toByte, 0x00.toByte,       // program_info_length 0
@@ -1560,7 +1641,9 @@ object Multimodal {
       if (w <= 0) Array.emptyByteArray
       else {
         val esB =
-          if (codec == "mpeg2video") mpeg2SeqHeader(w, h) else spsNal(w, h)
+          if (codec == "mpeg2video") mpeg2SeqHeader(w, h)
+          else if (codec == "hevc") hevcSpsNal(w, h)
+          else spsNal(w, h)
         packet(0x101, pusi = true,
           Array[Byte](0, 0, 1, 0xE0.toByte, 0, 0,        // unbounded length
             0x80.toByte, 0, 0) ++ esB)                   // no PTS/DTS
@@ -1576,6 +1659,47 @@ object Multimodal {
     Array[Byte](0, 0, 1, 0xB3.toByte,
       (w >> 4).toByte, (((w & 0xF) << 4) | (h >> 8)).toByte, (h & 0xFF).toByte,
       0x12.toByte, 0xFF.toByte, 0xFF.toByte, 0xE0.toByte, 0x20.toByte, 0x00)
+
+  /** Bit-written H.265 SPS NAL for exact w×h (any dims): fixed 96-bit
+    * profile_tier_level (Main profile shape), 4:2:0, coded luma size
+    * w+4 × h+4 with a 2-unit right/bottom conformance window — so the
+    * crop path is exercised on every synthetic stream. Inverse of
+    * [[H265Sps]]; emulation-prevention escaped. */
+  private[graft] def hevcSpsNal(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"positive dims required, got ${w}x$h")
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val n = 32 - Integer.numberOfLeadingZeros(k)
+      u(0, n - 1); u(k, n)
+    }
+    u(0, 4); u(0, 3); u(1, 1)   // vps id, max_sub_layers_minus1=0, nesting
+    u(0x21, 8)                  // profile_space 0, tier 0, idc 1 (Main)
+    u(0, 80)                    // compat flags + constraint bits
+    u(93, 8)                    // general_level_idc (3.1)
+    ue(0)                       // sps id
+    ue(1)                       // chroma_format_idc 4:2:0
+    ue(w + 4); ue(h + 4)        // coded luma sizes
+    u(1, 1)                     // conformance_window_flag
+    ue(0); ue(2); ue(0); ue(2)  // left/right/top/bottom (×SubWidthC = 4)
+    u(1, 1)                     // rbsp stop bit
+    while (bits.size % 8 != 0) u(0, 1)
+    val raw = bits.grouped(8)
+      .map(_.foldLeft(0)((a, bit) => (a << 1) | bit).toByte).toArray
+    val out = new java.io.ByteArrayOutputStream()
+    // start code + 2-byte NAL header: type 33, layer 0, tid+1 = 1
+    out.write(Array[Byte](0, 0, 1, (33 << 1).toByte, 1), 0, 5)
+    var zeros = 0
+    for (x <- raw) {
+      if (zeros >= 2 && (x & 0xFF) <= 3) { out.write(3); zeros = 0 }
+      out.write(x); zeros = if (x == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
 
   /** Bit-written H.264 baseline SPS NAL for exact w×h (even dims):
     * macroblock-rounded picture size with a right/bottom cropping

@@ -1752,6 +1752,53 @@ class OpsSpec extends SparkSpec {
       Multimodal.synthTs(2000, "mpeg2video", 720, 576)).get
     assert(m.getString(1) == "mpeg2video" && m.getInt(2) == 720 &&
       m.getInt(3) == 576, m)
+    // hevc SPS: PMT type 0x24, conformance-window crop on every synth
+    val hv = Multimodal.TsProbe.parse(
+      Multimodal.synthTs(3000, "hevc", 1919, 817)).get
+    assert(hv.getString(1) == "hevc" && hv.getInt(2) == 1919 &&
+      hv.getInt(3) == 817 && hv.getDouble(4) == 3000.0, hv)
+    // hevc round-trip sweep (odd dims legal: luma sizes are free)
+    for (w <- Seq(2, 637, 1280, 4095); hh <- Seq(3, 720, 2161))
+      assert(Multimodal.H265Sps.findAndParse(
+        Multimodal.hevcSpsNal(w, hh)).contains((w, hh)), s"${w}x$hh")
+    // malformed/truncated hevc SPS -> None, never a throw
+    assert(Multimodal.H265Sps.findAndParse(
+      Multimodal.hevcSpsNal(640, 480).take(9)).isEmpty)
+    // hand-built hevc SPS: TWO sub-layers with split present flags
+    // (alignment + per-layer PTL blocks) and 4:2:2 chroma, whose crop
+    // units differ per axis (SubWidthC 2, SubHeightC 1)
+    val b2 = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u2(v: Int, n: Int): Unit = {
+      var i = n - 1; while (i >= 0) { b2 += ((v >> i) & 1); i -= 1 }
+    }
+    def ue2(v: Int): Unit = {
+      val k = v + 1; val n = 32 - Integer.numberOfLeadingZeros(k)
+      u2(0, n - 1); u2(k, n)
+    }
+    u2(0, 4); u2(2, 3); u2(1, 1)      // vps id, max_sub_layers_minus1=2
+    u2(0x21, 8); u2(0, 80); u2(93, 8) // general PTL
+    u2(1, 1); u2(0, 1)                // layer 0: profile yes, level no
+    u2(0, 1); u2(1, 1)                // layer 1: profile no, level yes
+    u2(0, 12)                         // reserved_zero_2bits x (8-2)
+    u2(0, 88)                         // layer-0 profile block
+    u2(90, 8)                         // layer-1 level_idc
+    ue2(0)                            // sps id
+    ue2(2)                            // chroma 4:2:2
+    ue2(1280 + 4); ue2(720 + 3)       // coded luma sizes
+    u2(1, 1); ue2(1); ue2(1); ue2(1); ue2(2) // crop l/r/t/b
+    u2(1, 1)                          // stop bit
+    while (b2.size % 8 != 0) u2(0, 1)
+    val raw2 = b2.grouped(8)
+      .map(_.foldLeft(0)((x, bit) => (x << 1) | bit).toByte).toArray
+    val esc2 = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros2 = 0
+    for (x <- raw2) { // same emulation-prevention discipline as the synth
+      if (zeros2 >= 2 && (x & 0xFF) <= 3) { esc2 += 3; zeros2 = 0 }
+      esc2 += x; zeros2 = if (x == 0) zeros2 + 1 else 0
+    }
+    val nal2 = Array[Byte](0, 0, 1, (33 << 1).toByte, 1) ++ esc2
+    // width = 1284 - 2x(1+1) = 1280, height = 723 - 1x(1+2) = 720
+    assert(Multimodal.H265Sps.findAndParse(nal2).contains((1280, 720)))
     // encoder/decoder round-trip sweep; the escaped NAL payload must
     // never contain a raw 00 00 0x<=3 triple (emulation prevention)
     for (w <- 2 to 4098 by 202; h <- Seq(2, 302, 1080, 2160)) {
