@@ -1580,7 +1580,8 @@ object SparkEntry {
         out, "url", "p", shards = 8)
       graft.sources.Warc.read(s, out)
         .select(col("target_uri"),
-          decode(col("payload"), "UTF-8").as("text"),
+          graft.functions.TextKernels.decodeText(col("payload"),
+            col("http_content_type")).as("text"),
           col("http_status"), col("http_content_type"))
         .orderBy(col("target_uri"))
     }),

@@ -287,8 +287,11 @@ object Main {
         "import needs -f/--file <dir>"))
       val df =
         if (o.format == "warc") {
-          import org.apache.spark.sql.functions.{coalesce, col, decode, lit, lower, when}
-          val txt = decode(col("payload"), "UTF-8")
+          import org.apache.spark.sql.functions.{coalesce, col, lit, lower, when}
+          // charset-aware: the page's own Content-Type (or BOM) names
+          // the encoding; crawls are not all UTF-8
+          val txt = graft.functions.TextKernels.decodeText(
+            col("payload"), col("http_content_type"))
           graft.sources.Warc.read(env.spark, dir).select(
             col("target_uri").as("url"),
             when(lower(coalesce(col("http_content_type"), lit("")))

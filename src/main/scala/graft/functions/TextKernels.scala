@@ -2,8 +2,9 @@ package graft.functions
 
 import java.text.Normalizer
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.{coalesce, lit}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -92,6 +93,51 @@ object TextKernels {
     * whitespace normalizes to single-spaced trimmed lines. */
   def htmlText(c: Column): Column =
     Bridge.column(HtmlExtract(Bridge.expression(c.cast("string"))))
+
+  /** Charset-aware text decode for crawl payloads: real archives are
+    * not all UTF-8 — the HTTP `Content-Type` header names the page's
+    * encoding per row. A BOM wins (UTF-8/16LE/16BE, stripped), then
+    * the header's `charset=` token (quoted or bare, any case), then
+    * UTF-8; unknown/unsupported names fall back to UTF-8, and
+    * malformed byte sequences decode with replacement characters
+    * instead of throwing — a 100-TB ingest must never die on one
+    * mojibake page. Null payload → null; a null content-type is
+    * coalesced to '' by the wrapper (header absence is normal, it
+    * must not null out the text). */
+  def decodeText(payload: Column, contentType: Column): Column =
+    Bridge.column(CharsetDecode(
+      Bridge.expression(payload.cast("binary")),
+      Bridge.expression(coalesce(contentType, lit("")).cast("string"))))
+
+  private val CharsetRe =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?'?([\\w.:+-]+)")
+
+  /** Runtime for [[CharsetDecode]] (also the codegen target). */
+  def charsetDecode(bytes: Array[Byte], ctype: UTF8String): UTF8String = {
+    import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+    def decode(cs: Charset, from: Int): UTF8String = {
+      val dec = cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(CodingErrorAction.REPLACE)
+      UTF8String.fromString(
+        dec.decode(java.nio.ByteBuffer.wrap(bytes, from, bytes.length - from))
+          .toString)
+    }
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+        bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+      return decode(StandardCharsets.UTF_8, 3)
+    if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+      return decode(StandardCharsets.UTF_16LE, 2)
+    if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+      return decode(StandardCharsets.UTF_16BE, 2)
+    val m = CharsetRe.matcher(ctype.toString)
+    val cs =
+      if (m.find()) {
+        try Charset.forName(m.group(1))
+        catch { case _: Exception => StandardCharsets.UTF_8 }
+      } else StandardCharsets.UTF_8
+    decode(cs, 0)
+  }
 
   private val BlockTags = java.util.Set.of(
     "p", "div", "br", "hr", "li", "ul", "ol", "dl", "dt", "dd",
@@ -267,6 +313,28 @@ case class FeatureHashEmbed(child: Expression, dims: Int)
 
   override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed =
     copy(child = newChild)
+}
+
+/** Charset-aware payload decode; see [[TextKernels.decodeText]]. */
+case class CharsetDecode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // types guaranteed (binary, string) by the decodeText wrapper's
+  // casts; direct construction must honor that
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "decode_text"
+
+  override def nullSafeEval(p: Any, ct: Any): Any =
+    TextKernels.charsetDecode(p.asInstanceOf[Array[Byte]],
+      ct.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, ct) => s"graft.functions.TextKernels.charsetDecode($p, $ct)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CharsetDecode =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Visible-text extraction from HTML; see [[TextKernels.htmlText]]. */

@@ -105,9 +105,9 @@ class CliSpec extends SparkSpec {
     // a hand-framed archive: the writer in this repo is NOT used, so
     // the import path is proven against foreign bytes; text/plain
     // passes through raw, text/html extracts to visible text
-    def rec(uri: String, ctype: String, body: String): Array[Byte] = {
-      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n" + body)
-        .getBytes("UTF-8")
+    def rec(uri: String, ctype: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+        .getBytes("UTF-8") ++ body
       (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
         s"WARC-Date: 2026-02-03T04:05:06Z\r\n" +
         "Content-Type: application/http; msgtype=response\r\n" +
@@ -117,15 +117,20 @@ class CliSpec extends SparkSpec {
     val arch = dir.resolve("crawl"); Files.createDirectories(arch)
     Files.write(arch.resolve("seg-0.warc"),
       rec("http://x.example/a", "text/html; charset=utf-8",
-        "<html><body><h1>Title</h1><p>body text</p></body></html>") ++
-      rec("http://x.example/b", "text/plain", "plain <kept> text"))
+        "<html><body><h1>Title</h1><p>body text</p></body></html>"
+          .getBytes("UTF-8")) ++
+      rec("http://x.example/b", "text/plain",
+        "plain <kept> text".getBytes("UTF-8")) ++
+      rec("http://x.example/c", "text/plain; charset=iso-8859-1",
+        "café crawl".getBytes("ISO-8859-1"))) // é = one byte, 0xE9
     val msg = run(conf, "import", "pages", "-f", arch.toString,
       "--format", "warc")
     assert(msg.contains("imported"), msg)
     val got = run(conf, "read", "pages", "url", "text", "status", "-s", "url")
     assert(got == "url,text,status\n" +
       "http://x.example/a,\"Title\nbody text\",200\n" +
-      "http://x.example/b,plain <kept> text,200\n", got)
+      "http://x.example/b,plain <kept> text,200\n" +
+      "http://x.example/c,café crawl,200\n", got)
     // export two fields back out as a fresh archive and re-ingest it
     val out2 = dir.resolve("recrawl").toString
     run(conf, "export", "pages", "url", "text", "-f", out2,
@@ -140,7 +145,8 @@ class CliSpec extends SparkSpec {
     // plain) survives verbatim, including the line break
     val again = run(conf2, "read", "pages", "url", "text", "-s", "url")
     assert(again == "url,text\nhttp://x.example/a,\"Title\nbody text\"\n" +
-      "http://x.example/b,plain <kept> text\n", again)
+      "http://x.example/b,plain <kept> text\n" +
+      "http://x.example/c,café crawl\n", again)
     // field-count guard on warc export
     val err = intercept[IllegalArgumentException] {
       run(conf, "export", "pages", "url", "-f",

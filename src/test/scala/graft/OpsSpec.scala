@@ -2223,6 +2223,46 @@ class OpsSpec extends SparkSpec {
     assert(rows(cg).map(_.head) == Seq("doc 0", "doc 1", "doc 2"))
   }
 
+  test("decodeText: charset header, BOMs, bad bytes replace, codegen") {
+    import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+    def d(payload: Array[Byte], ctype: String): String = {
+      val df = s.createDataFrame(Seq(
+        org.apache.spark.sql.Row(payload, ctype)).asJava,
+        StructType(Seq(StructField("p", BinaryType),
+          StructField("ct", StringType))))
+      rows(df.select(graft.functions.TextKernels.decodeText(
+        col("p"), col("ct")).as("t"))).head.head.asInstanceOf[String]
+    }
+    // header charset drives the decode: é is 0xE9 in latin-1
+    assert(d(Array(0xE9.toByte), "text/html; charset=iso-8859-1") == "é")
+    assert(d(Array(0xE9.toByte), "text/html; charset=\"ISO-8859-1\"") == "é")
+    // the same byte under utf-8 is malformed -> replacement char, no throw
+    assert(d(Array(0xE9.toByte), "text/html") == "�")
+    assert(d(Array(0xE9.toByte), null) == "�") // absent header
+    // unknown charset name falls back to utf-8
+    assert(d("ok".getBytes("UTF-8"), "text/html; charset=no-such-cs") == "ok")
+    // BOMs win over the header and are stripped
+    assert(d(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "x".getBytes("UTF-8"), "text/html; charset=iso-8859-1") == "x")
+    assert(d(Array[Byte](0xFF.toByte, 0xFE.toByte, 'y'.toByte, 0), "") == "y")
+    assert(d(Array[Byte](0xFE.toByte, 0xFF.toByte, 0, 'z'.toByte), "") == "z")
+    // a multi-byte legacy encoding ships with the JVM
+    assert(d("東京".getBytes("Shift_JIS"),
+      "text/html; charset=shift_jis") == "東京")
+    // null payload -> null; codegen plan shape
+    val nullDf = s.createDataFrame(Seq(
+      org.apache.spark.sql.Row(null, "text/html")).asJava,
+      StructType(Seq(StructField("p", BinaryType),
+        StructField("ct", StringType))))
+    assert(rows(nullDf.select(graft.functions.TextKernels.decodeText(
+      col("p"), col("ct")).as("t"))).head.head == null)
+    val cg = s.range(3).select(graft.functions.TextKernels.decodeText(
+      encode(concat(lit("v"), col("id").cast("string")), "UTF-8"),
+      lit("text/plain; charset=utf-8")).as("t"))
+    assert(cg.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(rows(cg).map(_.head) == Seq("v0", "v1", "v2"))
+  }
+
   test("hashEmbed feeds the vector machinery: dedup finds hashed twins") {
     // two documents with identical token bags embed identically; a
     // third, disjoint one stays — the model-free text->vector bridge
