@@ -13,12 +13,15 @@ import graft.view.{Filter, FilterExpr, Order}
   * {{{
   *   graft.cli.Main <action> [table [fields...]] [options]
   *     action: info | read | write | delete | init | serve | version
-  *             | export | import  (JSONL/CSV shard dirs or WARC crawl
-  *                                 archives, --format/--shards; warc
-  *                                 export takes <url> <payload> fields,
-  *                                 warc import yields url/text/status/
-  *                                 content_type/fetched_at with HTML
-  *                                 payloads extracted to visible text)
+  *             | export | import  (JSONL/CSV shard dirs, WARC crawl
+  *                                 archives, or WET extracted-text
+  *                                 archives, --format/--shards;
+  *                                 warc/wet export takes <url>
+  *                                 <payload> fields; warc import
+  *                                 yields url/text/status/content_type
+  *                                 /fetched_at with HTML payloads
+  *                                 extracted to visible text, wet
+  *                                 import yields url/text/fetched_at)
   *             | snapshots | diff (--from/--to snapshot names, --summary,
   *                                 --profile = per-column drift card,
   *                                 --psi <col> = scalar shift gate)
@@ -266,23 +269,23 @@ object Main {
     // response records become (url, text, status, content_type,
     // fetched_at) rows, HTML payloads extracted to visible text
     case "export" =>
-      requireFormat(o, Set("jsonl", "csv", "warc"))
+      requireFormat(o, Set("jsonl", "csv", "warc", "wet"))
       val dir = o.file.getOrElse(throw new IllegalArgumentException(
         "export needs -f/--file <dir>"))
       val fields = if (o.fields.nonEmpty) o.fields else null
       val df = env.view(o.table, fields).read(o.filters.map(FilterExpr.apply))
-      if (o.format == "warc") {
+      if (o.format == "warc" || o.format == "wet") {
         if (o.fields.size != 2) throw new IllegalArgumentException(
-          "export --format warc needs exactly two fields: <url> <payload>")
+          s"export --format ${o.format} needs exactly two fields: <url> <payload>")
         graft.sources.Warc.write(df, dir, o.fields.head, o.fields(1),
-          shards = math.max(1, o.shards))
+          shards = math.max(1, o.shards), wet = o.format == "wet")
       }
       else if (o.format == "csv") graft.sources.Corpus.exportCsv(df, dir, o.shards)
       else graft.sources.Corpus.exportJsonl(df, dir, o.shards)
       out.write(s"exported ${o.table} to $dir (${o.format})\n")
 
     case "import" =>
-      requireFormat(o, Set("jsonl", "csv", "warc"))
+      requireFormat(o, Set("jsonl", "csv", "warc", "wet"))
       val dir = o.file.getOrElse(throw new IllegalArgumentException(
         "import needs -f/--file <dir>"))
       val df =
@@ -299,6 +302,17 @@ object Main {
               .otherwise(txt).as("text"),
             col("http_status").as("status"),
             col("http_content_type").as("content_type"),
+            col("warc_date").as("fetched_at"))
+        }
+        else if (o.format == "wet") {
+          // WET conversion records are already extracted plain text
+          // (UTF-8 by convention; a BOM still wins in the decoder)
+          import org.apache.spark.sql.functions.col
+          graft.sources.Warc.read(env.spark, dir,
+              warcTypes = Seq("conversion")).select(
+            col("target_uri").as("url"),
+            graft.functions.TextKernels.decodeText(col("payload"),
+              col("http_content_type")).as("text"),
             col("warc_date").as("fetched_at"))
         }
         else if (o.format == "csv") graft.sources.Corpus.importCsv(env.spark, dir)

@@ -238,14 +238,21 @@ object Warc {
     s"<urn:uuid:${new java.util.UUID(bb.getLong, bb.getLong)}>"
   }
 
-  /** Export (url, payload) rows as WARC response records — the
-    * inverse fixture path, and the hand-off format for tools that
-    * only speak crawl archives. One `.warc.gz` per shard, a
-    * `warcinfo` header record first, then one gzip MEMBER PER RECORD
-    * (the crawl-release convention). Record ids are deterministic
-    * (MD5-derived UUID of the url) so exports are reproducible. */
+  /** Export (url, payload) rows as WARC records — the inverse fixture
+    * path, and the hand-off format for tools that only speak crawl
+    * archives. One `.warc.gz` per shard, a `warcinfo` header record
+    * first, then one gzip MEMBER PER RECORD (the crawl-release
+    * convention). Record ids are deterministic (MD5-derived UUID of
+    * the url) so exports are reproducible.
+    *
+    * `wet = false` (default) writes `response` records wrapping the
+    * payload in an HTTP response (a .warc archive); `wet = true`
+    * writes WET-style `conversion` records — bare text/plain blocks,
+    * the extracted-text sibling every CCNet-shaped pipeline consumes
+    * (read back with `warcTypes = Seq("conversion")`). */
   def write(df: DataFrame, dir: String, urlCol: String, payloadCol: String,
-      shards: Int = 1, date: String = "2026-01-01T00:00:00Z"): Unit = {
+      shards: Int = 1, date: String = "2026-01-01T00:00:00Z",
+      wet: Boolean = false): Unit = {
     val spark = df.sparkSession
     val root = new Path(dir)
     val dfs = fs(spark, root)
@@ -280,15 +287,20 @@ object Warc {
             val url = r.getString(0)
             val body = Option(r.get(1)).map(_.asInstanceOf[Array[Byte]])
               .getOrElse(Array.emptyByteArray)
-            val http = (s"HTTP/1.1 200 OK\r\n" +
-              "Content-Type: text/plain; charset=utf-8\r\n" +
-              s"Content-Length: ${body.length}\r\n\r\n").getBytes(US_ASCII) ++ body
-            member(rec(Seq("WARC-Type" -> "response",
+            val block =
+              if (wet) body
+              else (s"HTTP/1.1 200 OK\r\n" +
+                "Content-Type: text/plain; charset=utf-8\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n").getBytes(US_ASCII) ++
+                body
+            member(rec(Seq(
+              "WARC-Type" -> (if (wet) "conversion" else "response"),
               "WARC-Record-ID" -> uuidOf(url),
               "WARC-Date" -> date,
               "WARC-Target-URI" -> url,
-              "Content-Type" -> "application/http; msgtype=response",
-              "Content-Length" -> http.length.toString), http))
+              "Content-Type" ->
+                (if (wet) "text/plain" else "application/http; msgtype=response"),
+              "Content-Length" -> block.length.toString), block))
           }
         } finally out.close()
       }

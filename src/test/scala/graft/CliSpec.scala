@@ -153,6 +153,29 @@ class CliSpec extends SparkSpec {
         dir.resolve("bad").toString, "--format", "warc")
     }
     assert(err.getMessage.contains("exactly two fields"), err.getMessage)
+    // WET: extracted text out as conversion records, back as url/text
+    val wetDir = dir.resolve("wet").toString
+    run(conf, "export", "pages", "url", "text", "-f", wetDir,
+      "--format", "wet", "--shards", "1")
+    val schema3 = dir.resolve("schema3.yaml")
+    Files.writeString(schema3,
+      """- table: pages
+        |  columns:
+        |    url: varchar
+        |    text: varchar
+        |    fetched_at: timestamp
+        |  key: [url]
+        |""".stripMargin)
+    val dir3 = Files.createTempDirectory("graft-cli-wet-")
+    Files.writeString(dir3.resolve("tk.yaml"),
+      s"schema: $schema3\nwarehouse: ${dir3.resolve("wh")}\n")
+    val conf3 = dir3.resolve("tk.yaml").toString
+    run(conf3, "init")
+    run(conf3, "import", "pages", "-f", wetDir, "--format", "wet")
+    val wet = run(conf3, "read", "pages", "url", "text", "-s", "url")
+    assert(wet == "url,text\nhttp://x.example/a,\"Title\nbody text\"\n" +
+      "http://x.example/b,plain <kept> text\n" +
+      "http://x.example/c,café crawl\n", wet)
   }
 
   test("snapshot diff: last-two default, explicit --from/--to, summary, bucketed refusal") {

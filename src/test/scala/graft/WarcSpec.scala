@@ -133,6 +133,43 @@ class WarcSpec extends SparkSpec {
     assert(id1.startsWith("<urn:uuid:") && id1.endsWith(">"))
   }
 
+  test("WET conversion records: bare text blocks round-trip") {
+    val dir = tmp("wet")
+    val df = s.createDataFrame(Seq(
+      org.apache.spark.sql.Row("http://w.example/1", "extracted one"),
+      org.apache.spark.sql.Row("http://w.example/2", "extracted two")).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    Warc.write(df.select(col("url"), encode(col("text"), "UTF-8").as("p")),
+      dir, "url", "p", shards = 1, wet = true)
+    // conversion records: no HTTP wrapper, http fields null, the
+    // block IS the payload; the default response filter skips them
+    assert(Warc.read(s, dir).collect().isEmpty)
+    val back = Warc.read(s, dir, warcTypes = Seq("conversion"))
+      .orderBy("target_uri").collect()
+    assert(back.length == 2)
+    assert(back.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+    assert(back.map(r => new String(r.getAs[Array[Byte]](6), UTF_8)).toSeq ==
+      Seq("extracted one", "extracted two"))
+  }
+
+  test("scale shape: one streaming task per segment file, stable order") {
+    val dir = tmp("shape")
+    for (i <- 0 until 3)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"seg-$i%02d.warc"),
+        rec("response", s"http://s.example/$i", httpBlock(s"doc $i")))
+    val df = Warc.read(s, dir)
+    // gzip doesn't split: parallelism = segment count, one task each
+    assert(df.rdd.getNumPartitions == 3)
+    // all three decode; per-file ordering is the on-disk record order
+    assert(df.select("target_uri").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("http://s.example/0", "http://s.example/1", "http://s.example/2"))
+  }
+
   test("sloppy \\n\\n http split and statusless block degrade gracefully") {
     val dir = tmp("sloppy")
     val lf = ("HTTP/1.1 404 Not Found\nContent-Type: text/plain\n\n" +
