@@ -202,9 +202,16 @@ object Warc {
   def read(spark: SparkSession, dir: String, maxPayload: Int = 4 << 20,
       warcTypes: Seq[String] = Seq("response")): DataFrame = {
     val root = new Path(dir)
-    val files = fs(spark, root).listStatus(root).toSeq
-      .filter(s => s.isFile && (s.getPath.getName.endsWith(".warc") ||
-        s.getPath.getName.endsWith(".warc.gz")))
+    val fsys = fs(spark, root)
+    // crawl releases nest segments one level down (crawl/segments/...);
+    // a bounded two-level walk covers both layouts without the
+    // listFiles(recursive) per-file-RPC trap
+    def isWarc(n: String) = n.endsWith(".warc") || n.endsWith(".warc.gz")
+    val top = fsys.listStatus(root).toSeq
+    val files = (top.filter(s => s.isFile && isWarc(s.getPath.getName)) ++
+      top.filter(_.isDirectory).flatMap(d =>
+        fsys.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && isWarc(s.getPath.getName))))
       .map(_.getPath.toString).sorted
     val kv = confKv(spark)
     val types = warcTypes.toSet

@@ -168,6 +168,12 @@ class WarcSpec extends SparkSpec {
     // all three decode; per-file ordering is the on-disk record order
     assert(df.select("target_uri").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("http://s.example/0", "http://s.example/1", "http://s.example/2"))
+    // segments one level down (the crawl-release layout) are found too
+    val sub = java.nio.file.Paths.get(dir, "segments")
+    java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.write(sub.resolve("seg-99.warc"),
+      rec("response", "http://s.example/nested", httpBlock("deep")))
+    assert(Warc.read(s, dir).count() == 4)
   }
 
   test("sloppy \\n\\n http split and statusless block degrade gracefully") {
