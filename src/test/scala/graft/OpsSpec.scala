@@ -1764,6 +1764,37 @@ class OpsSpec extends SparkSpec {
     // malformed/truncated hevc SPS -> None, never a throw
     assert(Multimodal.H265Sps.findAndParse(
       Multimodal.hevcSpsNal(640, 480).take(9)).isEmpty)
+    // a PES split across TWO TS packets (the real-stream shape: the
+    // SPS rarely fits the first 184-byte payload): fragment A rides a
+    // unit-start packet padded via adaptation-field stuffing, fragment
+    // B a continuation packet — the ES accumulation must splice them
+    def tsPkt(pid: Int, pusi: Boolean, cc: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length <= 184)
+      val p = new Array[Byte](188)
+      p(0) = 0x47
+      p(1) = (((if (pusi) 0x40 else 0) | (pid >> 8)) & 0xFF).toByte
+      p(2) = (pid & 0xFF).toByte
+      val stuff = 184 - payload.length
+      if (stuff == 0) p(3) = (0x10 | cc).toByte
+      else {
+        p(3) = (0x30 | cc).toByte       // adaptation field + payload
+        p(4) = (stuff - 1).toByte       // AF length fills the gap
+        if (stuff > 1) {
+          p(5) = 0x00                   // no AF flags
+          java.util.Arrays.fill(p, 6, 4 + stuff, 0xFF.toByte)
+        }
+      }
+      System.arraycopy(payload, 0, p, 4 + stuff, payload.length)
+      p
+    }
+    val pes = Array[Byte](0, 0, 1, 0xE0.toByte, 0, 0, 0x80.toByte, 0, 0) ++
+      Multimodal.spsNal(640, 480)
+    val split = Multimodal.TsProbe.parse(
+      Multimodal.synthTs(1000) ++                     // PAT+PMT+PCRs, no PES
+      tsPkt(0x101, pusi = true, 0, pes.take(12)) ++   // header + SPS start
+      tsPkt(0x101, pusi = false, 1, pes.drop(12))).get
+    assert(split.getInt(2) == 640 && split.getInt(3) == 480, split)
+
     // hand-built hevc SPS: TWO sub-layers with split present flags
     // (alignment + per-layer PTL blocks) and 4:2:2 chroma, whose crop
     // units differ per axis (SubWidthC 2, SubHeightC 1)
