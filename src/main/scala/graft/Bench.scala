@@ -301,6 +301,29 @@ object Bench {
     }
     graft.ops.Dedup.clearMaterializedSlots()
 
+    // WARC crawl-archive source at 10x: export once per rep (untimed
+    // dir wipe, timed gzip-member write), then the streaming read +
+    // HTTP block split + charset-aware decode end-to-end — parallelism
+    // = shard count, the per-file sequential scan gzip imposes.
+    val warcDir = java.nio.file.Files
+      .createTempDirectory("bench-warc-").toString
+    probeSetup("sf1_warc_write") {
+      try org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(warcDir))
+      catch { case _: Exception => }
+    }(graft.sources.Warc.write(
+      docs10.select(
+        concat(lit("http://bench.example/"), col("doc_id")).as("u"),
+        encode(col("text"), "UTF-8").as("p")),
+      warcDir, "u", "p", shards = 32))
+    probe("sf1_warc_read") {
+      graft.sources.Warc.read(spark, warcDir)
+        .select(col("target_uri"),
+          graft.functions.TextKernels.decodeText(col("payload"),
+            col("http_content_type")).as("text"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // sf1 probes for the OTHER shuffle-heavy miners (r9 verdict #4):
     // span mining, simhash banding, and the profiling melt — so the
     // next scale cliff surfaces here, not in a judge re-run. The 10x

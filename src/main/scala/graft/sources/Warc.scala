@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.Path
 import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException,
   InputStream}
 import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPInputStream
 
 /** WARC (ISO 28500) source/sink — the wire format of web-crawl
   * corpora (Common Crawl, web archives), the raw input of most
@@ -273,9 +273,32 @@ object Warc {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = new Path(dirStr, f"part-$pid%05d.warc.gz")
         val out = p.getFileSystem(rebuild(kv)).create(p, true)
+        // one gzip member per record, but ONE reused Deflater per
+        // task: GZIPOutputStream allocates a native zlib stream per
+        // instance, and a shard writes tens of thousands of members —
+        // hand-framed header/trailer around a reset deflater keeps
+        // the member layout byte-compatible with GZIPInputStream
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val crc = new java.util.zip.CRC32()
+        val dbuf = new Array[Byte](8192)
+        def le32(v: Long): Unit = {
+          out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+          out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+        }
         def member(bytes: Array[Byte]): Unit = {
-          val gz = new GZIPOutputStream(out)
-          gz.write(bytes); gz.finish() // member closed, stream stays open
+          out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+            0xff.toByte)) // magic, deflate, no flags/mtime, OS unknown
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          while (!deflater.finished()) {
+            val n = deflater.deflate(dbuf)
+            if (n > 0) out.write(dbuf, 0, n)
+          }
+          crc.reset(); crc.update(bytes)
+          le32(crc.getValue)                      // member CRC32
+          le32(bytes.length.toLong & 0xFFFFFFFFL) // ISIZE mod 2^32
         }
         def rec(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
           val head = ("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
@@ -309,7 +332,7 @@ object Warc {
                 (if (wet) "text/plain" else "application/http; msgtype=response"),
               "Content-Length" -> block.length.toString), block))
           }
-        } finally out.close()
+        } finally { deflater.end(); out.close() }
       }
   }
 }
