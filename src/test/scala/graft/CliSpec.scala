@@ -415,6 +415,14 @@ class CliSpec extends SparkSpec {
     val normRow = audit4.linesIterator.find(_.contains("normalize"))
     assert(normRow.isDefined, audit4)
     assert(normRow.get.trim.split("\\s+")(1).toLong == 8L, audit4)
+    // --html prepends visible-text extraction FIRST (before
+    // normalize): a rewrite stage, all 8 docs pass through
+    val audit4b = run(conf.toString, "curate", "docs",
+      "--scratch", dir.resolve("hscratch").toString, "--html", "--normalize")
+    val hIdx = audit4b.indexOf("html_extract")
+    assert(hIdx >= 0 && hIdx < audit4b.indexOf("normalize"), audit4b)
+    assert(audit4b.linesIterator.find(_.contains("html_extract")).get
+      .trim.split("\\s+")(1).toLong == 8L, audit4b)
     // --gopher: the line-rule floor bites symbol spam — re-seed docs
     // (purge) with one clean doc and one all-symbol doc
     val gcsv = dir.resolve("gdocs.csv")

@@ -330,13 +330,15 @@ class WebSpec extends SparkSpec {
       assert(get(port, "/_curate/member")._1 == 405)
       assert(post(port, "/_curate/member", "{}")._1 == 400)
       // classifier stage plumbing: pos/neg from managed tables adds
-      // the stage; one side alone refuses
+      // the stage; one side alone refuses; "html" prepends extraction
       val (c2, b2) = post(port, "/_curate/member",
         """{"scratch": "run2", "id_col": "registration_code",
           | "text_col": "name", "clf_pos": "team", "clf_neg": "country",
-          | "gopher": true}""".stripMargin)
+          | "gopher": true, "html": true}""".stripMargin)
       assert(c2 == 200 && b2.contains("classifier") && b2.contains("gopher"),
         s"$c2 $b2")
+      assert(b2.indexOf("html_extract") >= 0 &&
+        b2.indexOf("html_extract") < b2.indexOf("exact_dedup"), b2)
       assert(post(port, "/_curate/member",
         """{"scratch": "run3", "clf_pos": "team"}""")._1 == 400)
       // incremental: "index" is a plain NAME resolved under
