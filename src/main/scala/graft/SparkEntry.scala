@@ -524,6 +524,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM-pipeline: character-entropy quality signal — the gibberish
+    // / low-entropy-spam heuristic as a codegen kernel; the oracle
+    // replays H = ln n - (sum c*ln c)/n over the sorted distinct
+    // characters with list lambdas (identical summation order)
+    "text_entropy" -> ((s, dir) => {
+      val docs = graft.ops.Par.spread(
+        env(s, dir).view("documents", Seq("doc_id", "text")).read())
+      docs.select(col("doc_id"),
+        round(Text.charEntropy(col("text")), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM-pipeline: Gopher line-level quality signals (Rae 2021 —
     // bullet/ellipsis line shares, duplicate-line fractions, alpha
     // word share, symbol ratio). Bullets/dups/ellipses/symbols are
@@ -2494,6 +2506,21 @@ object SparkEntry {
         |      '\r\n|\r', chr(10), 'g'),
         |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS text
         |FROM documents""".stripMargin,
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, len(text) AS n,
+        |    list_transform(range(1, len(text) + 1), i -> text[i]) AS cs
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, n, list_transform(list_sort(list_distinct(cs)),
+        |    c -> len(list_filter(cs, x -> x = c))) AS counts
+        |  FROM ch)
+        |SELECT doc_id,
+        |  CASE WHEN n = 0 THEN NULL ELSE
+        |    round(ln(n) - list_sum(list_transform(counts,
+        |      c -> c * ln(c))) / n, 6)
+        |  END AS entropy
+        |FROM cnt""".stripMargin,
     // the extractor's whitespace discipline on the planted <p> body:
     // collapse space runs + trim; an all-space body drops its line
     "text_html_extract" ->

@@ -79,6 +79,35 @@ object TextKernels {
       .fromPrimitiveArray(acc)
   }
 
+  /** Shannon entropy (nats) of a string's character distribution —
+    * the classic gibberish/low-entropy-spam quality signal: natural
+    * prose sits ~2.8-3.2, "aaaa…" near 0, random base64 near ln(64).
+    * One codegen kernel pass per row (count codepoints, then
+    * H = ln n − Σ c·ln c / n summed in SORTED codepoint order so the
+    * float result is engine-replayable — DuckDB reproduces it with
+    * list lambdas over the sorted distinct characters). Empty or
+    * null text → null. */
+  def charEntropy(c: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(c.cast("string"))))
+
+  /** Runtime for [[CharEntropy]] (also the codegen target). */
+  def charEntropyOf(s: UTF8String): Any = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n == 0) return null
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, _ + _)
+      i += Character.charCount(cp)
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().toDouble; acc += c * math.log(c) }
+    math.log(n.toDouble) - acc / n
+  }
+
   /** Visible-text extraction from an HTML string column — the
     * WET step between a crawl archive ([[graft.sources.Warc]]) and
     * the text pipeline (langId → quality → dedup). Like [[nfc]], a
@@ -312,6 +341,30 @@ case class FeatureHashEmbed(child: Expression, dims: Int)
       c => s"graft.functions.TextKernels.featureHashEmbed($c, $dims)")
 
   override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed =
+    copy(child = newChild)
+}
+
+/** Character-distribution entropy; see [[TextKernels.charEntropy]]. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  // input type is guaranteed string by the TextKernels.charEntropy
+  // wrapper (explicit cast); direct construction must honor that
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true // empty string -> null
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.charEntropyOf(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""Object r = graft.functions.TextKernels.charEntropyOf($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
     copy(child = newChild)
 }
 

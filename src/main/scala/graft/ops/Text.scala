@@ -644,6 +644,15 @@ object Text {
     array_join(kept, "\n")
   }
 
+  /** Character-distribution Shannon entropy (nats) — the gibberish /
+    * low-entropy-spam quality heuristic (natural prose ~2.8-3.2,
+    * repeated-char spam near 0). Native codegen kernel
+    * ([[graft.functions.TextKernels.charEntropy]]); composes with
+    * [[qualityScore]]/[[gopherSignals]] as a filter floor/ceiling.
+    * Empty or NULL text → NULL. */
+  def charEntropy(text: Column): Column =
+    graft.functions.TextKernels.charEntropy(text)
+
   /** Visible text from raw HTML — the extraction step between a
     * crawl archive ([[graft.sources.Warc]] payloads) and everything
     * else in this module; the stage WET files are made of. Native

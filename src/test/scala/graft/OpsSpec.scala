@@ -2254,6 +2254,33 @@ class OpsSpec extends SparkSpec {
     assert(rows(cg).map(_.head) == Seq("doc 0", "doc 1", "doc 2"))
   }
 
+  test("charEntropy: closed forms, codepoints not chars, null/empty, codegen") {
+    def h(t: String): Any =
+      rows(docsDf(Seq((1L, t))).select(
+        Text.charEntropy(col("text")).as("h"))).head.head
+    assert(h("aaaa") == 0.0)
+    assert(math.abs(h("ab").asInstanceOf[Double] - math.log(2)) < 1e-12)
+    // uniform over 4 distinct chars -> ln 4
+    assert(math.abs(h("abcd").asInstanceOf[Double] - math.log(4)) < 1e-12)
+    // codepoint-level: a surrogate-pair char counts ONCE (n = 4, two
+    // distinct codepoints twice each -> ln 2, not the ln of a
+    // UTF-16-unit distribution)
+    assert(math.abs(h("𝄞𝄞aa").asInstanceOf[Double]
+      - math.log(2)) < 1e-12)
+    assert(h("") == null)
+    assert(rows(docsDf(Seq((1L, null))).select(
+      Text.charEntropy(col("text")).as("h"))).head.head == null)
+    // natural prose sits in the expected band; spam sits near zero
+    val prose = h("the quick brown fox jumps over the lazy dog")
+      .asInstanceOf[Double]
+    assert(prose > 2.5 && prose < 3.5, prose)
+    // the kernel stays inside whole-stage codegen on a real scan
+    val cg = s.range(3).select(Text.charEntropy(
+      concat(lit("doc"), col("id").cast("string"))).as("h"))
+    assert(cg.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(rows(cg).forall(_.head.asInstanceOf[Double] > 0))
+  }
+
   test("decodeText: charset header, BOMs, bad bytes replace, codegen") {
     import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
     def d(payload: Array[Byte], ctype: String): String = {
