@@ -1026,18 +1026,23 @@ object SparkEntry {
     }),
 
     // LLM-pipeline: MPEG-TS bitstream dims — an H.264 SPS (ids ≡ 0
-    // mod 3; the cropping window encodes non-multiple-of-16 sizes),
-    // an MPEG-2 sequence header (ids ≡ 1; packed 12-bit dims), or an
-    // H.265 SPS (ids ≡ 2; conformance-window crop) parsed from the
-    // video PES the PMT names, duration from the PCR span — all pure
-    // arithmetic of n_chars the oracle replays
+    // mod 4; the cropping window encodes non-multiple-of-16 sizes),
+    // an MPEG-2 sequence header (ids ≡ 1; packed 12-bit dims), an
+    // H.265 SPS (ids ≡ 2; conformance-window crop), or an MPEG-4
+    // Part 2 VOL header (ids ≡ 3; 13-bit dims between markers) parsed
+    // from the video PES the PMT names, duration from the PCR span —
+    // all pure arithmetic of n_chars the oracle replays
     "multimodal_video_ts" -> ((s, dir) => {
       val docs = graft.ops.Par.spread(
         env(s, dir).view("documents", Seq("doc_id", "n_chars")).read())
       val ts = udf((id: Long, n: Long) => graft.ops.Multimodal.synthTs(
         (1000 + (n % 9000)).toInt,
-        if (id % 3 == 0) "h264"
-        else if (id % 3 == 1) "mpeg2video" else "hevc",
+        (id % 4) match {
+          case 0 => "h264"
+          case 1 => "mpeg2video"
+          case 2 => "hevc"
+          case _ => "mpeg4video"
+        },
         (320 + (n % 160) * 2).toInt,
         (240 + ((n / 7) % 120) * 2).toInt))
       val media = docs.select(col("doc_id"),
@@ -2416,9 +2421,10 @@ object SparkEntry {
         |FROM d""".stripMargin,
     "multimodal_video_ts" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'h264'
-        |       WHEN doc_id % 3 = 1 THEN 'mpeg2video'
-        |       ELSE 'hevc' END AS codec,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'h264'
+        |       WHEN doc_id % 4 = 1 THEN 'mpeg2video'
+        |       WHEN doc_id % 4 = 2 THEN 'hevc'
+        |       ELSE 'mpeg4video' END AS codec,
         |  CAST(320 + (n_chars % 160) * 2 AS INTEGER) AS width,
         |  CAST(240 + ((n_chars // 7) % 120) * 2 AS INTEGER) AS height,
         |  round(CAST(1000 + (n_chars % 9000) AS DOUBLE), 3) AS duration_ms,

@@ -1375,6 +1375,10 @@ object Multimodal {
         H265Sps.findAndParse(esB).foreach { case (w0, h0) =>
           width = w0; height = h0
         }
+      } else if (codec == "mpeg4video") {
+        Mpeg4Vol.findAndParse(esB).foreach { case (w0, h0) =>
+          width = w0; height = h0
+        }
       }
       Some(Row("mpegts", codec, width, height, duration, nStreams,
         Boolean.box(true)))
@@ -1629,6 +1633,7 @@ object Multimodal {
     val vType = codec match {
       case "mpeg2video" => 0x02
       case "hevc" => 0x24
+      case "mpeg4video" => 0x10
       case _ => 0x1B
     }
     val pmt = sec(2, Array(
@@ -1643,6 +1648,7 @@ object Multimodal {
         val esB =
           if (codec == "mpeg2video") mpeg2SeqHeader(w, h)
           else if (codec == "hevc") hevcSpsNal(w, h)
+          else if (codec == "mpeg4video") mpeg4VolHeader(w, h)
           else spsNal(w, h)
         packet(0x101, pusi = true,
           Array[Byte](0, 0, 1, 0xE0.toByte, 0, 0,        // unbounded length
@@ -1659,6 +1665,88 @@ object Multimodal {
     Array[Byte](0, 0, 1, 0xB3.toByte,
       (w >> 4).toByte, (((w & 0xF) << 4) | (h >> 8)).toByte, (h & 0xFF).toByte,
       0x12.toByte, 0xFF.toByte, 0xFF.toByte, 0xE0.toByte, 0x20.toByte, 0x00)
+
+  /** MPEG-4 Part 2 Video-Object-Layer decoder for picture dimensions
+    * (ISO 14496-2 §6.2.3): scans for a VOL start code (00 00 01
+    * 0x20-0x2F — this bitstream has NO emulation-prevention bytes),
+    * walks the conditional prefix (object-layer identifier, extended
+    * pixel aspect, vol_control incl. the 79-bit VBV block,
+    * fixed-VOP-rate increment whose width derives from the time
+    * resolution) and reads the rectangular-shape 13-bit width/height
+    * between marker bits. Non-rectangular shapes and malformed bits
+    * → None (the external-prober fall-through is preserved). */
+  private[graft] object Mpeg4Vol {
+    import Nal.Bits
+
+    private def dims(b: Array[Byte]): (Int, Int) = {
+      val r = new Bits(b)
+      r.u(1)       // random_accessible_vol
+      r.u(8)       // video_object_type_indication
+      if (r.u1() == 1) { r.u(4); r.u(3) } // verid + priority
+      if (r.u(4) == 0xF) r.u(16)          // extended PAR w/h
+      if (r.u1() == 1) {                  // vol_control_parameters
+        r.u(2); r.u(1)                    // chroma_format, low_delay
+        if (r.u1() == 1) r.skip(79)       // vbv_parameters block
+      }
+      val shape = r.u(2)
+      if (shape != 0) throw new IllegalArgumentException(
+        s"non-rectangular VOL shape $shape")
+      r.u(1) // marker
+      val timeRes = r.u(16)
+      r.u(1) // marker
+      if (r.u1() == 1) { // fixed_vop_rate: increment width from timeRes
+        val bits = math.max(1,
+          32 - Integer.numberOfLeadingZeros(math.max(1, timeRes - 1)))
+        r.skip(bits)
+      }
+      r.u(1) // marker
+      val w = r.u(13)
+      r.u(1) // marker
+      val h = r.u(13)
+      (w, h)
+    }
+
+    def findAndParse(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 0
+      while (i + 5 <= b.length) {
+        if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1 &&
+            (b(i + 3) & 0xF0) == 0x20) {
+          try {
+            val end = math.min(b.length, i + 4 + 64)
+            val (w, h) = dims(java.util.Arrays.copyOfRange(b, i + 4, end))
+            if (w > 0 && h > 0) return Some((w, h))
+          } catch { case _: Exception => } // malformed VOL: keep scanning
+        }
+        i += 1
+      }
+      None
+    }
+  }
+
+  /** Bit-written MPEG-4 Part 2 VOL header for exact w×h: simple
+    * profile, square pixels, rectangular shape, 25 Hz time base,
+    * free VOP rate. Inverse of [[Mpeg4Vol]]. */
+  private[graft] def mpeg4VolHeader(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w < 8192 && h < 8192,
+      s"13-bit dims required, got ${w}x$h")
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+    }
+    u(0, 1); u(1, 8)      // random_accessible, simple-object type
+    u(0, 1)               // no object-layer identifier
+    u(1, 4)               // aspect 1:1
+    u(0, 1)               // no vol_control_parameters
+    u(0, 2)               // rectangular shape
+    u(1, 1); u(25, 16); u(1, 1) // marker, time resolution, marker
+    u(0, 1)               // free VOP rate
+    u(1, 1); u(w, 13); u(1, 1); u(h, 13); u(1, 1)
+    u(0, 1); u(0, 1)      // not interlaced, OBMC disabled
+    while (bits.size % 8 != 0) u(1, 1) // stuffing
+    Array[Byte](0, 0, 1, 0x20) ++ bits.grouped(8)
+      .map(_.foldLeft(0)((a, bit) => (a << 1) | bit).toByte).toArray
+  }
 
   /** Bit-written H.265 SPS NAL for exact w×h (any dims): fixed 96-bit
     * profile_tier_level (Main profile shape), 4:2:0, coded luma size

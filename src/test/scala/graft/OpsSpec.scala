@@ -1764,6 +1764,43 @@ class OpsSpec extends SparkSpec {
     // malformed/truncated hevc SPS -> None, never a throw
     assert(Multimodal.H265Sps.findAndParse(
       Multimodal.hevcSpsNal(640, 480).take(9)).isEmpty)
+    // mpeg4 part-2 VOL: 13-bit dims, PMT type 0x10
+    val m4 = Multimodal.TsProbe.parse(
+      Multimodal.synthTs(4000, "mpeg4video", 352, 288)).get
+    assert(m4.getString(1) == "mpeg4video" && m4.getInt(2) == 352 &&
+      m4.getInt(3) == 288, m4)
+    // hand-built VOL exercising every conditional prefix branch the
+    // synth skips: object-layer identifier, extended PAR, vol_control
+    // with the 79-bit VBV block, fixed VOP rate (6-bit increment for
+    // a 60 Hz time base)
+    val vb = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def uv(v: Int, n: Int): Unit = {
+      var i = n - 1; while (i >= 0) { vb += ((v >> i) & 1); i -= 1 }
+    }
+    uv(0, 1); uv(1, 8)
+    uv(1, 1); uv(1, 4); uv(0, 3)   // identifier: verid 1, priority 0
+    uv(0xF, 4); uv(4, 8); uv(3, 8) // extended PAR 4:3
+    uv(1, 1)                       // vol_control_parameters
+    uv(1, 2); uv(0, 1)             // chroma 4:2:0, not low delay
+    uv(1, 1)                       // vbv_parameters
+    for (_ <- 0 until 79) uv(1, 1) // the vbv block (markers included)
+    uv(0, 2)                       // rectangular
+    uv(1, 1); uv(60, 16); uv(1, 1) // 60 Hz
+    uv(1, 1); uv(33, 6)            // fixed VOP rate, 6-bit increment
+    uv(1, 1); uv(1920, 13); uv(1, 1); uv(1080, 13); uv(1, 1)
+    while (vb.size % 8 != 0) uv(1, 1)
+    val volNal = Array[Byte](0, 0, 1, 0x25) ++ vb.grouped(8)
+      .map(_.foldLeft(0)((x, bit) => (x << 1) | bit).toByte).toArray
+    assert(Multimodal.Mpeg4Vol.findAndParse(volNal).contains((1920, 1080)))
+    // non-rectangular shape -> None (binary shape = 01): flip the
+    // shape bits, which sit right after the vbv block
+    val vb2 = vb.clone()
+    val shapeIdx = 1 + 8 + 1 + 4 + 3 + 4 + 8 + 8 + 1 + 2 + 1 + 1 + 79
+    vb2(shapeIdx) = 0; vb2(shapeIdx + 1) = 1
+    val volBad = Array[Byte](0, 0, 1, 0x25) ++ vb2.grouped(8)
+      .map(_.foldLeft(0)((x, bit) => (x << 1) | bit).toByte).toArray
+    assert(Multimodal.Mpeg4Vol.findAndParse(volBad).isEmpty)
+
     // a PES split across TWO TS packets (the real-stream shape: the
     // SPS rarely fits the first 184-byte payload): fragment A rides a
     // unit-start packet padded via adaptation-field stuffing, fragment
