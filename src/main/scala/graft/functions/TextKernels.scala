@@ -201,6 +201,11 @@ object TextKernels {
         if (h.regionMatches(i + 1, "!--", 0, 3)) {
           val e = h.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
+        } else if (h.regionMatches(i + 1, "![CDATA[", 0, 8)) {
+          // XHTML/SVG CDATA: the block may contain '>', only ]]> ends
+          // it; its content is not rendered text
+          val e = h.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
         } else if (i + 1 < n && (h.charAt(i + 1) == '!' || h.charAt(i + 1) == '?')) {
           val e = h.indexOf('>', i + 1) // <!DOCTYPE ...>, <?xml ...>
           i = if (e < 0) n else e + 1

@@ -2264,6 +2264,10 @@ class OpsSpec extends SparkSpec {
     assert(x("<div class=\"x>y\">in</div>") == "in")
     // comments drop even when they contain tags; doctype drops
     assert(x("<!DOCTYPE html>a<!-- <p>hidden</p> -->b") == "ab")
+    // CDATA blocks drop whole, even containing '>' and tags;
+    // unterminated CDATA swallows the tail
+    assert(x("a<![CDATA[ x > y <p>no</p> ]]>b") == "ab")
+    assert(x("a<![CDATA[ cut off") == "a")
     // entities: named, numeric dec/hex, unknown kept literal
     assert(x("&amp;&lt;tag&gt; &#65;&#x42; &unknown; a&b") ==
       "&<tag> AB &unknown; a&b")

@@ -133,6 +133,23 @@ class WarcSpec extends SparkSpec {
     assert(id1.startsWith("<urn:uuid:") && id1.endsWith(">"))
   }
 
+  test("foreign layout: one gzip member over the whole multi-record file") {
+    // some tools gzip the concatenated records as a single member
+    // instead of one member per record — the reader must not care
+    val dir = tmp("onegz")
+    val bytes = rec("response", "http://g.example/1", httpBlock("first")) ++
+      rec("response", "http://g.example/2", httpBlock("second"))
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "seg-0.warc.gz"),
+      out.toByteArray)
+    val rows = Warc.read(s, dir).orderBy("target_uri").collect()
+    assert(rows.length == 2)
+    assert(rows.map(r => new String(r.getAs[Array[Byte]](6), UTF_8)).toSeq ==
+      Seq("first", "second"))
+  }
+
   test("WET conversion records: bare text blocks round-trip") {
     val dir = tmp("wet")
     val df = s.createDataFrame(Seq(
