@@ -355,6 +355,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p)
   }
 
+  test("crawl kernels plan: extract+decode+entropy fuse into one scan stage") {
+    val env = Testbed.env(spark, "/root/testdata/sf0.001")
+    val docs = env.view("documents", Seq("doc_id", "text")).read()
+    // the whole WET chain — charset decode, visible-text extraction,
+    // entropy scoring — is one codegen'd projection over the scan:
+    // no exchange, no extra stages, scan filter still pushed
+    val out = docs.filter(col("doc_id") > 10).select(col("doc_id"),
+      graft.ops.Text.charEntropy(graft.ops.Text.htmlToText(
+        graft.functions.TextKernels.decodeText(
+          org.apache.spark.sql.functions.encode(col("text"), "UTF-8"),
+          org.apache.spark.sql.functions.lit("text/html; charset=utf-8"))))
+        .as("h"))
+    val p = plan(out)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("*(1)"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id"), p)
+  }
+
   test("filterDomains plan: blocklist broadcasts, no URL strings shuffle") {
     val env = Testbed.env(spark, "/root/testdata/sf0.001")
     val docs = env.view("documents", Seq("doc_id", "source")).read()
