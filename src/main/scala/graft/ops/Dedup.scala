@@ -307,16 +307,13 @@ object Dedup {
   }
 
   /** MinHash signature (`numHashes` 64-bit mins) over the shingle set,
-    * as a single array column — convenient for per-row use. For the
-    * bulk pair-mining path prefer [[minhashPairs]], which computes the
-    * same signature via explode + partial aggregation (128 giant array
-    * lambdas per row overflow codegen and run interpreted). */
-  def minhashSignature(text: Column, numHashes: Int = 128, shingleSize: Int = 3): Column = {
-    val base = shingleHashes(text, shingleSize)
-    array(minhashCoefs(numHashes).map { case (a, b) =>
-      array_min(transform(base, h => h * a + b))
-    }: _*)
-  }
+    * as a single array column — the same
+    * [[graft.functions.MiningKernels.minhashMins]] codegen kernel the
+    * bulk mining path uses (r14: previously 128 per-row array lambdas,
+    * which overflowed codegen and ran interpreted). */
+  def minhashSignature(text: Column, numHashes: Int = 128, shingleSize: Int = 3): Column =
+    graft.functions.MiningKernels.minhashMins(
+      shingleHashes(text, shingleSize), minhashCoefs(numHashes))
 
   /** Candidate pairs from LSH buckets, shared by [[minhashPairs]] and
     * [[Similarity.cosinePairs]]. `banded` holds one `__id` per bucket
@@ -330,13 +327,21 @@ object Dedup {
     * that still links every member to a canonical representative for
     * dedup. The per-bucket stats aggregate keeps `collect_list`
     * bounded at maxBucket (no unbounded in-memory bucket arrays). */
-  private[graft] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
+  private[graft] def bucketPairs(banded0: DataFrame, bucketCols: Seq[String],
       maxBucket: Int): DataFrame = {
     // `banded` is referenced three times below (stats + two joins) but
-    // needs no persist: the references share one shuffle exchange and
-    // AQE's ReusedExchange computes it once (verified — caching it was
-    // measurably slower by breaking exchange reuse).
+    // needs no persist: an explicit repartition on the bucket key
+    // plants ONE exchange that every reference shares via AQE's
+    // ReusedExchange — the signature subplan computes once — and the
+    // stats groupBy plus both bucket-key joins then need NO further
+    // shuffle (guide §2.4: operations keyed the same way share one
+    // exchange). Before r14 the signature pipelines ended in their own
+    // aggregation exchange which played this role implicitly; the
+    // map-only kernel signatures (see [[bandedSignatures]]) removed
+    // it, and without this repartition each reference re-ran the
+    // whole scan+signature subplan (measured 3× recompute).
     val keys = bucketCols.map(col)
+    val banded = banded0.repartition(keys: _*)
     val stats = banded.groupBy(keys: _*)
       .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
     val small = banded
@@ -624,9 +629,7 @@ object Dedup {
     try {
       docsH.write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(path, "docs").toString)
-      val banded = bandedFromHashed(
-        docsH.select(col("__id"), explode(col("__hs")).as("__h")),
-        numHashes, numBands)
+      val banded = bandedFromHashSets(docsH, numHashes, numBands)
         .withColumn("__bp", pmod(col("__bsig"), lit(buckets.toLong)))
         .repartition(col("__bp"))
       banded.write.mode("overwrite").partitionBy("__bp")
@@ -660,9 +663,7 @@ object Dedup {
     try {
       docsH.write.mode("append")
         .parquet(new org.apache.hadoop.fs.Path(path, "docs").toString)
-      bandedFromHashed(
-        docsH.select(col("__id"), explode(col("__hs")).as("__h")),
-        numHashes, numBands)
+      bandedFromHashSets(docsH, numHashes, numBands)
         .withColumn("__bp", pmod(col("__bsig"), lit(buckets.toLong)))
         .repartition(col("__bp"))
         .write.mode("append").partitionBy("__bp")
@@ -674,37 +675,41 @@ object Dedup {
     * [[minhashPairs]] and the corpus index. */
   private[graft] def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, numBands: Int, shingleSize: Int): DataFrame =
-    bandedFromHashed(
+    bandedFromHashSets(
       Par.spread(df).select(col(idCol).as("__id"),
-        explode(shingleHashes(col(textCol), shingleSize)).as("__h")),
+        shingleHashes(col(textCol), shingleSize).as("__hs")),
       numHashes, numBands)
 
-  /** Banding from an already-exploded `(__id, __h)` shingle-hash
-    * frame (lets [[buildMinhashIndex]] reuse its persisted doc hash
-    * sets instead of re-parsing the corpus). */
-  private def bandedFromHashed(hashed: DataFrame,
+  /** Banding from a per-doc shingle-hash-SET frame `(__id, __hs)`
+    * (lets [[buildMinhashIndex]] reuse its persisted doc hash sets
+    * instead of re-parsing the corpus).
+    *
+    * Scale shape (r14 optimization, guide §2.4/§4): the previous
+    * formulation exploded `__hs` and computed the 128 permutation
+    * mins as two ≤64-aggregate groupBys joined on id — correct and
+    * codegen'd, but it paid a FULL SHUFFLE of one (id, hash) row per
+    * shingle (the corpus's token count × 16 bytes) on every mining
+    * pass. The [[graft.functions.MiningKernels.minhashMins]] kernel
+    * computes all 128 mins in one in-row pass inside whole-stage
+    * codegen: the signature stage is now map-only, and the first
+    * exchange of every minhash path carries one narrow row per
+    * (doc, band). Band packing (xxhash64 over the comma-joined mins)
+    * is unchanged and stays in codegen, so `__bsig` values — and
+    * every downstream bucket/pair/verify result — are bit-identical. */
+  private def bandedFromHashSets(docsH: DataFrame,
       numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val coefs = minhashCoefs(numHashes)
-    // ≤64 aggregates per groupBy: a 128-column aggregate exceeds
-    // spark.sql.codegen.maxFields (100) and silently drops out of
-    // whole-stage codegen — measured 46 CPU-seconds interpreted vs ~8
-    // split (the halves share one shuffle via ReusedExchange, and the
-    // id-equi join of the two 1-row-per-doc halves is noise)
-    val sig = coefs.zipWithIndex.grouped(64)
-      .map { cs =>
-        hashed.groupBy("__id").agg(
-          min(col("__h") * cs.head._1._1 + cs.head._1._2)
-            .as(s"__m${cs.head._2}"),
-          cs.tail.map { case ((a, b), i) =>
-            min(col("__h") * a + b).as(s"__m$i")
-          }: _*)
-      }.reduce(_.join(_, Seq("__id")))
+    val sig = docsH.select(col("__id"),
+        graft.functions.MiningKernels.minhashMins(col("__hs"), coefs)
+          .as("__mins"))
+      .filter(col("__mins").isNotNull)
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r =>
-            col(s"__m${b * rowsPerBand + r}").cast("string")): _*)).as("sig"))
+            element_at(col("__mins"), b * rowsPerBand + r + 1)
+              .cast("string")): _*)).as("sig"))
     }
     sig.select(col("__id"), explode(array(bandStructs: _*)).as("__b"))
       .select(col("__id"), col("__b.band").as("__band"), col("__b.sig").as("__bsig"))
@@ -768,26 +773,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * token hashes, as a single codegen'd aggregate expression. */
+    * token hashes, through the
+    * [[graft.functions.MiningKernels.simhashBits]] codegen kernel
+    * (r14: previously 64 per-row array-aggregate lambdas, interpreted;
+    * the vote rule — bit set iff strictly more ones than zeros — is
+    * unchanged). */
   def simhash(text: Column): Column =
-    Hof.bind(transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)),
-      hashes => {
-        val bits = (0 until 64).map { b =>
-          val votes = aggregate(hashes, lit(0L),
-            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-          when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-        }
-        bits.reduce((a, b) => a.bitwiseOR(b))
-      })
+    graft.functions.MiningKernels.simhashBits(
+      transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)), 64)
 
   /** SimHash near-dup candidate pairs: band the `numBits`-bit hash
     * into 4 chunks (pigeonhole: hamming distance <= 3 implies one
     * identical chunk), bucket-join, verify true hamming distance.
     *
-    * The signature is computed via explode + per-bit `sum` aggregates
-    * (map-side combine; the per-row [[simhash]] column with 64
-    * array-aggregate lambdas overflows codegen and runs interpreted).
-    * Majority vote: bit set iff 2*ones > tokens.
+    * The signature is one map-only kernel projection per doc
+    * ([[graft.functions.MiningKernels.simhashBits]] — see the inline
+    * note below). Majority vote: bit set iff 2*ones > tokens.
     *
     * `tokenHash` defaults to xxhash64 (the cheap choice at corpus
     * scale); pass an engine-portable hash (e.g. an md5-derived 60-bit
@@ -810,20 +811,23 @@ object Dedup {
       s"numBits must be a multiple of 4 up to 64, got $numBits")
     val chunkBits = numBits / 4
     val chunkMask = (1L << chunkBits) - 1
+    // Per-doc signature in ONE map-only projection (r14 optimization,
+    // guide §2.4/§4): token hashes stay an in-row array (`transform`
+    // over the split — tokenHash is a caller-supplied Column function,
+    // so this spot keeps HOF generality) and the per-bit majority vote
+    // runs in the [[graft.functions.MiningKernels.simhashBits]] codegen
+    // kernel. The previous shape exploded one row per token and paid a
+    // 65-aggregate groupBy — a full shuffle of the corpus's token
+    // count × 16 bytes per mining pass. Vote rule unchanged (bit set
+    // iff 2×ones > tokens), so signatures are bit-identical.
     val hashed = Par.spread(df).select(col(idCol).as("__id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
-      .select(col("__id"), tokenHash(col("__t")).as("__h"))
-    val perBit = hashed.groupBy("__id").agg(
-      count(lit(1)).as("__n"),
-      (0 until numBits).map(b =>
-        sum(shiftright(col("__h"), b).bitwiseAND(1L)).as(s"__b$b")): _*)
+      transform(split(lower(trim(col(textCol))), "\\s+"),
+        t => tokenHash(t)).as("__th"))
     // persisted (one-slot swap): the banded self-join below references
-    // this frame on both sides, and its lineage is the full explode +
-    // per-bit-aggregate pipeline; the cache is 16 bytes/doc
-    val sh = cacheSwap(simhashSlot, perBit.select(col("__id"),
-      (0 until numBits).map(b =>
-          when(col(s"__b$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("__sh")))
+    // this frame on both sides; the cache is 16 bytes/doc
+    val sh = cacheSwap(simhashSlot, hashed.select(col("__id"),
+      graft.functions.MiningKernels.simhashBits(col("__th"), numBits)
+        .as("__sh")))
     val banded = sh.select(col("__id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

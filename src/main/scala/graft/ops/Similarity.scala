@@ -185,46 +185,37 @@ object Similarity {
     }: _*)
   }
 
-  /** Bulk LSH signatures: `(__id, __bands array)` for every row, via
-    * explode + `numPlanes` simple `sum` aggregates.
+  /** Bulk LSH signatures: `(__id, __bands array)` for every row, as a
+    * MAP-ONLY projection through the native
+    * [[graft.functions.MiningKernels.lshBands]] kernel.
     *
-    * Scale shape: posexplode the vector (dims rows per doc, no
-    * shuffle), then ONE groupBy(id) computing each hyperplane dot as
-    * `sum(x * plane[pos])` with the plane as a constant-folded literal
-    * array — map-side partial combine, whole-stage codegen (the
-    * per-row [[lshBands]] with 64 array-aggregate lambdas overflows
-    * codegen and runs interpreted, a 10-15× CPU tax). Each doc's
-    * elements live in one partition, so every sum is a single
-    * left-to-right fold from 0.0 — bit-identical to [[signatureOf]]
-    * (pinned by OpsSpec).
+    * Scale shape (r14 optimization, guide §2.4/§4): the previous
+    * formulation posexploded the vector and computed each hyperplane
+    * dot as a `sum(x * plane[pos])` aggregate — codegen-friendly, but
+    * the groupBy(id) paid a full shuffle of dims×rows exploded
+    * elements on EVERY signature computation (per-query in [[annTopK]],
+    * per-build in [[buildIndex]], per-batch in the cross-corpus
+    * probes). The kernel computes all `numPlanes` dots in one in-row
+    * ascending loop inside whole-stage codegen: zero exchanges, and
+    * the first shuffle of every LSH path now carries one narrow row
+    * per (doc, band) instead of one per vector element.
     *
-    * Caveat (best-effort, documented): under hash aggregation the
-    * within-group consumption order is posexplode order, matching the
-    * driver-side fold; if Spark falls back to sort-based aggregation
-    * under memory pressure, within-group order is not guaranteed and a
-    * dot product sitting exactly at 0.0 could flip a sign bit vs
-    * [[signatureOf]]. That costs recall only on borderline vectors
-    * (|dot| within float-summation noise of 0); multi-probe (1-bit
-    * flips) recovers those candidates. */
+    * Bit-exactness: each dot is an ascending-index left fold from 0.0
+    * over `min(len, dims)` positions with null elements skipped —
+    * exactly the old aggregate's semantics and bit-identical to the
+    * driver-side [[signatureOf]] (pinned by OpsSpec). The old
+    * sort-aggregation fallback caveat (within-group order not
+    * guaranteed under memory pressure) disappears: the kernel's fold
+    * order is unconditional. Empty vectors yield null and are dropped,
+    * matching the explode pipeline emitting no row for them. */
   def signatures(df: DataFrame, vecCol: String, idCol: String, dims: Int,
       numPlanes: Int = 64, bandBits: Int = 16, seed: Long = 42L): DataFrame = {
     require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
     val ps = planes(dims, numPlanes, seed)
-    val exploded = Par.spread(df).select(col(idCol).as("__id"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
-    def dotAgg(p: Seq[Double]): Column =
-      sum(col("__x") * element_at(array(p.map(lit): _*), col("__pos") + 1))
-    val dots = exploded.groupBy("__id").agg(
-      dotAgg(ps.head).as("__d0"),
-      ps.tail.zipWithIndex.map { case (p, i) =>
-        dotAgg(p).as(s"__d${i + 1}")
-      }: _*)
-    val numBands = numPlanes / bandBits
-    dots.select(col("__id"), array((0 until numBands).map { b =>
-      (0 until bandBits).map { i =>
-        when(col(s"__d${b * bandBits + i}") >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _) + lit(b.toLong << bandBits)
-    }: _*).as("__bands"))
+    Par.spread(df).select(col(idCol).as("__id"),
+        graft.functions.MiningKernels.lshBands(col(vecCol), ps, bandBits)
+          .as("__bands"))
+      .filter(col("__bands").isNotNull)
   }
 
   /** The query's probe set: its own band values plus, per multi-probe
@@ -627,30 +618,22 @@ object Similarity {
       "trainedCount" -> meta.get("trainedCount").map(_.toString.toLong).getOrElse(0L),
       "centroids" -> centroidsOf(meta).map(_.toSeq))
 
-  /** Nearest-centroid assignment `(__id, __c)` via the codegen-safe
-    * bulk shape: posexplode the vector, then `nlist` plain
-    * `sum((x - c[pos])²)` aggregates per ≤64-aggregate groupBy (the
-    * per-row alternative — nlist array-lambda distances — overflows
-    * whole-stage codegen, same pitfall as [[lshBands]]). Ties pick the
-    * lowest centroid id, matching Spark ML's strict-< scan. */
+  /** Nearest-centroid assignment `(__id, __c)` as a MAP-ONLY kernel
+    * projection ([[graft.functions.MiningKernels.nearestCentroid]]):
+    * the full strict-< argmin scan runs in one whole-stage-codegen
+    * loop per row — no posexplode, no `nlist`-aggregate groupBy, no
+    * shuffle (r14 optimization, guide §2.4/§4; the previous explode +
+    * ≤64-aggregate shape paid one exchange of dims×rows exploded
+    * elements per assignment — per append batch, per semantic probe).
+    * Ties pick the lowest centroid id, matching Spark ML's strict-<
+    * scan; rows whose vector is null/empty/mis-sized are dropped,
+    * matching the explode pipeline emitting no group for them. */
   private def assignToCentroids(df: DataFrame, vecCol: String, idCol: String,
-      centroids: Seq[Array[Double]]): DataFrame = {
-    val exploded = Par.spread(df).select(col(idCol).as("__id"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
-    def distAgg(c: Array[Double]): Column = {
-      val diff = col("__x") -
-        element_at(array(c.toSeq.map(lit): _*), col("__pos") + 1)
-      sum(diff * diff)
-    }
-    val dists = centroids.zipWithIndex.grouped(64).map { cs =>
-      exploded.groupBy("__id").agg(
-        distAgg(cs.head._1).as(s"__e${cs.head._2}"),
-        cs.tail.map { case (c, i) => distAgg(c).as(s"__e$i") }: _*)
-    }.reduce(_.join(_, Seq("__id")))
-    val arr = array(centroids.indices.map(i => col(s"__e$i")): _*)
-    dists.select(col("__id"),
-      (array_position(arr, array_min(arr)) - 1).cast("int").as("__c"))
-  }
+      centroids: Seq[Array[Double]]): DataFrame =
+    Par.spread(df).select(col(idCol).as("__id"),
+        graft.functions.MiningKernels.nearestCentroid(col(vecCol), centroids)
+          .as("__c"))
+      .filter(col("__c").isNotNull)
 
   /** ANN top-k against a persisted [[buildIndex]] index: reads ONLY
     * the partition directories the probe set hashes into (driver-side
@@ -696,20 +679,23 @@ object Similarity {
     *
     * Centroids are persisted next to the index (driver-readable — they
     * are `nlist × dims` doubles), so queries rank probe lists without
-    * any Spark job. Training uses Spark ML k-means (distributed,
-    * seed-fixed); assignment is one `ClusteringEvaluator`-free
-    * transform, one clustered partitioned write. */
+    * any Spark job. Training is a driver-local seeded k-means over a
+    * BOUNDED sample ([[LocalKMeans]] — r14 optimization, guide §1.2:
+    * the previous Spark-ML fit paid init + maxIter full Spark jobs to
+    * cluster a training set that is small by design); assignment is a
+    * map-only codegen kernel projection, one clustered partitioned
+    * write. The whole build is now sample-collect + count + ONE
+    * distributed pass over the corpus. */
   def buildIvfIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
       dims: Int, nlist: Int = 64, maxIter: Int = 10, seed: Long = 42L,
       quantized: Boolean = false): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = Par.spread(df).select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("__feat"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__feat").setPredictionCol("__c")
-      .fit(feat)
-    val assigned = model.transform(feat).drop("__feat")
+    val proj = Par.spread(df).select(col(idCol), col(vecCol))
+    val (sample, total) = LocalKMeans.sampleVectors(proj, vecCol, seed)
+    val centroids = LocalKMeans.fit(sample, nlist, maxIter, seed)
+    val assigned = proj.withColumn("__c",
+        graft.functions.MiningKernels.nearestCentroid(col(vecCol),
+          centroids.toSeq))
+      .filter(col("__c").isNotNull)
     // quantized: store per-vector symmetric int8 (scale + tinyints)
     // instead of the float array — ~4× less index IO per probe at
     // unchanged recall shape; scoring dequantizes on read (the usual
@@ -720,15 +706,15 @@ object Similarity {
     else assigned
     stored.repartition(col("__c"))
       .write.mode("overwrite").partitionBy("__c").parquet(path)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     writeMeta(df.sparkSession, path,
       Map("kind" -> "ivf", "dims" -> dims, "nlist" -> nlist, "seed" -> seed,
         "quantized" -> quantized,
         // trained mass + per-centroid append tallies: the drift
         // baseline appendToIvfIndex's retrain trigger compares against
-        "trainedCount" -> model.summary.clusterSizes.map(_.toLong).sum,
+        // (the full corpus count, not the training-sample size)
+        "trainedCount" -> total,
         "appendedCounts" -> Seq.fill(nlist)(0L),
-        "centroids" -> centroids))
+        "centroids" -> centroids.map(_.toSeq).toSeq))
   }
 
   /** Centroids from an IVF index's metadata map.
@@ -1030,80 +1016,67 @@ object Similarity {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     require(codeK >= 2 && codeK <= 256, s"codeK=$codeK must fit one byte")
     val dsub = dims / m
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // persisted through coarse fit → m codebook fits → encode → write
-    // (m+3 passes that would each recompute the scan otherwise)
-    val feat = Par.spread(df).select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("__feat"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    val coarse = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__feat").setPredictionCol("__c")
-      .fit(feat)
-    val centroids = coarse.clusterCenters.map(_.toArray.toSeq).toSeq
-    val centLit = typedlit(centroids)
-    val residuals = coarse.transform(feat).drop("__feat")
-      .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
-        element_at(centLit, col("__c") + 1), (x, c) => x - c))
-    // m per-subspace codebooks, trained on (a fraction of) residuals.
-    // Codebook training is a SMALL-DATA problem by design (PQ papers
-    // train on 1e5-1e6 sampled points regardless of corpus size), so
-    // the training frame — all m subspace columns materialized ONCE —
-    // coalesces to a few partitions (per-iteration scheduling overhead
-    // dwarfs compute at sample scale) and the m independent fits run
-    // CONCURRENTLY (separate Spark jobs; sequential fits serialize m
-    // × (init + iterations) rounds of job latency — measured 4-8×
-    // wall-clock on the bench corpus).
-    val trainBase =
-      if (trainFraction >= 1.0) residuals
-      else residuals.sample(withReplacement = false, trainFraction, seed)
-    val spark = df.sparkSession
-    val subTrain = trainBase.select((0 until m).map(j => array_to_vector(
-        slice(col("__res"), j * dsub + 1, dsub)).as(s"__sub$j")): _*)
-      .coalesce(math.min(8, spark.sparkContext.defaultParallelism))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val subModels = try {
-      subTrain.count() // materialize once for all m fits
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence((0 until m).map { j => Future {
-        new KMeans().setK(codeK).setSeed(seed + j).setMaxIter(maxIter)
-          .setFeaturesCol(s"__sub$j").setPredictionCol("__code")
-          .fit(subTrain)
-      }}), scala.concurrent.duration.Duration.Inf)
-    } finally subTrain.unpersist(false)
-    // encode: every subspace's prediction in one pass
-    val encoded = (0 until m).foldLeft(residuals) { (acc, j) =>
-      subModels(j)
-        .setFeaturesCol(s"__sub$j").setPredictionCol(s"__pq$j")
-        .transform(acc.withColumn(s"__sub$j",
-          array_to_vector(slice(col("__res"), j * dsub + 1, dsub))))
-        .drop(s"__sub$j")
+    val proj = Par.spread(df).select(col(idCol), col(vecCol))
+    // Coarse quantizer AND all m codebooks train DRIVER-LOCAL on one
+    // bounded sample (r14 optimization, guide §1.2). Codebook training
+    // is a SMALL-DATA problem by design (PQ papers train on 1e5-1e6
+    // sampled points regardless of corpus size); the previous shape —
+    // a Spark-ML coarse fit, a persisted residual frame, m concurrent
+    // distributed fits, then m chained transforms for the encode —
+    // cost ~100 Spark jobs and a corpus persist. Now the corpus is
+    // touched exactly twice (sample/count pass + encode/write pass),
+    // never persisted, and the encode is ONE map-only projection
+    // through the fused residual→codes kernel
+    // ([[graft.functions.MiningKernels.pqCodes]]).
+    val (sample0, total) = LocalKMeans.sampleVectors(proj, vecCol, seed)
+    val sample =
+      if (trainFraction >= 1.0) sample0
+      else {
+        val rnd = new scala.util.Random(seed)
+        val s = sample0.filter(_ => rnd.nextDouble() < trainFraction)
+        if (s.nonEmpty) s else sample0.take(1)
+      }
+    val centroids = LocalKMeans.fit(sample, nlist, maxIter, seed)
+    // residuals of the training sample w.r.t. their coarse cell,
+    // computed locally — no distributed residual frame at all
+    val residuals = sample.map { p =>
+      val c = centroids(LocalKMeans.nearest(p, centroids))
+      val r = new Array[Double](dims)
+      var i = 0
+      while (i < dims) { r(i) = p(i) - c(i); i += 1 }
+      r
     }
-    val codeArr = array((0 until m).map(j =>
-      (col(s"__pq$j") - 128).cast("tinyint")): _*)
+    val codebooks: Seq[Seq[Array[Double]]] = (0 until m).map { j =>
+      val sub = residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
+      LocalKMeans.fit(sub, codeK, maxIter, seed + j).toSeq
+    }
     // `__v` carries the source vector NEXT TO the codes: parquet is
     // columnar, so probes (which select only id/__code/__c) never read
     // it — the in-RAM/ADC story stays m bytes per vector — while
     // drift retrain ([[retrainIvfPqIndex]]) and exact re-rank get the
     // true vectors without a corpus join. Same store-the-vector trade
     // the LSH and IVF indexes already make.
-    encoded.select(col(idCol), codeArr.as("__code"),
+    val cSeq = centroids.toSeq
+    proj.withColumn("__c",
+        graft.functions.MiningKernels.nearestCentroid(col(vecCol), cSeq))
+      .filter(col("__c").isNotNull)
+      .select(col(idCol),
+        graft.functions.MiningKernels.pqCodes(col(vecCol), col("__c"),
+          cSeq, codebooks).as("__code"),
         col(vecCol).as("__v"), col("__c"))
       .repartition(col("__c"))
       .write.mode("overwrite").partitionBy("__c").parquet(path)
-    val codebooks = subModels.map(_.clusterCenters.map(_.toArray.toSeq).toSeq)
     writeMeta(df.sparkSession, path,
       Map("kind" -> "ivfpq", "dims" -> dims, "nlist" -> nlist, "m" -> m,
         "codeK" -> codeK, "seed" -> seed,
         "trainFraction" -> trainFraction,
         // drift baseline, same contract as buildIvfIndex: trained mass
         // + per-coarse-cell append tallies for the retrain trigger
-        "trainedCount" -> coarse.summary.clusterSizes.map(_.toLong).sum,
+        "trainedCount" -> total,
         "appendedCounts" -> Seq.fill(nlist)(0L),
-        "centroids" -> centroids, "codebooks" -> codebooks))
-    } finally feat.unpersist(false)
+        "centroids" -> centroids.map(_.toSeq).toSeq,
+        "codebooks" -> codebooks.map(_.map(_.toSeq))))
   }
 
   private def codebooksOf(meta: Map[String, Any]): Seq[Seq[Array[Double]]] = {
@@ -1209,35 +1182,15 @@ object Similarity {
       "centroids" -> centroidsOf(meta).map(_.toSeq),
       "codebooks" -> codebooksOf(meta).map(_.map(_.toSeq)))
 
-  /** Residual → PQ code array through STORED codebooks: per subspace
-    * j, the argmin (first-index tie-break, like `array_position` of
-    * the min — the same strict-< scan Spark ML's prediction applies)
-    * over `codeK` codes of the exact squared distance, as per-row
-    * higher-order folds over the codebook literal. The per-row HOF
-    * shape is deliberate here: appends are batch-proportional (the
-    * full-corpus build path encodes through ml-KMeans transforms
-    * instead), and the codebook literal (m × codeK × dsub doubles)
-    * rides in the plan exactly like the query side's ADC tables. Each
-    * O(dsub) slice is [[Hof.bind]]-bound so interpreted HOF evaluation
-    * reads it as a lambda variable instead of re-slicing per code. */
-  private def pqEncode(res: Column,
-      codebooks: Seq[Seq[Array[Double]]]): Column = {
-    val m = codebooks.size
-    array(codebooks.zipWithIndex.map { case (cb, j) =>
-      val dsub = cb.head.length
-      val cbLit = typedlit(cb.map(_.toSeq))
-      bind(slice(res, j * dsub + 1, dsub), sub =>
-        bind(transform(sequence(lit(0), lit(cb.size - 1)), ci =>
-            aggregate(zip_with(sub, element_at(cbLit, ci + 1),
-              (x, c) => (x - c) * (x - c)), lit(0.0d), (a, x) => a + x)),
-          dists => (array_position(dists, array_min(dists)) - 1 - 128)
-            .cast("tinyint")))
-    }: _*)
-  }
-
   /** Incrementally add vectors to a [[buildIvfPqIndex]] index: assign
     * each new vector to its nearest STORED coarse centroid, encode its
-    * residual through the STORED per-subspace codebooks ([[pqEncode]]),
+    * residual through the STORED per-subspace codebooks (the fused
+    * residual→codes codegen kernel
+    * [[graft.functions.MiningKernels.pqCodes]] — r14 optimization:
+    * the previous per-row HOF fold ran interpreted, re-slicing the
+    * codebook literal per code; the kernel runs the same strict-<
+    * argmin inside whole-stage codegen, and build and append now
+    * encode through IDENTICAL arithmetic),
     * and append into the matching `__c=` partition — queries stay
     * correct across appends because probe ranking, row assignment and
     * ADC tables all use the same frozen centroids/codebooks. Appends
@@ -1255,7 +1208,6 @@ object Similarity {
     requireDims(df, vecCol, dims)
     val cents = centroidsOf(meta)
     val codebooks = codebooksOf(meta)
-    val centLit = typedlit(cents.map(_.toSeq))
     val asg = assignToCentroids(df, vecCol, idCol, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1268,9 +1220,9 @@ object Similarity {
       val (journals, pending) = pendingTallies(spark, path)
       val myJournal = writeTallyJournal(spark, path, batch)
       asg.join(df.select(col(idCol), col(vecCol)), col("__id") === col(idCol))
-        .withColumn("__res", zip_with(col(vecCol).cast("array<double>"),
-          element_at(centLit, col("__c") + 1), (x, c) => x - c))
-        .select(col(idCol), pqEncode(col("__res"), codebooks).as("__code"),
+        .select(col(idCol),
+          graft.functions.MiningKernels.pqCodes(col(vecCol), col("__c"),
+            cents, codebooks).as("__code"),
           col(vecCol).as("__v"), col("__c"))
         .repartition(col("__c"))
         .write.mode("append").partitionBy("__c").parquet(path)
@@ -1404,18 +1356,20 @@ object Similarity {
   def semanticDedupAuto(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, k: Int = 64, maxIter: Int = 10, seed: Long = 42L,
       maxCluster: Int = 1000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = Par.spread(df).withColumn("__feat",
-      array_to_vector(l2Normalize(col(vecCol))))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__feat").setPredictionCol("__semcluster")
-      .fit(feat)
+    // driver-local seeded fit over a bounded normalized sample +
+    // map-only kernel assignment (r14 optimization — see
+    // [[LocalKMeans]]; the Spark-ML fit paid init+maxIter jobs here)
+    val feat = Par.spread(df).withColumn("__nvtmp", l2Normalize(col(vecCol)))
+    val (sample, _) = LocalKMeans.sampleVectors(feat, "__nvtmp", seed)
+    val centroids = LocalKMeans.fit(sample, k, maxIter, seed)
     // slot-cached (see Dedup.cacheSwap): the assigned frame feeds the
     // pair keying AND both vector lookups in semanticPairs — without
-    // it each reference replays the k-means transform over the scan
+    // it each reference replays the normalize+assign over the scan
     val assigned = Dedup.cacheSwap(semanticAssignSlot,
-      model.transform(feat).drop("__feat"))
+      feat.withColumn("__semcluster",
+          graft.functions.MiningKernels.nearestCentroid(col("__nvtmp"),
+            centroids.toSeq))
+        .drop("__nvtmp"))
     semanticDedup(assigned, vecCol, idCol, "__semcluster",
       threshold, maxCluster)
       .drop("__semcluster")
@@ -1433,24 +1387,29 @@ object Similarity {
     * meta so batch assignment needs no Spark-side model object. */
   def buildSemanticIndex(df: DataFrame, vecCol: String, idCol: String,
       path: String, k: Int = 64, maxIter: Int = 10, seed: Long = 42L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    // driver-local seeded fit over a bounded normalized sample +
+    // map-only kernel assignment (r14 optimization — see
+    // [[LocalKMeans]]); the whole build is sample/count + one
+    // distributed pass over the corpus
     val dims = df.select(size(col(vecCol))).head().getInt(0)
     val feat = Par.spread(df).select(col(idCol),
         l2Normalize(col(vecCol)).as("__nv"))
-      .withColumn("__feat", array_to_vector(col("__nv")))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__feat").setPredictionCol("__c")
-      .fit(feat)
-    model.transform(feat).select(col(idCol), col("__nv"), col("__c"))
+    val (sample, total) = LocalKMeans.sampleVectors(feat, "__nv", seed)
+    val centroids = LocalKMeans.fit(sample, k, maxIter, seed)
+    feat.withColumn("__c",
+        graft.functions.MiningKernels.nearestCentroid(col("__nv"),
+          centroids.toSeq))
+      .filter(col("__c").isNotNull)
+      .select(col(idCol), col("__nv"), col("__c"))
       .repartition(col("__c"))
       .write.mode("overwrite").partitionBy("__c").parquet(path)
     writeMeta(df.sparkSession, path,
       Map("kind" -> "semantic", "dims" -> dims, "k" -> k, "seed" -> seed,
         // drift baseline for appendToSemanticIndex's retrain trigger
-        "trainedCount" -> model.summary.clusterSizes.map(_.toLong).sum,
+        // (the full corpus count, not the training-sample size)
+        "trainedCount" -> total,
         "appendedCounts" -> Seq.fill(k)(0L),
-        "centroids" -> model.clusterCenters.map(_.toArray.toSeq).toSeq))
+        "centroids" -> centroids.map(_.toSeq).toSeq))
   }
 
   /** Grow a [[buildSemanticIndex]] index with a new batch — the write
