@@ -475,11 +475,12 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       val next = nextSnapName(t)
       val dir = new Path(tableDir(t), next)
       snapWriter(td, aligned(td, df)).parquet(dir.toString)
+      // id high-water mark from parquet FOOTERS (r14, guide §6 — see
+      // [[footerMinMax]]); the column-pruned scan stays as fallback
       val maxIdNow = knownMaxId.getOrElse {
         if (!td.columnMap.contains("id")) 0L
-        else Option(spark.read.schema(td.sparkSchema).parquet(dir.toString)
-          .agg(org.apache.spark.sql.functions.max(col("id"))).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        else maxIdOfWritten(fs(dir), Seq(dir),
+          spark.read.schema(td.sparkSchema).parquet(dir.toString))
       }
       swapPointer(t, manifestJson(Manifest(next, maxIdNow, Map())))
       gc(t, keep = Set(next))
@@ -510,6 +511,110 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
   private def zoneStatCols(td: TableDef): Seq[String] =
     td.key ++ (if (td.columnMap.contains("id") && !td.key.contains("id"))
       Seq("id") else Nil)
+
+  /** Combined per-column (lo, hi) — already [[Brin.encode]]d — of a
+    * set of freshly-written parquet part files, from FOOTER statistics
+    * only (r14 optimization, guide §6: the zone-stat and max-id
+    * read-backs used to re-SCAN every just-written snapshot with a
+    * min/max aggregate job; the writer already recorded exact column
+    * min/max in each footer, so the same numbers come from pure
+    * metadata — at 100 TB the difference between re-reading a table
+    * and reading a few KB per file).
+    *
+    * Exactness guard: returns None — callers fall back to the scan —
+    * unless every stat is of a type whose parquet statistics are
+    * trustworthy and map 1:1 onto the [[Brin.encode]] domain: INT32 /
+    * INT64 (plain, date, timestamp MILLIS/MICROS) and UTF8 binary
+    * (unsigned byte order, matching [[Brin.cmp]]; parquet drops
+    * oversized binary stats, which lands in the fallback). Float /
+    * double (NaN-unsafe stats), INT96 timestamps and anything exotic
+    * fall back. All-null chunks contribute nothing, so an all-null
+    * column yields (None, None) exactly like the scan's null min/max. */
+  private def footerMinMax(files: Seq[Path], cols: Seq[String])
+      : Option[Map[String, (Option[Any], Option[Any])]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val acc = mutable.Map[String, (Any, Any)]()
+    for (f <- files) {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hadoopConf))
+      try {
+        for (b <- rd.getFooter.getBlocks.asScala; c <- cols) {
+          val cc = b.getColumns.asScala.find(_.getPath.toDotString == c)
+            .getOrElse(return None)
+          val st = cc.getStatistics
+          if (st == null) return None
+          if (st.getNumNulls != b.getRowCount) {
+            if (!st.hasNonNullValue) return None // dropped/oversized stats
+            val pt = cc.getPrimitiveType
+            val bounds: Option[(Any, Any)] = pt.getPrimitiveTypeName match {
+              case INT64 => pt.getLogicalTypeAnnotation match {
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  ts.getUnit match {
+                    case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                      Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                        st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                      Some((st.genericGetMin.asInstanceOf[java.lang.Long] * 1000L,
+                        st.genericGetMax.asInstanceOf[java.lang.Long] * 1000L))
+                    case _ => None // nanos: not the Brin micros domain
+                  }
+                case _ =>
+                  Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                    st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+              }
+              case INT32 => // plain ints and DATE (epoch days) both
+                // encode as Long, exactly Brin.encode's Int/LocalDate
+                Some((st.genericGetMin.asInstanceOf[java.lang.Integer].toLong,
+                  st.genericGetMax.asInstanceOf[java.lang.Integer].toLong))
+              case BINARY if pt.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                Some((new String(st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+                    StandardCharsets.UTF_8),
+                  new String(st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+                    StandardCharsets.UTF_8)))
+              case _ => None // float/double (NaN), INT96, others: scan
+            }
+            bounds match {
+              case None => return None
+              case Some((lo, hi)) => acc.get(c) match {
+                case None => acc(c) = (lo, hi)
+                case Some((alo, ahi)) => acc(c) = (
+                  if (Brin.cmp(lo, alo) < 0) lo else alo,
+                  if (Brin.cmp(hi, ahi) > 0) hi else ahi)
+              }
+            }
+          }
+        }
+      } finally rd.close()
+    }
+    Some(cols.map(c =>
+      c -> acc.get(c).map { case (l, h) => (Some(l), Some(h)) }
+        .getOrElse((None, None))).toMap)
+  }
+
+  /** Data part files directly under `dir` (no recursion). */
+  private def partFiles(fsys: FileSystem, dir: Path): Seq[Path] =
+    fsys.listStatus(dir).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }.toSeq
+
+  /** max(id) of a just-written snapshot from parquet footers, or the
+    * exact column-pruned scan when footer stats are unusable. `dirs`
+    * are the leaf directories holding the snapshot's part files. */
+  private def maxIdOfWritten(fsys: FileSystem, dirs: Seq[Path],
+      readBack: => DataFrame): Long = {
+    val files = dirs.flatMap(partFiles(fsys, _))
+    footerMinMax(files, Seq("id")) match {
+      case Some(m) => m("id")._2.map(_.asInstanceOf[Long]).getOrElse(0L)
+      case None =>
+        Option(readBack.agg(org.apache.spark.sql.functions.max(col("id")))
+          .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+  }
 
   /** Multi-column zone overlap: a zone survives pruning iff EVERY
     * bounded column's zone range overlaps its bound. Columns the zone
@@ -578,35 +683,53 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       .repartitionByRange(nZones, ck: _*).sortWithinPartitions(ck: _*)
       .withColumn("__z", expr("spark_partition_id()")))
       .partitionBy("__z").parquet(dir.toString)
-    // zone stats from the WRITTEN files (column-pruned read-back of
-    // the key + id: exact, and immune to any plan re-evaluation)
+    // zone stats from the WRITTEN files: exact, and immune to any plan
+    // re-evaluation. Footer-only by default ([[footerMinMax]] — the
+    // writer already recorded each column's min/max, so no Spark job
+    // and no data read); the column-pruned scan read-back remains as
+    // the fallback for stat types whose footer statistics are not
+    // trustworthy (float/double keys, INT96 timestamps, oversized
+    // string stats).
     val fsys = fs(dir)
-    val hasZones = fsys.exists(dir) &&
-      fsys.listStatus(dir).exists(_.getPath.getName.startsWith("__z="))
+    val zoneDirs =
+      if (!fsys.exists(dir)) Seq.empty[Path]
+      else fsys.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("__z=")).toSeq
     val statCols = zoneStatCols(td)
     var zones: Seq[Zone] = Nil
     var statMaxId = 0L
-    if (hasZones) {
-      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-      val back = spark.read.parquet(dir.toString)
-      val aggs = statCols.flatMap(c => Seq(
-        fmin(col("`" + c + "`")).as(s"__lo_$c"),
-        fmax(col("`" + c + "`")).as(s"__hi_$c")))
-      val rows = back.groupBy(col("__z")).agg(aggs.head, aggs.tail: _*).collect()
-      def enc(r: org.apache.spark.sql.Row, i: Int): Option[Any] =
-        Option(r.get(i)).map(Brin.encode)
-      zones = rows.map { r =>
-        val extra = statCols.tail.zipWithIndex.map { case (c, j) =>
-          c -> (enc(r, 3 + 2 * j), enc(r, 4 + 2 * j))
-        }.toMap
-        Zone(s"$next/__z=${r.get(0)}", enc(r, 1), enc(r, 2), extra)
-      }.toSeq.sortBy(_.dir)
-      if (statCols.contains("id")) {
-        val idHiIdx = 2 + 2 * statCols.indexOf("id")
-        statMaxId = rows
-          .map(r => Option(r.get(idHiIdx)).map(_.asInstanceOf[Long]).getOrElse(0L))
-          .foldLeft(0L)(_ max _)
+    if (zoneDirs.nonEmpty) {
+      val viaFooter: Option[Seq[Zone]] = {
+        val per = zoneDirs.map(zd =>
+          footerMinMax(partFiles(fsys, zd), statCols).map(zd.getName -> _))
+        if (per.contains(None)) None
+        else Some(per.flatten.map { case (zn, m) =>
+          val (lo, hi) = m(statCols.head)
+          val extra = statCols.tail.map(c => c -> m(c)).toMap
+          Zone(s"$next/$zn", lo, hi, extra)
+        }.sortBy(_.dir))
       }
+      zones = viaFooter.getOrElse {
+        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        val back = spark.read.parquet(dir.toString)
+        val aggs = statCols.flatMap(c => Seq(
+          fmin(col("`" + c + "`")).as(s"__lo_$c"),
+          fmax(col("`" + c + "`")).as(s"__hi_$c")))
+        val rows = back.groupBy(col("__z")).agg(aggs.head, aggs.tail: _*).collect()
+        def enc(r: org.apache.spark.sql.Row, i: Int): Option[Any] =
+          Option(r.get(i)).map(Brin.encode)
+        rows.map { r =>
+          val extra = statCols.tail.zipWithIndex.map { case (c, j) =>
+            c -> (enc(r, 3 + 2 * j), enc(r, 4 + 2 * j))
+          }.toMap
+          Zone(s"$next/__z=${r.get(0)}", enc(r, 1), enc(r, 2), extra)
+        }.toSeq.sortBy(_.dir)
+      }
+      if (statCols.contains("id"))
+        statMaxId = zones.flatMap { z =>
+          (if (statCols.head == "id") z.hi else z.extra.get("id").flatMap(_._2))
+            .map(_.asInstanceOf[Long])
+        }.foldLeft(0L)(_ max _)
     }
     val prev = currentManifest(t)
     // carry-over: zones provably disjoint from the batch key range
@@ -695,10 +818,16 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
       case Some(bs) => (prevBuckets -- bs) ++ written // carry-over + new
       case None => written // full rewrite
     }
+    // id high-water mark from the WRITTEN files' parquet footers (r14,
+    // guide §6 — see [[footerMinMax]]): the old `out.agg(max(id))`
+    // re-evaluated the whole merge PLAN a second time; the fallback
+    // reads the written files column-pruned, still never re-running
+    // the merge
     val maxIdNow = knownMaxId.getOrElse {
       if (!td.columnMap.contains("id")) 0L
-      else Option(out.agg(org.apache.spark.sql.functions.max(col("id")))
-        .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      else maxIdOfWritten(fsys, written.values.toSeq.map(rel =>
+          new Path(tableDir(t), rel)),
+        spark.read.schema(td.sparkSchema).parquet(dir.toString))
     }.max(prev.map(_.maxId).getOrElse(0L))
     swapPointer(t, manifestJson(Manifest(next, maxIdNow, buckets)))
     gc(t, keep = buckets.values.map(_.split("/")(0)).toSet + next)
