@@ -42,6 +42,11 @@ object Bench {
     // run to those queries (and skips the write probes).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Probe-section twin of SPARK_GRAFT_ONLY (see the probe defs
+    // below). With PROBES set and ONLY unset, the main query loop is
+    // skipped so a probe reruns in isolation.
+    val probesOnly = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Repeats per query (median reported): a single-shot timing lets
     // one stop-the-world GC land inside a timed section and fabricate
     // a 10x "regression" (r7: q15_json read 6.78s in-run, 0.84s
@@ -57,7 +62,8 @@ object Bench {
     // up in the artifact itself instead of needing a manual rerun.
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if only.forall(_.contains(name))) {
+         if only.forall(_.contains(name))
+         if probesOnly.isEmpty || only.nonEmpty) {
       val runs = Seq.fill(repeats) {
         time {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -100,8 +106,13 @@ object Bench {
     // phantom regression against earlier single-shot records.
     val probeReps =
       sys.env.get("SPARK_GRAFT_PROBE_REPEATS").map(_.toInt).getOrElse(3)
+    // SPARK_GRAFT_PROBES (defined above, driver never sets it)
+    // restricts this probe section. Probes earlier in the section may
+    // create state later ones read (e.g. the bucketed load feeds the
+    // update probe), so filter to a dependency-closed subset.
     val singleRun = scala.collection.mutable.ArrayBuffer[String]()
     def probe(name: String, reps: Int = -1)(body: => Unit): Unit = {
+      if (!probesOnly.forall(_.contains(name))) return
       val n = if (reps > 0) reps else probeReps
       val runs = Seq.fill(n)(time(body))
       mins(name) = if (runs.forall(_ < 0)) -1.0 else runs.filter(_ >= 0).min
@@ -119,6 +130,7 @@ object Bench {
     // body stays a true cold load and the median/min pair reaches the
     // artifact like every other probe.
     def probeSetup(name: String)(setup: => Unit)(body: => Unit): Unit = {
+      if (!probesOnly.forall(_.contains(name))) return
       // a setup failure (transient FS error, lease refusal) records -1
       // for that rep like any body failure — it must never abort the
       // whole bench process
@@ -346,8 +358,10 @@ object Bench {
     probe("sf1_dedup_spans")(
       graft.ops.Dedup.duplicateSpans(shifted(planted1), "doc_id", "text", n = 8)
         .write.format("noop").mode("overwrite").save())
+    // same value as conv(substring(md5(t),1,15),16,10).cast("long"),
+    // via the fused kernel the declared query now uses
     val mdHash = (t: org.apache.spark.sql.Column) =>
-      conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+      graft.functions.TextKernels.md5Prefix60(t)
     probe("dedup_simhash_cold") {
       graft.ops.Dedup.clearMaterializedSlots()
       graft.ops.Dedup.simhashPairs(docs1, "doc_id", "text", maxHamming = 3,

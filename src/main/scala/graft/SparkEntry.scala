@@ -605,9 +605,13 @@ object SparkEntry {
     // identical either way
     "dedup_simhash_pairs" -> ((s, dir) => {
       val docs = env(s, dir).view("documents", Seq("doc_id", "text")).read()
+      // engine-portable token hash: first 60 md5 bits, fused into one
+      // codegen kernel — bit-identical to the oracle's
+      // conv(substring(md5(t),1,15),16,10) chain (see
+      // [[graft.functions.TextKernels.md5Prefix60]])
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
         numBits = 60,
-        tokenHash = t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+        tokenHash = t => graft.functions.TextKernels.md5Prefix60(t))
         .orderBy(col("idA"), col("idB"))
     }),
 

@@ -51,6 +51,29 @@ object TextKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** First 60 bits of md5 as a non-negative long — the engine-portable
+    * token hash of the SimHash oracle, fused into ONE kernel call.
+    * Bit-identical to `conv(substring(md5(t), 1, 15), 16, 10)
+    * .cast("long")`, which the simhash paths previously evaluated as
+    * an interpreted four-expression chain per TOKEN (md5 → 32-char hex
+    * string, substring copy, conv base-parse, cast): the 10x-corpus
+    * simhash probe spent most of its CPU and allocation there
+    * (guide §1.2 per-task work; the md5→long arithmetic is the same
+    * one [[featureHashEmbed]] already uses). */
+  def md5Prefix60(c: Column): Column =
+    Bridge.column(Md5Prefix60(Bridge.expression(c.cast("string"))))
+
+  /** Runtime for [[Md5Prefix60]] (also the codegen target). */
+  def md5Prefix60Of(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val dg = md.digest(s.getBytes)
+    var top = 0L
+    var j = 0
+    while (j < 8) { top = (top << 8) | (dg(j) & 0xffL); j += 1 }
+    top >>> 4
+  }
+
   /** Runtime for [[FeatureHashEmbed]] (also the codegen target). Null
     * tokens are skipped; an all-null or empty array yields the zero
     * vector. */
@@ -346,6 +369,25 @@ case class FeatureHashEmbed(child: Expression, dims: Int)
       c => s"graft.functions.TextKernels.featureHashEmbed($c, $dims)")
 
   override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed =
+    copy(child = newChild)
+}
+
+/** md5 60-bit prefix as long; see [[TextKernels.md5Prefix60]]. */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+  // input type is guaranteed string by the TextKernels.md5Prefix60
+  // wrapper (explicit cast); direct construction must honor that
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_prefix60"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.md5Prefix60Of(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.md5Prefix60Of($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
     copy(child = newChild)
 }
 

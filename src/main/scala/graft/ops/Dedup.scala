@@ -218,7 +218,13 @@ object Dedup {
     * longs total (hash groupBy, hash join back). */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    val g = spanGrams(df, idCol, textCol, n)
+    // `g` feeds the dup-gram aggregate AND the join back — the same
+    // two-reference shape as [[bucketPairs]]: an explicit repartition
+    // on the join key plants ONE exchange that both references share
+    // via AQE's ReusedExchange, so the tokenize+hash+explode subplan
+    // runs ONCE (it re-ran in full for the join side before — measured
+    // ~2x on the 10x-corpus span probe; guide §2.4)
+    val g = spanGrams(df, idCol, textCol, n).repartition(col("__h"))
     val dup = g.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
       .filter(col("__mn") =!= col("__mx")).select(col("__h"))
@@ -265,7 +271,8 @@ object Dedup {
     * no window, no driver-side text. */
   def trimDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    val g = spanGrams(df, idCol, textCol, n)
+    // shared exchange, same reasoning as [[duplicateSpans]]
+    val g = spanGrams(df, idCol, textCol, n).repartition(col("__h"))
     // duplicated gram → owning (minimum) doc id; owner keeps its copy
     val dup = g.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__own"), max(col(idCol)).as("__mx"))

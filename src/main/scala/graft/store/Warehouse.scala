@@ -657,8 +657,23 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     val zkey = td.key.head
     val next = nextSnapName(t)
     val dir = new Path(tableDir(t), next)
-    val fullZones = spark.conf.getOption("spark.graft.brin.zones")
-      .map(_.toInt).getOrElse(32)
+    val confZones = spark.conf.getOption("spark.graft.brin.zones").map(_.toInt)
+    // Scale-adaptive zone count for FULL writes (guide §2.2/§6): a
+    // zone is both a unit of scan parallelism and of merge/rewrite +
+    // footer-stat granularity, so size it by data volume —
+    // ~`spark.graft.brin.zoneTargetBytes` (default 64 MB) per zone —
+    // instead of a constant matched to local[32]. A 2 MB table
+    // collapses to one zone (1 file + 1 footer read instead of 32);
+    // a 100-TB table gets proportionally many. Optimizer size
+    // estimates can overshoot after joins, so the adaptive value is
+    // capped (estimates only ever make zones too MANY, which is the
+    // old behavior); an explicit `spark.graft.brin.zones` wins.
+    val fullZones = confZones.getOrElse {
+      val target = spark.conf.getOption("spark.graft.brin.zoneTargetBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      ((est / target).max(BigInt(1)).min(BigInt(1024))).toInt
+    }
     // A partial rewrite reclusters only its slice — into ~as many
     // zones as it replaces (min 1), NOT the full-table zone count:
     // otherwise every narrow merge would splinter its small slice
@@ -760,7 +775,11 @@ final class Warehouse(val spark: SparkSession, val root: String, val registry: R
     // replaced=None (no recursion: a full write never triggers this).
     val factor = spark.conf.getOption("spark.graft.brin.compactFactor")
       .map(_.toDouble).getOrElse(2.0)
-    if (replaced.isDefined && factor > 0 && allZones.size > factor * fullZones)
+    // fragmentation trigger against the CONFIGURED full count (a
+    // partial write's adaptive fullZones reflects only its slice and
+    // would make the trigger hyperactive on small merges)
+    val triggerZones = confZones.getOrElse(32)
+    if (replaced.isDefined && factor > 0 && allZones.size > factor * triggerZones)
       compact(t)
   }
 

@@ -221,12 +221,25 @@ object Write {
   /** Normalized, coerced, FK-resolved, key-checked, key-deduped batch.
     * All violations (unknown FK values, null key columns) surface via
     * a single Spark action. */
-  private def prepare(v: View, groups: Seq[Group], data: Any): DataFrame = {
+  /** Returns (deduped batch, the persisted resolved frame backing it —
+    * caller unpersists when done). The staging+FK-resolve subplan is
+    * computed ONCE: the validation probe below is the cache's
+    * materializing action, and the dedupe plus every downstream
+    * reference (bucket set, write filters, merge join, insert
+    * anti-join) read from the cache instead of re-running staging
+    * (previously the validation action ran the full resolve subplan
+    * and the batch's first consumer ran it AGAIN — two passes over
+    * the raw batch per write; guide §1.2). */
+  private def prepare(v: View, groups: Seq[Group], data: Any)
+      : (DataFrame, DataFrame) = {
     val env = v.env
     val keyCols = v.keyCols
-    val (resolved, checks) = resolve(env, v, groups, stage(env, v, data))
+    val (resolved0, checks) = resolve(env, v, groups, stage(env, v, data))
+    val resolved = resolved0.persist()
     // Violations: unknown FKs (view.py:700-711) + null key values (tmp
-    // key columns are NOT NULL, view.py:306-318) — one action for all.
+    // key columns are NOT NULL, view.py:306-318) — one action for all
+    // (validation is PRE-dedupe, as in the reference: a bad row raises
+    // even when a later row with the same key would supersede it).
     val nullKey = keyCols.map(k => c(k).isNull).reduce(_ || _)
     val bad = resolved
       .filter(nullKey || (if (checks.isEmpty) lit(false)
@@ -243,11 +256,17 @@ object Write {
       throw new IllegalArgumentException(
         s"Null value in key column when writing on table '${v.table.name}'")
     }
-    // Dedupe on key, last occurrence wins (one row per key per batch).
-    val wk = Window.partitionBy(keyCols.map(c): _*).orderBy(c("__seq").desc)
-    resolved.drop("__vflags", "__vsamples")
-      .withColumn("__rn", row_number().over(wk))
-      .filter(col("__rn") === 1).drop("__rn", "__seq")
+    // Dedupe on key, last occurrence wins (one row per key per batch):
+    // max_by on the unique `__seq` — same winner as the previous
+    // row_number window (order by __seq desc, rn = 1) but a partial-
+    // aggregable hash aggregate instead of a shuffle + full sort.
+    val payload = resolved.columns
+      .filter(cn => cn != "__vflags" && cn != "__vsamples" && cn != "__seq")
+    val deduped = resolved
+      .groupBy(keyCols.map(c): _*)
+      .agg(max_by(struct(payload.map(c): _*), c("__seq")).as("__r"))
+      .select(payload.map(cn => col(s"__r.`$cn`").as(cn)): _*)
+    (deduped, resolved)
   }
 
   // -------------------------------------------------------- write filters
@@ -350,7 +369,8 @@ object Write {
     val keyCols = v.keyCols
     val argv = Args(env, args, kwargs)
 
-    var b = prepare(v, groups, data).persist()
+    val (prepared, resolvedCache) = prepare(v, groups, data)
+    var b = prepared.persist()
 
     // Bucket pruning: when the table is key-hash bucketed and the
     // merge is keyed on the natural key (and purge doesn't need the
@@ -473,6 +493,7 @@ object Write {
         env.warehouse.write(t.name, result, hwm)
     }
     b.unpersist()
+    resolvedCache.unpersist(blocking = false)
     sortedCache.foreach(_.unpersist(blocking = false))
     WriteResult(filtered, deleted)
   }
@@ -485,6 +506,7 @@ object Write {
     val t = v.table
     require(t.external.isEmpty, s"Table '${t.name}' is external (read-only)")
     val cur = env.warehouse.read(t.name).persist()
+    var resolvedCache: Option[DataFrame] = None
     try {
       val total = cur.count()
       if (data == null && filters.isEmpty) {
@@ -501,7 +523,9 @@ object Write {
           val groups = groupFields(v)
           validateKey(v, groups.map(_.col.name).toSet)
           val keyCols = v.keyCols
-          val bKeys = prepare(v, groups, data).select(keyCols.map(c): _*)
+          val (preparedKeys, rc) = prepare(v, groups, data)
+          resolvedCache = Some(rc)
+          val bKeys = preparedKeys.select(keyCols.map(c): _*)
           // bucket-pruned delete: only buckets holding batch keys can
           // lose rows (not with swap — that deletes everywhere else)
           if (t.buckets > 0 && !swap && keyCols == t.key) {
@@ -545,6 +569,9 @@ object Write {
       env.warehouse.write(t.name, rem)
       rem.unpersist()
       total - kept
-    } finally cur.unpersist()
+    } finally {
+      cur.unpersist()
+      resolvedCache.foreach(_.unpersist(blocking = false))
+    }
   }
 }
